@@ -1,0 +1,336 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational operator family: scan/project/filter, aggregation
+  * (group-by, rollup, distinct), joins (broadcast, anti, semi, as-of,
+  * range), windows (rank, running, lag), and set operations.
+  *
+  * Scale notes (100 TB design stance):
+  *  - Filters/projections are plain Catalyst expressions → pushed into the
+  *    parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+  *  - Dimension joins (`part`, `supplier`, `customer`) use explicit
+  *    `broadcast()` — at TPC-H-like ratios the dim side stays MBs while
+  *    the fact side scales, so shuffle of the fact table is avoided.
+  *  - The as-of join is a union+sort single-shuffle formulation, NOT a
+  *    join+filter+window (which would materialize every (probe, build)
+  *    pair). One shuffle by key, linear scan within partition.
+  *  - The range join buckets the time axis and equi-joins on the bucket,
+  *    turning an O(N*M) theta-join into a bounded equi-join.
+  *  - All monetary aggregates use exact integer cents (see
+  *    [[graft.Tables.cents]]) so results are deterministic and
+  *    oracle-comparable bit-for-bit.
+  */
+object Relational {
+
+  /** Scan + filter + projection; predicate and both columns reach the
+    * parquet reader (pushdown + pruning). */
+  def scanProjectFilter(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-03-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q1-shaped pricing summary: group-by with sum/count over exact
+    * cents. Partial (map-side) aggregation makes the shuffle tiny: 6 groups
+    * regardless of input scale. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+          .as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) *
+          (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Rollup (grouping-sets family) over order status/priority. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Exact distinct aggregation (count distinct parts/suppliers per flag). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q3-shaped: segment customers ⋈ orders ⋈ lineitem, revenue per
+    * order, top 10. Customer side broadcast (dim ≪ fact at scale); the
+    * orders⋈lineitem join shuffles on the key both sides already share. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast-hash dimension join: lineitem ⋈ part, rolled up by brand. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select("p_partkey", "p_brand")
+    lineitem(s, dir).select("l_partkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Anti join: customers with no pending ('P') order (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey"))
+    customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: suppliers with at least one returned lineitem (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey"))
+    supplier(s, dir)
+      .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Ranking window: latest order per customer. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+      .orderBy("o_custkey")
+  }
+
+  /** Running-total window: cumulative spend per customer in exact cents. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("running_cents", sum(col("price_cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("running_cents").cast("double") / 100).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Lag window: gap in days since the customer's previous order. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(datediff(col("o_orderdate"), col("prev_date")), lit(-1))
+          .as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** INTERSECT: customers having both a finished and an open order. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT: customers with finished orders but no open ones. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** As-of join: for each purchase event, the most recent signup event of
+    * the same user at-or-before it.
+    *
+    * Single-shuffle formulation: tag both sides, union, sort within user by
+    * (ts, side) and carry the last non-null signup ts forward with
+    * `last(ignoreNulls)`. No pair materialization — at 100 TB this is one
+    * shuffle by user_id and a linear within-partition pass, where the naive
+    * join+window would build |purchases|×|signups| rows per user first.
+    */
+  def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("signup_ts"),
+        lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(purchases)
+      .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "user_id", "ts", "last_signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** Range join: returned lineitems shipped within ±2 days of an urgent
+    * order's date. Bucketized: both sides are keyed to a day bucket (the
+    * probe side exploded to the 5 candidate buckets), equi-joined on the
+    * bucket, then the exact range predicate is applied — bounded work per
+    * row instead of an O(N·M) theta join.
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (unix_timestamp(col("o_orderdate")) / day).cast("long").as("bucket"))
+    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        (unix_timestamp(col("l_shipdate")) / day).cast("long").as("li_bucket"))
+      .withColumn("bucket", explode(sequence(col("li_bucket") - 2, col("li_bucket") + 2)))
+    li.join(o, Seq("bucket"))
+      .filter(abs(unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate"))) <= 2 * day)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_near_shipments"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project_filter" -> scanProjectFilter,
+    "q1_agg" -> q1Agg,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_distinct" -> aggDistinct,
+    "q3_shipping" -> q3Shipping,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_anti" -> joinAnti,
+    "q_join_semi" -> joinSemi,
+    "q_window_rank" -> windowRank,
+    "q_window_running" -> windowRunning,
+    "q_window_lag" -> windowLag,
+    "q_set_intersect" -> setIntersect,
+    "q_set_except" -> setExcept,
+    "q_join_asof" -> joinAsOf,
+    "q_join_range" -> joinRange,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100 AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(coalesce(date_diff('day', lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate), -1) AS INT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(s.ts) FROM s WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS last_signup_ts
+        |FROM p ORDER BY p.event_id""".stripMargin,
+    "q_join_range" ->
+      """SELECT o_orderkey, count(*) AS n_near_shipments
+        |FROM orders JOIN lineitem
+        |  ON abs(date_diff('second', o_orderdate, l_shipdate)) <= 172800
+        |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+  )
+}
