@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Mime
+
+/** The reference's signature semantics, in-engine (SURVEY §2.5):
+  *
+  *  - J3 conditional upsert: new key → insert; metadata changed → update
+  *    (including mime_type); unchanged → no write so a hand-corrected
+  *    mime_type survives rescans (`db.rs:88-90,105-118`).
+  *  - J2 anti-join deletion detection: every previously-known row of the
+  *    source not seen this scan gets `deleted = scanInstant`
+  *    (`db.rs:48-65`, `README.md:6-8`).
+  *  - J1 inner equi-join re-find + J4 union-distinct seen-set
+  *    (`db.rs:101-104,120-123`).
+  *
+  * Documented deviations from Postgres-exact behavior (intentional; see
+  * SURVEY §7.7):
+  *  - Change detection uses null-safe IS-DISTINCT-FROM semantics (Spark
+  *    `<=>`). Postgres row-value `<>` yields NULL (→ no update) when e.g.
+  *    `created` flips NULL→non-NULL with other fields equal
+  *    (`db.rs:115-117`); we treat that as a change.
+  *  - J1 joins size with null-safe equality; the reference's `size =`
+  *    (`db.rs:104`) silently drops null-size (>i64) unchanged rows from
+  *    the seen-set, getting them wrongly tombstoned.
+  *  - Key comparisons are on (external_source, path, filename) — the
+  *    uniqueness constraint inferred at `db.rs:108`.
+  *
+  * Scale notes: the merge joins shuffle both sides by the natural key; at
+  * 100 TB the `current` side arrives partitioned from the previous scan's
+  * output (or bucketed storage), so only the new scan shuffles. Deletion
+  * detection is a left-anti join — Spark/AQE picks broadcast when the
+  * seen-set is small.
+  */
+object Scrape {
+
+  private val keyCols = Seq("external_source", "path", "filename")
+
+  /** Null-safe "any metadata field differs" (J3's WHERE, null-safe). */
+  private def changed(n: DataFrame, c: DataFrame): Column =
+    !(n("created") <=> c("created")) ||
+      !(n("modified") <=> c("modified")) ||
+      !(n("size") <=> c("size"))
+
+  /** J3: classify each scanned row against the current snapshot.
+    * Returns scan rows + `action` ∈ insert|update|unchanged, with
+    * mime_type resolved per the preservation rule and the re-found
+    * `uuid_external_file` (null for inserts).
+    */
+  def upsertClassify(current: DataFrame, scan: DataFrame): DataFrame = {
+    val c = current.as("c")
+    val n = scan.as("n")
+    val joinCond = keyCols.map(k => n(k) === c(k)).reduce(_ && _)
+    n.join(c, joinCond, "left")
+      .select(
+        n("external_source"), n("path"), n("filename"),
+        when(c("filename").isNull, "insert")
+          .when(changed(n, c), "update")
+          .otherwise("unchanged").as("action"),
+        when(c("filename").isNotNull && !changed(n, c), c("mime_type"))
+          .otherwise(n("mime_type")).as("mime_type"),
+        n("created"), n("modified"), n("size"),
+        c("uuid_external_file"))
+  }
+
+  /** J2: rows of `current` whose key is absent from this scan →
+    * tombstoned with the scan-constant instant (P8: one instant per scan,
+    * the analog of transaction-start `NOW()` — never per-row
+    * `current_timestamp()`). Faithfully re-stamps already-deleted rows,
+    * as the reference's UPDATE does (`db.rs:54-58` has no
+    * `deleted IS NULL` guard).
+    */
+  def deletions(current: DataFrame, scan: DataFrame, scanInstant: Column): DataFrame = {
+    current
+      .join(scan.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(col("uuid_external_file"), col("external_source"), col("path"),
+        col("filename"), scanInstant.as("deleted"))
+  }
+
+  /** J1 + J4: the seen-set — uuids returned by the upsert (insert/update;
+    * inserts carry null until the sink assigns a key) unioned DISTINCT with
+    * the J1 re-find of unchanged rows (key + null-safe size match). */
+  def seenKeys(current: DataFrame, scan: DataFrame): DataFrame = {
+    val classified = upsertClassify(current, scan)
+    val upserted = classified.filter(col("action") =!= "unchanged")
+      .select(col("uuid_external_file"), col("path"), col("filename"))
+    val c = current.as("c")
+    val n = scan.as("n")
+    val j1 = keyCols.map(k => n(k) === c(k)).reduce(_ && _) &&
+      (n("size") <=> c("size"))
+    val existing = n.join(c, j1, "inner")
+      .select(c("uuid_external_file"), c("path"), c("filename"))
+    upserted.union(existing).distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle-checkable fixture derivation: a deterministic files_current /
+  // files_scan pair computed from `orders` identically in Spark and DuckDB
+  // (FIXTURES.md §B). Key space: o_orderkey%7<5 currently known,
+  // %7>=2 in this scan → overlap {2,3,4}, new {5,6}, vanished {0,1};
+  // %5==0 rows changed (modified +1 day); %11==0 rows carry a
+  // hand-corrected mime; %13==0 null size; %3==0 null created;
+  // %17==0 already tombstoned.
+  // ---------------------------------------------------------------------
+
+  private def extCase(k: Column): Column =
+    when(k % 4 === 0, ".txt").when(k % 4 === 1, ".json")
+      .when(k % 4 === 2, ".csv").otherwise(".dat")
+
+  private def base(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    orders(s, dir).select(
+      k,
+      lit("demo").as("external_source"),
+      concat(lit("/bucket/"), col("o_orderstatus")).as("path"),
+      concat(lit("f_"), k.cast("string"), extCase(k)).as("filename"),
+      col("o_orderdate"),
+      when(k % 3 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("o_orderdate")).as("created"),
+      when(k % 13 === 0, lit(null).cast("bigint"))
+        .otherwise(cents(col("o_totalprice"))).as("size"))
+  }
+
+  /** Snapshot of the sink table before the scan (has uuid + tombstones). */
+  def filesCurrent(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir).filter(col("o_orderkey") % 7 < 5)
+    val k = col("o_orderkey")
+    b.select(
+      k.cast("string").as("uuid_external_file"),
+      col("external_source"), col("path"), col("filename"),
+      when(k % 11 === 0, "text/corrected")
+        .otherwise(Mime.mimeOf(col("filename"))).as("mime_type"),
+      col("created"),
+      col("o_orderdate").as("modified"),
+      col("size"),
+      when(k % 17 === 0, lit("2025-12-01 00:00:00").cast("timestamp"))
+        .otherwise(lit(null).cast("timestamp")).as("deleted"))
+  }
+
+  /** One scan's enriched listing (no uuid/deleted; mime freshly guessed;
+    * %5==0 rows have a newer modified). */
+  def filesScan(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir).filter(col("o_orderkey") % 7 >= 2)
+    val k = col("o_orderkey")
+    b.select(
+      k,
+      col("external_source"), col("path"), col("filename"),
+      Mime.mimeOf(col("filename")).as("mime_type"),
+      col("created"),
+      when(k % 5 === 0, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+        .otherwise(col("o_orderdate")).as("modified"),
+      col("size"))
+      .drop("o_orderkey")
+  }
+
+  private val scanInstant = "2026-01-15 00:00:00"
+
+  def qUpsert(s: SparkSession, dir: String): DataFrame =
+    upsertClassify(filesCurrent(s, dir), filesScan(s, dir))
+      .orderBy("path", "filename")
+
+  def qDeletions(s: SparkSession, dir: String): DataFrame =
+    deletions(filesCurrent(s, dir), filesScan(s, dir),
+      lit(scanInstant).cast("timestamp"))
+      .orderBy("path", "filename")
+
+  def qSeen(s: SparkSession, dir: String): DataFrame =
+    seenKeys(filesCurrent(s, dir), filesScan(s, dir))
+      .orderBy("path", "filename")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scrape_upsert" -> qUpsert,
+    "q_scrape_deletions" -> qDeletions,
+    "q_scrape_seen" -> qSeen,
+  )
+
+  /** Shared CTE text for the DuckDB oracles — must mirror
+    * filesCurrent/filesScan exactly. */
+  private val cte =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, 'demo' AS external_source,
+      |    concat('/bucket/', o_orderstatus) AS path,
+      |    concat('f_', CAST(o_orderkey AS VARCHAR),
+      |      CASE o_orderkey % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+      |           WHEN 2 THEN '.csv' ELSE '.dat' END) AS filename,
+      |    o_orderdate,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderdate END AS created,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |         ELSE CAST(round(o_totalprice*100) AS BIGINT) END AS size,
+      |    CASE o_orderkey % 4 WHEN 0 THEN 'text/plain' WHEN 1 THEN 'application/json'
+      |         WHEN 2 THEN 'text/csv' ELSE NULL END AS guessed_mime
+      |  FROM orders),
+      |cur AS (
+      |  SELECT CAST(k AS VARCHAR) AS uuid_external_file, external_source, path, filename,
+      |    CASE WHEN k % 11 = 0 THEN 'text/corrected' ELSE guessed_mime END AS mime_type,
+      |    created, o_orderdate AS modified, size,
+      |    CASE WHEN k % 17 = 0 THEN TIMESTAMP '2025-12-01 00:00:00' END AS deleted
+      |  FROM base WHERE k % 7 < 5),
+      |scan AS (
+      |  SELECT external_source, path, filename, guessed_mime AS mime_type, created,
+      |    CASE WHEN k % 5 = 0 THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate END AS modified,
+      |    size
+      |  FROM base WHERE k % 7 >= 2)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_scrape_upsert" -> (cte +
+      """SELECT n.external_source, n.path, n.filename,
+        |  CASE WHEN c.filename IS NULL THEN 'insert'
+        |       WHEN (n.created IS DISTINCT FROM c.created
+        |          OR n.modified IS DISTINCT FROM c.modified
+        |          OR n.size IS DISTINCT FROM c.size) THEN 'update'
+        |       ELSE 'unchanged' END AS action,
+        |  CASE WHEN c.filename IS NOT NULL
+        |        AND NOT (n.created IS DISTINCT FROM c.created
+        |              OR n.modified IS DISTINCT FROM c.modified
+        |              OR n.size IS DISTINCT FROM c.size)
+        |       THEN c.mime_type ELSE n.mime_type END AS mime_type,
+        |  n.created, n.modified, n.size, c.uuid_external_file
+        |FROM scan n LEFT JOIN cur c
+        |  ON n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename
+        |ORDER BY n.path, n.filename""".stripMargin),
+    "q_scrape_deletions" -> (cte +
+      """SELECT c.uuid_external_file, c.external_source, c.path, c.filename,
+        |  TIMESTAMP '2026-01-15 00:00:00' AS deleted
+        |FROM cur c
+        |WHERE NOT EXISTS (SELECT 1 FROM scan n
+        |  WHERE n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename)
+        |ORDER BY c.path, c.filename""".stripMargin),
+    "q_scrape_seen" -> (cte +
+      """SELECT DISTINCT * FROM (
+        |  SELECT c.uuid_external_file, n.path, n.filename
+        |  FROM scan n LEFT JOIN cur c
+        |    ON n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename
+        |  WHERE c.filename IS NULL
+        |     OR (n.created IS DISTINCT FROM c.created
+        |      OR n.modified IS DISTINCT FROM c.modified
+        |      OR n.size IS DISTINCT FROM c.size)
+        |  UNION
+        |  SELECT c.uuid_external_file, c.path, c.filename
+        |  FROM scan n JOIN cur c
+        |    ON n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename
+        |   AND n.size IS NOT DISTINCT FROM c.size)
+        |ORDER BY path, filename""".stripMargin),
+  )
+}

@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Transactional Postgres publish of one scan — the Spark-native form of
+  * the reference's single-transaction epilogue (`fs.rs:103-114`,
+  * `db.rs:34-136`): readers never observe a half-applied scan.
+  *
+  * JDBC has no distributed transaction, so the standard staged-table
+  * resolution (SURVEY §7.3):
+  *
+  *  1. Executors bulk-append the enriched scan to a per-scan scratch table
+  *     (`df.write.jdbc` with `batchsize` + `reWriteBatchedInserts=true` —
+  *     the same one-round-trip-per-batch effect as the reference's
+  *     array-bind UNNEST insert, `db.rs:72-100`, without manual
+  *     transposition).
+  *  2. The driver opens ONE connection, autocommit off, and runs the
+  *     merge (J3, the reference's exact ON CONFLICT statement shape,
+  *     `db.rs:105-118`), the anti-join tombstone UPDATE (J2,
+  *     `db.rs:48-65`), drops the scratch table, and commits.
+  *
+  * Connection budget: `numPartitions` on the staging write caps parallel
+  * connections (the reference pools 2, `db.rs:28`); the epilogue uses one.
+  *
+  * No Postgres exists in this harness — the SQL generation is unit-tested
+  * and the execution path is exercised only when `jdbcUrl` is reachable.
+  */
+object PgMerge {
+
+  val table = "external_file"
+  val constraint = "external_file_unique_constraint"
+
+  def scratchName(scanId: String): String =
+    "graft_scan_" + scanId.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** J3 — conditional upsert from the scratch table. Mirrors
+    * `db.rs:105-118`: insert new keys; update changed rows (including
+    * mime_type); leave unchanged rows untouched so corrected mime_types
+    * survive (`db.rs:88-90`). Uses IS DISTINCT FROM (documented deviation:
+    * the reference's row-value `<>` is not null-safe, `db.rs:115-117`),
+    * and resurrects reappeared files (`deleted = NULL` — the reference
+    * leaves stale tombstones on reappearing keys).
+    */
+  def upsertSql(scratch: String): String =
+    s"""INSERT INTO $table
+       |  (external_source, filename, path, mime_type, created, modified, size, deleted)
+       |SELECT external_source, filename, path, mime_type, created, modified, size, NULL
+       |FROM $scratch
+       |ON CONFLICT ON CONSTRAINT $constraint DO UPDATE SET
+       |  mime_type = EXCLUDED.mime_type,
+       |  created = EXCLUDED.created,
+       |  modified = EXCLUDED.modified,
+       |  size = EXCLUDED.size,
+       |  deleted = NULL
+       |WHERE ($table.created IS DISTINCT FROM EXCLUDED.created
+       |    OR $table.modified IS DISTINCT FROM EXCLUDED.modified
+       |    OR $table.size IS DISTINCT FROM EXCLUDED.size
+       |    OR $table.deleted IS NOT NULL)""".stripMargin
+
+  /** J2 — tombstone every row of this source not present in the scan.
+    * One set-based statement, transaction-start timestamp semantics
+    * (`now()` is constant within the transaction, matching `db.rs:54`). */
+  def markDeletedSql(scratch: String): String =
+    s"""UPDATE $table SET deleted = now()
+       |WHERE external_source = ?
+       |  AND NOT EXISTS (SELECT 1 FROM $scratch t
+       |    WHERE t.external_source = $table.external_source
+       |      AND t.path = $table.path
+       |      AND t.filename = $table.filename)""".stripMargin
+
+  /** Stage + merge + tombstone + commit. `scan` must carry columns
+    * (external_source, path, filename, mime_type, created, modified, size).
+    */
+  def publishScan(
+      scan: DataFrame,
+      jdbcUrl: String,
+      user: String,
+      password: String,
+      externalSource: String,
+      maxConnections: Int = 2): Unit = {
+    val scratch = scratchName(java.util.UUID.randomUUID().toString)
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("driver", "org.postgresql.Driver")
+
+    scan
+      .coalesce(maxConnections)
+      .write
+      .mode(SaveMode.Append)
+      .option("batchsize", 1000)
+      .option("reWriteBatchedInserts", "true")
+      .jdbc(jdbcUrl, scratch, props)
+
+    var conn: Connection = null
+    try {
+      conn = DriverManager.getConnection(jdbcUrl, user, password)
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.execute(upsertSql(scratch))
+      val del = conn.prepareStatement(markDeletedSql(scratch))
+      del.setString(1, externalSource)
+      del.executeUpdate()
+      st.execute(s"DROP TABLE $scratch")
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        if (conn != null) conn.rollback()
+        throw e
+    } finally {
+      if (conn != null) conn.close()
+    }
+  }
+}

@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.net.URI
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Mime
+
+/** One file-metadata record — the reference's single row type
+  * (`/root/reference/src/db.rs:10-18`). `path` is the parent directory,
+  * `filename` the basename (`fs.rs:51-52`); `created` is absent on S3
+  * (`s3.rs:123`) and on HDFS-like filesystems; `size` is nullable because
+  * the reference narrows u64→i64 with overflow→NULL (`db.rs:85`).
+  */
+case class FileInfo(
+    external_source: String,
+    path: String,
+    filename: String,
+    mime_type: Option[String],
+    created: Option[Timestamp],
+    modified: Timestamp,
+    size: Option[Long])
+
+/** Distributed metadata listing — the Spark-native form of the reference's
+  * two scan sources (`fs.rs:98-101` WalkDir, `s3.rs:87-100,136-150`
+  * ListObjectsV2 pagination).
+  *
+  * Scale design: the reference lists sequentially (one in-flight S3 page,
+  * one directory walker). Here the driver expands the namespace breadth-
+  * first only until it has enough shards to feed the cluster, then each
+  * task recursively lists its shard via the Hadoop FS API
+  * (`listFiles(recursive=true)`, which on s3a is ListObjectsV2 pagination
+  * under a prefix — the same prefix-pushdown as `s3.rs:91-92`, but with
+  * hundreds of prefixes in flight instead of one). A 100 TB bucket lists
+  * at aggregate-API throughput instead of single-cursor throughput.
+  *
+  * `file://` and `s3a://` are uniform through the Hadoop FS abstraction —
+  * the reference's scheme dispatch (`main.rs:72-81`) reduces to URI parsing.
+  */
+object FileListing {
+
+  /** Port of the reference's S3 URL regex
+    * `^s3://(?<bucket>[[:alnum:]-_]+)(|/(?<path>.*))$` (`s3.rs:52-63`),
+    * including its unit-tested fixtures (`s3.rs:159-175`). Returns
+    * (bucket, prefix) or None when the URL is not an s3 URL.
+    */
+  private val S3Re = "^s3://([A-Za-z0-9\\-_]+)(?:|/(.*))$".r
+  def parseS3Url(url: String): Option[(String, String)] = url match {
+    case S3Re(bucket, path) => Some((bucket, Option(path).getOrElse("")))
+    case _ => None
+  }
+
+  /** Default scan identifier (P6): explicit > s3 raw URL (`s3.rs:71`) >
+    * `hostname:path` (`fs.rs:43-47`). */
+  def identifierFor(pathOrUrl: String, explicit: Option[String]): String =
+    explicit.getOrElse {
+      if (parseS3Url(pathOrUrl).isDefined || pathOrUrl.contains("://")) pathOrUrl
+      else java.net.InetAddress.getLocalHost.getHostName + ":" + pathOrUrl
+    }
+
+  /** Split a root into listable shards: BFS over directories driver-side
+    * until we have ≥ `minShards` of them (or the frontier is exhausted).
+    * Files met during expansion are emitted immediately so nothing is
+    * listed twice. Returns (shardDirs, filesFoundDuringExpansion).
+    */
+  private[sources] def shardRoots(
+      fs: FileSystem, root: Path, minShards: Int,
+      maxExpand: Int = 4): (Seq[String], Seq[FileInfoRaw]) = {
+    var frontier = Seq(root)
+    val files = mutable.ArrayBuffer.empty[FileInfoRaw]
+    var depth = 0
+    while (frontier.size < minShards && depth < maxExpand && frontier.nonEmpty) {
+      val next = mutable.ArrayBuffer.empty[Path]
+      var expandedAny = false
+      frontier.foreach { p =>
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) {
+          expandedAny = true
+          fs.listStatus(p).foreach { c =>
+            if (c.isDirectory) next += c.getPath
+            else files += raw(c)
+          }
+        } else files += raw(st)
+      }
+      if (!expandedAny) return (Seq.empty, files.toSeq)
+      frontier = next.toSeq
+      depth += 1
+    }
+    (frontier.map(_.toString), files.toSeq)
+  }
+
+  /** Serializable row captured from a FileStatus. */
+  private[sources] case class FileInfoRaw(uri: String, modified: Long, size: Long)
+
+  private def raw(st: org.apache.hadoop.fs.FileStatus): FileInfoRaw =
+    FileInfoRaw(st.getPath.toUri.toString, st.getModificationTime, st.getLen)
+
+  /** Recursive, distributed listing of `rootUri` → `Dataset[FileInfo]`.
+    *
+    * @param extraConf Hadoop conf overrides (e.g. `fs.s3a.endpoint`,
+    *   `fs.s3a.path.style.access` — the reference's env-var client config,
+    *   `s3.rs:24-49`, expressed as S3A properties).
+    */
+  def list(
+      spark: SparkSession,
+      rootUri: String,
+      identifier: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty): Dataset[FileInfo] = {
+    import spark.implicits._
+    val source = identifierFor(rootUri, identifier)
+    val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    extraConf.foreach { case (k, v) => hconf.set(k, v) }
+    val confMap = extraConf // rebuilt executor-side; base conf is default
+    val root = new Path(rootUri)
+    val fs = root.getFileSystem(hconf)
+    val minShards = spark.sparkContext.defaultParallelism * 4
+    val (shards, earlyFiles) = shardRoots(fs, root, minShards)
+
+    val shardRows: Seq[FileInfoRaw] =
+      if (shards.isEmpty) Seq.empty
+      else {
+        spark.sparkContext
+          .parallelize(shards, math.max(1, shards.size))
+          .mapPartitions { it =>
+            val c = new Configuration()
+            confMap.foreach { case (k, v) => c.set(k, v) }
+            it.flatMap { dir =>
+              val p = new Path(dir)
+              val pfs = p.getFileSystem(c)
+              val out = mutable.ArrayBuffer.empty[FileInfoRaw]
+              val files = pfs.listFiles(p, true)
+              while (files.hasNext) {
+                val st = files.next()
+                out += FileInfoRaw(st.getPath.toUri.toString,
+                  st.getModificationTime, st.getLen)
+              }
+              out
+            }
+          }
+          .collect()
+          .toSeq
+      }
+    // Note: shard listing results flow back through the driver only in this
+    // assembled-Dataset form for small scans; `listDF` below keeps the whole
+    // flow distributed for large ones.
+    toFileInfo(spark, source, earlyFiles ++ shardRows)
+  }
+
+  /** Fully-distributed variant: the shard→rows expansion stays on executors
+    * and feeds a DataFrame directly (no driver collect). Preferred at scale.
+    */
+  def listDF(
+      spark: SparkSession,
+      rootUri: String,
+      identifier: Option[String] = None,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val source = identifierFor(rootUri, identifier)
+    val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    extraConf.foreach { case (k, v) => hconf.set(k, v) }
+    val confMap = extraConf
+    val root = new Path(rootUri)
+    val fs = root.getFileSystem(hconf)
+    val minShards = spark.sparkContext.defaultParallelism * 4
+    val (shards, earlyFiles) = shardRoots(fs, root, minShards)
+    val early = toFileInfo(spark, source, earlyFiles).toDF()
+    if (shards.isEmpty) early
+    else {
+      val listed = spark.sparkContext
+        .parallelize(shards, math.max(1, shards.size))
+        .mapPartitions { it =>
+          val c = new Configuration()
+          confMap.foreach { case (k, v) => c.set(k, v) }
+          it.flatMap { dir =>
+            val p = new Path(dir)
+            val pfs = p.getFileSystem(c)
+            val out = mutable.ArrayBuffer.empty[FileInfoRaw]
+            val files = pfs.listFiles(p, true)
+            while (files.hasNext) {
+              val st = files.next()
+              out += FileInfoRaw(st.getPath.toUri.toString,
+                st.getModificationTime, st.getLen)
+            }
+            out
+          }
+        }
+        .toDF()
+        .transform(enrichRaw(source))
+      early.unionByName(listed)
+    }
+  }
+
+  /** P1/P2/P3/P5/P7 as plan-level expressions over the raw listing. */
+  private def enrichRaw(source: String)(raw: DataFrame): DataFrame = {
+    val noScheme = regexp_replace(col("uri"), "^[a-z0-9+.-]+://", "")
+    val fname = substring_index(noScheme, "/", -1)
+    // Root-level keys (no '/' left after scheme strip) get path='' — the
+    // graceful handling of the case the reference panics on (s3.rs:107-108).
+    val dir = when(noScheme.contains("/"),
+      regexp_replace(noScheme, "/[^/]*$", "")).otherwise(lit(""))
+    raw.select(
+      lit(source).as("external_source"),
+      dir.as("path"),
+      fname.as("filename"),
+      Mime.mimeOf(fname).as("mime_type"),
+      lit(null).cast("timestamp").as("created"),
+      timestamp_millis(col("modified")).as("modified"),
+      col("size"))
+  }
+
+  private def toFileInfo(
+      spark: SparkSession, source: String,
+      rows: Seq[FileInfoRaw]): Dataset[FileInfo] = {
+    import spark.implicits._
+    rows.map { r =>
+      val noScheme = r.uri.replaceFirst("^[a-z0-9+.-]+://", "")
+      val slash = noScheme.lastIndexOf('/')
+      val (dir, fname) =
+        if (slash < 0) ("", noScheme)
+        else (noScheme.substring(0, slash), noScheme.substring(slash + 1))
+      FileInfo(source, dir, fname, Mime.lookup(fname),
+        None, new Timestamp(r.modified), Some(r.size))
+    }.toDS()
+  }
+}
