@@ -18,10 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Scrape.queries
+    operators.Relational.queries ++ operators.Scrape.queries ++
+      operators.Enrich.queries ++ operators.Dedup.queries ++
+      operators.Multimodal.queries ++ functions.TextAnalysis.queries ++
+      functions.Similarity.queries ++ streaming.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Scrape.oracles
+    operators.Relational.oracles ++ operators.Scrape.oracles ++
+      operators.Enrich.oracles ++ operators.Dedup.oracles ++
+      operators.Multimodal.oracles ++ functions.TextAnalysis.oracles ++
+      functions.Similarity.oracles ++ streaming.EventWindows.oracles
 }

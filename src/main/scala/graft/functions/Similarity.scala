@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity-search family over the `embeddings` table (north-star
+  * extension, SURVEY §7.5): brute-force cosine top-k as the exactness
+  * baseline, embedding near-dup detection, and a random-hyperplane-LSH
+  * bucketed variant as the 100 TB path.
+  *
+  * Numeric contract: embeddings are cast to `array<double>` and folded
+  * left-to-right by `aggregate` — bit-identical to DuckDB's
+  * `list_cosine_similarity` on `DOUBLE[]` (verified empirically), so
+  * cosine scores hash-match the oracle exactly, not just approximately.
+  *
+  * Scale notes: top-k broadcasts the (small) probe set and computes
+  * per-partition-local top-k via window over (probe × shard) — one pass
+  * over the corpus, no corpus shuffle. The LSH variant buckets by plane
+  * signs so candidate generation is an equi-join on (table, bucket);
+  * brute force is kept as the recall oracle.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision cosine. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
+    dot / (na * nb)
+  }
+
+  private def embDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-5 cosine neighbors for probe vectors (vec_id%50==0).
+    * Probe side broadcast; corpus scanned once. */
+  def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("emb")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Embedding near-dup: deterministic perturbed variants (ids+100000 of
+    * vec_id<20, x→0.95x+0.001) vs the corpus; pairs with cosine ≥ 0.9
+    * are the near-duplicates to be detected. */
+  def qSimNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val variants = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("var_id"),
+        transform(col("emb"), x => x * 0.95 + 0.001).as("var_emb"))
+    e.join(broadcast(variants))
+      .select(col("vec_id"), col("var_id"),
+        cosine(col("emb"), col("var_emb")).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy("vec_id", "var_id")
+  }
+
+  // --- LSH-bucketed ANN (rows-only; recall checked in SimilaritySpec) ---
+
+  /** 6 planes → 64 buckets keeps tens of bucket-mates per probe at the
+    * fixture scales; 4 independent tables drive recall up (candidates =
+    * union over tables). At larger corpora raise numPlanes so bucket
+    * occupancy stays bounded: planes ≈ log2(N / desired_candidates). */
+  val numPlanes = 6
+  val numTables = 4
+
+  /** Deterministic random hyperplanes (fixed seed), dims × planes ×
+    * tables, embedded as literals (a ~100-value broadcast). */
+  private def planes(dim: Int): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private def bucketOf(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(emb, typedlit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (s, v) => s + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN top-3 via sign-LSH: bucket each vector per table, candidates are
+    * bucket-mates of the probe in any table, ranked by exact cosine. */
+  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val ps = planes(dim)
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val bucketed = e.select(col("vec_id"), col("emb"),
+      posexplode(array(ps.map(tp => bucketOf(col("emb"), tp)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+    val probes = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("table_id"), col("bucket"),
+        col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
+    val cands = bucketed.join(broadcast(probes), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_emb"),
+        col("vec_id").as("neighbor_id"), col("emb")).distinct()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands.select(col("probe_id"), col("neighbor_id"),
+        cosine(col("probe_emb"), col("emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> qSimTopk,
+    "q_sim_neardup" -> qSimNeardup,
+    "q_sim_lsh" -> qSimLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id % 50 = 0),
+        |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(probe_emb, e.emb) AS cos
+        |  FROM e, p WHERE e.vec_id <> p.probe_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_sim_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |v AS (SELECT vec_id + 100000 AS var_id, [x * 0.95 + 0.001 FOR x IN emb] AS var_emb FROM e WHERE vec_id < 20)
+        |SELECT e.vec_id, v.var_id, list_cosine_similarity(e.emb, v.var_emb) AS cos
+        |FROM e, v WHERE list_cosine_similarity(e.emb, v.var_emb) >= 0.9
+        |ORDER BY e.vec_id, v.var_id""".stripMargin,
+  )
+}

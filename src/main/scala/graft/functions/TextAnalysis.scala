@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis family for training-data pipelines (north-star extension,
+  * SURVEY §7.5): token statistics, quality signals, heuristic language ID,
+  * regex tokenization, canonical fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split / filter /
+  * transform / aggregate lambdas) — no UDFs, so whole-stage codegen spans
+  * the full pipeline and the operators scale embarrassingly parallel (pure
+  * per-row projections, zero shuffle).
+  */
+object TextAnalysis {
+
+  val enStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "on")
+  val esStop = Seq("el", "la", "los", "de", "que", "y", "en", "un")
+  val deStop = Seq("der", "die", "das", "und", "ist", "von", "ein", "zu")
+  val frStop = Seq("le", "les", "des", "et", "est", "une", "dans", "pour")
+
+  /** Whitespace tokens with empties dropped (split-on-single-space matches
+    * the corpus format; `filter` guards repeated separators). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document statistics + a quality score in [0,1]:
+    * stopword ratio (fluency proxy) damped by token-repetition ratio. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val toks = tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("punct_chars"),
+      stopHits(toks, enStop).as("stop_hits"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          col("stop_hits").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("distinct_ratio",
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens")).otherwise(0.0))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic n-gram/stopword language ID: vote per language's stopword
+    * list, deterministic argmax with fixed precedence (en>es>de>fr), 'und'
+    * when no language reaches 2 hits. */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val toks = tokens(col("text"))
+    val withVotes = d.select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      stopHits(toks, enStop).as("en_hits"),
+      stopHits(toks, esStop).as("es_hits"),
+      stopHits(toks, deStop).as("de_hits"),
+      stopHits(toks, frStop).as("fr_hits"))
+    withVotes.withColumn("predicted_lang",
+      when(col("en_hits") >= 2 && col("en_hits") >= col("es_hits") &&
+        col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+        .when(col("es_hits") >= 2 && col("es_hits") >= col("de_hits") &&
+          col("es_hits") >= col("fr_hits"), "es")
+        .when(col("de_hits") >= 2 && col("de_hits") >= col("fr_hits"), "de")
+        .when(col("fr_hits") >= 2, "fr")
+        .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: word tokens, number tokens, and a BPE-ish regex
+    * segmentation (letters | digits | single non-space symbol). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_words"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_numbers"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical document fingerprint: md5 over the whitespace-normalized
+    * token stream (the SQL-expressible analog of a rolling content hash —
+    * a per-window rolling variant lives in the dedup family's shingles). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws(" ", tokens(col("text")))
+    documents(s, dir).select(
+      col("doc_id"),
+      md5(canon.cast("binary")).as("fingerprint"),
+      substring(md5(canon.cast("binary")), 1, 8).as("short_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_text_langid" -> qTextLangid,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint,
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents)
+         |SELECT doc_id, length(text) AS n_chars_actual, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct_chars,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x))) AS stop_hits,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END AS distinct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+         |v AS (SELECT doc_id, lang AS declared_lang,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x))) AS en_hits,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(esStop)}, x))) AS es_hits,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(deStop)}, x))) AS de_hits,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(frStop)}, x))) AS fr_hits
+         |FROM t)
+         |SELECT *, CASE
+         |  WHEN en_hits >= 2 AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |  WHEN es_hits >= 2 AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |  WHEN de_hits >= 2 AND de_hits >= fr_hits THEN 'de'
+         |  WHEN fr_hits >= 2 THEN 'fr'
+         |  ELSE 'und' END AS predicted_lang
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split(text,' '), x -> x <> ''), ' ')) AS fingerprint,
+        |  substring(md5(array_to_string(list_filter(string_split(text,' '), x -> x <> ''), ' ')), 1, 8) AS short_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Mime
+
+/** Multimodal-column family (north-star extension): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode/feature-extraction as batched per-partition functions.
+  *
+  * The container has no media codecs, so the decode step is a clearly
+  * marked deterministic fake ([[fakeDecode]]); everything around it — the
+  * binary column derivation, the typed `Dataset` boundary, partition-batched
+  * processing, and the output schema — is the real Spark plumbing a
+  * production decoder (JNI/FFmpeg per partition, or `mapInPandas` from
+  * PySpark) would slot into.
+  *
+  * Scale notes: decode is per-row CPU work with no shuffle —
+  * embarrassingly parallel; `mapPartitions` amortizes any per-task decoder
+  * initialization (model load, codec context) across the partition,
+  * exactly why the batched form beats a per-row UDF at 100 TB.
+  */
+object Multimodal {
+
+  /** A binary payload row (fixture: utf-8 bytes of `documents.text`
+    * standing in for media bytes). */
+  case class MediaBlob(doc_id: Long, filename: String, content: Array[Byte])
+
+  /** Extracted features: fake "image" dims, 16-bucket byte histogram,
+    * stride-sampled "frames". */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      histogram: Array[Long],
+      frame_samples: Array[Int])
+
+  private def synthFilename = concat(lit("media_"), col("doc_id"),
+    element_at(typedlit(Seq(".png", ".jpg", ".wav", ".mp4")),
+      (col("doc_id") % 4 + 1).cast("int")))
+
+  /** Metadata projection over the binary column (oracle-checked):
+    * byte length, content hash, filename-derived MIME class. */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), synthFilename.as("filename"),
+        col("text").cast("binary").as("content"))
+      .select(col("doc_id"), col("filename"),
+        octet_length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        Mime.mimeOf(col("filename")).as("mime_type"))
+      .orderBy("doc_id")
+
+  /** STUB decoder — deterministic stand-in for a real image/audio decode
+    * (no codec libraries in this container). Treats the payload as a
+    * 16-px-wide "image", builds a high-nibble byte histogram and samples
+    * one "frame" byte every 64 bytes. A real implementation replaces ONLY
+    * this function. */
+  def fakeDecode(blob: MediaBlob): MediaFeatures = {
+    val bytes = blob.content
+    val hist = new Array[Long](16)
+    bytes.foreach(b => hist((b & 0xFF) >> 4) += 1)
+    val frames = bytes.indices.by(64).take(8).map(i => bytes(i) & 0xFF).toArray
+    MediaFeatures(blob.doc_id, bytes.length, 16,
+      (bytes.length + 15) / 16, hist, frames)
+  }
+
+  /** Partition-batched decode over the typed Dataset boundary
+    * (rows-only driver check; semantics covered by MultimodalSpec). */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs: Dataset[MediaBlob] = documents(s, dir)
+      .select(col("doc_id"), synthFilename.as("filename"),
+        col("text").cast("binary").as("content"))
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (codec context, model load)
+      it.map(fakeDecode)
+    }.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_decode" -> qMultimodalDecode,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  concat('media_', CAST(doc_id AS VARCHAR),
+        |    CASE doc_id % 4 WHEN 0 THEN '.png' WHEN 1 THEN '.jpg' WHEN 2 THEN '.wav' ELSE '.mp4' END) AS filename,
+        |  strlen(text) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
