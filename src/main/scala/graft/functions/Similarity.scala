@@ -66,16 +66,18 @@ object Similarity {
 
   // --- LSH-bucketed ANN (rows-only; recall checked in SimilaritySpec) ---
 
-  /** 6 planes → 64 buckets keeps tens of bucket-mates per probe at the
-    * fixture scales; 4 independent tables drive recall up (candidates =
-    * union over tables). At larger corpora raise numPlanes so bucket
-    * occupancy stays bounded: planes ≈ log2(N / desired_candidates). */
-  val numPlanes = 6
-  val numTables = 4
+  /** Bucket occupancy target ~32 vectors: planes = log2(N/32), so bucket
+    * count tracks corpus size and candidate work per probe stays bounded.
+    * 8 independent tables union their buckets for recall (sign-LSH on
+    * near-orthogonal random vectors needs several tables; clustered
+    * real-world embeddings need fewer). */
+  val numTables = 8
+  def numPlanesFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
   /** Deterministic random hyperplanes (fixed seed), dims × planes ×
-    * tables, embedded as literals (a ~100-value broadcast). */
-  private def planes(dim: Int): Seq[Seq[Array[Double]]] = {
+    * tables, embedded as literals (a few-hundred-value broadcast). */
+  private def planes(dim: Int, numPlanes: Int): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
   }
@@ -91,8 +93,8 @@ object Similarity {
     * bucket-mates of the probe in any table, ranked by exact cosine. */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val ps = planes(dim)
     val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val ps = planes(dim, numPlanesFor(e.count()))
     val bucketed = e.select(col("vec_id"), col("emb"),
       posexplode(array(ps.map(tp => bucketOf(col("emb"), tp)): _*)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))

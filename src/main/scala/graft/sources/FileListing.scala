@@ -95,11 +95,20 @@ object FileListing {
     (frontier.map(_.toString), files.toSeq)
   }
 
-  /** Serializable row captured from a FileStatus. */
-  private[sources] case class FileInfoRaw(uri: String, modified: Long, size: Long)
+  /** Serializable row captured from a FileStatus. Parent dir and basename
+    * are split via Hadoop Path components (P1/P2) at capture time — the
+    * URI's path part, scheme/authority dropped, so `file://` and `s3a://`
+    * rows look identical. A root-level object gets `path=""` — the case
+    * the reference panics on (`s3.rs:107-108`), handled gracefully here.
+    */
+  private[sources] case class FileInfoRaw(
+      dir: String, name: String, modified: Long, size: Long)
 
-  private def raw(st: org.apache.hadoop.fs.FileStatus): FileInfoRaw =
-    FileInfoRaw(st.getPath.toUri.toString, st.getModificationTime, st.getLen)
+  private def raw(st: org.apache.hadoop.fs.FileStatus): FileInfoRaw = {
+    val p = st.getPath
+    val dir = Option(p.getParent).map(_.toUri.getPath).getOrElse("")
+    FileInfoRaw(dir, p.getName, st.getModificationTime, st.getLen)
+  }
 
   /** Recursive, distributed listing of `rootUri` → `Dataset[FileInfo]`.
     *
@@ -137,8 +146,10 @@ object FileListing {
               val files = pfs.listFiles(p, true)
               while (files.hasNext) {
                 val st = files.next()
-                out += FileInfoRaw(st.getPath.toUri.toString,
-                  st.getModificationTime, st.getLen)
+                val fp = st.getPath
+                out += FileInfoRaw(
+                  Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
+                  fp.getName, st.getModificationTime, st.getLen)
               }
               out
             }
@@ -184,31 +195,28 @@ object FileListing {
             val files = pfs.listFiles(p, true)
             while (files.hasNext) {
               val st = files.next()
-              out += FileInfoRaw(st.getPath.toUri.toString,
-                st.getModificationTime, st.getLen)
+              val fp = st.getPath
+              out += FileInfoRaw(
+                Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
+                fp.getName, st.getModificationTime, st.getLen)
             }
             out
           }
         }
         .toDF()
-        .transform(enrichRaw(source))
+        .transform(df => enrichRaw(source)(df))
       early.unionByName(listed)
     }
   }
 
-  /** P1/P2/P3/P5/P7 as plan-level expressions over the raw listing. */
+  /** P3/P5/P7 as plan-level expressions over the raw listing (P1/P2 split
+    * already happened at capture). */
   private def enrichRaw(source: String)(raw: DataFrame): DataFrame = {
-    val noScheme = regexp_replace(col("uri"), "^[a-z0-9+.-]+://", "")
-    val fname = substring_index(noScheme, "/", -1)
-    // Root-level keys (no '/' left after scheme strip) get path='' — the
-    // graceful handling of the case the reference panics on (s3.rs:107-108).
-    val dir = when(noScheme.contains("/"),
-      regexp_replace(noScheme, "/[^/]*$", "")).otherwise(lit(""))
     raw.select(
       lit(source).as("external_source"),
-      dir.as("path"),
-      fname.as("filename"),
-      Mime.mimeOf(fname).as("mime_type"),
+      col("dir").as("path"),
+      col("name").as("filename"),
+      Mime.mimeOf(col("name")).as("mime_type"),
       lit(null).cast("timestamp").as("created"),
       timestamp_millis(col("modified")).as("modified"),
       col("size"))
@@ -219,12 +227,7 @@ object FileListing {
       rows: Seq[FileInfoRaw]): Dataset[FileInfo] = {
     import spark.implicits._
     rows.map { r =>
-      val noScheme = r.uri.replaceFirst("^[a-z0-9+.-]+://", "")
-      val slash = noScheme.lastIndexOf('/')
-      val (dir, fname) =
-        if (slash < 0) ("", noScheme)
-        else (noScheme.substring(0, slash), noScheme.substring(slash + 1))
-      FileInfo(source, dir, fname, Mime.lookup(fname),
+      FileInfo(source, r.dir, r.name, Mime.lookup(r.name),
         None, new Timestamp(r.modified), Some(r.size))
     }.toDS()
   }

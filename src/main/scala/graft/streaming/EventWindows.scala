@@ -58,11 +58,14 @@ object EventWindows {
   /** `events` as a bounded stream: one parquet file per trigger — the
     * count-or-time micro-batch analog of `chunks_timeout(200, 1s)`. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = events(s, dir).schema
+    // raw parquet schema (ts = long nanos under nanosAsLong), NOT the
+    // converted Tables.events schema — the stream re-applies the conversion
+    val schema = t(s, dir, "events").schema
     val raw = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir) // FileStreamSource requires a directory, hence the glob
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams, short docs empty") {
+    val df = Seq("a b c d", "x y", "a b c a b c").toDF("text")
+      .select(Dedup.shingles(col("text")).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set.empty)
+    assert(got(2) == Set("a b c", "b c a", "c a b"))
+  }
+
+  test("minhash signature: deterministic, identical texts agree, width 64") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "something entirely different here with many words")
+      .toDF("text").select(Dedup.minhashSignature(col("text")).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == Dedup.numPerm)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: identical texts get identical fingerprints; near texts close") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val df = Seq(base, base, base + " extra", "totally unrelated short phrase")
+      .toDF("text").select(Dedup.simhash(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0), fps(2)) < hamming(fps(0), fps(3)))
+  }
+
+  test("minhash-LSH finds the injected near-duplicates at sf0.001") {
+    val pairs = Dedup.qDedupMinhash(spark, TestSpark.sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // exact copies (ids+100000, jaccard 1.0) must all surface
+    (0L until 50L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)), s"missing exact pair $id")
+    }
+    // near copies (ids+200000, 3 tokens appended) have jaccard n/(n+3)
+    val nearFound = (50L until 100L).count(id => pairs.contains((id, id + 200000)))
+    assert(nearFound >= 45, s"only $nearFound/50 near pairs found")
+  }
+
+  test("minhash-LSH output is a subset of exact-jaccard ngram output") {
+    val lsh = Dedup.qDedupMinhash(spark, TestSpark.sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.qDedupNgram(spark, TestSpark.sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.9).toInt, "LSH recall below 90%")
+  }
+
+  test("exact dedup: every injected copy collapses to its original") {
+    val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
+    val dups = rows.filter(_.getLong(2) > 1)
+    assert(dups.length == 50)
+    assert(dups.forall(r => r.getLong(1) < 50))
+  }
+}

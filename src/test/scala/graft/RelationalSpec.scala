@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Structural invariants of the relational family at sf0.001 (value-level
+  * correctness is the driver's DuckDB oracle gate). */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q1_agg: 3x2 flag/status groups, counts sum to table size") {
+    val rows = Relational.q1Agg(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(5)).sum == 6000L)
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("window rank: exactly one latest order per customer") {
+    val df = Relational.windowRank(spark, TestSpark.sf0001)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("as-of join: signup precedes or equals purchase for non-null matches") {
+    val bad = Relational.joinAsOf(spark, TestSpark.sf0001)
+      .filter(col("last_signup_ts").isNotNull &&
+        col("last_signup_ts") > col("ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("set ops: intersect and except partition the F-status customers") {
+    val f = Relational.setIntersect(spark, TestSpark.sf0001).count() +
+      Relational.setExcept(spark, TestSpark.sf0001).count()
+    val distinct_f = graft.Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderstatus") === "F").select("o_custkey").distinct().count()
+    assert(f == distinct_f)
+  }
+
+  test("every registered oracle has a query and every query runs at sf0.001") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).limit(1).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identity, orthogonality, antipodality") {
+    val df = Seq(
+      (Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 5.0, 0.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)),
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: self excluded, k rows per probe, ranks ordered") {
+    val rows = Similarity.qSimTopk(spark, TestSpark.sf0001).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length == 5)
+      assert(!rs.exists(_.getLong(1) == p))
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN: recall@3 vs brute force >= 0.5 at sf0.001") {
+    val brute = Similarity.qSimTopk(spark, TestSpark.sf0001)
+      .filter(col("rank") <= 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.qSimLsh(spark, TestSpark.sf0001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall@3 = $recall")
+  }
+
+  test("near-dup: finds exactly the 20 perturbed variants") {
+    val rows = Similarity.qSimNeardup(spark, TestSpark.sf0001)
+      .select("vec_id", "var_id").as[(Long, Long)].collect().toSet
+    assert(rows == (0L until 20L).map(i => (i, i + 100000)).toSet)
+  }
+}
