@@ -23,13 +23,23 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** Left-to-right double-precision cosine. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
-  }
+  /** Left-to-right double-precision cosine — the custom codegen Expression
+    * ([[graft.plans.CosineSimExpr]]); primitive-loop kernel, bit-identical
+    * to [[cosineFold]] and to DuckDB's `list_cosine_similarity`. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.GraftExpressions.cosine_sim(a, b)
+
+  /** The same cosine as a built-in higher-order-function fold (reference
+    * formulation; kept for the bit-parity spec). */
+  def cosineFold(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Left-to-right dot product (the order DuckDB folds in). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
 
   private def embDouble(c: Column): Column = c.cast("array<double>")
 
@@ -101,14 +111,17 @@ object Similarity {
     val probes = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("table_id"), col("bucket"),
         col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
+    // Cosine runs per (table, pair) duplicate — cheap kernel — and pairs
+    // dedupe AFTER scoring, so the shuffle carries 3 scalar columns
+    // instead of 64-double embedding arrays.
     val cands = bucketed.join(broadcast(probes), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("probe_emb"),
-        col("vec_id").as("neighbor_id"), col("emb")).distinct()
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("emb")).as("cos"))
+      .groupBy("probe_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
-    cands.select(col("probe_id"), col("neighbor_id"),
-        cosine(col("probe_emb"), col("emb")).as("cos"))
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .orderBy("probe_id", "rank")

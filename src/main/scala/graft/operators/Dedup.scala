@@ -56,39 +56,46 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
-  /** Distinct word-3-gram shingles per document. */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word-3-gram shingles per document (custom codegen kernel
+    * [[graft.plans.Shingles3Expr]]; same semantics as the built-in
+    * `array_distinct(transform(sequence…, slice…))` chain, ~an order of
+    * magnitude cheaper per row). */
+  def shingles(text: Column): Column =
+    graft.plans.GraftExpressions.shingles3(text)
 
   /** Max document frequency for a shingle to participate in the self-join
     * (prefix-filtering: ubiquitous shingles carry no dedup signal but
     * quadratic join cost). */
   val maxDf = 20
 
-  /** N-gram Jaccard near-dup pairs over df-filtered shingle sets. */
+  /** N-gram Jaccard near-dup pairs over df-filtered shingle sets.
+    *
+    * Inverted-index shape with ONE wide shuffle: explode (doc, gram) and
+    * group by gram, keeping the posting list only when df ≤ [[maxDf]]
+    * (prefix filtering — ubiquitous shingles carry no dedup signal but df²
+    * join cost). Candidate pairs are generated inside each posting list
+    * (i<j combinations, ≤ df²/2 structs) instead of a 2-sided self-join
+    * shuffle; per-doc sizes re-derive from the cached posting lists and
+    * broadcast into the final jaccard computation. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val g = corpus(s, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
-    val kept = g.join(rare, "gram")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val a = kept.as("a")
-    val b = kept.as("b")
-    val inter = a.join(b, col("a.gram") === col("b.gram") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val byGram = g.groupBy("gram").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .cache() // feeds pair generation + per-doc sizes
+    val sizes = byGram.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val pairs = byGram.select(explode(
+      flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), y =>
+          struct(least(x, y).as("d1"), greatest(x, y).as("d2")))))).as("p"))
+    val inter = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n_grams", "s1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n_grams", "s2"), "d2")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_grams", "s1")), "d1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_grams", "s2")), "d2")
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
@@ -113,25 +120,20 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 128-wide MinHash signature computed per-row (no shuffle): shingles →
-    * base hash in [0,P) → min over shingles of (a·h+b mod P) per
-    * permutation.
-    *
-    * Single-pass formulation: ONE `aggregate` fold over the hash array
-    * updates all 128 minima per element (`zip_with` against the literal
-    * permutation table). The naive per-permutation `array_min(transform(…))`
-    * form re-evaluates the whole shingling pipeline 128× after Catalyst's
-    * projection collapsing — measured 450s vs ~2s at sf0.1.
-    */
-  def minhashSignature(text: Column): Column = {
-    val baseHashes = transform(shingles(text), g => pmod(xxhash64(g), lit(P)))
-    val permTable = typedlit(perms)
-    aggregate(
-      baseHashes,
-      array_repeat(lit(P), numPerm),
-      (acc, h) => zip_with(acc, permTable,
-        (m, ab) => least(m, pmod(h * ab("_1") + ab("_2"), lit(P)))))
-  }
+  private lazy val permA: Array[Long] = perms.map(_._1).toArray
+  private lazy val permB: Array[Long] = perms.map(_._2).toArray
+
+  /** MinHash signature computed per-row (no shuffle): shingles → base hash
+    * in [0,P) (pmod of xxhash64) → min over shingles of (a·h+b mod P) per
+    * permutation. Runs as the custom codegen kernel
+    * [[graft.plans.MinHashSignatureExpr]] — same arithmetic as the
+    * higher-order-function fold, over primitive arrays. (History: the
+    * per-permutation `array_min(transform(…))` formulation re-evaluated
+    * the whole shingling pipeline 128× after projection collapsing —
+    * 450s at sf0.1; the single `aggregate` fold got it to ~8s; the
+    * kernel is ~1s.) */
+  def minhashSignature(text: Column): Column =
+    graft.plans.GraftExpressions.minhash_signature(shingles(text), permA, permB)
 
   /** Candidate pairs via banded LSH, verified with exact Jaccard ≥ 0.5.
     * The shingle sets are cached: they feed band hashing AND both sides of
@@ -141,12 +143,9 @@ object Dedup {
     val c = corpus(s, dir)
     val sigs = c.select(col("doc_id"), shingles(col("text")).as("grams"))
       .filter(size(col("grams")) > 0)
-      .cache()
-      .withColumn("sig", aggregate(
-        transform(col("grams"), g => pmod(xxhash64(g), lit(P))),
-        array_repeat(lit(P), numPerm),
-        (acc, h) => zip_with(acc, typedlit(perms),
-          (m, ab) => least(m, pmod(h * ab("_1") + ab("_2"), lit(P))))))
+      .withColumn("sig",
+        graft.plans.GraftExpressions.minhash_signature(col("grams"), permA, permB))
+      .cache() // feeds banding + both verification sides — compute once
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => xxhash64(concat_ws("_",
@@ -170,28 +169,17 @@ object Dedup {
 
   // --- SimHash (rows-only) ------------------------------------------
 
-  /** 64-bit SimHash fingerprint: per bit, majority vote of token hashes.
-    * Same single-pass shape as [[minhashSignature]]: one fold updates all
-    * 64 bit-counters per token hash (bit test via literal mask table —
-    * `shiftright` needs a literal shift amount), then the counter signs
-    * are OR-folded into the fingerprint. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
-    val masks = typedlit((0 until 64).map(1L << _))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (cnt, mask) => cnt + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, mask) => when(v > 0, mask).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash fingerprint: per bit, majority vote of the distinct
+    * token hashes. Custom codegen kernel ([[graft.plans.SimHash64Expr]];
+    * tokens are deduplicated by hash inside the kernel). */
+  def simhash(text: Column): Column =
+    graft.plans.GraftExpressions.simhash64(tokens(text))
 
   /** Near-dup pairs with Hamming distance ≤ 3, found by pigeonhole
     * blocking on the four 16-bit chunks (d ≤ 3 ⇒ ≥1 chunk equal). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
+      .cache() // fingerprint feeds both sides of the pigeonhole join
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), k -> shiftright(fp, k * 16) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))

@@ -81,17 +81,26 @@ object Scrape {
 
   /** J1 + J4: the seen-set — uuids returned by the upsert (insert/update;
     * inserts carry null until the sink assigns a key) unioned DISTINCT with
-    * the J1 re-find of unchanged rows (key + null-safe size match). */
+    * the J1 re-find (key + null-safe size match).
+    *
+    * Both branches derive from ONE left join (the J1 inner join is the
+    * subset of matched rows whose size agrees), so the merge shuffle runs
+    * once instead of twice. */
   def seenKeys(current: DataFrame, scan: DataFrame): DataFrame = {
-    val classified = upsertClassify(current, scan)
-    val upserted = classified.filter(col("action") =!= "unchanged")
-      .select(col("uuid_external_file"), col("path"), col("filename"))
     val c = current.as("c")
     val n = scan.as("n")
-    val j1 = keyCols.map(k => n(k) === c(k)).reduce(_ && _) &&
-      (n("size") <=> c("size"))
-    val existing = n.join(c, j1, "inner")
-      .select(c("uuid_external_file"), c("path"), c("filename"))
+    val joinCond = keyCols.map(k => n(k) === c(k)).reduce(_ && _)
+    val joined = n.join(c, joinCond, "left")
+      .select(
+        c("uuid_external_file"), n("path"), n("filename"),
+        (c("filename").isNull || changed(n, c)).as("upserted"),
+        (c("filename").isNotNull && (n("size") <=> c("size"))).as("j1_match"),
+        c("path").as("c_path"), c("filename").as("c_filename"))
+    val upserted = joined.filter(col("upserted"))
+      .select(col("uuid_external_file"), col("path"), col("filename"))
+    val existing = joined.filter(col("j1_match"))
+      .select(col("uuid_external_file"), col("c_path").as("path"),
+        col("c_filename").as("filename"))
     upserted.union(existing).distinct()
   }
 

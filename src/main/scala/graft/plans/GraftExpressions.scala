@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row kernels (SURVEY §7.4's
+  * preference order: native `Expression` with codegen > UDF).
+  *
+  * The lambda-expression (`aggregate`/`zip_with`) formulations of these
+  * kernels work but box every intermediate (a fresh 64-element object array
+  * per input element) and are excluded from subexpression elimination.
+  * These expressions run the loops over primitive arrays — the codegen
+  * emits a call into a statically-compiled kernel, so the JIT sees one hot
+  * monomorphic method instead of janino-compiled megamorphic lambdas.
+  *
+  * Numeric/bit parity is preserved exactly:
+  *  - base hash = `pmod(xxhash64(s), P)` (same XXH64, seed 42, same pmod),
+  *  - signature step `(base·a+b) mod P` in the same Long arithmetic,
+  *  - cosine folds left-to-right in double — bit-identical to both the
+  *    lambda formulation and DuckDB's `list_cosine_similarity` oracle.
+  */
+object Kernels {
+  val P: Long = 2147483647L // 2^31-1, matches graft.operators.Dedup.P
+
+  def minhash(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, P)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = ((h % P) + P) % P
+      var j = 0
+      while (j < k) {
+        val v = (base * a(j) + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[Long]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (seen.add(h)) {
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Distinct word-3-gram shingles of a text: split on ' ' (empties
+    * skipped), windows of 3 joined by ' ', first-occurrence order.
+    * Semantics match the built-in formulation
+    * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`. */
+  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val s = text.toString
+    var start = 0
+    val len = s.length
+    while (start < len) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) toks += s.substring(start, end)
+      start = end + 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](math.max(0, toks.length - 2))
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      if (seen.add(g)) out += org.apache.spark.unsafe.types.UTF8String.fromString(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Distinct word-3-grams of a text column: `string` → `array<string>`. */
+case class Shingles3Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.shingles3(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.shingles3($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature of a shingle set: `array<string>` → `array<long>` of
+  * width `a.length`. */
+case class MinHashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.requireArrayOf(child, StringType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.minhash(v.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.minhash($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash fingerprint of a token array (distinct-by-hash inside):
+  * `array<string>` → `long`. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.requireArrayOf(child, StringType, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.simhash($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Cosine similarity of two `array<double>` columns. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GraftExpressions.requireArrayOf(left, DoubleType, prettyName)
+    if (l.isFailure) l else GraftExpressions.requireArrayOf(right, DoubleType, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.Kernels.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points. */
+object GraftExpressions {
+  private[plans] def requireArrayOf(
+      e: Expression, elem: DataType, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(t, _) if t == elem => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<${elem.simpleString}>, got ${other.simpleString}")
+    }
+
+  def shingles3(text: Column): Column =
+    ColumnShim.column(Shingles3Expr(ColumnShim.expression(text)))
+
+  def minhash_signature(shingles: Column, a: Array[Long], b: Array[Long]): Column =
+    ColumnShim.column(
+      MinHashSignatureExpr(ColumnShim.expression(shingles), a, b))
+
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64Expr(ColumnShim.expression(tokens)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnShim.column(
+      CosineSimExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` API: wrap/unwrap a Catalyst
+  * `Expression` as a public `Column` (Spark 4 routes Columns through
+  * ColumnNode; `ExpressionUtils` is the sanctioned classic-session
+  * converter, but it is package-private). The only Spark-internal surface
+  * this library touches. */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** The custom codegen kernels must be bit-identical to the built-in
+  * higher-order-function formulations they replace (the folds are what
+  * the DuckDB oracles were verified against). */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CosineSimExpr is bit-identical to the fold formulation on real embeddings") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probe = e.limit(1).select(col("emb").as("probe_emb"))
+    val both = e.crossJoin(broadcast(probe))
+      .select(
+        Similarity.cosine(col("probe_emb"), col("emb")).as("kernel"),
+        Similarity.cosineFold(col("probe_emb"), col("emb")).as("fold"))
+    assert(both.filter(col("kernel") =!= col("fold")).count() == 0)
+  }
+
+  test("MinHashSignatureExpr matches the aggregate-fold arithmetic") {
+    import graft.plans.GraftExpressions
+    val a = Array(3L, 7L)
+    val b = Array(11L, 13L)
+    val P = 2147483647L
+    val sp = spark
+    import sp.implicits._
+    val df = sp.createDataset(Seq(Seq("x", "y", "z"))).toDF("g")
+      .select(
+        GraftExpressions.minhash_signature(col("g"), a, b).as("kernel"),
+        aggregate(
+          transform(col("g"), s => pmod(xxhash64(s), lit(P))),
+          array_repeat(lit(P), 2),
+          (acc, h) => zip_with(acc, typedlit(Seq((3L, 11L), (7L, 13L))),
+            (m, ab) => least(m, pmod(h * ab("_1") + ab("_2"), lit(P))))).as("fold"))
+    val r = df.collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("SimHash64Expr: identical token multisets agree, distinct-by-hash") {
+    import graft.plans.GraftExpressions
+    val sp = spark; import sp.implicits._
+    val df = sp.createDataset(Seq(
+      Seq("a", "b", "c"),
+      Seq("a", "a", "b", "c", "c"), // duplicates ignored
+      Seq("d", "e", "f")))
+      .toDF("toks").select(GraftExpressions.simhash64(col("toks")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
