@@ -65,6 +65,26 @@ object Relational {
         asc_nulls_first("o_orderpriority"))
   }
 
+  /** Cube (full grouping-sets lattice) over order status/priority. */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
+  /** HLL sketch aggregation: approximate distinct parts per return flag.
+    * No SQL oracle (sketch estimates are engine-specific); the exact
+    * counterpart is q_agg_distinct and RelationalSpec bounds the error. */
+  def aggApprox(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact distinct aggregation (count distinct parts/suppliers per flag). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     lineitem(s, dir)
@@ -234,6 +254,8 @@ object Relational {
     "q_scan_project_filter" -> scanProjectFilter,
     "q1_agg" -> q1Agg,
     "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_approx" -> aggApprox,
     "q_agg_distinct" -> aggDistinct,
     "q3_shipping" -> q3Shipping,
     "q_join_broadcast" -> joinBroadcast,
@@ -267,6 +289,10 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -40,6 +40,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(f == distinct_f)
   }
 
+  test("approx_count_distinct within 5% of exact counts") {
+    val approx = Relational.aggApprox(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.aggDistinct(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val err = math.abs(approx(flag) - n).toDouble / n
+      assert(err <= 0.05, s"$flag: approx=${approx(flag)} exact=$n err=$err")
+    }
+  }
+
   test("every registered oracle has a query and every query runs at sf0.001") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ScrapeStream
+
+/** End-to-end incremental scrape: two scan files arrive as two
+  * micro-batches; the state snapshot must show inserts, updates, and the
+  * vanished-key tombstone after the second scan. */
+class ScrapeStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def writeScanFile(dir: Path, name: String,
+      rows: Seq[(String, String, String, Option[String], Option[Timestamp], Timestamp, Option[Long])],
+      mtime: Long): Unit = {
+    val staging = Files.createTempDirectory("scan_staging")
+    rows.toDF("external_source", "path", "filename", "mime_type",
+      "created", "modified", "size")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val target = dir.resolve(name)
+    Files.move(part, target)
+    Files.setLastModifiedTime(target, FileTime.fromMillis(mtime))
+  }
+
+  test("two-batch incremental scrape: insert, update, tombstone") {
+    val watch = Files.createTempDirectory("scrape_watch")
+    val state = watch.toString + "_state"
+
+    val t1 = ts("2026-01-01 10:00:00")
+    val t2 = ts("2026-01-02 10:00:00")
+    writeScanFile(watch, "scan1.parquet", Seq(
+      ("s1", "/d", "a.txt", Some("text/plain"), None, t1, Some(1L)),
+      ("s1", "/d", "b.txt", Some("text/plain"), None, t1, Some(2L)),
+    ), mtime = 1000000)
+    writeScanFile(watch, "scan2.parquet", Seq(
+      ("s1", "/d", "b.txt", Some("text/plain"), None, t2, Some(20L)), // changed
+      ("s1", "/d", "c.txt", Some("text/plain"), None, t2, Some(3L)),  // new
+    ), mtime = 2000000)
+
+    ScrapeStream.runAvailable(spark, watch.toString, state)
+
+    val rows = ScrapeStream.readState(spark, state)
+      .collect().map(r => r.getString(3) -> r).toMap
+    assert(rows.size == 3)
+    // a.txt vanished in scan2 → tombstoned
+    assert(rows("a.txt").getTimestamp(8) != null)
+    // b.txt updated to scan2 metadata, alive
+    assert(rows("b.txt").getLong(7) == 20L)
+    assert(rows("b.txt").isNullAt(8))
+    // c.txt inserted with generated uuid
+    assert(rows("c.txt").getString(0).startsWith("gen_"))
+    assert(rows("c.txt").isNullAt(8))
+  }
+}
