@@ -1,0 +1,92 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileListing
+
+/** CLI entry point — the reference's product surface (`main.rs:20-81`):
+  *
+  * {{{
+  * graft.Main [-i IDENTIFIER] [-v]... [--out DIR | --jdbc URL] PATH [PATH...]
+  * }}}
+  *
+  * Each PATH (filesystem dir or `s3://`/`s3a://` URL) is scanned
+  * concurrently (S8, one task per path like `main.rs:44-58`'s JoinSet;
+  * any failure fails the run, `main.rs:61-65`). `-i` overrides the scan
+  * identifier for every path (`main.rs:23-24`); the default is the raw S3
+  * URL or `hostname:path` (P6). `-v` raises log verbosity.
+  *
+  * Sink: `--jdbc URL` publishes through [[sinks.PgMerge]] (scan semantics
+  * identical to the reference's Postgres flow); `--out DIR` (default
+  * `./scan_out`) merges into a parquet snapshot via the same
+  * classify/tombstone operators (state-dir form of the sink, also used by
+  * [[streaming.ScrapeStream]]).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var identifier: Option[String] = None
+    var verbosity = 0
+    var out = "./scan_out"
+    var jdbc: Option[String] = None
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-i" | "--identifier" => identifier = Some(args(i + 1)); i += 2
+        case "-v" => verbosity += 1; i += 1
+        case "--out" => out = args(i + 1); i += 2
+        case "--jdbc" => jdbc = Some(args(i + 1)); i += 2
+        case p => paths += p; i += 1
+      }
+    }
+    require(paths.nonEmpty, "at least one PATH required")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-scan")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(
+      if (verbosity >= 2) "INFO" else if (verbosity == 1) "WARN" else "ERROR")
+
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // S8: one concurrent scan job per path; all actions run in parallel
+    // against the shared session (Spark schedules them fairly); the first
+    // failure propagates and fails the whole run.
+    val scans: Seq[Future[(String, DataFrame)]] = paths.toSeq.map { p =>
+      Future {
+        val src = FileListing.identifierFor(p, identifier)
+        (src, FileListing.listDF(spark, normalize(p), identifier).cache())
+      }
+    }
+    val results = Await.result(Future.sequence(scans), Duration.Inf)
+
+    jdbc match {
+      case Some(url) =>
+        results.foreach { case (src, df) =>
+          sinks.PgMerge.publishScan(df, url,
+            sys.env.getOrElse("PGUSER", "postgres"),
+            sys.env.getOrElse("PGPASSWORD", ""), src)
+        }
+      case None =>
+        results.foreach { case (src, df) =>
+          streaming.ScrapeStream.mergeBatch(spark, out)(
+            df.withColumn("external_source", lit(src)), 0L)
+        }
+        val n = spark.read.parquet(out).count()
+        println(s"scan complete: $n rows in state at $out")
+    }
+    spark.stop()
+  }
+
+  /** `s3://` (reference scheme) → `s3a://` (Hadoop connector scheme). */
+  private def normalize(p: String): String =
+    if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
+}

@@ -250,7 +250,19 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** JSON scalar functions: extract the numeric payload key from the
+    * events' JSON props and aggregate per event_type bucket. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type", "k_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> jsonExtract,
     "q_scan_project_filter" -> scanProjectFilter,
     "q1_agg" -> q1Agg,
     "q_agg_rollup" -> aggRollup,
@@ -271,6 +283,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type, k_bucket
+        |ORDER BY event_type, k_bucket""".stripMargin,
     "q_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
