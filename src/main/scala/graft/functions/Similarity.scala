@@ -127,13 +127,34 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Array/math scalar-function family over the embedding vectors:
+    * dimensionality, component extremes, energy (self-dot), L2 norm. */
+  def qArrayMath(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    e.select(
+      col("vec_id"),
+      size(col("emb")).as("dim"),
+      array_min(col("emb")).as("mn"),
+      array_max(col("emb")).as("mx"),
+      dot(col("emb"), col("emb")).as("sum_sq"),
+      sqrt(dot(col("emb"), col("emb"))).as("l2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> qSimTopk,
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
+    "q_array_math" -> qArrayMath,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_array_math" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  list_min(embedding::DOUBLE[]) AS mn, list_max(embedding::DOUBLE[]) AS mx,
+        |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sum_sq,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id % 50 = 0),

@@ -71,6 +71,26 @@ object PgMerge {
        |      AND t.path = $table.path
        |      AND t.filename = $table.filename)""".stripMargin
 
+  /** JDBC read of the current `external_file` slice for one source
+    * (SURVEY §7.3 step 3). The `external_source` predicate is pushed into
+    * the remote query (visible as `PushedFilters` in `.explain`), so only
+    * this source's rows cross the wire; `partitionColumn` on a stable
+    * numeric expression would shard the read for very large sources.
+    */
+  def readCurrent(
+      spark: org.apache.spark.sql.SparkSession,
+      jdbcUrl: String,
+      user: String,
+      password: String,
+      externalSource: String): DataFrame = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("driver", "org.postgresql.Driver")
+    spark.read.jdbc(jdbcUrl, table, props)
+      .filter(org.apache.spark.sql.functions.col("external_source") === externalSource)
+  }
+
   /** Stage + merge + tombstone + commit. `scan` must carry columns
     * (external_source, path, filename, mime_type, created, modified, size).
     */

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Scale-mechanism checks: salted joins/aggregations preserve semantics,
+  * and bucketed tables co-locate joins (no shuffle exchange on either
+  * side) — the storage-layout lever for repeated 100 TB joins. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join equals plain join") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity")
+    val o = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"), 8).count()
+    assert(plain == salted)
+  }
+
+  test("salted two-phase count equals plain group-by count") {
+    val o = graft.Tables.orders(spark, TestSpark.sf0001)
+    val plain = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(o, Seq("o_orderstatus"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf — TestSpark points it at a temp dir
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.Tables.lineitem(spark, TestSpark.sf0001)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      graft.Tables.orders(spark, TestSpark.sf0001)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.count() // materialize (resolves AQE final plan)
+
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: ShuffleExchangeExec => 1
+          case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+          case _ => 0
+        }
+        self + p.children.map(shuffles).sum
+      }
+      assert(shuffles(joined.queryExecution.executedPlan) == 0,
+        joined.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
