@@ -250,6 +250,57 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Pivot (row→column transpose, the in-engine analog of the reference's
+    * columnar transpose, `db.rs:72-86`): order counts per priority with
+    * one column per status. */
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Unpivot (columns→rows, UNNEST-family): order metrics as (key,
+    * metric, value) triples for a deterministic row sample. */
+  def unpivot(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d")), "metric", "value")
+      .orderBy("o_orderkey", "metric")
+  }
+
+  /** Exact percentiles (median + p90, linear interpolation) over integer
+    * cents per status. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(cents(col("o_totalprice")), lit(0.5)).as("median_cents"),
+        percentile(cents(col("o_totalprice")), lit(0.9)).as("p90_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** String scalar-function family: case, replace, padding, substring,
+    * edit distance. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir).select(
+      col("doc_id"),
+      upper(col("lang")).as("lang_upper"),
+      regexp_replace(col("source"), "src", "s-").as("source_repl"),
+      lpad(col("doc_id").cast("string"), 6, "0").as("id_padded"),
+      substring(col("text"), 1, 10).as("text_head"),
+      levenshtein(col("lang"), col("source")).as("lev"))
+      .orderBy("doc_id")
+  }
+
   /** JSON scalar functions: extract the numeric payload key from the
     * events' JSON props and aggregate per event_type bucket. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
@@ -263,6 +314,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> jsonExtract,
+    "q_pivot" -> pivot,
+    "q_unpivot" -> unpivot,
+    "q_percentiles" -> percentiles,
+    "q_string_funcs" -> stringFuncs,
     "q_scan_project_filter" -> scanProjectFilter,
     "q1_agg" -> q1Agg,
     "q_agg_rollup" -> aggRollup,
@@ -283,6 +338,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE) FROM orders WHERE o_orderkey % 100 = 0)
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_upper,
+        |  regexp_replace(source, 'src', 's-', 'g') AS source_repl,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded,
+        |  substring(text, 1, 10) AS text_head,
+        |  levenshtein(lang, source) AS lev
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |  count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
