@@ -127,6 +127,25 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Brute-force top-5 via the typed [[TopK]] aggregator instead of a
+    * window: partial top-k reduces map-side, so the shuffle carries at
+    * most k pairs per (partition, probe) instead of the whole scored
+    * corpus per probe. Output identical to [[qSimTopk]] (same oracle). */
+  def qSimTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("emb")).as("cos"))
+    scored.groupBy(col("probe_id"))
+      .agg(TopK.topK(5)(col("cos"), col("neighbor_id")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")))
+      .select(col("probe_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Array/math scalar-function family over the embedding vectors:
     * dimensionality, component extremes, energy (self-dot), L2 norm. */
   def qArrayMath(s: SparkSession, dir: String): DataFrame = {
@@ -145,6 +164,7 @@ object Similarity {
     "q_sim_topk" -> qSimTopk,
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
+    "q_sim_topk_agg" -> qSimTopkAgg,
     "q_array_math" -> qArrayMath,
   )
 
@@ -156,6 +176,15 @@ object Similarity {
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id % 50 = 0),
+        |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(probe_emb, e.emb) AS cos
+        |  FROM e, p WHERE e.vec_id <> p.probe_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_sim_topk_agg" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id % 50 = 0),
         |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
