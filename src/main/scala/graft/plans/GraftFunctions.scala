@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL-surface registration for the custom expressions, so `spark.sql`
+  * users can call them without the Scala Column API:
+  *
+  *  - cluster deployment: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *  - existing session: `GraftFunctions.register(spark)`
+  *
+  * `minhash_signature` is exposed with the library's default permutation
+  * table (64 perms, fixed seed — [[graft.operators.Dedup.perms]] analog);
+  * parameterized tables stay on the Scala API.
+  */
+object GraftFunctions {
+
+  private lazy val (defaultA, defaultB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val perms = Seq.fill(64)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+    (perms.map(_._1).toArray, perms.map(_._2).toArray)
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "simhash64" -> (es => SimHash64Expr(es.head)),
+    "shingles3" -> (es => Shingles3Expr(es.head)),
+    "minhash_signature" -> (es => MinHashSignatureExpr(es.head, defaultA, defaultB)),
+  )
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftExpressions", name),
+        builder))
+    }
+}

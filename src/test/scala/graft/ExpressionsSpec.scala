@@ -41,6 +41,40 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("Shingles3Expr matches the built-in formulation, incl. unicode and repeats") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq(
+      "a b c d e",
+      "über café naïve 日本語 テスト 五 words",
+      "x  y   z w", // repeated separators
+      "dup dup dup dup dup",
+      "one two")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val fold = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val rows = texts.toDF("text")
+      .select(graft.plans.GraftExpressions.shingles3(col("text")).as("kernel"),
+        fold.as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("SQL registration: custom functions callable from spark.sql") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  simhash64(array('a','b')) AS f,
+        |  size(shingles3('a b c d')) AS ns,
+        |  size(minhash_signature(shingles3('a b c d e'))) AS nm""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 64)
+  }
+
   test("SimHash64Expr: identical token multisets agree, distinct-by-hash") {
     import graft.plans.GraftExpressions
     val sp = spark; import sp.implicits._
