@@ -1,0 +1,72 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe: run the heavy operators on N×-unioned copies of
+  * the fixtures (ids offset per copy so keys stay distinct) and report
+  * how runtime scales. A sub-linear or linear curve supports the
+  * 100 TB-survivability claims; super-linear growth flags a quadratic
+  * term that small-SF benches hide.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplifyDocs(n: Int): DataFrame = {
+      val d = graft.Tables.documents(spark, sfDir)
+      (0 until n).map(i =>
+        d.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+    }
+    def amplifyLineitem(n: Int): DataFrame = {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      (0 until n).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ union _)
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+    }
+
+    for (n <- Seq(1, mult)) {
+      println(s"--- amplification x$n ---")
+      time(s"agg_cents x$n") {
+        amplifyLineitem(n).groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(graft.Tables.cents(col("l_extendedprice"))).as("s"),
+            count(lit(1)).as("c")).count()
+      }
+      val docs = amplifyDocs(n)
+      time(s"minhash_pairs x$n") {
+        import graft.operators.Dedup
+        val sigs = docs.select(col("doc_id"),
+          Dedup.minhashSignature(col("text")).as("sig"))
+        sigs.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 15), b -> xxhash64(cast(slice(sig, b*4+1, 4) as string)))")))
+          .groupBy(col("pos"), col("col")).count()
+          .filter(col("count") > 1).count()
+      }
+      time(s"exact_dedup x$n") {
+        docs.groupBy(md5(col("text").cast("binary"))).agg(count(lit(1))).count()
+      }
+      time(s"simhash_fp x$n") {
+        import graft.operators.Dedup
+        docs.select(Dedup.simhash(col("text")).as("fp"))
+          .agg(count_distinct(col("fp"))).collect()(0).getLong(0)
+      }
+    }
+    spark.stop()
+  }
+}

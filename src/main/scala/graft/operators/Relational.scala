@@ -85,6 +85,19 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Explicit GROUPING SETS: status-only and priority-only rollups in one
+    * pass (no full lattice). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
   /** Exact distinct aggregation (count distinct parts/suppliers per flag). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     lineitem(s, dir)
@@ -322,6 +335,7 @@ object Relational {
     "q1_agg" -> q1Agg,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
+    "q_agg_groupingsets" -> aggGroupingSets,
     "q_agg_approx" -> aggApprox,
     "q_agg_distinct" -> aggDistinct,
     "q3_shipping" -> q3Shipping,
@@ -385,6 +399,11 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
