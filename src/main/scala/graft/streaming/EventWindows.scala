@@ -122,6 +122,31 @@ object EventWindows {
         col("p_ts"), col("s_ts"))
   }
 
+  /** Custom arbitrary state (`flatMapGroupsWithState`) — the API the
+    * reference's per-scan seen-set maps to (SURVEY §2.10): per-user
+    * running (event count, cumulative value cents), emitted on every
+    * update. State is one tuple per user — bounded by key cardinality.
+    */
+  def userTotalsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), cents(col("value")).as("value_cents"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var v = v0
+          rows.foreach { case (_, cents) => n += 1; v += cents }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "n_events", "total_cents")
+  }
+
   /** Run a streaming DF to completion against the bounded source and
     * return the final result via the memory sink (complete mode). */
   def runToCompletion(s: SparkSession, df: DataFrame, name: String): DataFrame = {
