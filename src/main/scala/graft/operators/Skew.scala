@@ -25,7 +25,7 @@ object Skew {
     * the unsalted join (spec-checked). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
-    val saltCol = pmod(hash(left.columns.map(col): _*), lit(factor))
+    val saltCol = pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(factor))
     val l = left.withColumn("__salt", saltCol)
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
@@ -39,7 +39,7 @@ object Skew {
     * first spreads a hot key over `factor` reducers. */
   def saltedCount(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(factor)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(factor)))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keys.map(col): _*)
