@@ -209,6 +209,33 @@ object FileListing {
     }
   }
 
+  /** Listing via Spark's `binaryFile` source (the alternative S1/S4
+    * mapping): the source exposes `path`, `modificationTime`, `length`
+    * metadata columns; selecting only them prunes the `content` column so
+    * no file bytes are read. Glob patterns push into the file index.
+    * Prefer [[listDF]] for huge flat namespaces (shard control); this
+    * form wins when a downstream step will also want `content`. */
+  def listBinaryFile(
+      spark: SparkSession,
+      globUri: String,
+      identifier: Option[String] = None): DataFrame = {
+    val source = identifierFor(globUri, identifier)
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(globUri)
+      .select(col("path"), col("modificationTime"), col("length"))
+    val noScheme = regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/")
+    val fname = substring_index(noScheme, "/", -1)
+    val dir = regexp_replace(noScheme, "/[^/]*$", "")
+    raw.select(
+      lit(source).as("external_source"),
+      dir.as("path"),
+      fname.as("filename"),
+      Mime.mimeOf(fname).as("mime_type"),
+      lit(null).cast("timestamp").as("created"),
+      col("modificationTime").as("modified"),
+      col("length").as("size"))
+  }
+
   /** P3/P5/P7 as plan-level expressions over the raw listing (P1/P2 split
     * already happened at capture). */
   private def enrichRaw(source: String)(raw: DataFrame): DataFrame = {

@@ -72,6 +72,15 @@ class ListingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("listBinaryFile agrees with the Hadoop-API listing") {
+    val root = mkTree()
+    val a = FileListing.list(spark, root.toString, Some("x")).collect()
+      .map(f => (f.path, f.filename, f.size.getOrElse(-1L))).toSet
+    val b = FileListing.listBinaryFile(spark, root.toString, Some("x"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(6))).toSet
+    assert(a == b)
+  }
+
   test("list of a single file (root-level) yields path of its parent") {
     val root = mkTree()
     val rows = FileListing.list(spark, root.resolve("top.txt").toString, None).collect()
