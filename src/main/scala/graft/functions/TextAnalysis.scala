@@ -96,7 +96,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash fingerprint profile (rows-only; Rabin-Karp kernel,
+    * [[graft.plans.RollingHashExpr]]): per doc, the count of distinct
+    * 32-byte window hashes and a stable min-hash representative — the
+    * character-level containment fingerprint. */
+  def qTextRolling(s: SparkSession, dir: String): DataFrame = {
+    val rh = graft.plans.GraftExpressions.rolling_hash(col("text"), 32)
+    documents(s, dir).select(
+      col("doc_id"),
+      size(rh).as("n_windows"),
+      array_min(rh).as("min_window_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rolling" -> qTextRolling,
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangid,
     "q_text_tokens" -> qTextTokens,

@@ -100,6 +100,58 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Rabin-Karp rolling hash: polynomial hash of every `window`-byte
+    * substring of the UTF-8 text, computed with O(1) updates per position
+    * (base 257, modulus 2^61-1). Returns the distinct window hashes —
+    * a character-level fingerprint set for containment/near-dup checks.
+    */
+  def rollingHash(text: org.apache.spark.unsafe.types.UTF8String, window: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < window) return new GenericArrayData(Array.empty[Any])
+    val M = 2305843009213693951L // 2^61-1
+    val B = 257L
+    // B^(window-1) mod M via modular multiplication (values < 2^61 need
+    // mulmod; use BigInt-free 128-bit-safe multiply via Math.multiplyHigh)
+    def mulmod(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 128-bit product into mod 2^61-1: (x mod 2^61) + (x >> 61)
+      val lo61 = lo & M
+      val hi61 = (hi << 3) | (lo >>> 61)
+      var r = lo61 + hi61
+      if (r >= M) r -= M
+      r
+    }
+    var pow = 1L
+    var i = 1
+    while (i < window) { pow = mulmod(pow, B); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) {
+      h = mulmod(h, B) + (bytes(i) & 0xFF)
+      if (h >= M) h -= M
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    seen.add(h)
+    i = window
+    while (i < n) {
+      val drop = mulmod(pow, (bytes(i - window) & 0xFF).toLong)
+      h -= drop
+      if (h < 0) h += M
+      h = mulmod(h, B) + (bytes(i) & 0xFF)
+      if (h >= M) h -= M
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -131,6 +183,25 @@ case class Shingles3Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.shingles3($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct Rabin-Karp window hashes of a text: `string` → `array<long>`. */
+case class RollingHashExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.rollingHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.rollingHash($c, $window);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -208,6 +279,9 @@ object GraftExpressions {
 
   def shingles3(text: Column): Column =
     ColumnShim.column(Shingles3Expr(ColumnShim.expression(text)))
+
+  def rolling_hash(text: Column, window: Int): Column =
+    ColumnShim.column(RollingHashExpr(ColumnShim.expression(text), window))
 
   def minhash_signature(shingles: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnShim.column(

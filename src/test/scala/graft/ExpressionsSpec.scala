@@ -75,6 +75,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 64)
   }
 
+  test("RollingHashExpr: rolling equals direct polynomial hashes, shift-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val M = BigInt("2305843009213693951") // 2^61-1
+    def direct(s: String, w: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      val hs = (0 to b.length - w).map { i =>
+        b.slice(i, i + w).foldLeft(BigInt(0))((h, c) => (h * 257 + (c & 0xFF)) % M)
+      }
+      hs.map(_.toLong).distinct
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog", "ab")
+    val got = sp.createDataset(texts).toDF("t")
+      .select(graft.plans.GraftExpressions.rolling_hash(col("t"), 8).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got(0) == direct(texts(0), 8)) // O(1)-update result == O(w) recompute
+    assert(got(1).isEmpty) // shorter than the window
+    // containment: a substring's windows are a subset of the superstring's
+    val sub = "quick brown fox"
+    val subH = sp.createDataset(Seq(sub)).toDF("t")
+      .select(graft.plans.GraftExpressions.rolling_hash(col("t"), 8).as("h"))
+      .collect()(0).getSeq[Long](0).toSet
+    assert(subH.subsetOf(got(0).toSet))
+  }
+
   test("SimHash64Expr: identical token multisets agree, distinct-by-hash") {
     import graft.plans.GraftExpressions
     val sp = spark; import sp.implicits._
