@@ -40,6 +40,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Table row count from parquet footer metadata only — reads a few KB of
+    * footer per file on the driver, no Spark job, no data scan. The right
+    * way to size data-dependent parameters (e.g. LSH plane counts) at plan
+    * construction time: an eager `df.count()` there would be a full pass
+    * over the corpus before the query even runs. */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) files += f
+    }
+    files.iterator.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Money-as-cents: `round(x*100)` recovers the exact integer cents from a
     * 2-decimal price stored as double, identically in Spark and DuckDB
     * (the value is never at a rounding tie because 2-decimal values are not

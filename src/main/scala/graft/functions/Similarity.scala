@@ -104,7 +104,11 @@ object Similarity {
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-    val ps = planes(dim, numPlanesFor(e.count()))
+    // Plane count sized from parquet footer metadata (driver-side KBs, no
+    // job) — an eager e.count() here would full-scan the corpus at plan
+    // construction time, before the query even executes.
+    val n = graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val ps = planes(dim, numPlanesFor(n))
     val bucketed = e.select(col("vec_id"), col("emb"),
       posexplode(array(ps.map(tp => bucketOf(col("emb"), tp)): _*)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))

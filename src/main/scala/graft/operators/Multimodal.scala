@@ -68,7 +68,13 @@ object Multimodal {
   }
 
   /** Partition-batched decode over the typed Dataset boundary
-    * (rows-only driver check; semantics covered by MultimodalSpec). */
+    * (rows-only driver check; semantics covered by MultimodalSpec).
+    *
+    * The array-valued features are serialized to CSV strings at the output
+    * boundary: the driver's rows-check sorts/hashes every column and cannot
+    * handle raw array cells, and a scalar form is also what a downstream
+    * non-columnar consumer would want. The typed [[MediaFeatures]] Dataset
+    * remains the internal representation. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs: Dataset[MediaBlob] = documents(s, dir)
@@ -78,7 +84,11 @@ object Multimodal {
     blobs.mapPartitions { it =>
       // per-partition init would go here (codec context, model load)
       it.map(fakeDecode)
-    }.toDF().orderBy("doc_id")
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        concat_ws(",", col("histogram").cast("array<string>")).as("histogram_csv"),
+        concat_ws(",", col("frame_samples").cast("array<string>")).as("frames_csv"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,7 +25,8 @@ class MultimodalSpec extends AnyFunSuite {
     val metaBytes = meta.map(r => r.getLong(0) -> r.getInt(2)).toMap
     feats.foreach { r =>
       assert(r.getInt(1) == metaBytes(r.getLong(0)))
-      assert(r.getSeq[Long](4).sum == r.getInt(1).toLong)
+      // histogram_csv is the serialized 16-bucket histogram; buckets sum to n_bytes
+      assert(r.getString(4).split(",").map(_.toLong).sum == r.getInt(1).toLong)
     }
   }
 }
