@@ -68,15 +68,26 @@ object Dedup {
     * quadratic join cost). */
   val maxDf = 20
 
+  /** One shared UDAF instance: a fresh `cappedList(maxDf)` per query build
+    * would defeat cache plan-matching (canonicalization compares the
+    * aggregator object) and pile up duplicate cache entries on repeated
+    * invocation. */
+  private lazy val cappedListMaxDf = graft.functions.CappedCollect.cappedList(maxDf)
+
   /** N-gram Jaccard near-dup pairs over df-filtered shingle sets.
     *
     * Inverted-index shape with ONE wide shuffle: explode (doc, gram) and
-    * group by gram, keeping the posting list only when df ≤ [[maxDf]]
-    * (prefix filtering — ubiquitous shingles carry no dedup signal but df²
-    * join cost). Candidate pairs are generated inside each posting list
-    * (i<j combinations, ≤ df²/2 structs) instead of a 2-sided self-join
-    * shuffle; per-doc sizes re-derive from the cached posting lists and
-    * broadcast into the final jaccard computation. */
+    * group by gram into a SIZE-CAPPED posting list
+    * ([[graft.functions.CappedListAgg]]): a gram over [[maxDf]] documents
+    * collapses to an empty list during aggregation — map-side combine
+    * included — so a pathological hot shingle never materializes its full
+    * posting list in any reducer (prefix filtering with bounded memory;
+    * ubiquitous shingles carry no dedup signal but df² join cost).
+    * Candidate pairs are generated inside each posting list by the codegen
+    * kernel [[graft.plans.SortedPairsExpr]] (≤ df²/2 structs; the
+    * higher-order-function formulation evaluated interpreted) instead of a
+    * 2-sided self-join shuffle; per-doc sizes re-derive from the cached
+    * posting lists and broadcast into the final jaccard computation. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
@@ -84,15 +95,14 @@ object Dedup {
     val g = corpus(s, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram_s"))
       .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
-    val byGram = g.groupBy("gram").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= maxDf)
+    val byGram = g.groupBy("gram")
+      .agg(cappedListMaxDf(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 1) // empty = overflowed past maxDf
       .cache() // feeds pair generation + per-doc sizes
     val sizes = byGram.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val pairs = byGram.select(explode(
-      flatten(transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))), y =>
-          struct(least(x, y).as("d1"), greatest(x, y).as("d2")))))).as("p"))
+      graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
     val inter = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -152,6 +152,35 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** All unordered pairs {x,y} from a distinct-element long array, each
+    * emitted as (min, max). Replaces the nested higher-order-function
+    * formulation `flatten(transform(docs, (x,i) => transform(slice(...),
+    * y => struct(least, greatest))))`, which Spark evaluates interpreted
+    * (lambda functions are outside whole-stage codegen) with a fresh
+    * object tree per element. */
+  def sortedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val y = arr.getLong(j)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        if (x <= y) { row.setLong(0, x); row.setLong(1, y) }
+        else { row.setLong(0, y); row.setLong(1, x) }
+        out(k) = row
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -246,6 +275,25 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unordered (min,max) pairs of a distinct-element `array<long>`:
+  * `array<long>` → `array<struct<d1:long,d2:long>>`. */
+case class SortedPairsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.requireArrayOf(child, LongType, prettyName)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("d1", LongType, nullable = false),
+      StructField("d2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.sortedPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.sortedPairs($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity of two `array<double>` columns. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -289,6 +337,9 @@ object GraftExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64Expr(ColumnShim.expression(tokens)))
+
+  def sorted_pairs(docs: Column): Column =
+    ColumnShim.column(SortedPairsExpr(ColumnShim.expression(docs)))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnShim.column(

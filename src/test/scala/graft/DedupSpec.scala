@@ -9,6 +9,18 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("capped posting lists: a hot shingle collapses instead of materializing") {
+    // synthetic hot key: one gram in 1000 docs (≫ maxDf), one rare gram in 3
+    val rows = (0 until 1000).map(i => ("hot", i.toLong)) ++
+      Seq(("rare", 1L), ("rare", 2L), ("rare", 3L))
+    val byGram = rows.toDF("gram", "doc_id")
+      .groupBy("gram")
+      .agg(graft.functions.CappedCollect.cappedList(Dedup.maxDf)(col("doc_id")).as("docs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(byGram("hot").isEmpty) // overflowed: bounded buffer, no full list
+    assert(byGram("rare").sorted == Seq(1L, 2L, 3L))
+  }
+
   test("shingles: distinct word 3-grams, short docs empty") {
     val df = Seq("a b c d", "x y", "a b c a b c").toDF("text")
       .select(Dedup.shingles(col("text")).as("g"))

@@ -100,6 +100,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(subH.subsetOf(got(0).toSet))
   }
 
+  test("SortedPairsExpr matches the higher-order-function pair formulation") {
+    import graft.plans.GraftExpressions
+    val sp = spark; import sp.implicits._
+    val lists = Seq(Seq(5L, 2L, 9L, 1L), Seq(3L, 4L), Seq(7L), Seq.empty[Long])
+    val fold = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + 2, size(col("docs"))), y =>
+        struct(least(x, y).as("d1"), greatest(x, y).as("d2")))))
+    val rows = sp.createDataset(lists).toDF("docs")
+      .select(GraftExpressions.sorted_pairs(col("docs")).as("kernel"), fold.as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
   test("SimHash64Expr: identical token multisets agree, distinct-by-hash") {
     import graft.plans.GraftExpressions
     val sp = spark; import sp.implicits._
