@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,10 +46,27 @@ object ScrapeStream {
             "modified timestamp, size bigint, deleted timestamp"))
   }
 
-  /** One batch of the merge loop: classify, apply, tombstone, publish. */
+  /** One batch of the merge loop: classify, apply, tombstone, publish.
+    *
+    * Partition-incremental: a scan touches only its own `external_source`
+    * partition(s). The current state is read partition-pruned to the
+    * scanned sources (matching is on (source, path, filename), so rows of
+    * other sources can never join the scan), and the write uses dynamic
+    * partition overwrite — partitions absent from the batch output are
+    * left physically untouched. At 100 TB state a 1-file scan of one
+    * source therefore rewrites one partition, not the whole table.
+    * Publication atomicity is per partition (Spark's commit protocol
+    * stages and swaps each partition dir); since one scan file = one
+    * complete scan of one source, that is exactly per-scan atomicity. */
   def mergeBatch(spark: SparkSession, stateDir: String)(
       scan: DataFrame, batchId: Long): Unit = {
+    // Bounded driver-side collect: one row per scanned source (a batch is
+    // one scan file, almost always a single source).
+    val sources = scan.select("external_source").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (sources.isEmpty) return
     val current = readState(spark, stateDir)
+      .filter(col("external_source").isin(sources: _*))
     val classified = Scrape.upsertClassify(current, scan)
     val scanInstant = lit(new java.sql.Timestamp(1767225600000L + batchId))
       .cast("timestamp") // deterministic per-batch "transaction time"
@@ -70,25 +87,14 @@ object ScrapeStream {
       untouchedDeleted.drop("deleted")
         .join(dels, Seq("uuid_external_file"), "left")
         .select(applied.columns.toIndexedSeq.map(col): _*))
-    // staged write + atomic swap: readers see old or new, never half.
+    // Dynamic partition overwrite: only the scanned sources' partitions
+    // are replaced; every other partition's files stay byte-identical.
     // Hive-partitioned by source so the next scan's readState prunes to
     // its own slice; file count per partition follows the shuffle, not a
     // coalesce(1) bottleneck.
-    val staging = stateDir + ".staging"
     newState.write.mode(SaveMode.Overwrite)
-      .partitionBy("external_source").parquet(staging)
-    val tmp = stateDir + ".old"
-    val st = Paths.get(stateDir)
-    if (Files.exists(st)) Files.move(st, Paths.get(tmp))
-    Files.move(Paths.get(staging), st)
-    deleteRecursively(Paths.get(tmp))
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("external_source").parquet(stateDir)
   }
 
   /** Run the incremental scrape over every scan file currently in

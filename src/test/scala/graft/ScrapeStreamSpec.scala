@@ -32,6 +32,37 @@ class ScrapeStreamSpec extends AnyFunSuite {
     Files.setLastModifiedTime(target, FileTime.fromMillis(mtime))
   }
 
+  test("merge touches only the scanned source's partition") {
+    val state = Files.createTempDirectory("scrape_state_inc").toString
+    def scanDF(src: String, file: String, m: Timestamp, size: Long) =
+      Seq((src, "/d", file, Option("text/plain"), Option.empty[Timestamp], m, Option(size)))
+        .toDF("external_source", "path", "filename", "mime_type",
+          "created", "modified", "size")
+    val t1 = ts("2026-01-01 10:00:00")
+    val t2 = ts("2026-01-02 10:00:00")
+    ScrapeStream.mergeBatch(spark, state)(scanDF("sA", "a.txt", t1, 1L), 0L)
+    ScrapeStream.mergeBatch(spark, state)(scanDF("sB", "b.txt", t1, 2L), 1L)
+
+    def snapshot(p: Path): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => (f.toString, Files.getLastModifiedTime(f).toMillis, Files.size(f)))
+        .toSeq.sorted
+    }
+    val aDir = Paths.get(state, "external_source=sA")
+    val before = snapshot(aDir)
+    assert(before.nonEmpty)
+
+    // a scan of sB must leave sA's partition files physically untouched
+    ScrapeStream.mergeBatch(spark, state)(scanDF("sB", "b.txt", t2, 20L), 2L)
+    assert(snapshot(aDir) == before)
+
+    val rows = ScrapeStream.readState(spark, state)
+      .collect().map(r => r.getString(3) -> r).toMap
+    assert(rows("b.txt").getLong(7) == 20L) // sB merged
+    assert(rows("a.txt").getLong(7) == 1L && rows("a.txt").isNullAt(8)) // sA intact
+  }
+
   test("two-batch incremental scrape: insert, update, tombstone") {
     val watch = Files.createTempDirectory("scrape_watch")
     val state = watch.toString + "_state"
