@@ -56,6 +56,26 @@ object FileListing {
     case _ => None
   }
 
+  /** The reference's AWS client env config (`s3.rs:24-49`) mapped onto the
+    * equivalent S3A Hadoop properties: `AWS_ENDPOINT_URL` →
+    * `fs.s3a.endpoint`, `AWS_REGION` → `fs.s3a.endpoint.region`,
+    * `AWS_S3_FORCE_PATH_STYLE` ("true"/"TRUE"/"1", default false) →
+    * `fs.s3a.path.style.access`. Credentials are NOT mapped here: s3a's
+    * default provider chain already reads `AWS_ACCESS_KEY_ID`/
+    * `AWS_SECRET_ACCESS_KEY` itself. Pure-map form for testability;
+    * callers pass `sys.env`. */
+  def awsEnvToS3aConf(env: Map[String, String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    env.get("AWS_ENDPOINT_URL").foreach(v => out += "fs.s3a.endpoint" -> v)
+    env.get("AWS_REGION").foreach(v => out += "fs.s3a.endpoint.region" -> v)
+    val pathStyle = env.get("AWS_S3_FORCE_PATH_STYLE") match {
+      case Some("true") | Some("TRUE") | Some("1") => true
+      case _ => false
+    }
+    if (pathStyle) out += "fs.s3a.path.style.access" -> "true"
+    out.result()
+  }
+
   /** Default scan identifier (P6): explicit > s3 raw URL (`s3.rs:71`) >
     * `hostname:path` (`fs.rs:43-47`). */
   def identifierFor(pathOrUrl: String, explicit: Option[String]): String =
@@ -102,12 +122,31 @@ object FileListing {
     * the reference panics on (`s3.rs:107-108`), handled gracefully here.
     */
   private[sources] case class FileInfoRaw(
-      dir: String, name: String, modified: Long, size: Long)
+      dir: String, name: String, modified: Long, size: Long,
+      created: Option[Long])
+
+  /** Creation time for `file://` paths via the NIO attribute API —
+    * Hadoop's FileStatus has no ctime, but the reference's fs branch
+    * records one (`fs.rs:65`), so local listings read it directly from
+    * the platform (where the filesystem lacks birth time, NIO substitutes
+    * mtime). S3/HDFS-like schemes stay None, matching `s3.rs:123`. */
+  private[sources] def createdOf(fp: Path): Option[Long] = {
+    val scheme = fp.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        val attrs = java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(fp.toUri.getPath),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        val c = attrs.creationTime.toMillis
+        if (c > 0) Some(c) else None
+      } catch { case _: Exception => None }
+    } else None
+  }
 
   private def raw(st: org.apache.hadoop.fs.FileStatus): FileInfoRaw = {
     val p = st.getPath
     val dir = Option(p.getParent).map(_.toUri.getPath).getOrElse("")
-    FileInfoRaw(dir, p.getName, st.getModificationTime, st.getLen)
+    FileInfoRaw(dir, p.getName, st.getModificationTime, st.getLen, createdOf(p))
   }
 
   /** Recursive, distributed listing of `rootUri` → `Dataset[FileInfo]`.
@@ -123,9 +162,10 @@ object FileListing {
       extraConf: Map[String, String] = Map.empty): Dataset[FileInfo] = {
     import spark.implicits._
     val source = identifierFor(rootUri, identifier)
+    // env-derived AWS client config first; explicit extraConf wins (S7)
+    val confMap = awsEnvToS3aConf(sys.env) ++ extraConf
     val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    extraConf.foreach { case (k, v) => hconf.set(k, v) }
-    val confMap = extraConf // rebuilt executor-side; base conf is default
+    confMap.foreach { case (k, v) => hconf.set(k, v) } // rebuilt executor-side
     val root = new Path(rootUri)
     val fs = root.getFileSystem(hconf)
     val minShards = spark.sparkContext.defaultParallelism * 4
@@ -149,7 +189,7 @@ object FileListing {
                 val fp = st.getPath
                 out += FileInfoRaw(
                   Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
-                  fp.getName, st.getModificationTime, st.getLen)
+                  fp.getName, st.getModificationTime, st.getLen, createdOf(fp))
               }
               out
             }
@@ -173,9 +213,9 @@ object FileListing {
       extraConf: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val source = identifierFor(rootUri, identifier)
+    val confMap = awsEnvToS3aConf(sys.env) ++ extraConf
     val hconf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    extraConf.foreach { case (k, v) => hconf.set(k, v) }
-    val confMap = extraConf
+    confMap.foreach { case (k, v) => hconf.set(k, v) }
     val root = new Path(rootUri)
     val fs = root.getFileSystem(hconf)
     val minShards = spark.sparkContext.defaultParallelism * 4
@@ -198,7 +238,7 @@ object FileListing {
               val fp = st.getPath
               out += FileInfoRaw(
                 Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
-                fp.getName, st.getModificationTime, st.getLen)
+                fp.getName, st.getModificationTime, st.getLen, createdOf(fp))
             }
             out
           }
@@ -244,7 +284,7 @@ object FileListing {
       col("dir").as("path"),
       col("name").as("filename"),
       Mime.mimeOf(col("name")).as("mime_type"),
-      lit(null).cast("timestamp").as("created"),
+      timestamp_millis(col("created")).as("created"),
       timestamp_millis(col("modified")).as("modified"),
       col("size"))
   }
@@ -255,7 +295,7 @@ object FileListing {
     import spark.implicits._
     rows.map { r =>
       FileInfo(source, r.dir, r.name, Mime.lookup(r.name),
-        None, new Timestamp(r.modified), Some(r.size))
+        r.created.map(new Timestamp(_)), new Timestamp(r.modified), Some(r.size))
     }.toDS()
   }
 }

@@ -29,6 +29,23 @@ class ListingSpec extends AnyFunSuite {
     assert(id.endsWith(":/data") && id.length > ":/data".length)
   }
 
+  test("AWS env vars map to the equivalent fs.s3a.* properties (s3.rs:24-49)") {
+    val full = FileListing.awsEnvToS3aConf(Map(
+      "AWS_ENDPOINT_URL" -> "http://localhost:9000",
+      "AWS_REGION" -> "eu-central-1",
+      "AWS_S3_FORCE_PATH_STYLE" -> "TRUE",
+      "UNRELATED" -> "x"))
+    assert(full == Map(
+      "fs.s3a.endpoint" -> "http://localhost:9000",
+      "fs.s3a.endpoint.region" -> "eu-central-1",
+      "fs.s3a.path.style.access" -> "true"))
+    // reference's matches!: only true/TRUE/1 enable path style
+    assert(FileListing.awsEnvToS3aConf(Map("AWS_S3_FORCE_PATH_STYLE" -> "yes")).isEmpty)
+    assert(FileListing.awsEnvToS3aConf(Map("AWS_S3_FORCE_PATH_STYLE" -> "1"))
+      == Map("fs.s3a.path.style.access" -> "true"))
+    assert(FileListing.awsEnvToS3aConf(Map.empty).isEmpty)
+  }
+
   test("mime lookup: known, unknown, case-insensitive, no extension") {
     assert(Mime.lookup("a.txt") == Some("text/plain"))
     assert(Mime.lookup("A.JSON") == Some("application/json"))
@@ -59,7 +76,8 @@ class ListingSpec extends AnyFunSuite {
     assert(byName("noext").mime_type.isEmpty)
     assert(byName("noext").size.contains(100L))
     assert(rows.forall(_.external_source == "testsrc"))
-    assert(rows.forall(_.created.isEmpty))
+    // local FS records a creation time (fs.rs:65 parity); s3a stays None
+    assert(rows.forall(_.created.nonEmpty))
     assert(rows.forall(_.modified != null))
   }
 
