@@ -2,7 +2,7 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: reproduce bench-order conditions for q_dedup_ngram. */
+/** Dev-only: bench-order cold+warm timing probe for hot queries. */
 object ProfileNgram {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,10 +14,8 @@ object ProfileNgram {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+    Seq("documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     def time(label: String)(f: => Any): Unit = {
@@ -25,11 +23,10 @@ object ProfileNgram {
       println(f"[prof] $label%-22s ${(System.nanoTime()-t0)/1e9}%7.2f s")
     }
     val q = graft.SparkEntry.queries
-    time("q_text_stats")(q("q_text_stats")(spark, sfDir).count())
-    time("q_agg_cube")(q("q_agg_cube")(spark, sfDir).count())
-    time("q_dedup_minhash")(q("q_dedup_minhash")(spark, sfDir).count())
-    time("q_dedup_ngram")(q("q_dedup_ngram")(spark, sfDir).count())
-    time("q_dedup_ngram warm")(q("q_dedup_ngram")(spark, sfDir).count())
+    for (name <- args) {
+      time(name + " cold")(q(name)(spark, sfDir).count())
+      time(name + " warm")(q(name)(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

@@ -86,13 +86,17 @@ object Similarity {
     math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
   /** Deterministic random hyperplanes (fixed seed), dims × planes ×
-    * tables, embedded as literals (a few-hundred-value broadcast). */
-  private def planes(dim: Int, numPlanes: Int): Seq[Seq[Array[Double]]] = {
+    * tables, shipped as an expression reference object (a few-hundred-value
+    * broadcast). */
+  private[graft] def planesFor(dim: Int, numPlanes: Int): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  private def bucketOf(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
+  /** Reference formulation of one table's bucket as built-in folds — kept
+    * for the kernel-parity spec ([[graft.plans.LshBucketsExpr]] is what
+    * queries run: the folds are interpreted and re-evaluate per plane). */
+  private[graft] def bucketOfFold(emb: Column, tablePlanes: Seq[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(zip_with(emb, typedlit(p.toSeq), (x, w) => x * w),
         lit(0.0), (s, v) => s + v)
@@ -108,9 +112,12 @@ object Similarity {
     // job) — an eager e.count() here would full-scan the corpus at plan
     // construction time, before the query even executes.
     val n = graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
-    val ps = planes(dim, numPlanesFor(n))
+    val np = numPlanesFor(n)
+    // table-major flat planes: index t*np+p — one codegen kernel computes
+    // every table's bucket in a single pass over the embedding
+    val flat = planesFor(dim, np).flatten.toArray
     val bucketed = e.select(col("vec_id"), col("emb"),
-      posexplode(array(ps.map(tp => bucketOf(col("emb"), tp)): _*)))
+      posexplode(graft.plans.GraftExpressions.lsh_buckets(col("emb"), flat, np)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
     val probes = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("table_id"), col("bucket"),

@@ -181,6 +181,34 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Sign-LSH bucket per hash table: for table t, bit p of the bucket is
+    * the sign of `emb · planes(t*planesPerTable+p)`. One primitive loop
+    * over all tables×planes — replaces per-plane `aggregate(zip_with(…))`
+    * folds (interpreted, re-evaluated per plane). Dot products accumulate
+    * left-to-right in double, identical to the fold formulation. */
+  def lshBuckets(emb: ArrayData, planes: Array[Array[Double]],
+      planesPerTable: Int): ArrayData = {
+    val numTables = planes.length / planesPerTable
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerTable) {
+        val w = planes(t * planesPerTable + p)
+        val n = math.min(emb.numElements(), w.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += emb.getDouble(i) * w(i); i += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -294,6 +322,28 @@ case class SortedPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign-LSH buckets of an `array<double>` embedding, one int bucket per
+  * hash table: `array<double>` → `array<int>` of width
+  * `planes.length / planesPerTable`. */
+case class LshBucketsExpr(child: Expression, planes: Array[Array[Double]],
+    planesPerTable: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.requireArrayOf(child, DoubleType, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.lshBuckets(v.asInstanceOf[ArrayData], planes, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.lshBuckets($c, $pRef, $planesPerTable);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity of two `array<double>` columns. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -337,6 +387,11 @@ object GraftExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64Expr(ColumnShim.expression(tokens)))
+
+  def lsh_buckets(emb: Column, planes: Array[Array[Double]],
+      planesPerTable: Int): Column =
+    ColumnShim.column(
+      LshBucketsExpr(ColumnShim.expression(emb), planes, planesPerTable))
 
   def sorted_pairs(docs: Column): Column =
     ColumnShim.column(SortedPairsExpr(ColumnShim.expression(docs)))

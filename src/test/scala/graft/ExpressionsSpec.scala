@@ -115,6 +115,21 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("LshBucketsExpr matches the per-plane fold formulation on real embeddings") {
+    val np = 6
+    val ps = Similarity.planesFor(64, np)
+    val flat = ps.flatten.toArray
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val both = e.select(
+      graft.plans.GraftExpressions.lsh_buckets(col("emb"), flat, np).as("kernel"),
+      array(ps.map(tp => Similarity.bucketOfFold(col("emb"), tp)): _*).as("fold"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1).map(_.toInt))
+    }
+  }
+
   test("SimHash64Expr: identical token multisets agree, distinct-by-hash") {
     import graft.plans.GraftExpressions
     val sp = spark; import sp.implicits._
