@@ -138,6 +138,52 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // --- IVF-partitioned ANN (rows-only; recall checked in SimilaritySpec) ---
+
+  /** IVF geometry: cell count tracks corpus size like the LSH plane count
+    * (≈ N/128 vectors per cell), probes visit the nearest [[ivfNprobe]]
+    * cells. Centroids here are deterministic pseudo-random directions
+    * (fixed seed) standing in for offline-trained k-means centroids — in a
+    * production pipeline the training job writes the centroid matrix and
+    * this query ships it as a reference object, exactly as done here. */
+  val ivfNprobe = 4
+  def ivfCellsFor(n: Long): Int =
+    math.max(8, math.min(4096, (n / 128).toInt))
+
+  private[graft] def ivfCentroids(dim: Int, k: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** ANN top-3 via IVF cells: every vector is assigned to its nearest
+    * centroid by the codegen kernel ([[graft.plans.IvfCellsExpr]], zero
+    * shuffle), probes shortlist their [[ivfNprobe]] nearest cells, and
+    * candidate generation is a broadcast equi-join on the cell id — the
+    * corpus is scanned once and only candidate scores (3 scalar columns)
+    * ever shuffle. A (probe, neighbor) pair can match at most once because
+    * a neighbor lives in exactly one cell, so no dedup step is needed
+    * (unlike multi-table LSH). */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val n = graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val cents = ivfCentroids(dim, ivfCellsFor(n))
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val assigned = e.select(col("vec_id"), col("emb"),
+      element_at(graft.plans.GraftExpressions.ivf_cells(col("emb"), cents, 1), 1).as("cell"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("probe_emb"),
+        explode(graft.plans.GraftExpressions.ivf_cells(col("emb"), cents, ivfNprobe)).as("cell"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("emb")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Brute-force top-5 via the typed [[TopK]] aggregator instead of a
     * window: partial top-k reduces map-side, so the shuffle carries at
     * most k pairs per (partition, probe) instead of the whole scored
@@ -175,6 +221,7 @@ object Similarity {
     "q_sim_topk" -> qSimTopk,
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
+    "q_sim_ivf" -> qSimIvf,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_array_math" -> qArrayMath,
   )

@@ -49,6 +49,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Composite quality score in [0,1] for corpus filtering — the
+    * length/punctuation/stopword/repetition signals a pretraining pipeline
+    * gates on, folded into one score (equal weights, each clamped to
+    * [0,1]): length (tokens/50 capped), low punctuation density, stopword
+    * presence (fluency proxy, 4× boosted and capped), vocabulary
+    * distinctness. Pure per-row codegen projection, zero shuffle; the
+    * term order is fixed so the double arithmetic reproduces bit-exact in
+    * the DuckDB oracle. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("punct_chars"),
+        stopHits(toks, enStop).as("stop_hits"))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("punct_chars") / col("n_chars")).otherwise(1.0))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("stop_hits") / col("n_tokens")).otherwise(0.0))
+      .withColumn("distinct_ratio",
+        when(col("n_tokens") > 0, col("n_distinct") / col("n_tokens")).otherwise(0.0))
+      .withColumn("quality_score",
+        lit(0.25) * least(lit(1.0), col("n_tokens") / 50.0) +
+          lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.25) * least(lit(1.0), col("stop_ratio") * 4.0) +
+          lit(0.25) * col("distinct_ratio"))
+      .withColumn("is_quality", col("quality_score") >= 0.6)
+      .orderBy("doc_id")
+  }
+
   /** Heuristic n-gram/stopword language ID: vote per language's stopword
     * list, deterministic argmax with fixed precedence (en>es>de>fr), 'und'
     * when no language reaches 2 hits. */
@@ -112,6 +145,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_rolling" -> qTextRolling,
     "q_text_stats" -> qTextStats,
+    "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,
     "q_text_tokens" -> qTextTokens,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -130,6 +164,24 @@ object TextAnalysis {
          |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS stop_ratio,
          |  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END AS distinct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+         |b AS (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct_chars,
+         |  len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x))) AS stop_hits
+         |FROM t),
+         |r AS (SELECT *,
+         |  CASE WHEN n_chars > 0 THEN punct_chars / n_chars ELSE 1.0 END AS punct_ratio,
+         |  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0.0 END AS distinct_ratio
+         |FROM b)
+         |SELECT *,
+         |  0.25 * least(1.0, n_tokens / 50.0) + 0.25 * (1.0 - punct_ratio)
+         |    + 0.25 * least(1.0, stop_ratio * 4.0) + 0.25 * distinct_ratio AS quality_score,
+         |  (0.25 * least(1.0, n_tokens / 50.0) + 0.25 * (1.0 - punct_ratio)
+         |    + 0.25 * least(1.0, stop_ratio * 4.0) + 0.25 * distinct_ratio) >= 0.6 AS is_quality
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
          |v AS (SELECT doc_id, lang AS declared_lang,

@@ -209,6 +209,32 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** IVF cell scan: cosine of the embedding against every centroid, top-n
+    * centroid indices by similarity (descending, index-ascending ties).
+    * n=1 is cell assignment; n=nprobe is the probe's cell shortlist. */
+  def ivfCells(emb: ArrayData, cents: Array[Array[Double]], n: Int): ArrayData = {
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      val m = math.min(emb.numElements(), w.length)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = emb.getDouble(i)
+        dot += x * w(i); na += x * x; nb += w(i) * w(i)
+        i += 1
+      }
+      scores(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val top = (0 until k).sortBy(i => (-scores(i), i)).take(math.min(n, k))
+    new GenericArrayData(top.map(Int.box).toArray[Any])
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -344,6 +370,27 @@ case class LshBucketsExpr(child: Expression, planes: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-n IVF centroid indices for an `array<double>` embedding:
+  * `array<double>` → `array<int>` of width min(n, centroids). */
+case class IvfCellsExpr(child: Expression, cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.requireArrayOf(child, DoubleType, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.ivfCells(v.asInstanceOf[ArrayData], cents, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.ivfCells($c, $cRef, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity of two `array<double>` columns. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -392,6 +439,9 @@ object GraftExpressions {
       planesPerTable: Int): Column =
     ColumnShim.column(
       LshBucketsExpr(ColumnShim.expression(emb), planes, planesPerTable))
+
+  def ivf_cells(emb: Column, cents: Array[Array[Double]], n: Int): Column =
+    ColumnShim.column(IvfCellsExpr(ColumnShim.expression(emb), cents, n))
 
   def sorted_pairs(docs: Column): Column =
     ColumnShim.column(SortedPairsExpr(ColumnShim.expression(docs)))

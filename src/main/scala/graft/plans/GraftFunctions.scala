@@ -27,7 +27,13 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64Expr(es.head)),
     "shingles3" -> (es => Shingles3Expr(es.head)),
     "minhash_signature" -> (es => MinHashSignatureExpr(es.head, defaultA, defaultB)),
+    "sorted_pairs" -> (es => SortedPairsExpr(es.head)),
+    // window size must be a foldable literal, e.g. rolling_hash(text, 32)
+    "rolling_hash" -> (es => RollingHashExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
   )
+  // lsh_buckets / ivf_cells take matrix parameters (plane/centroid arrays)
+  // and stay on the Scala Column API.
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

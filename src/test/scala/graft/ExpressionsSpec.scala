@@ -68,11 +68,15 @@ class ExpressionsSpec extends AnyFunSuite {
       """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |  simhash64(array('a','b')) AS f,
         |  size(shingles3('a b c d')) AS ns,
-        |  size(minhash_signature(shingles3('a b c d e'))) AS nm""".stripMargin)
+        |  size(minhash_signature(shingles3('a b c d e'))) AS nm,
+        |  size(sorted_pairs(array(3L, 1L, 2L))) AS np,
+        |  size(rolling_hash('abcdefghij', 8)) AS nr""".stripMargin)
       .collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 64)
+    assert(r.getInt(4) == 3)
+    assert(r.getInt(5) == 3)
   }
 
   test("RollingHashExpr: rolling equals direct polynomial hashes, shift-invariant") {

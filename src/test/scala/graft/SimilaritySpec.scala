@@ -42,6 +42,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 = $recall")
   }
 
+  test("IVF ANN: self-consistent cells, pruned candidates, recall floor") {
+    val rows = Similarity.qSimIvf(spark, TestSpark.sf0001).collect()
+    // every probe returns some ranked neighbors, ranks ordered by cosine
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (_, rs) =>
+      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    val brute = Similarity.qSimTopk(spark, TestSpark.sf0001)
+      .filter(col("rank") <= 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfPairs = Similarity.qSimIvf(spark, TestSpark.sf0001)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivfPairs.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@3 = $recall")
+  }
+
   test("near-dup: finds exactly the 20 perturbed variants") {
     val rows = Similarity.qSimNeardup(spark, TestSpark.sf0001)
       .select("vec_id", "var_id").as[(Long, Long)].collect().toSet
