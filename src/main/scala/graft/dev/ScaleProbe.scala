@@ -66,6 +66,30 @@ object ScaleProbe {
         docs.select(Dedup.simhash(col("text")).as("fp"))
           .agg(count_distinct(col("fp"))).collect()(0).getLong(0)
       }
+      time(s"ngram_pairs x$n") {
+        // capped posting lists + sorted_pairs kernel: at higher
+        // amplification more shingles cross the df cap and drop, so pair
+        // counts must stay bounded (the anti-quadratic property itself)
+        import graft.operators.Dedup
+        val g = docs
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gs"))
+          .select(col("doc_id"), xxhash64(col("gs")).as("gram"))
+        g.groupBy("gram")
+          .agg(graft.functions.CappedCollect.cappedList(Dedup.maxDf)(col("doc_id")).as("docs"))
+          .filter(size(col("docs")) >= 1)
+          .select(explode(graft.plans.GraftExpressions.sorted_pairs(col("docs"))))
+          .count()
+      }
+      time(s"ivf_assign x$n") {
+        val cents = graft.functions.Similarity.ivfCentroids(64, 64)
+        val e = graft.Tables.embeddings(spark, sfDir)
+        (0 until n).map(i => e.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ union _)
+          .select(element_at(graft.plans.GraftExpressions.ivf_cells(
+            col("embedding").cast("array<double>"), cents, 1), 1).as("cell"))
+          .groupBy("cell").count().count()
+      }
     }
     spark.stop()
   }
