@@ -82,8 +82,14 @@ object Similarity {
     * near-orthogonal random vectors needs several tables; clustered
     * real-world embeddings need fewer). */
   val numTables = 8
+  /** Capped at 30: buckets are packed into an Int via `1 << p` (kernel and
+    * fold alike), and Java shifts are mod 32 — plane 32 would silently
+    * alias plane 0, collapsing bucket resolution. 2^30 buckets holds the
+    * ~32-vector occupancy target to ~3.4e10 rows; past that, occupancy
+    * grows linearly instead (still bounded per-probe work, just larger
+    * candidate sets). */
   def numPlanesFor(n: Long): Int =
-    math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+    math.min(30, math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt))
 
   /** Deterministic random hyperplanes (fixed seed), dims × planes ×
     * tables, shipped as an expression reference object (a few-hundred-value

@@ -188,6 +188,10 @@ object Kernels {
     * left-to-right in double, identical to the fold formulation. */
   def lshBuckets(emb: ArrayData, planes: Array[Array[Double]],
       planesPerTable: Int): ArrayData = {
+    // Int bucket packing: `1 << p` aliases mod 32, so >30 planes per table
+    // would silently fold distinct planes onto the same bit.
+    require(planesPerTable <= 30,
+      s"lsh_buckets: planesPerTable must be <= 30 (Int bucket), got $planesPerTable")
     val numTables = planes.length / planesPerTable
     val out = new Array[Any](numTables)
     var t = 0
@@ -228,7 +232,11 @@ object Kernels {
         dot += x * w(i); na += x * x; nb += w(i) * w(i)
         i += 1
       }
-      scores(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      // Degenerate vectors (all-zero embedding or zero centroid) would
+      // yield NaN and leave cell assignment to NaN ordering inside sortBy;
+      // score them -2.0 (below the cosine range) so they rank last by rule.
+      scores(c) = if (na == 0.0 || nb == 0.0) -2.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
       c += 1
     }
     val top = (0 until k).sortBy(i => (-scores(i), i)).take(math.min(n, k))

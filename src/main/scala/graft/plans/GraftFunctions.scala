@@ -28,9 +28,21 @@ object GraftFunctions {
     "shingles3" -> (es => Shingles3Expr(es.head)),
     "minhash_signature" -> (es => MinHashSignatureExpr(es.head, defaultA, defaultB)),
     "sorted_pairs" -> (es => SortedPairsExpr(es.head)),
-    // window size must be a foldable literal, e.g. rolling_hash(text, 32)
-    "rolling_hash" -> (es => RollingHashExpr(es(0),
-      es(1).eval().asInstanceOf[Number].intValue())),
+    // window size must be an integer literal, e.g. rolling_hash(text, 32):
+    // a column reference is unevaluable at analysis time and a string
+    // literal is not a Number — both must surface as a clear analysis
+    // error, not an obscure internal one.
+    "rolling_hash" -> (es => {
+      import org.apache.spark.sql.types._
+      val okType = es(1).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!es(1).foldable || !okType)
+        throw org.apache.spark.sql.graftshim.ColumnShim
+          .nonFoldableArgumentError("rolling_hash", "window", IntegerType)
+      RollingHashExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    }),
   )
   // lsh_buckets / ivf_cells take matrix parameters (plane/centroid arrays)
   // and stay on the Scala Column API.

@@ -16,11 +16,13 @@ import graft.operators.Scrape
   *    count-or-time chunking of `fs.rs:100` in Spark form);
   *  - `foreachBatch`: each batch merges into the persistent state exactly
   *    like the batch pipeline (J3 upsert classify + J2 deletion
-  *    tombstoning), then atomically publishes the new snapshot — the
+  *    tombstoning), then publishes partition-incrementally — the
   *    `foreachBatch` epilogue is where the JDBC transaction (PgMerge)
-  *    would run against Postgres; here state is a parquet snapshot dir,
-  *    swapped via staging write + rename for the same readers-never-see-
-  *    half-a-scan guarantee (K2, `fs.rs:103-114`).
+  *    would run against Postgres; here state is a parquet snapshot dir
+  *    Hive-partitioned by `external_source`, and only the scanned
+  *    sources' partition dirs are swapped (staged write → rename old
+  *    aside → rename new in → drop old), approximating K2's
+  *    readers-never-see-half-a-scan guarantee (`fs.rs:103-114`).
   *
   * Each arriving file is treated as ONE complete scan of its
   * external_source (so vanished keys tombstone per batch).
@@ -51,13 +53,23 @@ object ScrapeStream {
     * Partition-incremental: a scan touches only its own `external_source`
     * partition(s). The current state is read partition-pruned to the
     * scanned sources (matching is on (source, path, filename), so rows of
-    * other sources can never join the scan), and the write uses dynamic
-    * partition overwrite — partitions absent from the batch output are
-    * left physically untouched. At 100 TB state a 1-file scan of one
-    * source therefore rewrites one partition, not the whole table.
-    * Publication atomicity is per partition (Spark's commit protocol
-    * stages and swaps each partition dir); since one scan file = one
-    * complete scan of one source, that is exactly per-scan atomicity. */
+    * other sources can never join the scan), and publication swaps only
+    * the scanned sources' partition dirs — every other partition's files
+    * stay byte-identical. At 100 TB state a 1-file scan of one source
+    * therefore rewrites one partition, not the whole table.
+    *
+    * Publication protocol (not Spark's overwrite commit, whose
+    * delete-then-rename window can lose the old partition — including
+    * tombstone rows a replay cannot reconstruct from the scan file): the
+    * batch output is written to a per-batch staging dir, then per
+    * partition the old dir is renamed aside into a dot-prefixed holding
+    * dir (invisible to partition discovery), the staged dir is renamed
+    * in, and the holding dir is dropped last. Any crash leaves either the
+    * old or the new partition recoverable; [[recoverSwaps]] (run at the
+    * start of every batch) finishes or rolls back an interrupted swap
+    * before the streaming replay re-merges. Renames are atomic on
+    * HDFS/POSIX; on object stores without atomic rename (raw S3) state
+    * belongs in a log-structured table format instead. */
   def mergeBatch(spark: SparkSession, stateDir: String)(
       scan: DataFrame, batchId: Long): Unit = {
     // Bounded driver-side collect: one row per scanned source (a batch is
@@ -65,6 +77,7 @@ object ScrapeStream {
     val sources = scan.select("external_source").distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     if (sources.isEmpty) return
+    recoverSwaps(spark, stateDir)
     val current = readState(spark, stateDir)
       .filter(col("external_source").isin(sources: _*))
     val classified = Scrape.upsertClassify(current, scan)
@@ -87,14 +100,75 @@ object ScrapeStream {
       untouchedDeleted.drop("deleted")
         .join(dels, Seq("uuid_external_file"), "left")
         .select(applied.columns.toIndexedSeq.map(col): _*))
-    // Dynamic partition overwrite: only the scanned sources' partitions
-    // are replaced; every other partition's files stay byte-identical.
-    // Hive-partitioned by source so the next scan's readState prunes to
-    // its own slice; file count per partition follows the shuffle, not a
-    // coalesce(1) bottleneck.
+    // Stage the batch output beside the state dir (never inside it — the
+    // stage must stay invisible to readState's partition discovery), then
+    // swap the scanned partitions in explicitly. Hive-partitioned by
+    // source so the next scan's readState prunes to its own slice; file
+    // count per partition follows the shuffle, not a coalesce(1)
+    // bottleneck.
+    val stageDir = s"$stateDir.stage-$batchId"
     newState.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("external_source").parquet(stateDir)
+      .partitionBy("external_source").parquet(stageDir)
+    publishPartitions(spark, stageDir, stateDir, sources, batchId)
+  }
+
+  private def partDirName(source: String): String =
+    "external_source=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(source)
+
+  /** Swap the scanned sources' partition dirs from `stageDir` into
+    * `stateDir`: old aside into `.old-<batchId>` → staged in → holding
+    * dir dropped. Each step is a single FS rename (atomic on HDFS/POSIX);
+    * [[recoverSwaps]] heals any crash between steps. */
+  private def publishPartitions(spark: SparkSession, stageDir: String,
+      stateDir: String, sources: Seq[String], batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val state = new Path(stateDir)
+    val fs = state.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(state)
+    val holding = new Path(state, s".old-$batchId")
+    for (src <- sources) {
+      val part = partDirName(src)
+      val live = new Path(state, part)
+      val staged = new Path(new Path(stageDir), part)
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          fs.mkdirs(holding)
+          require(fs.rename(live, new Path(holding, part)),
+            s"publish: failed to move $live aside")
+        }
+        require(fs.rename(staged, live), s"publish: failed to move $staged in")
+      }
+    }
+    fs.delete(holding, true)
+    fs.delete(new Path(stageDir), true)
+  }
+
+  /** Finish or roll back swaps interrupted by a crash. Rule per partition
+    * found under a `.old-*` holding dir: if the live partition exists the
+    * swap completed (the holding copy is garbage — drop it); if not, the
+    * crash hit between aside and in — restore the old partition, and the
+    * streaming replay of the uncommitted batch re-merges it. Leftover
+    * `.stage-*` dirs are always garbage (the replay rewrites them). */
+  def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val state = new Path(stateDir)
+    val fs = state.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(state)) return
+    for (h <- fs.listStatus(state)
+         if h.isDirectory && h.getPath.getName.startsWith(".old-")) {
+      for (p <- fs.listStatus(h.getPath) if p.isDirectory) {
+        val live = new Path(state, p.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(p.getPath, live), s"recover: failed to restore $live")
+      }
+      fs.delete(h.getPath, true)
+    }
+    val parent = state.getParent
+    if (parent != null && fs.exists(parent))
+      for (st <- fs.listStatus(parent)
+           if st.isDirectory && st.getPath.getName.startsWith(state.getName + ".stage-"))
+        fs.delete(st.getPath, true)
   }
 
   /** Run the incremental scrape over every scan file currently in

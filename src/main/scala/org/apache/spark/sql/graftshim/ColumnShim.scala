@@ -7,9 +7,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Minimal bridge into `private[sql]` API: wrap/unwrap a Catalyst
   * `Expression` as a public `Column` (Spark 4 routes Columns through
   * ColumnNode; `ExpressionUtils` is the sanctioned classic-session
-  * converter, but it is package-private). The only Spark-internal surface
-  * this library touches. */
+  * converter, but it is package-private), plus the standard
+  * non-foldable-argument `AnalysisException` builder so SQL-surface
+  * function builders can fail analysis with the same error class built-in
+  * functions use. The only Spark-internal surface this library touches. */
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def nonFoldableArgumentError(funcName: String, paramName: String,
+      paramType: org.apache.spark.sql.types.DataType): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(funcName, paramName, paramType)
 }

@@ -146,4 +146,43 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("lsh_buckets: Int bucket packing is guarded, numPlanesFor caps at 30") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 1 << p aliases mod 32: plane counts past 30 must be rejected, and the
+    // sizing function must never produce them even at absurd corpus sizes
+    assert(graft.functions.Similarity.numPlanesFor(Long.MaxValue) == 30)
+    assert(graft.functions.Similarity.numPlanesFor(1000) == 5)
+    val emb = new GenericArrayData(Array.fill[Any](4)(1.0))
+    val planes = Array.fill(31)(Array.fill(4)(1.0))
+    intercept[IllegalArgumentException] {
+      graft.plans.Kernels.lshBuckets(emb, planes, 31)
+    }
+  }
+
+  test("ivf_cells: zero-norm vectors rank by rule (last), never by NaN ordering") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val zero = new GenericArrayData(Array.fill[Any](4)(0.0))
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0), Array(0, 0, 1.0, 0))
+    // all-zero embedding: every score is the defined -2.0 → index-ascending
+    assert(graft.plans.Kernels.ivfCells(zero, cents, 2).toIntArray().toSeq == Seq(0, 1))
+    // zero centroid ranks below any real match
+    val emb = new GenericArrayData(Array[Any](1.0, 0.0, 0.0, 0.0))
+    val cents2 = Array(Array(0.0, 0, 0, 0), Array(1.0, 0, 0, 0))
+    assert(graft.plans.Kernels.ivfCells(emb, cents2, 2).toIntArray().toSeq == Seq(1, 0))
+  }
+
+  test("rolling_hash SQL surface rejects non-integer-literal window at analysis") {
+    graft.plans.GraftFunctions.register(spark)
+    spark.range(3).selectExpr("CAST(id AS INT) AS w", "'abcdefghij' AS t")
+      .createOrReplaceTempView("rh_t")
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT rolling_hash(t, w) FROM rh_t").collect()
+    }
+    assert(nonFoldable.getMessage.contains("rolling_hash"))
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT rolling_hash(t, 'x') FROM rh_t").collect()
+    }
+    assert(wrongType.getMessage.contains("rolling_hash"))
+  }
 }

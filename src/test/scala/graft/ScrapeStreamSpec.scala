@@ -63,6 +63,41 @@ class ScrapeStreamSpec extends AnyFunSuite {
     assert(rows("a.txt").getLong(7) == 1L && rows("a.txt").isNullAt(8)) // sA intact
   }
 
+  test("recoverSwaps restores an interrupted swap and drops completed leftovers") {
+    val state = Files.createTempDirectory("scrape_state_rec").toString
+    def scanDF(src: String, file: String) =
+      Seq((src, "/d", file, Option("text/plain"), Option.empty[Timestamp],
+        ts("2026-01-01 10:00:00"), Option(1L)))
+        .toDF("external_source", "path", "filename", "mime_type",
+          "created", "modified", "size")
+    ScrapeStream.mergeBatch(spark, state)(scanDF("sA", "a.txt"), 0L)
+    ScrapeStream.mergeBatch(spark, state)(scanDF("sB", "b.txt"), 1L)
+
+    // crash between "old aside" and "new in": sA's live partition is gone,
+    // its only copy sits under the holding dir
+    val aDir = Paths.get(state, "external_source=sA")
+    val hold9 = Paths.get(state, ".old-9", "external_source=sA")
+    Files.createDirectories(hold9.getParent)
+    Files.move(aDir, hold9)
+    // crash after "new in" but before holding-dir cleanup: sB live AND an
+    // obsolete holding copy both exist
+    val hold8 = Paths.get(state, ".old-8", "external_source=sB")
+    Files.createDirectories(hold8)
+    Files.write(hold8.resolve("stale.parquet"), Array[Byte](1))
+    // leftover staging dir from the interrupted batch
+    Files.createDirectories(Paths.get(state + ".stage-9"))
+
+    ScrapeStream.recoverSwaps(spark, state)
+
+    assert(Files.exists(aDir)) // interrupted swap rolled back
+    assert(!Files.exists(Paths.get(state, ".old-9")))
+    assert(!Files.exists(Paths.get(state, ".old-8"))) // garbage dropped
+    assert(!Files.exists(Paths.get(state + ".stage-9")))
+    val rows = ScrapeStream.readState(spark, state)
+      .collect().map(r => r.getString(3) -> r.getString(1)).toMap
+    assert(rows == Map("a.txt" -> "sA", "b.txt" -> "sB"))
+  }
+
   test("two-batch incremental scrape: insert, update, tombstone") {
     val watch = Files.createTempDirectory("scrape_watch")
     val state = watch.toString + "_state"
