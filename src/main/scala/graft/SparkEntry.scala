@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Scrape.queries ++
       operators.Enrich.queries ++ operators.Dedup.queries ++
-      operators.Multimodal.queries ++ functions.TextAnalysis.queries ++
+      operators.Multimodal.queries ++ operators.Pipeline.queries ++
+      functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Scrape.oracles ++
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
-      operators.Multimodal.oracles ++ functions.TextAnalysis.oracles ++
+      operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
+      functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** Semantic properties of the training-pipeline operators (their exact
+  * outputs are oracle-checked against DuckDB by the driver; these cover
+  * the properties the hashes can't express). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("hash sample: deterministic, subset, rate near 2/16") {
+    val total = Tables.documents(spark, TestSpark.sf001).count()
+    val s1 = Pipeline.qSampleHash(spark, TestSpark.sf001).collect()
+    val s2 = Pipeline.qSampleHash(spark, TestSpark.sf001).collect()
+    assert(s1.toSeq == s2.toSeq) // pure function of the key
+    val rate = s1.length.toDouble / total
+    assert(rate > 0.07 && rate < 0.19, s"rate $rate far from 0.125")
+  }
+
+  test("stratified split: partitions every doc, fractions near 80/10/10") {
+    val rows = Pipeline.qSplitStratified(spark, TestSpark.sf001).collect()
+    val total = Tables.documents(spark, TestSpark.sf001).count()
+    val bySplit = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == total) // nothing dropped or duplicated
+    assert(bySplit("train").toDouble / total > 0.7)
+    assert(bySplit("val").toDouble / total < 0.2)
+    assert(bySplit("test").toDouble / total < 0.2)
+  }
+
+  test("quota sample: no stratum exceeds its quota, undersized strata kept whole") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val perStratum = Pipeline.qSampleQuota(spark, TestSpark.sf001)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    assert(perStratum.filter(col("n") > 10).isEmpty)
+    // a stratum smaller than the quota passes through entirely
+    val small = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 10)
+    val kept = perStratum.withColumnRenamed("n", "k")
+    val joined = small.join(kept, Seq("lang", "source"))
+    assert(joined.filter(col("n") =!= col("k")).isEmpty)
+    assert(joined.count() == small.count())
+  }
+
+  test("url normalize: hosts cover every source, paths are query-stripped") {
+    val rows = Pipeline.qUrlNormalize(spark, TestSpark.sf001).collect()
+    val nSources = Tables.documents(spark, TestSpark.sf001)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    assert(rows.forall(_.getString(0).matches("src\\d+\\.example\\.com")))
+    // n_paths counts doc-level paths: strictly more than one per host, and
+    // never more than that host's doc count (dupes collapse)
+    rows.foreach(r => assert(r.getLong(2) > 1 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("redaction: placeholders replace every email and long digit run") {
+    // recompute the redacted text (the query ships only its md5) and scan
+    // for surviving PII patterns
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val red = Tables.documents(spark, TestSpark.sf001)
+      .select(regexp_replace(regexp_replace(pii,
+        "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        "[0-9]{5,}", "<NUM>").as("t"))
+    assert(red.filter(col("t").rlike("@")).isEmpty)
+    assert(red.filter(col("t").rlike("[0-9]{5,}")).isEmpty)
+    assert(red.filter(col("t").contains("<EMAIL>")).count() == red.count())
+    // and the query's counters see at least the injected instances
+    val q = Pipeline.qTextRedact(spark, TestSpark.sf001)
+    assert(q.filter(col("n_emails") < 1 || col("n_nums") < 1).isEmpty)
+  }
+}
