@@ -117,12 +117,68 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check: which corpus documents share a word
+    * 5-gram with the "benchmark" set (doc_id % 97 == 0 stands in for an
+    * eval set)? The classic pre-training hygiene scan.
+    *
+    * Scale shape: the benchmark gram set is small by construction (evals
+    * are KBs-to-MBs against a 100 TB corpus), so it broadcasts — the
+    * corpus side is a map-side semi-join on an 8-byte gram hash with NO
+    * wide shuffle of corpus grams; the only exchange is the per-doc
+    * overlap count, and explode keeps a doc's grams within one partition
+    * so partial aggregation collapses them before the wire. */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"), col("text"))
+    // Injected leaks (ids+300000 embed a full benchmark doc behind a
+    // prefix) give the check known positives — the same
+    // deterministic-fixture pattern as the dedup corpus; both engines
+    // derive the identical corpus.
+    val leaked = base.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(lit("leak intro "), col("text")).as("text"))
+    val docs = base.union(leaked)
+    val isBench = col("doc_id") % 97 === 0 && col("doc_id") < 300000
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.plans.GraftExpressions.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
+    val benchGrams = grams(docs.filter(isBench)).select("gram").distinct()
+    val candGrams = grams(docs.filter(!isBench))
+    val shared = candGrams.join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val sizes = docs.filter(!isBench).select(col("doc_id"),
+      size(graft.plans.GraftExpressions.shingles(col("text"), 5))
+        .cast("bigint").as("n_grams"))
+    shared.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared") / col("n_grams")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 quantization of embeddings: scale = 127/max|x|,
+    * q_i = floor(x_i·scale + 0.5) — the storage/serving compression step
+    * of an embedding pipeline. Pure map-side transform; `floor(x+0.5)`
+    * (not `round`) so every engine breaks .5 ties identically. The
+    * quantized vector ships as CSV (driver-hashable) alongside its
+    * reconstruction scale. */
+  def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .withColumn("m", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .select(col("vec_id"),
+        expr("""CASE WHEN m = 0d THEN concat_ws(',', transform(embedding, x -> 0))
+                ELSE concat_ws(',', transform(embedding,
+                  x -> cast(floor(cast(x as double) * (127.0d / m) + 0.5d) as int)))
+                END""").as("q_csv"),
+        expr("CASE WHEN m = 0d THEN 0d ELSE m / 127.0d END").as("scale"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_split_stratified" -> qSplitStratified,
     "q_sample_quota" -> qSampleQuota,
     "q_url_normalize" -> qUrlNormalize,
     "q_text_redact" -> qTextRedact,
+    "q_contamination" -> qContamination,
+    "q_emb_quantize" -> qEmbQuantize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,5 +222,29 @@ object Pipeline {
         |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{5,}', '<NUM>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 300000, 'leak intro ' || text FROM documents WHERE doc_id % 97 = 0),
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM corpus),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)])) AS gram
+        |  FROM toks WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0 AND doc_id < 300000),
+        |cand AS (SELECT doc_id, gram FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 300000)),
+        |shared AS (SELECT doc_id, count(*) AS n_shared FROM cand JOIN bench USING (gram) GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id)
+        |SELECT doc_id, n_shared, n_grams,
+        |  CAST(n_shared AS DOUBLE)/n_grams AS contamination
+        |FROM shared JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS m
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN m = 0 THEN array_to_string([0 FOR x IN embedding], ',')
+        |       ELSE array_to_string([CAST(floor(CAST(x AS DOUBLE) * (127.0/m) + 0.5) AS INT)
+        |         FOR x IN embedding], ',') END AS q_csv,
+        |  CASE WHEN m = 0 THEN 0.0 ELSE m/127.0 END AS scale
+        |FROM m ORDER BY vec_id""".stripMargin,
   )
 }

@@ -74,11 +74,11 @@ object Kernels {
     fp
   }
 
-  /** Distinct word-3-gram shingles of a text: split on ' ' (empties
-    * skipped), windows of 3 joined by ' ', first-occurrence order.
+  /** Distinct word-n-gram shingles of a text: split on ' ' (empties
+    * skipped), windows of `width` joined by ' ', first-occurrence order.
     * Semantics match the built-in formulation
     * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`. */
-  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+  def shinglesN(text: org.apache.spark.unsafe.types.UTF8String, width: Int): ArrayData = {
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     val s = text.toString
     var start = 0
@@ -89,16 +89,22 @@ object Kernels {
       if (end > start) toks += s.substring(start, end)
       start = end + 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](math.max(0, toks.length - 2))
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](math.max(0, toks.length - width + 1))
     val seen = new java.util.HashSet[String]()
     var i = 0
-    while (i + 2 < toks.length) {
-      val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+    while (i + width - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < width) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val g = sb.toString
       if (seen.add(g)) out += org.apache.spark.unsafe.types.UTF8String.fromString(g)
       i += 1
     }
     new GenericArrayData(out.toArray)
   }
+
+  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    shinglesN(text, 3)
 
   /** Rabin-Karp rolling hash: polynomial hash of every `window`-byte
     * substring of the UTF-8 text, computed with O(1) updates per position
@@ -278,6 +284,26 @@ case class Shingles3Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word-n-grams of a text column for a fixed window width:
+  * `string` → `array<string>`. [[Shingles3Expr]] is the width-3 special
+  * case kept for the SQL name `shingles3`. */
+case class ShinglesExpr(child: Expression, width: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.shinglesN(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Kernels.shinglesN($c, $width);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct Rabin-Karp window hashes of a text: `string` → `array<long>`. */
 case class RollingHashExpr(child: Expression, window: Int)
     extends UnaryExpression {
@@ -432,6 +458,9 @@ object GraftExpressions {
 
   def shingles3(text: Column): Column =
     ColumnShim.column(Shingles3Expr(ColumnShim.expression(text)))
+
+  def shingles(text: Column, width: Int): Column =
+    ColumnShim.column(ShinglesExpr(ColumnShim.expression(text), width))
 
   def rolling_hash(text: Column, window: Int): Column =
     ColumnShim.column(RollingHashExpr(ColumnShim.expression(text), window))

@@ -26,6 +26,18 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
     "simhash64" -> (es => SimHash64Expr(es.head)),
     "shingles3" -> (es => Shingles3Expr(es.head)),
+    // width must be an integer literal, e.g. shingles(text, 5)
+    "shingles" -> (es => {
+      import org.apache.spark.sql.types._
+      val okType = es(1).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!es(1).foldable || !okType)
+        throw org.apache.spark.sql.graftshim.ColumnShim
+          .nonFoldableArgumentError("shingles", "width", IntegerType)
+      ShinglesExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    }),
     "minhash_signature" -> (es => MinHashSignatureExpr(es.head, defaultA, defaultB)),
     "sorted_pairs" -> (es => SortedPairsExpr(es.head)),
     // window size must be an integer literal, e.g. rolling_hash(text, 32):

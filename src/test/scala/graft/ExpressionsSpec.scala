@@ -172,6 +172,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(graft.plans.Kernels.ivfCells(emb, cents2, 2).toIntArray().toSeq == Seq(1, 0))
   }
 
+  test("ShinglesExpr: width 3 equals shingles3, wider widths window correctly") {
+    val sp = spark
+    import sp.implicits._
+    import graft.plans.GraftExpressions
+    val df = sp.createDataset(Seq("a b c d e f", "one two", "x  y   z w q"))
+      .toDF("t")
+    val rows = df.select(
+      GraftExpressions.shingles(col("t"), 3).as("s3p"),
+      GraftExpressions.shingles3(col("t")).as("s3"),
+      GraftExpressions.shingles(col("t"), 5).as("s5")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(rows(0).getSeq[String](2) == Seq("a b c d e", "b c d e f"))
+    assert(rows(1).getSeq[String](2).isEmpty) // shorter than the window
+    assert(rows(2).getSeq[String](2) == Seq("x y z w q")) // empties skipped
+    // SQL surface: width must be an integer literal
+    graft.plans.GraftFunctions.register(sp)
+    assert(sp.sql("SELECT size(shingles('a b c d e f', 5)) AS n")
+      .collect()(0).getInt(0) == 2)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sp.sql("SELECT shingles('a b c', 'x')").collect()
+    }
+  }
+
   test("rolling_hash SQL surface rejects non-integer-literal window at analysis") {
     graft.plans.GraftFunctions.register(spark)
     spark.range(3).selectExpr("CAST(id AS INT) AS w", "'abcdefghij' AS t")

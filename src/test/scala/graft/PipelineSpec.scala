@@ -56,6 +56,38 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) > 1 && r.getLong(2) <= r.getLong(1)))
   }
 
+  test("contamination: every injected leak is flagged with near-total overlap") {
+    val rows = Pipeline.qContamination(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val nBench = Tables.documents(spark, TestSpark.sf001)
+      .filter(col("doc_id") % 97 === 0).count()
+    val leaks = rows.filter { case (id, _) => id >= 300000 }
+    assert(leaks.size == nBench) // recall 1.0 on the injected leaks
+    // a leak embeds the full benchmark doc: nearly all its 5-grams match
+    leaks.values.foreach(c => assert(c > 0.8, s"leak overlap $c"))
+    // flagged non-leaks (natural collisions) must be rare
+    assert(rows.size - leaks.size < nBench)
+  }
+
+  test("quantization: int8 range and reconstruction error within half a step") {
+    val rows = Pipeline.qEmbQuantize(spark, TestSpark.sf001).collect()
+    val orig = Tables.embeddings(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val q = r.getString(1).split(",").map(_.toInt)
+      val scale = r.getDouble(2)
+      val x = orig(r.getLong(0))
+      assert(q.length == x.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // |x - q·scale| ≤ scale/2 + eps: floor(x/scale + .5) is within half a
+      // quantization step of the original
+      q.indices.foreach { i =>
+        assert(math.abs(x(i).toDouble - q(i) * scale) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+
   test("redaction: placeholders replace every email and long digit run") {
     // recompute the redacted text (the query ships only its md5) and scan
     // for surviving PII patterns
