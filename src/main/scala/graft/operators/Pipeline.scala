@@ -148,7 +148,10 @@ object Pipeline {
     val sizes = docs.filter(!isBench).select(col("doc_id"),
       size(graft.plans.GraftExpressions.shingles(col("text"), 5))
         .cast("bigint").as("n_grams"))
-    shared.join(sizes, "doc_id")
+    // Broadcast the flagged-docs side: contaminated docs are few by
+    // hypothesis, while `sizes` spans the whole corpus — without the hint
+    // local stats pick the wrong build side and ship every doc's size.
+    sizes.join(broadcast(shared), "doc_id")
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
         (col("n_shared") / col("n_grams")).as("contamination"))
       .orderBy("doc_id")
