@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Enrich.queries ++ operators.Dedup.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
       functions.TextAnalysis.queries ++
-      functions.Similarity.queries ++ streaming.EventWindows.queries
+      functions.Similarity.queries ++ streaming.EventWindows.queries ++
+      streaming.StreamDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
       functions.TextAnalysis.oracles ++
-      functions.Similarity.oracles ++ streaming.EventWindows.oracles
+      functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
+      streaming.StreamDedup.oracles
 }
