@@ -80,6 +80,21 @@ object ScaleProbe {
           .select(explode(graft.plans.GraftExpressions.sorted_pairs(col("docs"))))
           .count()
       }
+      time(s"contamination x$n") {
+        // bench-gram set stays fixed-size while the corpus amplifies: the
+        // probe must scale with the corpus scan (linear), since corpus
+        // grams only flow through a broadcast semi-join, never a shuffle
+        val bench = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 97 === 0)
+          .select(explode(graft.plans.GraftExpressions.shingles(col("text"), 5)).as("g"))
+          .select(xxhash64(col("g")).as("gram")).distinct()
+        docs.select(col("doc_id"),
+            explode(graft.plans.GraftExpressions.shingles(col("text"), 5)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("gram"))
+          .join(broadcast(bench), Seq("gram"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .count()
+      }
       time(s"ivf_assign x$n") {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)
         val e = graft.Tables.embeddings(spark, sfDir)
