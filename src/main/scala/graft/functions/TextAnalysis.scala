@@ -49,6 +49,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The q_text_quality composite score as a single reusable column —
+    * identical arithmetic and term order to [[qTextQuality]] (bit-exact in
+    * the DuckDB oracle), for pipeline stages that gate on quality without
+    * materializing the intermediate ratio columns. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punctRatio = when(nChars > 0,
+      length(regexp_replace(text, "[A-Za-z0-9 ]", "")) / nChars).otherwise(1.0)
+    val stopRatio = when(nTokens > 0,
+      stopHits(toks, enStop) / nTokens).otherwise(0.0)
+    val distinctRatio = when(nTokens > 0,
+      size(array_distinct(toks)) / nTokens).otherwise(0.0)
+    lit(0.25) * least(lit(1.0), nTokens / 50.0) +
+      lit(0.25) * (lit(1.0) - punctRatio) +
+      lit(0.25) * least(lit(1.0), stopRatio * 4.0) +
+      lit(0.25) * distinctRatio
+  }
+
   /** Composite quality score in [0,1] for corpus filtering — the
     * length/punctuation/stopword/repetition signals a pretraining pipeline
     * gates on, folded into one score (equal weights, each clamped to
@@ -153,6 +173,16 @@ object TextAnalysis {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB form of [[qualityScore]] (same ops, same order), for oracles
+    * of pipeline stages that gate on the score. `toks` must name a
+    * token-list column built as
+    * `list_filter(string_split(text,' '), x -> x <> '')`. */
+  def qualityScoreSql(toks: String, text: String): String =
+    s"0.25 * least(1.0, len($toks) / 50.0)" +
+      s" + 0.25 * (1.0 - CASE WHEN length($text) > 0 THEN length(regexp_replace($text, '[A-Za-z0-9 ]', '', 'g')) / length($text) ELSE 1.0 END)" +
+      s" + 0.25 * least(1.0, (CASE WHEN len($toks) > 0 THEN len(list_filter($toks, x -> list_contains(${sqlList(enStop)}, x))) / len($toks) ELSE 0.0 END) * 4.0)" +
+      s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->

@@ -174,6 +174,29 @@ object Pipeline {
         expr("CASE WHEN m = 0d THEN 0d ELSE m / 127.0d END").as("scale"))
       .orderBy("vec_id")
 
+  /** End-to-end corpus curation — the whole pre-training data funnel as
+    * ONE declarative plan Catalyst optimizes globally:
+    * quality gate (reusing the oracle-exact q_text_quality score) →
+    * exact dedup (canonical = min doc_id per content hash) →
+    * deterministic 50% sample → per-language rollup.
+    *
+    * Scale shape: quality gate and sample are map-side and run in the
+    * same codegen stage as the scan; the only wide shuffle is the dedup
+    * window on the 16-byte content hash; the rollup ships per-language
+    * partials. Filters run BEFORE the shuffle, so the dedup exchange
+    * carries only quality-passing rows. */
+  def qCorpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    documents(s, dir)
+      .filter(graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.6)
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canon"))
+      .filter(md5(concat(lit("cur"), col("doc_id").cast("string"))) < "8")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_split_stratified" -> qSplitStratified,
@@ -182,6 +205,7 @@ object Pipeline {
     "q_text_redact" -> qTextRedact,
     "q_contamination" -> qContamination,
     "q_emb_quantize" -> qEmbQuantize,
+    "q_corpus_curate" -> qCorpusCurate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +273,15 @@ object Pipeline {
         |         FOR x IN embedding], ',') END AS q_csv,
         |  CASE WHEN m = 0 THEN 0.0 ELSE m/127.0 END AS scale
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q_corpus_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, n_chars,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |q AS (SELECT doc_id, text, lang, n_chars FROM t
+         |  WHERE (${graft.functions.TextAnalysis.qualityScoreSql("toks", "text")}) >= 0.6),
+         |d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM q),
+         |c AS (SELECT * FROM d
+         |  WHERE doc_id = canon AND md5('cur' || CAST(doc_id AS VARCHAR)) < '8')
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -88,6 +88,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus curation: funnel is deterministic and strictly narrowing") {
+    val total = Tables.documents(spark, TestSpark.sf001).count()
+    val r1 = Pipeline.qCorpusCurate(spark, TestSpark.sf001).collect()
+    val r2 = Pipeline.qCorpusCurate(spark, TestSpark.sf001).collect()
+    assert(r1.toSeq == r2.toSeq)
+    val kept = r1.map(_.getLong(1)).sum
+    assert(kept > 0 && kept < total) // every gate engages, none empties the set
+    // langs in the rollup are real corpus langs
+    val langs = Tables.documents(spark, TestSpark.sf001)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(r1.map(_.getString(0)).toSet.subsetOf(langs))
+  }
+
   test("redaction: placeholders replace every email and long digit run") {
     // recompute the redacted text (the query ships only its md5) and scan
     // for surviving PII patterns
