@@ -162,7 +162,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition / boilerplate signals (the Gopher-style gates a
+    * pretraining pipeline applies): per document, the most frequent
+    * token's share and the fraction of duplicated word-bigrams.
+    *
+    * Scale shape: the top-token count runs as explode → two-level
+    * hash aggregation — per-(doc, token) counts partial-aggregate
+    * map-side (a doc's tokens stay in its input partition, so the wide
+    * shuffle carries one row per DISTINCT token per doc, not per token),
+    * then collapse to per-doc max. The per-row alternative (a
+    * higher-order fold counting each distinct token) is O(distinct·n)
+    * per document — quadratic for the long docs that matter most. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val base = d.select(col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+      size(graft.plans.GraftExpressions.shingles(col("text"), 2))
+        .cast("bigint").as("n_d2"),
+      explode(tokens(col("text"))).as("tok"))
+    base.groupBy("doc_id", "n_tokens", "n_d2", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "n_d2")
+      .agg(max(col("c")).as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("top_freq"),
+        (col("top_freq") / col("n_tokens")).as("top_ratio"),
+        when(col("n_tokens") > 1,
+          (col("n_tokens") - 1 - col("n_d2")) / (col("n_tokens") - 1))
+          .otherwise(0.0).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> qTextRepetition,
     "q_text_rolling" -> qTextRolling,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -185,6 +216,19 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, max(c) AS top_freq FROM tf GROUP BY doc_id),
+        |g AS (SELECT doc_id, len(w) AS n_tokens,
+        |  len(list_distinct([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) AS n_d2 FROM t)
+        |SELECT g.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(top_freq AS BIGINT) AS top_freq,
+        |  CAST(top_freq AS DOUBLE)/n_tokens AS top_ratio,
+        |  CASE WHEN n_tokens > 1 THEN CAST(n_tokens - 1 - n_d2 AS DOUBLE)/(n_tokens - 1)
+        |       ELSE 0.0 END AS dup_2gram_frac
+        |FROM g JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents)
          |SELECT doc_id, length(text) AS n_chars_actual, len(toks) AS n_tokens,

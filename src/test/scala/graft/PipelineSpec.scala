@@ -88,6 +88,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: ratios bounded, every tokenized doc covered") {
+    val rows = graft.functions.TextAnalysis
+      .qTextRepetition(spark, TestSpark.sf001).collect()
+    val nDocs = Tables.documents(spark, TestSpark.sf001)
+      .filter(size(graft.functions.TextAnalysis.tokens(col("text"))) > 0).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val topRatio = r.getDouble(3)
+      val dupFrac = r.getDouble(4)
+      assert(topRatio > 0.0 && topRatio <= 1.0)
+      assert(dupFrac >= 0.0 && dupFrac < 1.0)
+      // top token can't appear more often than there are tokens
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("corpus curation: funnel is deterministic and strictly narrowing") {
     val total = Tables.documents(spark, TestSpark.sf001).count()
     val r1 = Pipeline.qCorpusCurate(spark, TestSpark.sf001).collect()
