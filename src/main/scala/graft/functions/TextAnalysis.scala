@@ -175,15 +175,22 @@ object TextAnalysis {
     * per document — quadratic for the long docs that matter most. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    val base = d.select(col("doc_id"),
-      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
-      size(graft.plans.GraftExpressions.shingles(col("text"), 2))
-        .cast("bigint").as("n_d2"),
-      explode(tokens(col("text"))).as("tok"))
-    base.groupBy("doc_id", "n_tokens", "n_d2", "tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_tokens", "n_d2")
-      .agg(max(col("c")).as("top_freq"))
+    // Nothing per-doc rides through the explodes: carrying
+    // size(shingles(text)) alongside an explode lands it in the Project
+    // ABOVE the Generate, re-evaluating the whole kernel once per token
+    // (O(n²) per doc). Instead n_tokens falls out of the token counts
+    // (sum of per-token frequencies) and the distinct-bigram count is its
+    // own explode→count (the shingle kernel already dedupes per doc), the
+    // two per-doc row streams meeting in one doc_id-keyed join.
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val top = tf.groupBy("doc_id")
+      .agg(max(col("c")).as("top_freq"), sum(col("c")).as("n_tokens"))
+    val d2 = d.select(col("doc_id"),
+      explode(graft.plans.GraftExpressions.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_d2"))
+    top.join(d2, Seq("doc_id"), "left")
+      .withColumn("n_d2", coalesce(col("n_d2"), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("top_freq"),
         (col("top_freq") / col("n_tokens")).as("top_ratio"),
         when(col("n_tokens") > 1,
