@@ -91,9 +91,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB resize — deterministic stand-in for an image downsample (the
+    * sibling of [[fakeDecode]]): the payload is read as a 16-px-wide
+    * "image" and block-averaged to a fixed `outW`×`outH` thumbnail.
+    * Empty source blocks (payload shorter than the grid) resolve to 0 by
+    * rule. A real implementation replaces ONLY this function. */
+  def fakeResize(blob: MediaBlob, outW: Int = 4, outH: Int = 4): Array[Int] = {
+    val bytes = blob.content
+    val w = 16
+    val h = (bytes.length + w - 1) / w
+    val out = new Array[Int](outW * outH)
+    if (bytes.isEmpty) return out
+    for (ry <- 0 until outH; rx <- 0 until outW) {
+      val y0 = ry * h / outH; val y1 = math.max(y0 + 1, (ry + 1) * h / outH)
+      val x0 = rx * w / outW; val x1 = math.max(x0 + 1, (rx + 1) * w / outW)
+      var sum = 0L; var n = 0
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val i = y * w + x
+        if (i < bytes.length) { sum += (bytes(i) & 0xFF); n += 1 }
+      }
+      out(ry * outW + rx) = if (n == 0) 0 else (sum / n).toInt
+    }
+    out
+  }
+
+  /** Two-stage typed pipeline decode→resize, each partition-batched
+    * (rows-only driver check; exact values covered by MultimodalSpec).
+    * The thumbnail ships as CSV for the same driver-hashability reason as
+    * the decode features. */
+  def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs: Dataset[MediaBlob] = documents(s, dir)
+      .select(col("doc_id"), synthFilename.as("filename"),
+        col("text").cast("binary").as("content"))
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (scaler context, SIMD planning)
+      it.map(b => (b.doc_id, b.content.length, fakeResize(b)))
+    }.toDF("doc_id", "n_bytes", "thumb")
+      .select(col("doc_id"), col("n_bytes"),
+        concat_ws(",", col("thumb").cast("array<string>")).as("thumb_csv"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_resize" -> qMultimodalResize,
   )
 
   val oracles: Map[String, String] = Map(
