@@ -43,9 +43,46 @@ class TopKAgg(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** Typed bounded min-k aggregator: keeps the k smallest (key, id) pairs
+  * per group — the map-side form of `row_number() over (order by key, id)
+  * <= k`. Same scale rationale as [[TopKAgg]]: each partition forwards at
+  * most k rows per group instead of the whole stratum, which is what
+  * makes per-stratum quota sampling survive a pathologically hot stratum
+  * at 100 TB. Ordering (key asc, id asc) matches the window/oracle
+  * formulation exactly, so results hash-match. */
+class MinKAgg(k: Int)
+    extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+
+  private val ord = Ordering.Tuple2[String, Long]
+
+  override def zero: Seq[(String, Long)] = Vector.empty
+
+  private def trim(buf: Seq[(String, Long)]): Seq[(String, Long)] =
+    if (buf.length <= 4 * k) buf else buf.sorted(ord).take(k)
+
+  override def reduce(buf: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] =
+    trim(buf :+ x)
+
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] =
+    buf.sorted(ord).take(k)
+
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
 object TopK {
   /** UDAF form for DataFrame `agg`: call as `topK(5)(cosCol, idCol)`. */
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+
+  /** UDAF form: `minK(10)(keyCol, idCol)`. */
+  def minK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)]())
 }

@@ -68,6 +68,28 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Shared UDAF instance (a fresh `minK(10)` per query build would defeat
+    * cache plan-matching — canonicalization compares aggregator identity). */
+  private lazy val minK10 = graft.functions.TopK.minK(10)
+
+  /** The quota sample again as a map-side bounded heap
+    * ([[graft.functions.MinKAgg]]) instead of a window: each partition
+    * forwards at most 10 rows per stratum, so a pathologically hot
+    * stratum never concentrates its full row set on one reducer — the
+    * formulation that survives 100 TB skew. Same oracle as
+    * [[qSampleQuota]]: the (md5, doc_id) ordering is identical, so the
+    * two plans hash-match each other. */
+  def qSampleQuotaTopk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), col("source"),
+        md5(concat(lit("quo"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(minK10(col("h"), col("doc_id")).as("kept"))
+      .select(col("lang"), col("source"), explode(col("kept")).as("p"))
+      .select(col("p._2").as("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** Synthetic document URL (the fixture has no URL column; both engines
     * derive the same one): https://<source>.example.com/<lang>/doc/<id>
     * plus tracking params that normalization must strip. */
@@ -201,6 +223,7 @@ object Pipeline {
     "q_sample_hash" -> qSampleHash,
     "q_split_stratified" -> qSplitStratified,
     "q_sample_quota" -> qSampleQuota,
+    "q_sample_quota_topk" -> qSampleQuotaTopk,
     "q_url_normalize" -> qUrlNormalize,
     "q_text_redact" -> qTextRedact,
     "q_contamination" -> qContamination,
@@ -220,6 +243,13 @@ object Pipeline {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_sample_quota_topk" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5('quo' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "q_sample_quota" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -45,6 +45,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.count() == small.count())
   }
 
+  test("quota sample: bounded-heap aggregator equals the window formulation") {
+    val win = Pipeline.qSampleQuota(spark, TestSpark.sf001).collect().toSeq
+    val agg = Pipeline.qSampleQuotaTopk(spark, TestSpark.sf001).collect().toSeq
+    assert(win == agg)
+  }
+
   test("url normalize: hosts cover every source, paths are query-stripped") {
     val rows = Pipeline.qUrlNormalize(spark, TestSpark.sf001).collect()
     val nSources = Tables.documents(spark, TestSpark.sf001)
