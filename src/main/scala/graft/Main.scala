@@ -12,6 +12,8 @@ import graft.sources.FileListing
   *
   * {{{
   * graft.Main [-i IDENTIFIER] [-v]... [--out DIR | --jdbc URL] PATH [PATH...]
+  * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
+  * graft.Main query list                        // enumerate query names
   * }}}
   *
   * Each PATH (filesystem dir or `s3://`/`s3a://` URL) is scanned
@@ -28,6 +30,7 @@ import graft.sources.FileListing
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("query")) { runQuery(args.drop(1)); return }
     var identifier: Option[String] = None
     var verbosity = 0
     var out = "./scan_out"
@@ -84,6 +87,40 @@ object Main {
         println(s"scan complete: $n rows in state at $out")
     }
     spark.stop()
+  }
+
+  /** `graft.Main query NAME SF_DIR [--out DIR]`: run one registered
+    * analytics query over a fixture/table dir; parquet to `--out`, else
+    * the first rows to the console. `query list` enumerates names. */
+  private def runQuery(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: query NAME SF_DIR [--out DIR] | query list")
+    if (args(0) == "list") {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    require(args.length >= 2, "usage: query NAME SF_DIR [--out DIR]")
+    val name = args(0)
+    val sfDir = args(1)
+    val outDir = args.sliding(2).collectFirst { case Array("--out", d) => d }
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name' — run `query list`"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-query-$name")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = fn(spark, sfDir)
+    outDir match {
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(d)
+        println(s"$name: ${spark.read.parquet(d).count()} rows -> $d")
+      case None => df.show(20, truncate = false)
+    }
   }
 
   /** `s3://` (reference scheme) → `s3a://` (Hadoop connector scheme). */

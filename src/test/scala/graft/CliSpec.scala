@@ -1,0 +1,26 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `query` CLI subcommand: registered queries are runnable by name
+  * with parquet output (the analytics analog of the scrape CLI path). */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("query subcommand writes a registered query's result to parquet") {
+    val _ = spark // materialize the shared session so Main reuses it
+    val out = Files.createTempDirectory("cli_q").toString
+    Main.main(Array("query", "q1_agg", TestSpark.sf0001, "--out", out))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.columns.contains("sum_qty"))
+  }
+
+  test("unknown query name fails with a clear error") {
+    val e = intercept[RuntimeException] {
+      Main.main(Array("query", "no_such_query", TestSpark.sf0001))
+    }
+    assert(e.getMessage.contains("no_such_query"))
+  }
+}
