@@ -301,6 +301,23 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Sketch counterpart of [[percentiles]] (rows-only; tolerance vs the
+    * exact form is spec-asserted): `approx_percentile` keeps a bounded
+    * quantile summary per group — constant memory per partition and
+    * merge-combinable partials, where the exact percentile must gather
+    * every group value onto its reducer. At 100 TB the sketch is the only
+    * formulation that fits; accuracy 10000 bounds rank error at
+    * ~1/10000th of the group. */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(cents(col("o_totalprice")), lit(0.5), lit(10000))
+          .as("median_cents_approx"),
+        percentile_approx(cents(col("o_totalprice")), lit(0.9), lit(10000))
+          .as("p90_cents_approx"))
+      .orderBy("o_orderstatus")
+
   /** String scalar-function family: case, replace, padding, substring,
     * edit distance. */
   def stringFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -330,6 +347,7 @@ object Relational {
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivot,
     "q_percentiles" -> percentiles,
+    "q_percentiles_approx" -> percentilesApprox,
     "q_string_funcs" -> stringFuncs,
     "q_scan_project_filter" -> scanProjectFilter,
     "q1_agg" -> q1Agg,

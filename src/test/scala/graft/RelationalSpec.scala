@@ -51,6 +51,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track the exact percentiles within tolerance") {
+    val approx = Relational.percentilesApprox(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.percentiles(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (st, (m, p90)) =>
+      val (am, ap90) = approx(st)
+      // accuracy=10000 on groups of ~hundreds of rows: rank error well
+      // under one position, but interpolation differs (exact percentile
+      // interpolates between values, the sketch returns an observed
+      // value) — tolerate the gap between adjacent order statistics
+      assert(math.abs(am - m) / m < 0.05, s"$st median approx=$am exact=$m")
+      assert(math.abs(ap90 - p90) / p90 < 0.05, s"$st p90 approx=$ap90 exact=$p90")
+    }
+  }
+
   test("every registered oracle has a query and every query runs at sf0.001") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
