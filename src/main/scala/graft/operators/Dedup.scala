@@ -165,11 +165,18 @@ object Dedup {
         bIdx => xxhash64(concat_ws("_",
           slice(col("sig"), bIdx * (numPerm / bands) + 1, lit(numPerm / bands)))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // Candidate pairs by the same inverted-index shape as the n-gram
+    // dedup: group the banded rows into per-bucket doc lists (ONE shuffle
+    // keyed on (band, band_hash)) and generate pairs inside each bucket
+    // with the sorted_pairs kernel — instead of shuffling both sides of a
+    // self-join. Bucket sizes bound the pair count exactly as the
+    // self-join's equi-keys would, with half the shuffled volume.
+    val cand = banded.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(
+        graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val g1 = sigs.select(col("doc_id").as("d1"), col("grams").as("g1"))
     val g2 = sigs.select(col("doc_id").as("d2"), col("grams").as("g2"))
