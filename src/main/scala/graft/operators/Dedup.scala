@@ -171,6 +171,11 @@ object Dedup {
     // with the sorted_pairs kernel — instead of shuffling both sides of a
     // self-join. Bucket sizes bound the pair count exactly as the
     // self-join's equi-keys would, with half the shuffled volume.
+    // Deliberately uncapped (unlike the ngram df cap): an LSH bucket's
+    // size is the size of a genuine near-dup cluster, which IS the
+    // signal. The degenerate case — a flood of byte-identical documents
+    // collapsing into one huge bucket — belongs to the exact-dedup stage,
+    // which a pipeline runs first (q_corpus_curate ordering).
     val cand = banded.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2)

@@ -17,6 +17,21 @@ class CliSpec extends AnyFunSuite {
     assert(rows.columns.contains("sum_qty"))
   }
 
+  test("Sql.attach exposes tables and kernels to pure spark.sql") {
+    Sql.attach(spark, TestSpark.sf0001)
+    val r = spark.sql(
+      """SELECT count(*) AS n,
+        |  max(size(shingles(text, 3))) AS max_shingles,
+        |  max(size(minhash_signature(shingles3(text)))) AS sig_len
+        |FROM documents""".stripMargin).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(2) == 64)
+    // events view carries the ns->micros conversion
+    val ts = spark.sql("SELECT min(ts) FROM events").collect()(0)
+    assert(ts.getTimestamp(0) != null)
+  }
+
   test("unknown query name fails with a clear error") {
     val e = intercept[RuntimeException] {
       Main.main(Array("query", "no_such_query", TestSpark.sf0001))
