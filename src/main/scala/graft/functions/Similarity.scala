@@ -161,6 +161,37 @@ object Similarity {
     Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Distributed k-means refinement of IVF centroids (Lloyd iterations in
+    * DataFrame algebra — the "train" step of an IVF index):
+    * assignment is the zero-shuffle [[graft.plans.IvfCellsExpr]] kernel;
+    * the mean update is posexplode → per-(cell, dim) average, whose
+    * shuffle carries only partial (sum, count) pairs for k·dim keys; the
+    * k·dim result rows collect to the driver — bounded by the centroid
+    * matrix itself (which must fit on the driver regardless), never by
+    * the corpus. Cells that capture no vectors keep their old centroid.
+    * Per-dimension means use floating-point partial sums, so centroids
+    * are approximate to summation order — fine for index training where
+    * any near-centroid works (the ANN results themselves stay exact-
+    * cosine-ranked). */
+  def kmeansRefine(e: DataFrame, cents: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    val dim = cents.head.length
+    var c = cents
+    for (_ <- 1 to iters) {
+      val rows = e.select(
+        element_at(graft.plans.GraftExpressions.ivf_cells(col("emb"), c, 1), 1)
+          .as("cell"),
+        posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val next = c.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      require(next.forall(_.length == dim))
+      c = next
+    }
+    c
+  }
+
   /** ANN top-3 via IVF cells: every vector is assigned to its nearest
     * centroid by the codegen kernel ([[graft.plans.IvfCellsExpr]], zero
     * shuffle), probes shortlist their [[ivfNprobe]] nearest cells, and

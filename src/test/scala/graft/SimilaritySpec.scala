@@ -60,6 +60,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@3 = $recall")
   }
 
+  test("k-means refinement raises the mean best-cosine objective") {
+    import graft.plans.GraftExpressions
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val init = Similarity.ivfCentroids(64, 16)
+    def objective(c: Array[Array[Double]]): Double = {
+      // mean cosine of each vector to its assigned (nearest) centroid
+      val assigned = e.select(
+        element_at(GraftExpressions.ivf_cells(col("emb"), c, 1), 1).as("cell"),
+        col("emb"))
+      val cents = c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "cvec")
+      assigned.join(broadcast(cents), "cell")
+        .select(GraftExpressions.cosine_sim(col("emb"),
+          col("cvec").cast("array<double>")).as("cos"))
+        .agg(avg(col("cos"))).collect()(0).getDouble(0)
+    }
+    val before = objective(init)
+    val trained = Similarity.kmeansRefine(e, init, iters = 2)
+    val after = objective(trained)
+    assert(after > before,
+      s"objective did not improve: before=$before after=$after")
+  }
+
   test("near-dup: finds exactly the 20 perturbed variants") {
     val rows = Similarity.qSimNeardup(spark, TestSpark.sf0001)
       .select("vec_id", "var_id").as[(Long, Long)].collect().toSet
