@@ -95,6 +95,26 @@ object ScaleProbe {
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
           .count()
       }
+      time(s"quota_skew_window x$n") {
+        // 90% of rows land in one stratum: the window form must sort the
+        // whole hot stratum on a single reducer
+        import org.apache.spark.sql.expressions.Window
+        val st = docs.select(
+          when(col("doc_id") % 10 < 9, "hot").otherwise("cold").as("st"),
+          md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+        val w = Window.partitionBy(col("st")).orderBy(col("h"), col("doc_id"))
+        st.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).count()
+      }
+      time(s"quota_skew_heap x$n") {
+        // bounded-heap form: each partition forwards at most 10 rows per
+        // stratum, so the hot stratum never concentrates
+        val st = docs.select(
+          when(col("doc_id") % 10 < 9, "hot").otherwise("cold").as("st"),
+          md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+        st.groupBy("st").agg(graft.functions.TopK.minK(10)(col("h"), col("doc_id")).as("kept"))
+          .select(explode(col("kept"))).count()
+      }
       time(s"ivf_assign x$n") {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)
         val e = graft.Tables.embeddings(spark, sfDir)
