@@ -28,6 +28,22 @@ object StreamDedup {
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("dedup_key")
 
+  /** The corpus-curation funnel as a stream: quality gate and
+    * deterministic hash sample are stateless row filters (they run
+    * unchanged on a stream — same codegen stage as the source), and the
+    * dedup stage is the watermark-bounded first-occurrence keep. A
+    * 100 TB/day ingest curates incrementally with per-key state only
+    * inside the watermark horizon; the batch funnel (q_corpus_curate)
+    * remains the periodic full-history pass that catches
+    * cross-horizon duplicates. StreamDedupSpec asserts the streamed
+    * survivor set equals the batch replay of the same gates. */
+  def curateStream(docs: DataFrame, eventTime: String, delay: String): DataFrame =
+    dedupe(
+      docs
+        .filter(graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.6)
+        .filter(md5(concat(lit("cur"), col("doc_id").cast("string"))) < "8"),
+      keyCols = Seq("text"), eventTime = eventTime, delay = delay)
+
   /** Batch replay of the streaming dedup (what an in-order stream
     * converges to): per content key, the earliest (ts, event_id) row
     * wins. One shuffle on the dedup key; StreamDedupSpec asserts the
