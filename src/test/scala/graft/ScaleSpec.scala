@@ -13,6 +13,18 @@ import graft.operators.Skew
 class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("no registered query plans a cartesian product") {
+    // BroadcastNestedLoopJoin with a tiny broadcast build side is the
+    // deliberate probe pattern; CartesianProduct (both sides shuffled,
+    // |L|x|R| work) is always a planning accident at 100 TB.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("salted join equals plain join") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
       .select("l_orderkey", "l_quantity")
