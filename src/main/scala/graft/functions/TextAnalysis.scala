@@ -199,7 +199,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: split each document into 64-token windows
+    * on a 48-token stride (16-token overlap) — the unit a training
+    * pipeline feeds to a tokenizer/model. Window starts are a generator
+    * over the per-row token array (no shuffle; one output row per chunk),
+    * and the only wide operation is the presentation sort. The generator
+    * argument is the single expression computed per doc — no scalar rides
+    * through the explode (see the repetition-query trap). */
+  def qTextChunk(s: SparkSession, dir: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-1, $stride), st -> array_join(slice(toks, st+1, $win), ' '))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).as("n_chunk_tokens"),
+        md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> qTextChunk,
     "q_text_repetition" -> qTextRepetition,
     "q_text_rolling" -> qTextRolling,
     "q_text_stats" -> qTextStats,
@@ -223,6 +245,13 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st FROM t WHERE len(w) > 0)
+        |SELECT doc_id, CAST(st/48 AS INT) AS chunk_idx,
+        |  CAST(len(w[st+1:st+64]) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(w[st+1:st+64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok),

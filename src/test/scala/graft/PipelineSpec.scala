@@ -94,6 +94,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: windows bounded, strided starts, full token coverage") {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val perDoc = Tables.documents(spark, TestSpark.sf001)
+      .select(col("doc_id"), size(toks).as("n")).filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = graft.functions.TextAnalysis.qTextChunk(spark, TestSpark.sf001)
+      .collect().groupBy(_.getLong(0))
+    assert(chunks.keySet == perDoc.keySet) // every tokenized doc chunked
+    chunks.foreach { case (doc, cs) =>
+      val n = perDoc(doc)
+      val expected = (n + 47) / 48 // one window per 48-token stride start
+      assert(cs.length == expected, s"doc $doc: ${cs.length} != $expected")
+      cs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i) // contiguous chunk indices
+        val len = r.getInt(2)
+        assert(len == math.min(64, n - i * 48)) // clamped window length
+      }
+    }
+  }
+
   test("repetition signals: ratios bounded, every tokenized doc covered") {
     val rows = graft.functions.TextAnalysis
       .qTextRepetition(spark, TestSpark.sf001).collect()
