@@ -117,6 +117,47 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Cluster assignment over the near-dup pair graph (the step after
+    * pair-finding that a dedup pipeline actually consumes): connected
+    * components by min-label propagation — every document's label
+    * converges to the smallest doc_id reachable through near-dup pairs,
+    * so one canonical id per duplicate cluster.
+    *
+    * Scale shape: each round is one equi-join (neighbor labels) + one
+    * min-aggregation, both keyed shuffles on the vertex id; rounds needed
+    * = the pair graph's diameter (near-dup clusters are shallow — single
+    * digits even at corpus scale). Iteration state is localCheckpoint'ed
+    * so lineage doesn't grow with rounds. The driver-side loop touches
+    * only a scalar per round (the changed-label count). For graphs with
+    * adversarial diameter, the large-star/small-star variant halves the
+    * round count — not needed for near-dup shapes. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(s, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .select(col("d1").as("src"), col("d2").as("dst")).cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 25) {
+      val neighborMin = edges.join(
+          labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("v")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // --- MinHash-LSH (not SQL-expressible → rows-only driver check;
   //     semantics covered by DedupSpec) ------------------------------
 
@@ -225,26 +266,45 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_clusters" -> qDedupClusters,
   )
+
+  /** The ngram pair pipeline as DuckDB CTEs, shared by the pair oracle and
+    * the recursive-closure cluster oracle. */
+  private val ngramPairsCtes =
+    s""", toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
+       |shing AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)]) AS g FROM toks WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, unnest(g) AS gram FROM shing),
+       |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= $maxDf),
+       |kept AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> (corpusCte +
       """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_copies
         |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin),
-    "q_dedup_ngram" -> (corpusCte +
-      s""", toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
-         |shing AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)]) AS g FROM toks WHERE len(w) >= 3),
-         |ex AS (SELECT doc_id, unnest(g) AS gram FROM shing),
-         |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= $maxDf),
-         |kept AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-         |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT d1, d2, CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) AS jaccard
-         |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-         |WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5
-         |ORDER BY d1, d2""".stripMargin),
+    "q_dedup_ngram" -> (corpusCte + ngramPairsCtes +
+      """
+        |SELECT d1, d2, CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+    "q_dedup_clusters" -> (corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ngramPairsCtes +
+      """,
+        |prs AS (SELECT d1, d2
+        |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5),
+        |und AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2, d1 FROM prs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT d1, d1 FROM und
+        |  UNION
+        |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v)
+        |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
   )
 }

@@ -72,6 +72,21 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt, "LSH recall below 90%")
   }
 
+  test("cluster assignment: pairs share labels, labels are cluster minima") {
+    val pairs = Dedup.qDedupNgram(spark, TestSpark.sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = Dedup.qDedupClusters(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly the paired vertices are labeled
+    assert(lbl.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) => assert(lbl(a) == lbl(b), s"($a,$b)") }
+    // a cluster's label is its smallest member (canonical id)
+    lbl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c min=${members.keys.min}")
+    }
+  }
+
   test("exact dedup: every injected copy collapses to its original") {
     val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
     val dups = rows.filter(_.getLong(2) > 1)
