@@ -119,43 +119,72 @@ object Dedup {
 
   /** Cluster assignment over the near-dup pair graph (the step after
     * pair-finding that a dedup pipeline actually consumes): connected
-    * components by min-label propagation — every document's label
-    * converges to the smallest doc_id reachable through near-dup pairs,
-    * so one canonical id per duplicate cluster.
-    *
-    * Scale shape: each round is one equi-join (neighbor labels) + one
-    * min-aggregation, both keyed shuffles on the vertex id; rounds needed
-    * = the pair graph's diameter (near-dup clusters are shallow — single
-    * digits even at corpus scale). Iteration state is localCheckpoint'ed
-    * so lineage doesn't grow with rounds. The driver-side loop touches
-    * only a scalar per round (the changed-label count). For graphs with
-    * adversarial diameter, the large-star/small-star variant halves the
-    * round count — not needed for near-dup shapes. */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgram(s, dir).select(col("d1"), col("d2"))
-    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .select(col("d1").as("src"), col("d2").as("dst")).cache()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < 25) {
-      val neighborMin = edges.join(
-          labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy(col("src").as("v")).agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    * components — every document labeled with the smallest doc_id
+    * reachable through near-dup pairs, one canonical id per duplicate
+    * cluster. Execution strategy in [[clustersOf]]. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(s, qDedupNgram(s, dir).select(col("d1"), col("d2")))
+
+  /** Components of an undirected pair graph as (doc_id, cluster_id =
+    * smallest member). The pair set is already the REDUCED output of
+    * pair-finding (orders of magnitude below the corpus), so up to
+    * `driverThreshold` pairs a driver union-find is the honest winner —
+    * one collect of a bounded set beats dozens of scheduled stages on
+    * rows that fit in L2. Past the threshold (multi-GB pair graphs), the
+    * distributed min-label propagation runs: per round one keyed join +
+    * min-aggregation, rounds = graph diameter, iteration state
+    * localCheckpoint'ed so lineage stays flat. Both paths produce
+    * identical labels (DedupSpec asserts it). */
+  private[graft] def clustersOf(s: SparkSession, pairsDF: DataFrame,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val pairs = pairsDF.cache()
+    val nPairs = pairs.count()
+    val out =
+      if (nPairs <= driverThreshold) {
+        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val labels = parent.keys.toSeq.map(v => (v, find(v)))
+        import s.implicits._
+        labels.toDF("doc_id", "cluster_id")
+      } else {
+        val edges = pairs
+          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .select(col("d1").as("src"), col("d2").as("dst")).cache()
+        var labels = edges.select(col("src").as("v")).distinct()
+          .withColumn("lbl", col("v")).localCheckpoint(true)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val neighborMin = edges.join(
+              labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+            .groupBy(col("src").as("v")).agg(min(col("nlbl")).as("nmin"))
+          val next = labels.join(neighborMin, Seq("v"), "left")
+            .select(col("v"),
+              least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+            .localCheckpoint(true)
+          val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+            .filter(col("lbl") =!= col("old")).count()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        edges.unpersist()
+        labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      }
+    pairs.unpersist()
+    out.orderBy("doc_id")
   }
 
   // --- MinHash-LSH (not SQL-expressible → rows-only driver check;

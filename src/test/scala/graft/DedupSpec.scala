@@ -85,6 +85,13 @@ class DedupSpec extends AnyFunSuite {
     lbl.groupBy(_._2).foreach { case (c, members) =>
       assert(members.keys.min == c, s"cluster $c min=${members.keys.min}")
     }
+    // the distributed label-propagation path (forced via threshold=0)
+    // produces the identical labeling as the driver union-find
+    val distributed = Dedup.clustersOf(spark,
+        Dedup.qDedupNgram(spark, TestSpark.sf0001).select("d1", "d2"),
+        driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == lbl)
   }
 
   test("exact dedup: every injected copy collapses to its original") {
