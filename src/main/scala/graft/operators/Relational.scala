@@ -263,6 +263,27 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Interval join (point-in-interval): events against a small table of
+    * overlapping campaign windows (derived from `nation` — 3-day windows
+    * staggered by a day, so one event can land in several). The window
+    * side broadcasts: the fact scan evaluates the interval predicate
+    * map-side (BroadcastNestedLoopJoin with a 25-row build — the
+    * deliberate probe pattern) and only per-campaign aggregate partials
+    * shuffle. When BOTH sides are large, bucketize the time axis into an
+    * equi-join exactly as [[joinRange]] does. */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val camp = nation(s, dir).select(
+      col("n_nationkey").as("campaign_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(n_nationkey)").as("start_ts"),
+      expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(n_nationkey + 3)").as("end_ts"))
+    events(s, dir).join(broadcast(camp),
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy("campaign_id")
+  }
+
   /** Pivot (row→column transpose, the in-engine analog of the reference's
     * columnar transpose, `db.rs:72-86`): order counts per priority with
     * one column per status. */
@@ -367,6 +388,7 @@ object Relational {
     "q_set_except" -> setExcept,
     "q_join_asof" -> joinAsOf,
     "q_join_range" -> joinRange,
+    "q_join_interval" -> joinInterval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +513,14 @@ object Relational {
         |  ON abs(date_diff('second', o_orderdate, l_shipdate)) <= 172800
         |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_join_interval" ->
+      """WITH camp AS (SELECT n_nationkey AS campaign_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 1 DAY AS start_ts,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (n_nationkey + 3) * INTERVAL 1 DAY AS end_ts
+        |  FROM nation)
+        |SELECT campaign_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events e JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+        |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
   )
 }
