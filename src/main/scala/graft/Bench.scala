@@ -36,10 +36,16 @@ object Bench {
       }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line short: the driver
+    // captures only the last ~2.7KB of output, and 64 queries at full
+    // double precision pushed the line start past that window (BENCH_r03
+    // "parsed": null despite the line being printed in full).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: sbt log noise around stdout has broken the
     // driver's JSON-line extraction before (BENCH_r01 "parsed": null).

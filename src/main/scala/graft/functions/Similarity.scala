@@ -122,9 +122,17 @@ object Similarity {
     // table-major flat planes: index t*np+p — one codegen kernel computes
     // every table's bucket in a single pass over the embedding
     val flat = planesFor(dim, np).flatten.toArray
+    // The bucketed frame IS the ANN index. It fans out into both join
+    // sides below (corpus + probes), so without a materialization the
+    // corpus would be scanned and re-bucketed twice. Caching here stands
+    // in for what a production pipeline does at 100 TB: an index-build job
+    // persists (vec_id, table_id, bucket) as a table once, and queries
+    // equi-join against that — one corpus pass at build time, zero at
+    // query time.
     val bucketed = e.select(col("vec_id"), col("emb"),
       posexplode(graft.plans.GraftExpressions.lsh_buckets(col("emb"), flat, np)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+      .cache()
     val probes = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("table_id"), col("bucket"),
         col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
@@ -204,10 +212,17 @@ object Similarity {
     val dim = 64
     val n = graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
     val cents = ivfCentroids(dim, ivfCellsFor(n))
-    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
-    val assigned = e.select(col("vec_id"), col("emb"),
-      element_at(graft.plans.GraftExpressions.ivf_cells(col("emb"), cents, 1), 1).as("cell"))
-    val probes = e.filter(col("vec_id") % 50 === 0)
+    // Cell assignment is the IVF index; it fans out into the corpus side
+    // and (filtered) the probe side, so cache at the fan-out point — one
+    // corpus scan, not two. At 100 TB the assignment is a persisted index
+    // table written by the (kmeansRefine) training job; the cache stands
+    // in for that here.
+    val assigned = embeddings(s, dir)
+      .select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        element_at(graft.plans.GraftExpressions.ivf_cells(col("emb"), cents, 1), 1).as("cell"))
+      .cache()
+    val probes = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("emb").as("probe_emb"),
         explode(graft.plans.GraftExpressions.ivf_cells(col("emb"), cents, ivfNprobe)).as("cell"))
     val cands = assigned.join(broadcast(probes), Seq("cell"))
