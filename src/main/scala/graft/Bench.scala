@@ -40,11 +40,14 @@ object Bench {
     // captures only the last ~2.7KB of output, and 64 queries at full
     // double precision pushed the line start past that window (BENCH_r03
     // "parsed": null despite the line being printed in full).
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def round3(v: Double): BigDecimal = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def fmt(v: Double): String = round3(v).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Sum the rounded per-query values so "value" equals the sum of the
+    // reported "queries" entries exactly.
+    val total = results.values.map(round3).sum.toDouble
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: sbt log noise around stdout has broken the

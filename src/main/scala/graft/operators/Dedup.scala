@@ -88,7 +88,13 @@ object Dedup {
     * higher-order-function formulation evaluated interpreted) instead of a
     * 2-sided self-join shuffle; per-doc sizes re-derive from the cached
     * posting lists and broadcast into the final jaccard computation. */
-  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir).orderBy("d1", "d2")
+
+  /** The pair pipeline without the presentation sort — cluster assignment
+    * consumes pairs in any order, so [[qDedupClusters]] skips the global
+    * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds. */
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -114,7 +120,6 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("d1", "d2")
   }
 
   /** Cluster assignment over the near-dup pair graph (the step after
@@ -123,7 +128,7 @@ object Dedup {
     * reachable through near-dup pairs, one canonical id per duplicate
     * cluster. Execution strategy in [[clustersOf]]. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersOf(s, qDedupNgram(s, dir).select(col("d1"), col("d2")))
+    clustersOf(s, ngramPairs(s, dir).select(col("d1"), col("d2")))
 
   /** Components of an undirected pair graph as (doc_id, cluster_id =
     * smallest member). The pair set is already the REDUCED output of
@@ -137,11 +142,17 @@ object Dedup {
     * identical labels (DedupSpec asserts it). */
   private[graft] def clustersOf(s: SparkSession, pairsDF: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
-    val pairs = pairsDF.cache()
-    val nPairs = pairs.count()
+    // Size probe and fetch in ONE action: collect at most threshold+1
+    // rows. If the result fits under the threshold it already IS the full
+    // pair set, so the common small-graph case pays a single execution of
+    // the pair pipeline instead of three (cache materialize + count +
+    // collect). Only an over-threshold graph re-executes, down the
+    // distributed path, where the pipeline is then cached.
+    val cap = math.min(driverThreshold, Int.MaxValue - 2L).toInt
+    val probe = pairsDF.limit(cap + 1).collect()
     val out =
-      if (nPairs <= driverThreshold) {
-        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (probe.length <= cap) {
+        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -159,6 +170,7 @@ object Dedup {
         import s.implicits._
         labels.toDF("doc_id", "cluster_id")
       } else {
+        val pairs = pairsDF.cache()
         val edges = pairs
           .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .select(col("d1").as("src"), col("d2").as("dst")).cache()
@@ -181,9 +193,9 @@ object Dedup {
           iter += 1
         }
         edges.unpersist()
+        pairs.unpersist()
         labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       }
-    pairs.unpersist()
     out.orderBy("doc_id")
   }
 
