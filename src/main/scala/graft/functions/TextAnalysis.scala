@@ -220,7 +220,38 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** TF-IDF-style keyword extraction: per document, the top-5 tokens by
+    * tf/df weight (term frequency scaled by inverse document frequency;
+    * the log-free rational form keeps both engines' arithmetic exact —
+    * an int/int IEEE division, no transcendental whose last ulp could
+    * differ). Ties break on the token string, so ranking is fully
+    * deterministic.
+    *
+    * Scale shape: per-(doc, token) counts partial-aggregate map-side (a
+    * doc's tokens stay in its input partition), the document-frequency
+    * table is vocabulary-sized — small against any corpus — and
+    * broadcasts, so the only wide exchanges are the (doc, token) count
+    * shuffle and the per-doc top-5 window. */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, token): counting rows per token IS
+    // the document frequency.
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> qTextTfidf,
     "q_text_chunk" -> qTextChunk,
     "q_text_repetition" -> qTextRepetition,
     "q_text_rolling" -> qTextRolling,
@@ -245,6 +276,18 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |s AS (SELECT doc_id, tok AS keyword, tf, df, CAST(tf AS DOUBLE)/df AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE)/df DESC, tok) AS rk
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, keyword, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rk AS INT) AS rk
+        |FROM s WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         |c AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS st FROM t WHERE len(w) > 0)

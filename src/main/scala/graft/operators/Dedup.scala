@@ -199,6 +199,49 @@ object Dedup {
     out.orderBy("doc_id")
   }
 
+  /** Passage-level dedup (the sub-document granularity of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, approximated at fixed passage boundaries): each
+    * document splits into non-overlapping 32-token passages; a passage is
+    * kept only at its FIRST occurrence corpus-wide (smallest
+    * (doc_id, passage_idx)), and every document reports how much of it
+    * survived plus the md5 of its reassembled deduplicated text.
+    *
+    * Scale shape: chunking is a generator over the per-row token array (no
+    * scalar rides through the explode — see the repetition-query trap);
+    * first-occurrence election is ONE shuffle keyed on the 16-byte passage
+    * hash; reassembly is a per-doc sort-free `collect_list` + `array_sort`
+    * whose size is bounded by the document's own passage count. Exact
+    * copies (fixture ids+100000) lose every passage; near copies
+    * (ids+200000) keep only their divergent tail. */
+  def qDedupPassage(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val chunks = corpus(s, dir)
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-1, $win), st -> array_join(slice(toks, st+1, $win), ' '))")))
+      .select(col("doc_id"), col("pos").as("passage_idx"),
+        col("col").as("passage"),
+        md5(col("col").cast("binary")).as("h"))
+    // First occurrence = smallest (doc_id, passage_idx), packed into one
+    // comparable long so the oracle's window min matches bit-for-bit.
+    val keyed = chunks.withColumn("k",
+      col("doc_id") * 100000L + col("passage_idx"))
+    val firstW = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    keyed
+      .withColumn("keep", col("k") === min(col("k")).over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("passage_idx").as("i"), col("passage").as("c"))))),
+          x => x.getField("c")), " ").cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   // --- MinHash-LSH (not SQL-expressible → rows-only driver check;
   //     semantics covered by DedupSpec) ------------------------------
 
@@ -308,6 +351,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_passage" -> qDedupPassage,
   )
 
   /** The ngram pair pipeline as DuckDB CTEs, shared by the pair oracle and
@@ -347,5 +391,17 @@ object Dedup {
         |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v)
         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    "q_dedup_passage" -> (corpusCte +
+      """, t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
+        |c AS (SELECT doc_id, CAST(st/32 AS INT) AS passage_idx,
+        |    array_to_string(w[st+1:st+32], ' ') AS passage
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w), 32)) AS st FROM t WHERE len(w) > 0)),
+        |k AS (SELECT doc_id, passage_idx, passage, md5(passage) AS h,
+        |    doc_id * 100000 + passage_idx AS k FROM c),
+        |f AS (SELECT *, k = min(k) OVER (PARTITION BY h) AS keep FROM k)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+        |  md5(coalesce(string_agg(passage, ' ' ORDER BY passage_idx) FILTER (WHERE keep), '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

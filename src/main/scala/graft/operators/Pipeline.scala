@@ -196,6 +196,43 @@ object Pipeline {
         expr("CASE WHEN m = 0d THEN 0d ELSE m / 127.0d END").as("scale"))
       .orderBy("vec_id")
 
+  /** Sequence packing: lay documents end-to-end in deterministic doc_id
+    * order and assign each to the 2048-token context window its FIRST
+    * token lands in — the concat-then-chunk batch-assembly step that turns
+    * a curated corpus into fixed-size training sequences.
+    *
+    * The global running token offset is a textbook distributed prefix sum,
+    * NOT a single-partition window (`Window.orderBy` without partitionBy
+    * funnels 100 TB through one task): docs cumsum within coarse doc_id
+    * segments (one shuffle on the segment key), per-segment totals — one
+    * tiny row per segment — prefix-sum on the driver-sized side and
+    * broadcast back. Global offset = segment offset + within-segment
+    * cumsum. The oracle checks it against DuckDB's plain global window. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val segSize = 256   // docs per prefix-sum segment
+    val budget = 2048   // tokens per packed context window
+    val toks = documents(s, dir).select(
+      col("doc_id"),
+      size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("bigint").as("n_tokens"),
+      expr(s"doc_id div $segSize").as("seg"))
+    val withinW = Window.partitionBy(col("seg")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = toks.withColumn("cum", sum(col("n_tokens")).over(withinW))
+    val segW = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_sum"))
+      .withColumn("seg_offset",
+        coalesce(sum(col("seg_sum")).over(segW), lit(0L)))
+      .select(col("seg"), col("seg_offset"))
+    within.join(broadcast(offsets), "seg")
+      .withColumn("start_offset", col("seg_offset") + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $budget").as("window_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus curation — the whole pre-training data funnel as
     * ONE declarative plan Catalyst optimizes globally:
     * quality gate (reusing the oracle-exact q_text_quality score) →
@@ -229,6 +266,7 @@ object Pipeline {
     "q_contamination" -> qContamination,
     "q_emb_quantize" -> qEmbQuantize,
     "q_corpus_curate" -> qCorpusCurate,
+    "q_pack_sequences" -> qPackSequences,
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +351,15 @@ object Pipeline {
          |  WHERE doc_id = canon AND md5('cur' || CAST(doc_id AS VARCHAR)) < '8')
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2048 AS window_id
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }
