@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Scrape.queries ++
       operators.Enrich.queries ++ operators.Dedup.queries ++
+      operators.Incremental.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Scrape.oracles ++
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
+      operators.Incremental.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.BinaryType
+
+import graft.Tables._
+
+/** Incremental corpus dedup (north-star extension): deduplicate a NEW
+  * batch of scraped documents against an EXISTING corpus — the recurring
+  * production shape of dedup, where the corpus is 100 TB and each
+  * increment is a sliver of it.
+  *
+  * Scale design — a broadcast Bloom filter splits the batch before any
+  * shuffle:
+  *  - the filter is built over the corpus's 8-byte content hashes in one
+  *    aggregation pass (`DataFrameStatFunctions.bloomFilter`), sized from
+  *    the corpus's parquet FOOTER row count (metadata, not a scan — the
+  *    eager-count anti-pattern);
+  *  - batch rows whose hash is definitely-not-present (the bulk of a
+  *    healthy crawl) are emitted map-side, never touching an exchange;
+  *  - only might-be-present rows (true dups + the configured
+  *    false-positive sliver) proceed to the exact anti-join that decides
+  *    them. In production that join lands on a hash-bucketed corpus index
+  *    (see the bucketed-join layout in ScaleSpec), so the per-increment
+  *    cost scales with the INCREMENT, not the corpus.
+  * The membership probe runs as Spark's codegen'd
+  * [[BloomFilterMightContain]] against a literal filter — no UDF in the
+  * hot path.
+  *
+  * Fixture: the batch re-scrapes docs with doc_id % 5 == 0 under new ids
+  * (+400000, byte-identical text → must be eliminated) and adds novel
+  * docs derived from doc_id % 5 == 1 (+500000, prefixed text → must
+  * survive). Both engines derive the same batch, so the oracle is exact.
+  */
+object Incremental {
+
+  /** The incoming scrape: re-scraped duplicates ∪ genuinely new docs. */
+  def newBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val rescraped = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+    val novel = d.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("new material "), col("text")).as("text"))
+    rescraped.union(novel)
+  }
+
+  /** Corpus row count from parquet footers — metadata only, no scan, no
+    * Spark job (the sizing input the Bloom filter needs). */
+  private def footerRowCount(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Seq(p)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }.sum
+  }
+
+  /** Membership probe column: codegen'd `might_contain` of the xxhash64 of
+    * `c` against the serialized filter carried as a plan literal. */
+  private def mightContain(bloomBytes: Array[Byte], c: Column): Column =
+    ColumnShim.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnShim.expression(xxhash64(c))))
+
+  private[graft] def incrementalNovel(s: SparkSession, dir: String,
+      fpp: Double): DataFrame = {
+    val nCorpus = math.max(64L, footerRowCount(s, s"$dir/documents.parquet"))
+    val bloom = documents(s, dir)
+      .select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", nCorpus, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    val bytes = baos.toByteArray
+    val batch = newBatch(s, dir)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val corpusHashes = documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("content_hash")).distinct()
+    val definiteNovel = batch.filter(!mightContain(bytes, col("text")))
+    val maybeDup = batch.filter(mightContain(bytes, col("text")))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+    definiteNovel.select(col("doc_id"), col("content_hash"))
+      .union(maybeDup.select(col("doc_id"), col("content_hash")))
+      .orderBy("doc_id")
+  }
+
+  /** Batch docs whose content does not already exist in the corpus. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    incrementalNovel(s, dir, fpp = 0.01)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'new material ' || text FROM documents WHERE doc_id % 5 = 1)
+        |SELECT b.doc_id, md5(b.text) AS content_hash
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

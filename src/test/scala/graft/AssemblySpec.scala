@@ -76,6 +76,25 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: bloom routing never changes the result") {
+    import graft.operators.Incremental
+    // The Bloom filter only decides which PATH a row takes (map-side emit
+    // vs exact anti-join); a sloppy filter (fpp 0.5, most rows routed to
+    // the join) and a tight one must agree exactly.
+    val tight = Incremental.incrementalNovel(spark, TestSpark.sf0001, 0.001).collect().toSeq
+    val sloppy = Incremental.incrementalNovel(spark, TestSpark.sf0001, 0.5).collect().toSeq
+    assert(tight == sloppy)
+    // semantics: exactly the batch docs whose content is absent from the
+    // corpus — cross-checked against a plain anti-join on the text itself
+    val expected = Incremental.newBatch(spark, TestSpark.sf0001)
+      .join(Tables.documents(spark, TestSpark.sf0001).select("text"),
+        Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tight.map(_.getLong(0)) == expected)
+    // every re-scraped duplicate (+400000) was eliminated
+    assert(tight.forall(_.getLong(0) >= 500000L))
+  }
+
   test("tfidf: five keywords per doc, ranked by score with token tiebreak") {
     val rows = TextAnalysis.qTextTfidf(spark, TestSpark.sf001).collect()
     val byDoc = rows.groupBy(_.getLong(0))
