@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
-      streaming.StreamDedup.queries
+      streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
-      streaming.StreamDedup.oracles
+      streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles
 }
