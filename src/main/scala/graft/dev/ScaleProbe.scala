@@ -115,6 +115,53 @@ object ScaleProbe {
         st.groupBy("st").agg(graft.functions.TopK.minK(10)(col("h"), col("doc_id")).as("kept"))
           .select(explode(col("kept"))).count()
       }
+      time(s"pack_prefix_sum x$n") {
+        // segmented prefix sum: segment count grows with the corpus, the
+        // single-partition window only ever sees one row per segment
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs.select(col("doc_id"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"),
+          expr("doc_id div 256").as("seg"))
+        val withinW = Window.partitionBy(col("seg")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = toks.withColumn("cum", sum(col("n_tokens")).over(withinW))
+        val segW = Window.orderBy(col("seg"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toks.groupBy("seg").agg(sum("n_tokens").as("seg_sum"))
+          .withColumn("seg_offset", coalesce(sum(col("seg_sum")).over(segW), lit(0L)))
+          .select(col("seg"), col("seg_offset"))
+        within.join(broadcast(offsets), "seg")
+          .select(expr("(seg_offset + cum - n_tokens) div 2048").as("w"))
+          .groupBy("w").count().count()
+      }
+      time(s"passage_dedup x$n") {
+        // amplified copies repeat every passage n times: window groups on
+        // the passage hash grow with n, per-doc aggregation stays bounded
+        import org.apache.spark.sql.expressions.Window
+        val chunks = docs
+          .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(toks)-1, 32), st -> array_join(slice(toks, st+1, 32), ' '))")))
+          .select(col("doc_id"),
+            (col("doc_id") * 100000L + col("pos")).as("k"),
+            md5(col("col").cast("binary")).as("h"))
+        val w = Window.partitionBy(col("h"))
+        chunks.withColumn("keep", col("k") === min(col("k")).over(w))
+          .groupBy("doc_id")
+          .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup")).count()
+      }
+      time(s"incr_bloom_route x$n") {
+        // corpus and batch both amplify; the bloom is rebuilt per scale
+        // and routing + exact verify must stay corpus-scan-linear
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 400000000L).as("doc_id"), col("text"))
+          .union(docs.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 500000000L).as("doc_id"),
+              concat(lit("new material "), col("text")).as("text")))
+        graft.operators.Incremental
+          .novelAgainst(docs, batch, 70000L * n, 0.01).count()
+      }
       time(s"ivf_assign x$n") {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)
         val e = graft.Tables.embeddings(spark, sfDir)

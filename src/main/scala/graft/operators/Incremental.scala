@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.BinaryType
 
 import graft.Tables._
 
@@ -69,33 +68,65 @@ object Incremental {
     }.sum
   }
 
-  /** Membership probe column: codegen'd `might_contain` of the xxhash64 of
-    * `c` against the serialized filter carried as a plan literal. */
+  /** Membership probe column: the codegen'd
+    * [[graft.plans.BloomMightContainExpr]] over the xxhash64 of `c`. The
+    * filter rides as a by-reference constructor param, NOT a plan
+    * `Literal` — Catalyst hashes literal byte arrays by value on every
+    * semantic-equality check during optimization, which at megabyte
+    * filter sizes was ~half this query's runtime. */
   private def mightContain(bloomBytes: Array[Byte], c: Column): Column =
-    ColumnShim.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType),
-      ColumnShim.expression(xxhash64(c))))
+    graft.plans.GraftExpressions.bloom_might_contain(xxhash64(c), bloomBytes)
+
+  /** Optimal bit count for `n` items at false-positive rate `p`,
+    * capped at 2^26 bits (8 MiB — past that, broadcast cost beats the
+    * routing win; the exact join still guarantees correctness). */
+  private def optimalNumBits(n: Long, p: Double): Long =
+    math.min(1L << 26,
+      math.max(64L, math.ceil(-n * math.log(p) / (math.log(2) * math.log(2))).toLong))
+
+  /** The routing core over explicit frames (also driven at amplified
+    * scale by [[graft.dev.ScaleProbe]]): bloom over `corpus.text`, split
+    * `batch`, exact anti-join only the might-contain slice.
+    *
+    * The filter is built by Catalyst's [[BloomFilterAggregate]] — a real
+    * two-phase aggregation whose per-partition partials OR together
+    * executor-side, so the driver receives ONE finished filter.
+    * (`DataFrameStatFunctions.bloomFilter` instead ships every
+    * partition's partial to the driver and merges them sequentially —
+    * measured 16× slower at 10× corpus in ScaleProbe, driver-bound.) */
+  private[graft] def novelAgainst(corpus: DataFrame, batch0: DataFrame,
+      expectedItems: Long, fpp: Double): DataFrame = {
+    val n = math.max(64L, expectedItems)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        ColumnShim.expression(xxhash64(col("text"))),
+        Literal(n), Literal(optimalNumBits(n, fpp)))
+      .toAggregateExpression()
+    val bytes = corpus.select(ColumnShim.column(agg).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val batch = batch0
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val corpusHashes = corpus
+      .select(md5(col("text").cast("binary")).as("content_hash")).distinct()
+    if (bytes == null) {
+      // empty corpus: no filter to route with — the exact join alone
+      // (and it degenerates to "everything is novel")
+      batch.join(corpusHashes, Seq("content_hash"), "left_anti")
+        .select(col("doc_id"), col("content_hash"))
+    } else {
+      val definiteNovel = batch.filter(!mightContain(bytes, col("text")))
+      val maybeDup = batch.filter(mightContain(bytes, col("text")))
+        .join(corpusHashes, Seq("content_hash"), "left_anti")
+      definiteNovel.select(col("doc_id"), col("content_hash"))
+        .union(maybeDup.select(col("doc_id"), col("content_hash")))
+    }
+  }
 
   private[graft] def incrementalNovel(s: SparkSession, dir: String,
-      fpp: Double): DataFrame = {
-    val nCorpus = math.max(64L, footerRowCount(s, s"$dir/documents.parquet"))
-    val bloom = documents(s, dir)
-      .select(xxhash64(col("text")).as("h"))
-      .stat.bloomFilter("h", nCorpus, fpp)
-    val baos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(baos)
-    val bytes = baos.toByteArray
-    val batch = newBatch(s, dir)
-      .withColumn("content_hash", md5(col("text").cast("binary")))
-    val corpusHashes = documents(s, dir)
-      .select(md5(col("text").cast("binary")).as("content_hash")).distinct()
-    val definiteNovel = batch.filter(!mightContain(bytes, col("text")))
-    val maybeDup = batch.filter(mightContain(bytes, col("text")))
-      .join(corpusHashes, Seq("content_hash"), "left_anti")
-    definiteNovel.select(col("doc_id"), col("content_hash"))
-      .union(maybeDup.select(col("doc_id"), col("content_hash")))
+      fpp: Double): DataFrame =
+    novelAgainst(documents(s, dir), newBatch(s, dir),
+      footerRowCount(s, s"$dir/documents.parquet"), fpp)
       .orderBy("doc_id")
-  }
 
   /** Batch docs whose content does not already exist in the corpus. */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
