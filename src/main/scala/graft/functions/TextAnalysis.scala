@@ -250,7 +250,25 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Corpus vocabulary heavy hitters: top-50 tokens by total occurrence
+    * count, with document frequency alongside — the stopword-discovery /
+    * tokenizer-vocabulary pass over a corpus. Tokens partial-aggregate
+    * map-side twice ((doc, token) then token), so the wide exchanges
+    * carry one row per distinct token; the final top-k orders a
+    * vocabulary-sized set (small against any corpus) with a deterministic
+    * (count desc, token) tie-break. */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("tok")
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk" -> qVocabTopk,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_chunk" -> qTextChunk,
     "q_text_repetition" -> qTextRepetition,
@@ -276,6 +294,13 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok)
+        |SELECT tok, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+        |FROM tf GROUP BY tok
+        |ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
     "q_text_tfidf" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf
