@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import scala.jdk.CollectionConverters._
@@ -73,6 +73,73 @@ object Compaction {
     val df = spark.read.parquet(inDir)
     df.repartitionByRange(nFiles, clusterKeys.map(col): _*)
       .sortWithinPartitions(clusterKeys.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(outDir)
+    val out = listBytes(spark, outDir)
+    Report(files.size, inBytes, rows, out.size, out.map(_._2).sum, rowsPerFile)
+  }
+
+  /** 16-bit even-position bit spread (classic z-curve "part1by1"), as
+    * pure codegen'd bit algebra — x's 16 low bits land on bit positions
+    * 0,2,4,…,30. */
+  private def spread16(c: Column): Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(org.apache.spark.sql.functions.lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(org.apache.spark.sql.functions.lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(org.apache.spark.sql.functions.lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(org.apache.spark.sql.functions.lit(0x55555555L))
+  }
+
+  /** Interleaved 32-bit z-value of two columns, each min/max-normalized
+    * to 16 bits. Rows clustered by this key give every output file a
+    * BOUNDED min/max rectangle in BOTH dimensions — multi-dimensional
+    * file pruning, where 1-D clustering leaves the second column spanning
+    * every file. */
+  private def zValue(a: Column, b: Column,
+      loA: Long, hiA: Long, loB: Long, hiB: Long): Column = {
+    import org.apache.spark.sql.functions.{floor, least, lit}
+    def scale(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), floor(
+        (c.cast("double") - lit(lo.toDouble)) * 65535.0d /
+          lit((hi - lo).toDouble)).cast("long"))
+    spread16(scale(a, loA, hiA))
+      .bitwiseOR(shiftLeftL(spread16(scale(b, loB, hiB)), 1))
+  }
+
+  private def shiftLeftL(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.shiftleft(c, n)
+
+  /** [[compact]], but clustered on the z-order curve of TWO long columns:
+    * one extra metadata-cheap min/max aggregation normalizes each
+    * dimension, then the rewrite is the same single range-shuffle keyed on
+    * the interleaved z-value. Point/range predicates on EITHER column
+    * prune whole files on parquet min/max stats (spec-asserted against
+    * the 1-D layout, where only the leading column prunes). */
+  def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
+      colA: String, colB: String,
+      targetFileBytes: Long = 512L * 1024 * 1024): Report = {
+    val files = listBytes(spark, inDir)
+    val inBytes = files.map(_._2).sum
+    val rows = files.map(f => footerRows(spark, f._1)).sum
+    val bytesPerRow = if (rows > 0) math.max(1L, inBytes / rows) else 1L
+    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val df = spark.read.parquet(inDir)
+    import org.apache.spark.sql.functions.{max, min}
+    val bounds = df.agg(
+      min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    val z =
+      if (bounds.isNullAt(0) || bounds.isNullAt(2))
+        org.apache.spark.sql.functions.lit(0L) // empty input
+      else zValue(col(colA), col(colB),
+        bounds.getLong(0), bounds.getLong(1),
+        bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(outDir)

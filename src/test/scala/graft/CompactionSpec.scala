@@ -51,6 +51,39 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout bounds BOTH dimensions; 1-D layout only the first") {
+    import spark.implicits._
+    // a 200x500 grid: x and y are independent — the adversarial case for
+    // 1-D clustering
+    val in = java.nio.file.Files.createTempDirectory("graft_zin").toString
+    (0L until 100000L).map(i => (i % 200L, i / 200L, s"payload$i"))
+      .toDF("x", "y", "p")
+      .repartition(20).write.mode("overwrite").parquet(in)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = inBytes / 12 // ~12-16 output files
+
+    val flat = java.nio.file.Files.createTempDirectory("graft_zflat").toString
+    Compaction.compact(spark, in, flat, Seq("x"), target)
+    val zord = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    Compaction.compactZOrder(spark, in, zord, "x", "y", target)
+
+    def filesCovering(dir: String, column: String, v: Long): (Int, Int) = {
+      val rs = Compaction.fileRanges(spark, dir, column)
+      (rs.count { case (lo, hi) => lo <= v && v <= hi }, rs.size)
+    }
+    // both layouts prune on x
+    assert(filesCovering(flat, "x", 100)._1 < filesCovering(flat, "x", 100)._2)
+    assert(filesCovering(zord, "x", 100)._1 < filesCovering(zord, "x", 100)._2)
+    // only the z-order layout prunes on y: 1-D files span all of y
+    val (flatY, flatN) = filesCovering(flat, "y", 250)
+    val (zY, zN) = filesCovering(zord, "y", 250)
+    assert(flatY == flatN, s"1-D layout unexpectedly bounded y: $flatY/$flatN")
+    assert(zY * 2 <= zN, s"z-order did not prune y: $zY/$zN files cover")
+    // row preservation
+    assert(spark.read.parquet(zord).count() == 100000L)
+  }
+
   test("empty input compacts to an empty dataset without dividing by zero") {
     val in = java.nio.file.Files.createTempDirectory("graft_empty").toString
     val out = java.nio.file.Files.createTempDirectory("graft_empty_out").toString
