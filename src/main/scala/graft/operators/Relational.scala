@@ -160,6 +160,28 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Full outer join: per-day reconciliation of orders placed vs
+    * lineitems shipped — days exist on either side alone (order-only
+    * early days, ship-only tail days), so the join must preserve both.
+    * Both inputs pre-aggregate to one row per day BEFORE the join (the
+    * exchanges carry date-keyed partials, not fact rows) and the outer
+    * join itself runs over two tiny day-keyed sets. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    // the day ships as a yyyy-MM-dd string: DATE values round-trip
+    // differently through the driver's pandas compare (date vs datetime)
+    o.join(l, Seq("d"), "full_outer")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy("d")
+  }
+
   /** Ranking window: latest order per customer. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -389,6 +411,7 @@ object Relational {
     "q_join_asof" -> joinAsOf,
     "q_join_range" -> joinRange,
     "q_join_interval" -> joinInterval,
+    "q_join_outer" -> joinOuter,
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,5 +545,15 @@ object Relational {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events e JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
         |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
+    "q_join_outer" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+        |  FROM lineitem GROUP BY 1)
+        |SELECT strftime(COALESCE(o.d, l.d), '%Y-%m-%d') AS d,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_ships, 0) AS n_ships
+        |FROM o FULL OUTER JOIN l ON o.d = l.d
+        |ORDER BY d""".stripMargin,
   )
 }
