@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Enrich.queries ++ operators.Dedup.queries ++
       operators.Incremental.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
+      operators.Selection.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
@@ -33,6 +34,7 @@ object SparkEntry {
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
       operators.Incremental.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
+      operators.Selection.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles

@@ -56,6 +56,42 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
+  /** Shared bounded member-list aggregator for [[qDedupCanonical]] (one
+    * instance: cache plan-matching compares aggregator identity). */
+  private lazy val minK16 = graft.functions.TopK.minK(16)
+
+  /** Source-priority canonical selection: for every exact-duplicate group,
+    * pick the representative from the most-trusted provenance tier (here
+    * the +100000 "curated mirror" tier outranks the raw corpus; the
+    * near-copy tier is last), tie-broken by doc_id — the cross-source
+    * canonicalization step that decides WHICH copy of a duplicated
+    * document a training corpus keeps, independent of ingestion order.
+    *
+    * One shuffle on the 16-byte content hash. The per-group member list
+    * is BOUNDED ([[graft.functions.MinKAgg]], 16 smallest ids map-side) so
+    * a pathologically duplicated boilerplate doc at 100 TB never
+    * concentrates its full copy set in one reducer buffer; zero-padding
+    * the id key makes the heap's lexicographic order numeric. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(
+        md5(col("text").cast("binary")).as("content_hash"),
+        col("doc_id"),
+        when(col("doc_id").between(100000, 199999), lit(0))
+          .when(col("doc_id") < 100000, lit(1))
+          .otherwise(lit(2)).as("tier"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(struct(col("tier"), col("doc_id"))).as("c"),
+        count(lit(1)).as("n_copies"),
+        minK16(lpad(col("doc_id").cast("string"), 7, "0"), col("doc_id"))
+          .as("kept"))
+      .filter(col("n_copies") > 1)
+      .select(col("content_hash"), col("c.doc_id").as("canonical_id"),
+        col("c.tier").as("canonical_tier"), col("n_copies"),
+        concat_ws(",", expr("transform(kept, x -> x._2)")).as("member_ids"))
+      .orderBy("content_hash")
+
   /** Distinct word-3-gram shingles per document (custom codegen kernel
     * [[graft.plans.Shingles3Expr]]; same semantics as the built-in
     * `array_distinct(transform(sequence…, slice…))` chain, ~an order of
@@ -352,6 +388,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_passage" -> qDedupPassage,
+    "q_dedup_canonical" -> qDedupCanonical,
   )
 
   /** The ngram pair pipeline as DuckDB CTEs, shared by the pair oracle and
@@ -368,6 +405,21 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_canonical" -> (corpusCte +
+      """, t AS (SELECT md5(text) AS content_hash, doc_id,
+        |    CASE WHEN doc_id BETWEEN 100000 AND 199999 THEN 0
+        |         WHEN doc_id < 100000 THEN 1 ELSE 2 END AS tier
+        |  FROM corpus),
+        |r AS (SELECT content_hash, doc_id, tier,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY tier, doc_id) AS rn
+        |  FROM t),
+        |a AS (SELECT content_hash, count(*) AS n_copies,
+        |    array_to_string(list_sort(list(doc_id))[1:16], ',') AS member_ids
+        |  FROM t GROUP BY content_hash)
+        |SELECT r.content_hash, CAST(r.doc_id AS BIGINT) AS canonical_id,
+        |  r.tier AS canonical_tier, a.n_copies, a.member_ids
+        |FROM r JOIN a USING (content_hash)
+        |WHERE rn = 1 AND n_copies > 1 ORDER BY content_hash""".stripMargin),
     "q_dedup_exact" -> (corpusCte +
       """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
         |  count(*) AS n_copies

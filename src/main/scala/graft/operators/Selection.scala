@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Corpus selection & ordering operators (north-star extension): the
+  * stages that decide WHICH documents enter a training corpus and in WHAT
+  * order — weighted source mixing, deterministic global shuffle, and
+  * quality-ordered selection under a token budget.
+  *
+  * Like [[Pipeline]], every decision is a pure function of row content
+  * (salted md5 of the key, or an oracle-exact quality score), never of
+  * partitioning or an RNG — re-running on a re-partitioned 100 TB corpus
+  * reproduces the same corpus byte-for-byte, and the DuckDB oracles
+  * reproduce it too.
+  *
+  * Scale shape:
+  *  - weighted mixing is a stateless map-side filter (zero shuffle);
+  *  - global shuffle and budget selection need a GLOBAL rank / prefix sum.
+  *    `Window.orderBy` without partitionBy funnels the whole corpus
+  *    through one task, so both use the two-level form: rank within a
+  *    deterministic segment (one shuffle), prefix-sum the tiny per-segment
+  *    totals, broadcast the offsets back. Total order is preserved because
+  *    the segment key is a monotone function of the sort key.
+  */
+object Selection {
+
+  /** Per-language sampling rate as a first-hex-digit md5 threshold:
+    * en 100%, de/fr 50%, es 25%, zh 12.5% — the up/down-sampling mixture
+    * step that rebalances a crawl toward a target language distribution.
+    * Rates are k/16 fractions of the hash keyspace so a one-char hex
+    * compare decides membership in any engine. */
+  private val langRate: Seq[(String, String)] =
+    Seq("en" -> "g", "de" -> "8", "fr" -> "8", "es" -> "4", "zh" -> "2")
+
+  /** Weighted language mixing: keep a deterministic per-language fraction
+    * of documents. Stateless map-side filter — mixing a 100 TB corpus
+    * never shuffles, and the filter sits in the same codegen stage as the
+    * parquet scan. Unknown languages default to keep-nothing (explicit
+    * allowlist semantics). */
+  def qMixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("mix"), col("doc_id").cast("string")))
+    val thr = langRate.foldLeft(lit("0")) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    documents(s, dir)
+      .filter(substring(h, 1, 1) < thr)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle: assign every document a dense position
+    * in salted-md5 order — the "shuffle the corpus once, reproducibly"
+    * step before sequence packing.
+    *
+    * The rank is two-level, not a single-partition window: the first two
+    * hex chars of the hash form 256 uniform buckets (the bucket is a
+    * PREFIX of the sort key, so bucket-then-hash order IS global hash
+    * order); row_number within each bucket (one shuffle), per-bucket
+    * counts prefix-summed (256 rows, broadcast back). At 100 TB each
+    * bucket holds ~1/256 of the corpus and no task sees more. */
+  def qShuffleGlobal(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(
+      col("doc_id"),
+      md5(concat(lit("shf"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val withinW = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    val offW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("bkt"), col("off"))
+    base
+      .withColumn("rn", row_number().over(withinW).cast("bigint"))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("h"),
+        (col("off") + col("rn")).cast("bigint").as("pos"))
+      .orderBy("pos")
+  }
+
+  /** Token budget for [[qSelectBudget]]: ~half the sf0.001 corpus, a few
+    * percent of sf0.1 — the selection pressure is real at every sf. */
+  val tokenBudget = 15000L
+
+  /** Quality-ordered selection under a token budget: rank documents by
+    * the oracle-exact composite quality score (best first), admit each
+    * document whose preceding admitted mass leaves budget — i.e. every
+    * doc whose cumulative token count STARTS inside the budget. The
+    * "fill the training-token budget with the best data" selection step.
+    *
+    * The cumulative sum is the same two-level prefix sum as
+    * [[Pipeline.qPackSequences]], but ordered by (score desc, doc_id):
+    * the segment key floor((1-score)·32) is monotone in the sort key, so
+    * within-segment cumsum + broadcast segment offsets reproduce the
+    * global running total without a single-partition window. */
+  def qSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("score"),
+      size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("bigint").as("n_tokens"))
+      .withColumn("seg", floor((lit(1.0) - col("score")) * 32).cast("int"))
+    val withinW = Window.partitionBy(col("seg"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segW = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy(col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_sum"))
+      .withColumn("seg_off", coalesce(sum(col("seg_sum")).over(segW), lit(0L)))
+      .select(col("seg"), col("seg_off"))
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(withinW))
+      .join(broadcast(offsets), "seg")
+      .withColumn("cum_tokens", (col("seg_off") + col("cum")).cast("bigint"))
+      .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weighted" -> qMixWeighted,
+    "q_shuffle_global" -> qShuffleGlobal,
+    "q_select_budget" -> qSelectBudget,
+  )
+
+  private val langRateSql = langRate
+    .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+    .mkString("CASE ", " ", " ELSE '0' END")
+
+  val oracles: Map[String, String] = Map(
+    "q_mix_weighted" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1) < $langRateSql
+         |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_global" ->
+      """SELECT doc_id, md5('shf' || CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('shf' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
+    "q_select_budget" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |    (${graft.functions.TextAnalysis.qualityScoreSql("toks", "text")}) AS score,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM t),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sc)
+         |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < ${tokenBudget}
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Selection}
+
+/** Semantic properties of the corpus-selection operators (exact outputs
+  * are oracle-checked against DuckDB by the driver; these cover the
+  * invariants the hashes can't express). */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("weighted mix: per-language keep rate tracks its configured weight") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Selection.qMixWeighted(spark, TestSpark.sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5,
+      "es" -> 0.25, "zh" -> 0.125)
+    expected.foreach { case (lang, rate) =>
+      val n = totals(lang)
+      val k = kept.getOrElse(lang, 0L)
+      // 4-sigma Bernoulli band around the configured rate
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(k - n * rate) <= 4 * sd + 1,
+        s"$lang kept $k of $n at configured rate $rate")
+    }
+    assert(kept("en") == totals("en")) // rate 1.0 keeps everything
+    assert(kept.keySet.subsetOf(expected.keySet)) // allowlist semantics
+  }
+
+  test("weighted mix: invariant under repartitioning") {
+    val a = Selection.qMixWeighted(spark, TestSpark.sf001).collect().toSeq
+    val b = Selection.qMixWeighted(spark, TestSpark.sf001)
+      .repartition(17).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("global shuffle: pos is a dense permutation consistent with hash order") {
+    val rows = Selection.qShuffleGlobal(spark, TestSpark.sf001).collect()
+    val n = Tables.documents(spark, TestSpark.sf001).count()
+    assert(rows.length == n) // every doc placed, none duplicated
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+    // two-level rank == global (h, doc_id) sort order
+    val byPos = rows.sortBy(_.getLong(2)).map(r => (r.getString(1), r.getLong(0)))
+    assert(byPos.toSeq == byPos.sortBy(identity).toSeq)
+  }
+
+  test("budget select: admitted docs start inside the budget, best-first") {
+    val rows = Selection.qSelectBudget(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    // every admitted doc's preceding mass is under the budget
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < Selection.tokenBudget)
+    }
+    // the selection is a prefix of the score-ordered corpus: no excluded
+    // doc outscores an admitted one (ties broken by doc_id inside the rank)
+    val keptIds = rows.map(_.getLong(0)).toSet
+    val minKeptScore = rows.map(_.getDouble(1)).min
+    val excluded = Tables.documents(spark, TestSpark.sf001)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().filterNot(r => keptIds.contains(r.getLong(0)))
+    assert(excluded.forall(_.getDouble(1) <= minKeptScore + 1e-12))
+  }
+
+  test("canonical pick: mirror tier wins every duplicate group") {
+    val rows = Dedup.qDedupCanonical(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 0, s"canonical_tier ${r.getInt(2)} not mirror")
+      assert(r.getLong(1) >= 100000 && r.getLong(1) < 200000)
+      // the mirror's original is in the bounded member list
+      val members = r.getString(4).split(",").map(_.toLong)
+      assert(members.contains(r.getLong(1) - 100000))
+    }
+  }
+}
