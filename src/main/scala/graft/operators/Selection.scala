@@ -81,6 +81,66 @@ object Selection {
       .orderBy("pos")
   }
 
+  /** Temperature-scaled language rebalancing: cap each language at
+    * floor(8·√N_l) documents — the α=0.5 temperature-sampling rule that
+    * flattens a skewed language distribution (hot languages downsample
+    * hard, rare languages pass nearly whole) without hand-set weights.
+    * The 8·√N form keeps the arithmetic engine-exact: IEEE sqrt is
+    * correctly rounded everywhere and ·8 is a power of two, so floor never
+    * sits on a cross-engine rounding tie (no order-dependent
+    * normalization sum, which a Σ-normalized softmax would introduce).
+    *
+    * The within-language rank reuses the two-level form of
+    * [[qShuffleGlobal]] keyed by (lang, hash-prefix bucket): one shuffle
+    * on a 256-way-salted key, so a 90%-one-language corpus at 100 TB
+    * never funnels that language through a single reducer. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      md5(concat(lit("tmp"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val targets = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("target",
+        least(col("n_lang"), floor(lit(8) * sqrt(col("n_lang"))).cast("bigint")))
+      .select(col("lang"), col("target"))
+    val withinW = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    val offW = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    base
+      .withColumn("rn", row_number().over(withinW).cast("bigint"))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("lang_rank", col("off") + col("rn"))
+      .join(broadcast(targets), "lang")
+      .filter(col("lang_rank") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-based upsampling: repeat every document of a high-trust
+    * language a fixed number of times (en 1, de/fr 2, es 3, zh 4 — rare
+    * languages see more epochs), emitting an epoch counter per copy — the
+    * dual of [[qMixWeighted]]'s downsampling, done with a generator
+    * (`explode(sequence(...))`) so the corpus is never materialized per
+    * epoch. Stateless map-side row multiplication: zero shuffle at any
+    * scale, and each output row carries its provenance (doc_id, epoch). */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val epochs = Seq("en" -> 1, "de" -> 2, "fr" -> 2, "es" -> 3, "zh" -> 4)
+      .foldLeft(lit(1)) { case (acc, (l, e)) =>
+        when(col("lang") === l, lit(e)).otherwise(acc)
+      }
+    documents(s, dir)
+      .withColumn("n_epochs", epochs)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, n_epochs)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Token budget for [[qSelectBudget]]: ~half the sf0.001 corpus, a few
     * percent of sf0.1 — the selection pressure is real at every sf. */
   val tokenBudget = 15000L
@@ -123,6 +183,8 @@ object Selection {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_weighted" -> qMixWeighted,
+    "q_mix_temperature" -> qMixTemperature,
+    "q_mix_epochs" -> qMixEpochs,
     "q_shuffle_global" -> qShuffleGlobal,
     "q_select_budget" -> qSelectBudget,
   )
@@ -136,6 +198,21 @@ object Selection {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1) < $langRateSql
          |ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH t AS (SELECT lang, least(count(*),
+        |    CAST(floor(8 * sqrt(count(*))) AS BIGINT)) AS target
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('tmp' || CAST(doc_id AS VARCHAR)), doc_id) AS lang_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r JOIN t USING (lang)
+        |WHERE lang_rank <= target ORDER BY doc_id""".stripMargin,
+    "q_mix_epochs" ->
+      """SELECT doc_id, lang, CAST(unnest(range(1,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+        |              WHEN 'es' THEN 3 WHEN 'zh' THEN 4 ELSE 1 END + 1)) AS INT) AS epoch
+        |FROM documents ORDER BY doc_id, epoch""".stripMargin,
     "q_shuffle_global" ->
       """SELECT doc_id, md5('shf' || CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(row_number() OVER (

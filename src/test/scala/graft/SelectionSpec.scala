@@ -39,6 +39,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperature mix: every language lands exactly on its sqrt cap") {
+    val totals = Tables.documents(spark, TestSpark.sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Selection.qMixTemperature(spark, TestSpark.sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val cap = math.min(n, math.floor(8 * math.sqrt(n.toDouble)).toLong)
+      assert(kept(lang) == cap, s"$lang kept ${kept(lang)} != cap $cap of $n")
+    }
+    // the flattening property: kept share of a hot language is strictly
+    // below its corpus share, rare languages keep a larger share
+    val hot = totals.maxBy(_._2)._1
+    val rare = totals.minBy(_._2)._1
+    assert(kept(hot).toDouble / totals(hot) < kept(rare).toDouble / totals(rare))
+  }
+
+  test("epoch mix: each doc appears exactly its language's epoch count") {
+    val epochs = Map("en" -> 1, "de" -> 2, "fr" -> 2, "es" -> 3, "zh" -> 4)
+    val rows = Selection.qMixEpochs(spark, TestSpark.sf001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).distinct.length == rows.length)
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.values.foreach { copies =>
+      val lang = copies.head.getString(1)
+      assert(copies.length == epochs(lang))
+      assert(copies.map(_.getInt(2)).sorted.toSeq == (1 to epochs(lang)))
+    }
+  }
+
   test("global shuffle: pos is a dense permutation consistent with hash order") {
     val rows = Selection.qShuffleGlobal(spark, TestSpark.sf001).collect()
     val n = Tables.documents(spark, TestSpark.sf001).count()
