@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Enrich.queries ++ operators.Dedup.queries ++
       operators.Incremental.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
-      operators.Selection.queries ++
+      operators.Selection.queries ++ operators.Graph.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
@@ -34,7 +34,7 @@ object SparkEntry {
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
       operators.Incremental.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
-      operators.Selection.oracles ++
+      operators.Selection.oracles ++ operators.Graph.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles

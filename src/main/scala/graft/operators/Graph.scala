@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Iterative graph analytics in pure DataFrame algebra (north-star
+  * extension): link-authority scoring (PageRank) over a deterministic
+  * synthetic link graph derived from the documents table — the
+  * domain/page-authority signal a crawl-curation pipeline feeds into
+  * quality weighting.
+  *
+  * All rank arithmetic is INTEGER (bigint), not floating point: ranks
+  * start at 10^12, damping 0.85 is the exact rational ·17 div 60 (with
+  * out-degree 3 folded in), and the teleport term is the exact constant
+  * 1.5·10^11. Summing bigints is order-independent, so the result is
+  * bit-identical on any partitioning AND in any engine — which is what
+  * makes an iterative fixpoint DuckDB-oracle-checkable at all (a
+  * double-based PageRank would drift by reduction order).
+  *
+  * Scale shape: a fixed, plan-unrolled iteration count (3) — each
+  * iteration is one shuffle-join of edges against current ranks on src
+  * plus one partial-aggregated groupBy on dst. Edges and ranks co-shuffle
+  * on the same key domain, so at 100 TB the two exchanges per iteration
+  * are the algorithm's floor (Pregel pays the same); nothing is ever
+  * collected to the driver and no window sees more than a key group.
+  */
+object Graph {
+
+  private val initRank = 1000000000000L  // 10^12 per node
+  private val teleport = 150000000000L   // 0.15 · 10^12, exact
+
+  /** Damped, out-degree-split contribution: floor(rank·17 / (20·3)).
+    * `div` (not `/`) keeps it in bigint; operands are positive so Spark's
+    * truncating div and DuckDB's flooring `//` agree. */
+  private val contrib: Column = expr("(rank * 17) div 60")
+
+  /** Synthetic 3-out-regular link graph over doc_ids [0, N): doc i links
+    * to (i² + 7k) mod N for k = 1..3 — deterministic, so both engines
+    * rebuild the identical graph (the same fixture pattern as the dedup
+    * corpus). The quadratic map makes in-degree genuinely skewed (at
+    * N=500: max in-degree 20, ~46% of nodes receive no links), so the
+    * authority scores actually spread — a linear map would be a bijection
+    * per k and collapse PageRank to uniform. N enters the plan as a
+    * broadcast scalar, not an eager count. */
+  private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val n = documents(s, dir).agg(count(lit(1)).as("n"))
+    val nodes = documents(s, dir).select(col("doc_id").as("id"))
+    val edges = nodes.crossJoin(broadcast(n)).select(
+      col("id").as("src"),
+      explode(array((1 to 3).map(k => (col("id") * col("id") + k * 7) % col("n")): _*))
+        .as("dst"))
+    (nodes, edges)
+  }
+
+  /** 3-iteration integer PageRank: rank_{t+1}(v) = 1.5·10^11 +
+    * Σ_{u→v} floor(rank_t(u)·17/60). Every doc has out-degree 3 by
+    * construction (no dangling mass). */
+  def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = parts(s, dir)
+    var ranks = nodes.select(col("id"), lit(initRank).as("rank"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), contrib.as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+    ranks.select(col("id").as("doc_id"), col("rank")).orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_pagerank" -> qLinkPagerank,
+  )
+
+  private def iterSql(prev: String, cur: String): String =
+    s"""c$cur AS (SELECT dst AS id, CAST(SUM((rank*17)//60) AS BIGINT) AS s
+       |  FROM edges JOIN r$prev ON src = r$prev.id GROUP BY dst),
+       |r$cur AS (SELECT nodes.id, CAST(150000000000 + COALESCE(s, 0) AS BIGINT) AS rank
+       |  FROM nodes LEFT JOIN c$cur USING (id))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_link_pagerank" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |edges AS (SELECT id AS src,
+         |    unnest([(id*id+7) % nn.n, (id*id+14) % nn.n, (id*id+21) % nn.n]) AS dst
+         |  FROM nodes, nn),
+         |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+         |${iterSql("0", "1")},
+         |${iterSql("1", "2")},
+         |${iterSql("2", "3")}
+         |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin,
+  )
+}
