@@ -85,6 +85,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable HLL sketches (Apache DataSketches via Spark 4 built-ins):
+    * build one distinct-partkey sketch PER GROUP map-side, then
+    * `hll_union_agg` merges the group sketches into a global estimate
+    * WITHOUT re-touching the data — the 100 TB pre-aggregation pattern
+    * where per-partition/per-day sketch columns are stored and any
+    * later rollup (global, per-region, per-month) is a cheap union of
+    * kilobyte sketches instead of a re-scan. No SQL oracle (sketch bytes
+    * are engine-specific); RelationalSpec bounds both estimate layers
+    * against the exact counts. */
+  def aggHllPartial(s: SparkSession, dir: String): DataFrame = {
+    val perFlag = lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+    val per = perFlag.select(col("l_returnflag"),
+      hll_sketch_estimate(col("sk")).as("approx_parts"))
+    val global = perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_parts"))
+      .select(lit("ALL").as("l_returnflag"), col("approx_parts"))
+    per.union(global).orderBy("l_returnflag")
+  }
+
   /** Explicit GROUPING SETS: status-only and priority-only rollups in one
     * pass (no full lattice). */
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -398,6 +420,7 @@ object Relational {
     "q_agg_cube" -> aggCube,
     "q_agg_groupingsets" -> aggGroupingSets,
     "q_agg_approx" -> aggApprox,
+    "q_agg_hll_partial" -> aggHllPartial,
     "q_agg_distinct" -> aggDistinct,
     "q3_shipping" -> q3Shipping,
     "q_join_broadcast" -> joinBroadcast,

@@ -51,6 +51,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeable HLL sketches: per-group and unioned-global estimates track exact") {
+    val rows = Relational.aggHllPartial(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.aggDistinct(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lgK=14 HLL rsd ≈ 0.008; allow 3 sigma
+    exact.foreach { case (flag, n) =>
+      val err = math.abs(rows(flag) - n).toDouble / n
+      assert(err <= 0.025, s"$flag: sketch=${rows(flag)} exact=$n err=$err")
+    }
+    // the global row is a union of the per-group SKETCHES, not a rescan —
+    // it must still track the exact global distinct count
+    val globalExact = Tables.lineitem(spark, TestSpark.sf001)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val errG = math.abs(rows("ALL") - globalExact).toDouble / globalExact
+    assert(errG <= 0.025, s"ALL: sketch=${rows("ALL")} exact=$globalExact")
+  }
+
   test("approx percentiles track the exact percentiles within tolerance") {
     val approx = Relational.percentilesApprox(spark, TestSpark.sf001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
