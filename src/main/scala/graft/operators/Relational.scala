@@ -241,6 +241,72 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution windows: quartile (`ntile`), `percent_rank`, and
+    * `cume_dist` of order value within each status, plus the cheapest
+    * order key over the full frame (`first` with an explicit unbounded
+    * frame) — the analytic-function family the reference lacks (§2.8).
+    * Ordering key is exact cents + orderkey, so ranks are deterministic
+    * and the rank-ratio doubles are engine-exact (int/int division). */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(cents(col("o_totalprice")), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("cheapest_key"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** Map scalar functions (absent from the reference, §2.11): per-status
+    * map of priority→order count assembled with
+    * `map_from_entries(array_sort(collect_list(struct(...))))`, consumed
+    * with `try_element_at` / `map_keys` / `size`. The sort before map
+    * construction pins entry order, so key listings are deterministic on
+    * any partitioning. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderpriority"), col("n")))))
+        .as("m"))
+      .select(col("o_orderstatus"),
+        size(col("m")).as("n_priorities"),
+        coalesce(try_element_at(col("m"), lit("1-URGENT")), lit(0L)).as("urgent_n"),
+        coalesce(try_element_at(col("m"), lit("5-LOW")), lit(0L)).as("low_n"),
+        concat_ws(",", map_keys(col("m"))).as("priorities"))
+      .orderBy("o_orderstatus")
+
+  /** Time-series resampling with gap fill: orders per calendar day over
+    * the full span, days with no orders emitted as zero — the date spine
+    * is `sequence()` over the global min/max (a 1-row broadcast feeding a
+    * generator), never a driver-side loop, so the spine costs one tiny
+    * aggregate at any corpus size. The spine side of the fill join is
+    * broadcast: days are few even over decades, the daily partials are
+    * the big side. */
+  def qResampleDaily(s: SparkSession, dir: String): DataFrame = {
+    val span = orders(s, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+    val spine = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    broadcast(spine).join(daily, Seq("day"), "left")
+      // timestamp (UTC midnight) rather than date: pandas folds an SQL
+      // DATE into datetime64 anyway, so a date-typed column can never
+      // value-match the oracle in the driver's compare
+      .select(col("day").cast("timestamp").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
   /** INTERSECT: customers having both a finished and an open order. */
   def setIntersect(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
@@ -429,6 +495,9 @@ object Relational {
     "q_window_rank" -> windowRank,
     "q_window_running" -> windowRunning,
     "q_window_lag" -> windowLag,
+    "q_window_distribution" -> windowDistribution,
+    "q_map_funcs" -> mapFuncs,
+    "q_resample_daily" -> qResampleDaily,
     "q_set_intersect" -> setIntersect,
     "q_set_except" -> setExcept,
     "q_join_asof" -> joinAsOf,
@@ -537,6 +606,36 @@ object Relational {
       """SELECT o_custkey, o_orderkey,
         |  CAST(coalesce(date_diff('day', lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate), -1) AS INT) AS days_since_prev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_map_funcs" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS INT) AS n_priorities,
+        |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN n END), 0) AS BIGINT) AS urgent_n,
+        |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN n END), 0) AS BIGINT) AS low_n,
+        |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_resample_daily" ->
+      """WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |ticks AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS ts FROM span),
+        |spine AS (SELECT CAST(ts AS DATE) AS day FROM ticks),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(day AS TIMESTAMP) AS day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily USING (day) ORDER BY day""".stripMargin,
     "q_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
