@@ -50,8 +50,44 @@ object StreamJoin {
       .orderBy("view_id", "click_id")
   }
 
+  // --- Stream-static enrichment ---------------------------------------
+
+  /** Attach the static customer segment to each event: a stream-static
+    * broadcast join on a derived dimension key. Stream-static inner joins
+    * are STATELESS in Structured Streaming — no watermark, no state
+    * store; the dimension broadcasts to every micro-batch, which is
+    * exactly how a 100 TB/day event feed joins a dimension table without
+    * shuffling the feed. */
+  def enriched(ev: DataFrame, cust: DataFrame): DataFrame =
+    ev.withColumn("cust_id", col("user_id") % 100)
+      .join(broadcast(cust.select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment"))), "cust_id")
+
+  /** Hourly revenue per market segment over the enriched feed (shared by
+    * the batch-oracle form and the streaming form). */
+  def segmentRevenue(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.Tables.cents(col("value"))).cast("double") / 100)
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
+  /** Batch form of the stream-static enrichment — oracle-checked. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    segmentRevenue(enriched(graft.Tables.events(s, dir),
+      graft.Tables.customer(s, dir)))
+      .orderBy("window_start", "c_mktsegment")
+
+  /** Streaming form: micro-batched event files against the static
+    * dimension (StreamJoinSpec asserts it converges to the batch form). */
+  def enrichStream(s: SparkSession, dir: String): DataFrame =
+    segmentRevenue(enriched(EventWindows.eventsStream(s, dir),
+      graft.Tables.customer(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> qStreamJoin,
+    "q_stream_enrich" -> qStreamEnrich,
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +99,12 @@ object StreamJoin {
         |FROM v JOIN c USING (user_id)
         |WHERE cts >= vts AND cts <= vts + INTERVAL 1 HOUR
         |ORDER BY view_id, click_id""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+        |FROM events JOIN customer ON c_custkey = user_id % 100
+        |GROUP BY window_start, c_mktsegment
+        |ORDER BY window_start, c_mktsegment""".stripMargin,
   )
 }

@@ -71,6 +71,21 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("stream-static enrichment converges to the batch form, statelessly") {
+    val q = StreamJoin.enrichStream(spark, TestSpark.sf0001)
+      .writeStream.format("memory").queryName("se_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("se_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = StreamJoin.qStreamEnrich(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("registered batch form: delays within horizon, keyed by same user") {
     val rows = StreamJoin.qStreamJoin(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
