@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Behavioral / product-analytics operators over the event stream
+  * (north-star extension): cohort retention and ordered funnels — the
+  * user-journey rollups an events warehouse answers daily.
+  *
+  * Scale shape: both are user-keyed. The per-user reductions
+  * (first-touch, stage timestamps) are partial-aggregated groupBys on
+  * user_id, and every join is user_id-vs-user_id — co-partitioned on the
+  * same key domain, so a 100 TB event table resolves with one exchange
+  * per stage and no broadcast of anything user-sized. Nothing orders
+  * globally; final outputs are tiny (days × offsets, or one row per
+  * funnel stage). */
+object Cohort {
+
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later active day as a day offset — the classic retention triangle.
+    * Dates travel as UTC-midnight timestamps (driver-compare constraint). */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    e.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort"), col("day"))
+      .distinct()
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Ordered conversion funnel: view → first click AFTER the first view →
+    * first purchase AFTER that click, per user; one output row per stage
+    * with how many users reached it. Stage timestamps reduce per user
+    * before any join, so each funnel edge is a tiny-keyed equi-join. */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") >= col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    def stage(name: String, idx: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    stage("view", 1, v).union(stage("click_after_view", 2, c))
+      .union(stage("purchase_after_click", 3, p))
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> qCohortRetention,
+    "q_funnel_steps" -> qFunnelSteps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.day
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |  CAST(day - cohort AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT 2, 'click_after_view', count(*) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase_after_click', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+  )
+}
