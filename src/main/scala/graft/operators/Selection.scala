@@ -157,12 +157,18 @@ object Selection {
     * within-segment cumsum + broadcast segment offsets reproduce the
     * global running total without a single-partition window. */
   def qSelectBudget(s: SparkSession, dir: String): DataFrame = {
+    // cache at the genuine fan-out: both the ranked side and the offsets
+    // side need (score, n_tokens), and the tokenization behind them is
+    // the expensive part — without the cache each side re-scans and
+    // re-tokenizes the corpus. The cached frame is 4 scalar columns
+    // (~32 B/row), not the text.
     val scored = documents(s, dir).select(
       col("doc_id"),
       graft.functions.TextAnalysis.qualityScore(col("text")).as("score"),
       size(graft.functions.TextAnalysis.tokens(col("text")))
         .cast("bigint").as("n_tokens"))
       .withColumn("seg", floor((lit(1.0) - col("score")) * 32).cast("int"))
+      .cache()
     val withinW = Window.partitionBy(col("seg"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
