@@ -134,10 +134,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB embedding extractor — deterministic stand-in for a media
+    * encoder (CLIP-style image/audio embedding): the unit-normalized
+    * high-nibble byte histogram as a 16-dim vector. A real implementation
+    * replaces ONLY this function. */
+  def fakeEmbed(blob: MediaBlob): Array[Double] = {
+    val hist = new Array[Double](16)
+    blob.content.foreach(b => hist((b & 0xFF) >> 4) += 1d)
+    val norm = math.sqrt(hist.map(x => x * x).sum)
+    if (norm == 0) hist else hist.map(_ / norm)
+  }
+
+  /** Binary → embedding → ANN, end-to-end: the partition-batched stub
+    * encoder feeds the similarity stack directly — probe set broadcast,
+    * map-side bounded top-k ([[graft.functions.TopKAgg]]) so only
+    * k·partitions candidate rows per probe ever cross the wire. This is
+    * the image-dedup / cross-modal-retrieval pipeline shape with the
+    * encoder as the single swappable stub. Rows-only driver check;
+    * MultimodalSpec re-derives the full top-k in memory and compares
+    * exactly. */
+  def qMultimodalEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embs = documents(s, dir)
+      .select(col("doc_id"), synthFilename.as("filename"),
+        col("text").cast("binary").as("content"))
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        // per-partition init would go here (encoder weights, ONNX session)
+        it.map(b => (b.doc_id, fakeEmbed(b)))
+      }.toDF("doc_id", "emb")
+    val probes = embs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("probe_id"), col("emb").as("probe_emb"))
+    embs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id").as("neighbor_id"),
+        graft.functions.Similarity.cosine(col("probe_emb"), col("emb")).as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.topK(5)(col("cos"), col("neighbor_id")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")))
+      .select(col("probe_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_resize" -> qMultimodalResize,
+    "q_multimodal_embed" -> qMultimodalEmbed,
   )
 
   val oracles: Map[String, String] = Map(

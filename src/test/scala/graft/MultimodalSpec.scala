@@ -45,6 +45,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("embed query: stub embeddings are unit vectors; top-k matches an exact in-memory recompute") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    def embed(bytes: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](16)
+      bytes.foreach(b => h((b & 0xFF) >> 4) += 1d)
+      val n = math.sqrt(h.map(x => x * x).sum)
+      if (n == 0) h else h.map(_ / n)
+    }
+    val embs = docs.view.mapValues(embed).toMap
+    embs.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    // left-to-right cosine fold, identical to the codegen kernel's order
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = embs.keys.filter(_ % 100 == 0).toSeq.sorted.flatMap { p =>
+      embs.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (cos(embs(p), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((c, id), i) => (p, id, c, i + 1) }
+    }
+    val got = Multimodal.qMultimodalEmbed(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
   test("decode query: one feature row per document, bytes preserved") {
     val feats = Multimodal.qMultimodalDecode(spark, TestSpark.sf0001).collect()
     val meta = Multimodal.qMultimodalMeta(spark, TestSpark.sf0001).collect()
