@@ -25,6 +25,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    // write.partitionBy is the directory-layout lever: a predicate on the
+    // partition column must resolve as a PartitionFilter (directory
+    // pruning before any I/O), not a post-scan data filter
+    val dir = java.nio.file.Files.createTempDirectory("part_layout")
+    graft.Tables.documents(spark, TestSpark.sf001)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+    val read = spark.read.parquet(dir.toString).filter(col("lang") === "de")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*de[^\\]]*\\].*"),
+      plan.linesIterator.take(12).mkString("\n"))
+    val expected = graft.Tables.documents(spark, TestSpark.sf001)
+      .filter(col("lang") === "de").count()
+    assert(read.count() == expected)
+  }
+
   test("salted join equals plain join") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
       .select("l_orderkey", "l_quantity")
