@@ -282,6 +282,27 @@ object Relational {
         concat_ws(",", map_keys(col("m"))).as("priorities"))
       .orderBy("o_orderstatus")
 
+  /** RANGE-frame window (time-based, not row-based): per event, the
+    * user's running count and exact-cents sum over the PRECEDING HOUR of
+    * their own activity — frames defined by event-time distance, so ties
+    * and gaps behave correctly where a ROWS frame would miscount. One
+    * shuffle on user_id; per-user state is one hour of that user's
+    * events. */
+  def qWindowTimerange(s: SparkSession, dir: String): DataFrame = {
+    // exact integer microseconds on both engines: a seconds cast would
+    // truncate fractional timestamps and shift frame boundaries
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum(col("v")).over(w).cast("double") / 100).as("sum_last_hour"))
+      .orderBy("event_id")
+  }
+
   /** Time-series resampling with gap fill: orders per calendar day over
     * the full span, days with no orders emitted as zero — the date spine
     * is `sequence()` over the global min/max (a 1-row broadcast feeding a
@@ -498,6 +519,7 @@ object Relational {
     "q_window_distribution" -> windowDistribution,
     "q_map_funcs" -> mapFuncs,
     "q_resample_daily" -> qResampleDaily,
+    "q_window_timerange" -> qWindowTimerange,
     "q_set_intersect" -> setIntersect,
     "q_set_except" -> setExcept,
     "q_join_asof" -> joinAsOf,
@@ -627,6 +649,14 @@ object Relational {
         |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN n END), 0) AS BIGINT) AS low_n,
         |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
         |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_window_timerange" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100 AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_resample_daily" ->
       """WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
         |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
