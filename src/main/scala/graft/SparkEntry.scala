@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Incremental.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
       operators.Selection.queries ++ operators.Graph.queries ++
-      operators.Cohort.queries ++
+      operators.Cohort.queries ++ operators.Skew.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
@@ -36,7 +36,7 @@ object SparkEntry {
       operators.Incremental.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
       operators.Selection.oracles ++ operators.Graph.oracles ++
-      operators.Cohort.oracles ++
+      operators.Cohort.oracles ++ operators.Skew.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables._
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed
   * (e.g. one external_source or one shingle dominating): salting.
@@ -45,4 +46,34 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).cast("bigint").as("n"))
   }
+
+  /** The salted join as a registered, oracle-checked operator: supplier
+    * revenue over lineitem, whose supplier key is genuinely hot (~600
+    * lineitems per supplier at sf0.001 — each key IS a heavy hitter).
+    * The salt spreads every supplier's rows over 8 reducers before the
+    * replicated build side joins them; the oracle is the plain unsalted
+    * join, so the hash-match IS the salting-invariance proof. */
+  def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("v"))
+    val sup = supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    saltedJoin(li, sup, Seq("l_suppkey"), 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("v")).cast("double") / 100).as("revenue"))
+      .orderBy("s_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew_salted" -> qJoinSkewSalted,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_skew_salted" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+  )
 }
