@@ -71,10 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.GraftExpressions", name),
         builder))
     }
+    // plan lint: no-op unless spark.graft.maxLiteralBytes > 0
+    e.injectOptimizerRule(BigLiteralGuard)
+  }
 }
