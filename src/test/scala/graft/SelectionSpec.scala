@@ -79,6 +79,37 @@ class SelectionSpec extends AnyFunSuite {
     assert(byPos.toSeq == byPos.sortBy(identity).toSeq)
   }
 
+  test("two-level rank == single global sort rank on random key sets") {
+    // the construction behind qShuffleGlobal/qSelectBudget/qMixTemperature:
+    // rank within hash-prefix buckets + broadcast prefix-summed offsets
+    // must equal row_number over the global (key, id) order for ANY input
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map(i => (rnd.nextLong().abs % 1000000L, i.toLong))
+      val base = rows.toDF("id", "salt")
+        .select(col("id"), md5(concat(lit(trial.toString), col("id"), col("salt"))).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val withinW = Window.partitionBy(col("bkt")).orderBy(col("h"), col("id"))
+      val offW = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val twoLevel = base
+        .withColumn("rn", row_number().over(withinW).cast("bigint"))
+        .join(broadcast(offsets), "bkt")
+        .select(col("h"), col("id"), (col("off") + col("rn")).as("pos"))
+      val global = base.withColumn("pos",
+        row_number().over(Window.orderBy(col("h"), col("id"))).cast("bigint"))
+        .select(col("h"), col("id"), col("pos"))
+      assert(twoLevel.orderBy("pos").collect().toSeq ==
+        global.orderBy("pos").collect().toSeq, s"trial $trial n=$n")
+    }
+  }
+
   test("budget select: admitted docs start inside the budget, best-first") {
     val rows = Selection.qSelectBudget(spark, TestSpark.sf001).collect()
     assert(rows.nonEmpty)
