@@ -84,6 +84,42 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg equals sort-take-k (score desc, id asc) for any merge tree") {
+    val agg = new graft.functions.TopKAgg(4)
+    val genPairs = Gen.choose(0, 24).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf(0.0, 0.25, 0.5, 1.0, -0.5), Gen.chooseNum(0L, 30L))))
+    for (xs <- sample(genPairs, 150, 6L)) {
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(4)
+      val linear = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(linear == want, s"xs=$xs")
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged == want, s"xs=$xs (merge)")
+    }
+  }
+
+  test("CappedListAgg: under-cap groups keep membership, over-cap collapse on every merge tree") {
+    val cap = 5
+    val agg = new graft.functions.CappedListAgg(cap)
+    val genXs = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 99L)))
+    for (xs <- sample(genXs, 150, 7L)) {
+      def finishAll(splitAt: Int): Seq[Long] = {
+        val (l, r) = xs.splitAt(splitAt)
+        agg.finish(agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      }
+      for (split <- Seq(0, xs.length / 3, xs.length / 2, xs.length)) {
+        val got = finishAll(split)
+        if (xs.length > cap) assert(got.isEmpty, s"xs=$xs split=$split")
+        else assert(got.sorted == xs.sorted, s"xs=$xs split=$split")
+        // buffers never exceed the cap mid-flight
+        val buf = xs.foldLeft(agg.zero)(agg.reduce)
+        assert(buf._1.length <= cap)
+      }
+    }
+  }
+
   test("MinKAgg equals sort-take-k for any merge tree") {
     val agg = new graft.functions.MinKAgg(3)
     val genPairs = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n,
