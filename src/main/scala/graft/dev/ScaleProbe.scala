@@ -174,21 +174,12 @@ object ScaleProbe {
           .filter(col("pos") % 1000 === 0).count()
       }
       time(s"rank_2level x$n") {
-        // Selection.qShuffleGlobal's shape: 256 hash-prefix buckets rank
-        // independently, offsets broadcast back — no single-reducer sort
-        import org.apache.spark.sql.expressions.Window
+        // Selection.twoLevelRank — the SHIPPED implementation (256
+        // hash-prefix buckets, offsets broadcast back; no single-reducer
+        // sort), measured directly
         val base = docs.select(col("doc_id"),
           md5(concat(lit("shf"), col("doc_id").cast("string"))).as("h"))
-          .withColumn("bkt", substring(col("h"), 1, 2))
-        val withinW = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
-        val offW = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
-          .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
-          .select(col("bkt"), col("off"))
-        base.withColumn("rn", row_number().over(withinW).cast("bigint"))
-          .join(broadcast(offsets), "bkt")
-          .select((col("off") + col("rn")).as("pos"))
+        graft.operators.Selection.twoLevelRank(base, "h", "doc_id", Nil, "pos")
           .filter(col("pos") % 1000 === 0).count()
       }
       time(s"canonical_minheap x$n") {
@@ -201,25 +192,11 @@ object ScaleProbe {
           .filter(col("n") > 1).count()
       }
       time(s"pagerank_3iter x$n") {
-        // node and edge counts both scale n×; each iteration is one
-        // edges-vs-ranks join + one partial-aggregated groupBy
-        val cnt = docs.agg(count(lit(1)).as("n"))
+        // Graph.pagerank over Graph.synthEdges — the SHIPPED iteration
+        // core, measured directly; node and edge counts both scale n×
         val nodes = docs.select(col("doc_id").as("id"))
-        val edges = nodes.crossJoin(broadcast(cnt)).select(
-          col("id").as("src"),
-          explode(array((1 to 3).map(k =>
-            (col("id") * col("id") + k * 7) % col("n")): _*)).as("dst"))
-        var ranks = nodes.select(col("id"), lit(1000000000000L).as("rank"))
-        for (_ <- 1 to 3) {
-          val contribs = edges
-            .join(ranks.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id"), expr("(rank * 17) div 60").as("c"))
-            .groupBy(col("id")).agg(sum(col("c")).as("s"))
-          ranks = nodes.join(contribs, Seq("id"), "left")
-            .select(col("id"),
-              (lit(150000000000L) + coalesce(col("s"), lit(0L))).as("rank"))
-        }
-        ranks.agg(sum(col("rank"))).collect()(0).getLong(0) % 1000
+        graft.operators.Graph.pagerank(nodes, graft.operators.Graph.synthEdges(nodes))
+          .agg(sum(col("rank"))).collect()(0).getLong(0) % 1000
       }
       time(s"ivf_assign x$n") {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)

@@ -44,22 +44,17 @@ object Graph {
     * per k and collapse PageRank to uniform. N enters the plan as a
     * broadcast scalar, not an eager count. */
   private def parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val n = documents(s, dir).agg(count(lit(1)).as("n"))
     val nodes = documents(s, dir).select(col("doc_id").as("id"))
-    val edges = nodes.crossJoin(broadcast(n)).select(
-      col("id").as("src"),
-      explode(array((1 to 3).map(k => (col("id") * col("id") + k * 7) % col("n")): _*))
-        .as("dst"))
-    (nodes, edges)
+    (nodes, synthEdges(nodes))
   }
 
-  /** 3-iteration integer PageRank: rank_{t+1}(v) = 1.5·10^11 +
-    * Σ_{u→v} floor(rank_t(u)·17/60). Every doc has out-degree 3 by
-    * construction (no dangling mass). */
-  def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = parts(s, dir)
+  /** The iteration core over arbitrary `nodes(id)` / `edges(src, dst)`,
+    * shared with the dev scale probe so what gets measured IS what
+    * ships: rank_{t+1}(v) = 1.5·10^11 + Σ_{u→v} floor(rank_t(u)·17/60),
+    * `iters` plan-unrolled rounds. */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
     var ranks = nodes.select(col("id"), lit(initRank).as("rank"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), contrib.as("c"))
@@ -68,7 +63,25 @@ object Graph {
         .select(col("id"),
           (lit(teleport) + coalesce(col("s"), lit(0L))).as("rank"))
     }
-    ranks.select(col("id").as("doc_id"), col("rank")).orderBy("doc_id")
+    ranks
+  }
+
+  /** 3-iteration integer PageRank over the synthetic link graph. Every
+    * doc has out-degree 3 by construction (no dangling mass). */
+  def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = parts(s, dir)
+    pagerank(nodes, edges)
+      .select(col("id").as("doc_id"), col("rank")).orderBy("doc_id")
+  }
+
+  /** The synthetic graph over an arbitrary id column (dev probes build
+    * it from amplified corpora). */
+  def synthEdges(nodes: DataFrame): DataFrame = {
+    val n = nodes.agg(count(lit(1)).as("n"))
+    nodes.crossJoin(broadcast(n)).select(
+      col("id").as("src"),
+      explode(array((1 to 3).map(k =>
+        (col("id") * col("id") + k * 7) % col("n")): _*)).as("dst"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

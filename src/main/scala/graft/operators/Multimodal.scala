@@ -155,6 +155,10 @@ object Multimodal {
     * exactly. */
   def qMultimodalEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cache at the fan-out: the probe branch filters AFTER the typed
+    // encode (a Column filter can't push through MapPartitions), so
+    // without the cache the encoder — the expensive stage once a real
+    // model replaces the stub — runs over the whole corpus twice
     val embs = documents(s, dir)
       .select(col("doc_id"), synthFilename.as("filename"),
         col("text").cast("binary").as("content"))
@@ -163,6 +167,7 @@ object Multimodal {
         // per-partition init would go here (encoder weights, ONNX session)
         it.map(b => (b.doc_id, fakeEmbed(b)))
       }.toDF("doc_id", "emb")
+      .cache()
     val probes = embs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("probe_id"), col("emb").as("probe_emb"))
     embs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))

@@ -319,7 +319,12 @@ object Relational {
     val daily = orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"))
-    broadcast(spine).join(daily, Seq("day"), "left")
+    // broadcast the DAILY side: it is post-aggregation (one row per
+    // active day) and it is the side a left-outer join can actually
+    // build — a hint on the preserved spine side would be silently
+    // dropped (JoinSelection can't broadcast-build the left of a
+    // LeftOuter), falling back to shuffling both sides
+    spine.join(broadcast(daily), Seq("day"), "left")
       // timestamp (UTC midnight) rather than date: pandas folds an SQL
       // DATE into datetime64 anyway, so a date-typed column can never
       // value-match the oracle in the driver's compare

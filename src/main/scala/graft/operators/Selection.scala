@@ -51,33 +51,42 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** Two-level rank: `row_number() over (partition by partKeys order by
+    * h, id)` computed WITHOUT a single-partition window — rank within
+    * (partKeys, first-2-hex-of-h) buckets, bucket counts prefix-summed
+    * per partKeys (≤256 tiny rows each) and broadcast back. The bucket
+    * is a PREFIX of the sort key, so bucket-then-hash order IS the
+    * global hash order; at 100 TB each task sees ≤1/256 of its key
+    * group. Shared with the dev scale probe so what gets measured IS
+    * what ships. */
+  private[graft] def twoLevelRank(df: DataFrame, h: String, id: String,
+      partKeys: Seq[String], out: String): DataFrame = {
+    val keys = partKeys.map(col)
+    val b = df.withColumn("__bkt", substring(col(h), 1, 2))
+    val withinW = Window.partitionBy(keys :+ col("__bkt"): _*)
+      .orderBy(col(h), col(id))
+    val offW = Window.partitionBy(keys: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(keys :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(keys :+ col("__bkt") :+ col("__off"): _*)
+    b.withColumn("__rn", row_number().over(withinW).cast("bigint"))
+      .join(broadcast(offsets), partKeys :+ "__bkt")
+      .withColumn(out, (col("__off") + col("__rn")).cast("bigint"))
+      .drop("__bkt", "__rn", "__off")
+  }
+
   /** Deterministic global shuffle: assign every document a dense position
     * in salted-md5 order — the "shuffle the corpus once, reproducibly"
-    * step before sequence packing.
-    *
-    * The rank is two-level, not a single-partition window: the first two
-    * hex chars of the hash form 256 uniform buckets (the bucket is a
-    * PREFIX of the sort key, so bucket-then-hash order IS global hash
-    * order); row_number within each bucket (one shuffle), per-bucket
-    * counts prefix-summed (256 rows, broadcast back). At 100 TB each
-    * bucket holds ~1/256 of the corpus and no task sees more. */
+    * step before sequence packing. The rank is [[twoLevelRank]], never a
+    * single-partition window. */
   def qShuffleGlobal(s: SparkSession, dir: String): DataFrame = {
     val base = documents(s, dir).select(
       col("doc_id"),
       md5(concat(lit("shf"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bkt", substring(col("h"), 1, 2))
-    val withinW = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
-    val offW = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("bkt"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
-      .select(col("bkt"), col("off"))
-    base
-      .withColumn("rn", row_number().over(withinW).cast("bigint"))
-      .join(broadcast(offsets), "bkt")
-      .select(col("doc_id"), col("h"),
-        (col("off") + col("rn")).cast("bigint").as("pos"))
+    twoLevelRank(base, "h", "doc_id", Nil, "pos")
+      .select(col("doc_id"), col("h"), col("pos"))
       .orderBy("pos")
   }
 
@@ -98,24 +107,12 @@ object Selection {
     val base = documents(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
       md5(concat(lit("tmp"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bkt", substring(col("h"), 1, 2))
     val targets = base.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lang"))
       .withColumn("target",
         least(col("n_lang"), floor(lit(8) * sqrt(col("n_lang"))).cast("bigint")))
       .select(col("lang"), col("target"))
-    val withinW = Window.partitionBy(col("lang"), col("bkt"))
-      .orderBy(col("h"), col("doc_id"))
-    val offW = Window.partitionBy(col("lang")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("lang"), col("bkt"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
-      .select(col("lang"), col("bkt"), col("off"))
-    base
-      .withColumn("rn", row_number().over(withinW).cast("bigint"))
-      .join(broadcast(offsets), Seq("lang", "bkt"))
-      .withColumn("lang_rank", col("off") + col("rn"))
+    twoLevelRank(base, "h", "doc_id", Seq("lang"), "lang_rank")
       .join(broadcast(targets), "lang")
       .filter(col("lang_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("source"))

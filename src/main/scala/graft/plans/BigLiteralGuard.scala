@@ -37,7 +37,10 @@ case class BigLiteralGuard(spark: SparkSession) extends Rule[LogicalPlan] {
     val limit = spark.conf.getOption("spark.graft.maxLiteralBytes")
       .map(_.toLong).getOrElse(0L)
     if (limit > 0) {
-      plan.foreach { node =>
+      // subqueriesAll: subquery plans are optimized recursively (which
+      // re-runs this rule), but walking them here too keeps the guard
+      // complete even when it fires on the outer pass first
+      (plan +: plan.subqueriesAll).foreach(_.foreach { node =>
         node.expressions.foreach(_.foreach {
           case Literal(v, _) if sizeOf(v) > limit =>
             throw new IllegalStateException(
@@ -47,7 +50,7 @@ case class BigLiteralGuard(spark: SparkSession) extends Rule[LogicalPlan] {
                 "by reference in a custom Expression instead.")
           case _ => ()
         })
-      }
+      })
     }
     plan
   }
