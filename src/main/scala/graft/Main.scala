@@ -89,19 +89,22 @@ object Main {
     spark.stop()
   }
 
-  /** `graft.Main query NAME SF_DIR [--out DIR]`: run one registered
-    * analytics query over a fixture/table dir; parquet to `--out`, else
-    * the first rows to the console. `query list` enumerates names. */
+  /** `graft.Main query NAME SF_DIR [--out DIR | --explain]`: run one
+    * registered analytics query over a fixture/table dir; parquet to
+    * `--out`, the formatted physical plan with `--explain`, else the
+    * first rows to the console. `query list` enumerates names. */
   private def runQuery(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: query NAME SF_DIR [--out DIR] | query list")
+    require(args.nonEmpty,
+      "usage: query NAME SF_DIR [--out DIR | --explain] | query list")
     if (args(0) == "list") {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
     }
-    require(args.length >= 2, "usage: query NAME SF_DIR [--out DIR]")
+    require(args.length >= 2, "usage: query NAME SF_DIR [--out DIR | --explain]")
     val name = args(0)
     val sfDir = args(1)
     val outDir = args.sliding(2).collectFirst { case Array("--out", d) => d }
+    val explainOnly = args.contains("--explain")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' — run `query list`"))
     val spark = SparkSession.builder()
@@ -115,6 +118,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = fn(spark, sfDir)
+    if (explainOnly) { df.explain("formatted"); return }
     outDir match {
       case Some(d) =>
         df.write.mode("overwrite").parquet(d)

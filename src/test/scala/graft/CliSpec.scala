@@ -32,6 +32,17 @@ class CliSpec extends AnyFunSuite {
     assert(ts.getTimestamp(0) != null)
   }
 
+  test("query --explain prints the formatted plan without executing") {
+    val _ = spark
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Main.main(Array("query", "q3_shipping", TestSpark.sf0001, "--explain"))
+    }
+    val plan = outBuf.toString("UTF-8")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("Scan parquet"))
+  }
+
   test("unknown query name fails with a clear error") {
     val e = intercept[RuntimeException] {
       Main.main(Array("query", "no_such_query", TestSpark.sf0001))
