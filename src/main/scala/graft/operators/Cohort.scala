@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -58,9 +59,42 @@ object Cohort {
       .orderBy("stage")
   }
 
+  /** Batch sessionization (gaps-and-islands): a session breaks after 30
+    * minutes of per-user quiet. lag → new-session flag → running sum =
+    * session index, then one per-session rollup. This is the batch twin of
+    * the streaming `session_window` query (q_stream_session), for replays
+    * and backfills over historical data.
+    *
+    * Scale shape: both windows and the final groupBy share ONE hash
+    * partitioning on user_id — a single exchange end to end, each user's
+    * timeline sorted locally within its partition. No global sort, no
+    * driver state. Durations are exact integer microsecond diffs
+    * (`unix_micros`), never float timestamp arithmetic. */
+  def qSessionBatch(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000 // 30 min session timeout
+    // event_id tie-breaks equal timestamps so the lag is deterministic
+    val timeline = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(timeline))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("int"))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(timeline).cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> qCohortRetention,
     "q_funnel_steps" -> qFunnelSteps,
+    "q_session_batch" -> qSessionBatch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,5 +123,21 @@ object Cohort {
         |UNION ALL
         |SELECT 3, 'purchase_after_click', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "q_session_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

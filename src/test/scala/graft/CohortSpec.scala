@@ -29,6 +29,34 @@ class CohortSpec extends AnyFunSuite {
     assert(cohortSize.values.sum == users)
   }
 
+  test("sessionization: gaps split correctly and every event lands in one session") {
+    val sessions = Cohort.qSessionBatch(spark, TestSpark.sf001).collect()
+    assert(sessions.nonEmpty)
+    // event totals are conserved: each event belongs to exactly one session
+    val totalEvents = Tables.events(spark, TestSpark.sf001).count()
+    assert(sessions.map(_.getLong(2)).sum == totalEvents)
+    // per session: duration consistent with bounds, index contiguous from 1
+    sessions.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val idx = rs.map(_.getInt(1)).sorted
+      assert(idx.head == 1 && idx.last == idx.length, s"user $u gap in session_idx")
+      rs.foreach { r =>
+        val durUs = r.getLong(5)
+        val span = (r.getTimestamp(4).getTime - r.getTimestamp(3).getTime) * 1000L
+        assert(durUs >= 0 && math.abs(durUs - span) < 1000L, s"user $u duration mismatch")
+      }
+    }
+    // adjacent sessions of one user are separated by more than the 30-min gap
+    sessions.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b.getTimestamp(3).getTime - a.getTimestamp(4).getTime
+          assert(gapMs > 30L * 60 * 1000, s"user $u sessions closer than the timeout")
+        case _ =>
+      }
+    }
+  }
+
   test("funnel: stage counts are monotone non-increasing from a real base") {
     val rows = Cohort.qFunnelSteps(spark, TestSpark.sf001).collect()
       .sortBy(_.getInt(0)).map(_.getLong(2))
