@@ -267,7 +267,52 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed three-term query
+    * over the corpus — the classic lexical ranking behind contamination
+    * checks and seed-document mining. Shape: corpus constants (N, avgdl)
+    * come from one tiny aggregate broadcast everywhere; term rows are
+    * filtered BEFORE the (doc, term) count, so the exchanges carry only
+    * matching-term rows; the df frame (≤3 rows) broadcasts.
+    *
+    * Oracle-exactness: `ln` is not correctly-rounded and may differ by an
+    * ulp between JVM and DuckDB, so the score rounds to 6 decimals; the
+    * per-document term sum is written as a FIXED-ORDER pivot-and-add
+    * (hash + spark + window) rather than a float `sum()` whose reduce
+    * order is engine-dependent. */
+  def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "spark", "window")
+    val d = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val consts = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = idf * ((col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    def termContrib(t: String): Column =
+      coalesce(max(when(col("tok") === t, col("contrib"))), lit(0.0))
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(consts))
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg((termContrib("hash") + termContrib("spark") +
+        termContrib("window")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> qTextBm25,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_chunk" -> qTextChunk,
@@ -294,6 +339,27 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM t),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d)
+        |  WHERE tok IN ('hash','spark','window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))) AS contrib
+        |  FROM tf JOIN df USING (tok), c),
+        |g AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN tok='hash' THEN contrib END), 0.0)
+        |  + coalesce(max(CASE WHEN tok='spark' THEN contrib END), 0.0)
+        |  + coalesce(max(CASE WHEN tok='window' THEN contrib END), 0.0) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(score, 6) AS bm25 FROM g
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_vocab_topk" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c

@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Statistical-analysis operators (north-star extension): distribution
+  * moments, per-group linear regression, Welch's t-test, z-score anomaly
+  * detection, histogram binning, and SCD2 change-tracking — the data-audit
+  * and experiment-evaluation layer of a training-data warehouse.
+  *
+  * Oracle-exactness design: the driver's compare is an exact float `repr`
+  * match, so every statistic here is derived from POWER SUMS of
+  * integer-valued columns (`l_quantity` is whole-numbered; money goes
+  * through [[graft.Tables.cents]]; `events.value` through
+  * `floor(value*100)`). Integer-valued doubles below 2^53 sum exactly, so
+  * the partial-aggregate merge order (32 Spark partitions vs DuckDB's
+  * single pass) cannot change a single bit; the final per-group float
+  * formulas are written with the identical operation tree on both sides,
+  * and avoid `pow`/`ln` (not correctly-rounded, engine-dependent) in favor
+  * of `sqrt` and multiplication (IEEE correctly-rounded, engine-identical).
+  *
+  * Scale shape: every statistic is one partial-aggregated groupBy — a
+  * single exchange of a handful of sum columns per group, independent of
+  * row count. The per-row passes (z-score, binning) broadcast the tiny
+  * stats frame back onto the fact table, so the 100 TB side is never
+  * shuffled. SCD2 is a user-keyed window — one exchange on user_id.
+  */
+object Stats {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Distribution moments of `l_quantity` per return flag: mean,
+    * population stddev, skewness, excess kurtosis, plus correlation with
+    * `l_linenumber` — computed from exact power sums (one aggregation
+    * pass), then combined driver-formula-style per group. Spark's built-in
+    * `skewness`/`kurtosis`/`corr` aggregates exist, but their streaming
+    * central-moment updates are not bit-reproducible across merge orders;
+    * the power-sum form is, and is also how a map-side-combined 100 TB
+    * moment computation should be shaped (6 doubles per group shuffled). */
+  def qStatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_linenumber").cast("double")
+    val g = lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
+        sum(y).as("t1"), sum(y * y).as("t2"), sum(x * y).as("sxy"))
+    val n = d(col("n"))
+    val mean = col("s1") / n
+    val m2 = col("s2") / n - mean * mean
+    val m3 = col("s3") / n - lit(3.0) * mean * (col("s2") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / n - lit(4.0) * mean * (col("s3") / n) +
+      lit(6.0) * mean * mean * (col("s2") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    val my = col("t1") / n
+    val vy = col("t2") / n - my * my
+    val cov = col("sxy") / n - mean * my
+    g.select(col("l_returnflag"), col("n"),
+        mean.as("mean_qty"),
+        sqrt(m2).as("stddev_qty"),
+        (m3 / (m2 * sqrt(m2))).as("skew_qty"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurt_qty"),
+        (cov / (sqrt(m2) * sqrt(vy))).as("corr_qty_line"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-group simple linear regression (the `regr_slope`/`regr_intercept`
+    * pair) of price-in-cents on quantity: slope/intercept/R² from the same
+    * exact power sums. One aggregation pass; nothing but 5 sums per group
+    * crosses the wire. */
+  def qStatsLinreg(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = d(cents(col("l_extendedprice")))
+    val g = lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"),
+        sum(y).as("sy"), sum(y * y).as("sy2"), sum(x * y).as("sxy"))
+    val n = d(col("n"))
+    val mx = col("sx") / n
+    val my = col("sy") / n
+    val vx = col("sx2") / n - mx * mx
+    val vy = col("sy2") / n - my * my
+    val cov = col("sxy") / n - mx * my
+    val slope = cov / vx
+    g.select(col("l_returnflag"), col("n"),
+        slope.as("slope_cents_per_qty"),
+        (my - slope * mx).as("intercept_cents"),
+        ((cov * cov) / (vx * vy)).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Welch's t-test across every pair of event types on `value` (as exact
+    * integer cents): the A/B-experiment evaluation primitive. The 5-row
+    * stats frame self-joins — the fact table is aggregated once and never
+    * rejoined. Degrees of freedom via Welch–Satterthwaite. */
+  def qAbTtest(s: SparkSession, dir: String): DataFrame = {
+    val c = d(floor(col("value") * 100))
+    val g = events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
+    val stats = g.select(col("event_type"), col("n"),
+      (col("s1") / d(col("n"))).as("mean"),
+      // unbiased sample variance from power sums: (s2 - s1²/n) / (n-1)
+      ((col("s2") - (col("s1") * col("s1")) / d(col("n"))) /
+        (d(col("n")) - lit(1.0))).as("vr"))
+    val a = stats.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("vr").as("va"))
+    val b = stats.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("vr").as("vb"))
+    val sea = col("va") / d(col("na"))
+    val seb = col("vb") / d(col("nb"))
+    val se2 = sea + seb
+    val dof = (se2 * se2) / ((sea * sea) / (d(col("na")) - lit(1.0)) +
+      (seb * seb) / (d(col("nb")) - lit(1.0)))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        ((col("ma") - col("mb")) / sqrt(se2)).as("t_stat"),
+        dof.as("welch_df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Z-score anomaly detection: events whose value sits ≥3 population
+    * standard deviations from its event-type mean. Two passes over the
+    * fact table at most: one partial-aggregated groupBy for the per-type
+    * stats (5 rows), then the stats broadcast back — the event table
+    * itself is never shuffled. */
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val c = d(floor(col("value") * 100))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
+      .select(col("event_type"),
+        (col("s1") / d(col("n"))).as("mean"),
+        sqrt(col("s2") / d(col("n")) -
+          (col("s1") / d(col("n"))) * (col("s1") / d(col("n")))).as("sd"))
+    e.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (d(floor(col("value") * 100)) - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** Equal-width histogram of order totals: 20 bins between the global min
+    * and max. The 1-row min/max frame broadcasts onto the fact table
+    * (`crossJoin`); the only shuffle is the 20-group count. The top edge
+    * closes via `least(_, 19)` so max lands in the last bin. */
+  def qHistBins(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(20.0)
+    o.select(col("o_totalprice")).crossJoin(broadcast(mm))
+      .select(least(floor((col("o_totalprice") - col("lo")) / width),
+          lit(19L)).as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("bin").cast("int").as("bin"),
+        (col("lo") + ((col("hi") - col("lo")) / lit(20.0)) * d(col("bin")))
+          .as("bin_lo"),
+        col("n"))
+      .orderBy("bin")
+  }
+
+  /** SCD type-2 history build from the raw event log: per user, collapse
+    * consecutive same-type events into validity intervals
+    * `[valid_from, valid_to)` with an open current row — the
+    * slowly-changing-dimension snapshot a warehouse derives from a CDC
+    * feed. Both windows share one hash partitioning on user_id: a single
+    * exchange end to end. `event_id` tie-breaks equal timestamps. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("event_type") =!= col("prev_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_moments" -> qStatsMoments,
+    "q_stats_linreg" -> qStatsLinreg,
+    "q_ab_ttest" -> qAbTtest,
+    "q_anomaly_zscore" -> qAnomalyZscore,
+    "q_hist_bins" -> qHistBins,
+    "q_scd2" -> qScd2,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_moments" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        |  sum(l_quantity*l_quantity*l_quantity) AS s3,
+        |  sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4,
+        |  sum(CAST(l_linenumber AS DOUBLE)) AS t1,
+        |  sum(CAST(l_linenumber AS DOUBLE)*CAST(l_linenumber AS DOUBLE)) AS t2,
+        |  sum(l_quantity*CAST(l_linenumber AS DOUBLE)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, s1/CAST(n AS DOUBLE) AS mean,
+        |  s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m2,
+        |  s3/CAST(n AS DOUBLE) - 3.0*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m3,
+        |  s4/CAST(n AS DOUBLE) - 4.0*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE)) + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS m4,
+        |  t1/CAST(n AS DOUBLE) AS my,
+        |  t2/CAST(n AS DOUBLE) - (t1/CAST(n AS DOUBLE))*(t1/CAST(n AS DOUBLE)) AS vy,
+        |  sxy/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(t1/CAST(n AS DOUBLE)) AS cov
+        |  FROM g)
+        |SELECT l_returnflag, n, mean AS mean_qty, sqrt(m2) AS stddev_qty,
+        |  m3/(m2*sqrt(m2)) AS skew_qty, m4/(m2*m2) - 3.0 AS kurt_qty,
+        |  cov/(sqrt(m2)*sqrt(vy)) AS corr_qty_line
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_stats_linreg" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS sx, sum(l_quantity*l_quantity) AS sx2,
+        |  sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sy,
+        |  sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)*CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sy2,
+        |  sum(l_quantity*CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, sx/CAST(n AS DOUBLE) AS mx,
+        |  sy/CAST(n AS DOUBLE) AS my,
+        |  sx2/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE))*(sx/CAST(n AS DOUBLE)) AS vx,
+        |  sy2/CAST(n AS DOUBLE) - (sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS vy,
+        |  sxy/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cov
+        |  FROM g)
+        |SELECT l_returnflag, n, cov/vx AS slope_cents_per_qty,
+        |  my - (cov/vx)*mx AS intercept_cents, (cov*cov)/(vx*vy) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_ab_ttest" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(floor(value*100) AS DOUBLE)) AS s1,
+        |  sum(CAST(floor(value*100) AS DOUBLE)*CAST(floor(value*100) AS DOUBLE)) AS s2
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, n, s1/CAST(n AS DOUBLE) AS mean,
+        |  (s2 - (s1*s1)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vr
+        |  FROM g)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  (a.mean - b.mean) / sqrt(a.vr/CAST(a.n AS DOUBLE) + b.vr/CAST(b.n AS DOUBLE)) AS t_stat,
+        |  ((a.vr/CAST(a.n AS DOUBLE) + b.vr/CAST(b.n AS DOUBLE))*(a.vr/CAST(a.n AS DOUBLE) + b.vr/CAST(b.n AS DOUBLE))) /
+        |    ((a.vr/CAST(a.n AS DOUBLE))*(a.vr/CAST(a.n AS DOUBLE))/(CAST(a.n AS DOUBLE)-1.0) +
+        |     (b.vr/CAST(b.n AS DOUBLE))*(b.vr/CAST(b.n AS DOUBLE))/(CAST(b.n AS DOUBLE)-1.0)) AS welch_df
+        |FROM st a JOIN st b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(floor(value*100) AS DOUBLE)) AS s1,
+        |  sum(CAST(floor(value*100) AS DOUBLE)*CAST(floor(value*100) AS DOUBLE)) AS s2
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, s1/CAST(n AS DOUBLE) AS mean,
+        |  sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))) AS sd
+        |  FROM g)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd) >= 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_hist_bins" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo)/20.0)) AS BIGINT), 19) AS bin,
+        |  lo, hi FROM orders, mm)
+        |SELECT CAST(bin AS INT) AS bin,
+        |  min(lo) + ((max(hi) - min(lo))/20.0)*CAST(CAST(bin AS INT) AS DOUBLE) AS bin_lo,
+        |  count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_scd2" ->
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM x
+        |  WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INT) AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+  )
+}

@@ -11,6 +11,38 @@ import graft.operators.Pipeline
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("bm25: matches a scalar reference implementation on the full corpus") {
+    val got = graft.functions.TextAnalysis.qTextBm25(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty && got.length <= 20)
+    // reference BM25 computed with plain Scala over the collected corpus
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val terms = Seq("hash", "spark", "window")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Array[String]): Double = {
+      val dl = toks.length.toDouble
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val want = docs.map { case (id, w) => id -> score(w) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(got.length)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, "ranking differs")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-6, s"score $g vs $w")
+    }
+    // every scored ranking is strictly usable: descending, positive
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.forall(_._2 > 0.0))
+  }
+
   test("hash sample: deterministic, subset, rate near 2/16") {
     val total = Tables.documents(spark, TestSpark.sf001).count()
     val s1 = Pipeline.qSampleHash(spark, TestSpark.sf001).collect()

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+
+/** Invariants of the statistical-analysis operators. Exact values are
+  * DuckDB-oracle-checked by the driver; here the power-sum formulas are
+  * cross-checked against Spark's own streaming-moment aggregates (which
+  * must agree to float tolerance even though they are not bit-stable),
+  * plus structural properties. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("moments agree with Spark's built-in skewness/kurtosis/corr") {
+    val got = Stats.qStatsMoments(spark, TestSpark.sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mean"),
+        stddev_pop(col("l_quantity")).as("sd"),
+        skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"),
+        corr(col("l_quantity"), col("l_linenumber")).as("co"))
+      .collect()
+    assert(ref.nonEmpty && got.size == ref.length)
+    ref.foreach { r =>
+      val g = got(r.getString(0))
+      assert(math.abs(g.getDouble(2) - r.getDouble(1)) < 1e-9, "mean")
+      assert(math.abs(g.getDouble(3) - r.getDouble(2)) < 1e-9, "stddev")
+      assert(math.abs(g.getDouble(4) - r.getDouble(3)) < 1e-6, "skewness")
+      assert(math.abs(g.getDouble(5) - r.getDouble(4)) < 1e-6, "kurtosis")
+      assert(math.abs(g.getDouble(6) - r.getDouble(5)) < 1e-6, "corr")
+    }
+  }
+
+  test("linreg matches the normal-equation solution and r2 is in [0,1]") {
+    val rows = Stats.qStatsLinreg(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2=$r2")
+    }
+    // slope recovered on a synthetic exact-linear group: y = 7x + 3
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble, 7.0 * i + 3.0))
+      .toDF("l_returnflag", "l_quantity", "price")
+      .withColumn("l_extendedprice", col("price") / 100.0)
+    val tmp = java.nio.file.Files.createTempDirectory("linreg").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Stats.qStatsLinreg(spark, tmp).collect()(0)
+    assert(math.abs(out.getDouble(2) - 7.0) < 1e-9)
+    assert(math.abs(out.getDouble(3) - 3.0) < 1e-6)
+    assert(math.abs(out.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  test("t-test is antisymmetric-by-construction and df is sane") {
+    val rows = Stats.qAbTtest(spark, TestSpark.sf001).collect()
+    // 5 event types -> C(5,2) = 10 ordered pairs, each listed once
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val df = r.getDouble(3)
+      assert(df > 1.0 && !df.isNaN)
+    }
+  }
+
+  test("zscore: every flagged row is >=3 sd out, recomputed independently") {
+    val out = Stats.qAnomalyZscore(spark, TestSpark.sf001)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "sf0.001 should contain >=1 outlier")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) >= 3.0))
+    // independent recompute of one group's stats
+    val e = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_type"), floor(col("value") * 100).cast("double").as("c"))
+    val st = e.groupBy("event_type")
+      .agg(avg(col("c")).as("m"), stddev_pop(col("c")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.take(5).foreach { r =>
+      val (m, sd) = st(r.getString(1))
+      val z = (math.floor(r.getDouble(2) * 100) - m) / sd
+      assert(math.abs(z - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("histogram: 20 bins max, counts partition the table, edges ordered") {
+    val rows = Stats.qHistBins(spark, TestSpark.sf001).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 19))
+    val total = Tables.orders(spark, TestSpark.sf001).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val los = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(los.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
+  test("scd2: per-user intervals chain exactly and one row is current") {
+    val rows = Stats.qScd2(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._3.getTime)
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $u current rows")
+      assert(sorted.last._4.isEmpty)
+      // each interval's close is the next interval's open
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._4.contains(b._3), s"user $u gap ${a._4} -> ${b._3}")
+        // consecutive intervals never share a type (that's the change test)
+        assert(a._2 != b._2, s"user $u un-collapsed run")
+      }
+      assert(sorted.forall(r => (r._5 == 1) == r._4.isEmpty))
+    }
+  }
+}
