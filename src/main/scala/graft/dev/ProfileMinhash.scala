@@ -1,0 +1,61 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: stage timings for q_dedup_minhash to find where its bench
+  * time goes. Not part of the driver contract. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)")
+    }
+    for (i <- 1 to 2) {
+      println(s"--- pass $i")
+      val c = Dedup.corpus(spark, sfDir)
+      time("corpus count")(c.count())
+      val sigs = c.select(col("doc_id"), Dedup.shingles(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+      time("shingles only")(sigs.count())
+      val withSig = sigs.withColumn("sig",
+        graft.plans.GraftExpressions.minhash_signature(
+          col("grams"), Dedup.permA, Dedup.permB))
+      time("shingles+minhash")(withSig.select(sum(size(col("sig")))).count())
+      val sigsC = c.select(col("doc_id"), Dedup.shingles(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+        .withColumn("sig", graft.plans.GraftExpressions.minhash_signature(
+          col("grams"), Dedup.permA, Dedup.permB))
+        .cache()
+      time("sigs cache materialize")(sigsC.count())
+      val banded = sigsC.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          bIdx => xxhash64(concat_ws("_", slice(col("sig"), bIdx * 4 + 1, lit(4)))))))
+      time("banded")(banded.count())
+      val candN = banded.withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+        .groupBy(col("band"), col("band_hash"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) >= 2)
+        .select(explode(graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+      time("cand pairs")(candN.count())
+      sigsC.unpersist(true)
+      time("full query")(Dedup.qDedupMinhash(spark, sfDir).count())
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

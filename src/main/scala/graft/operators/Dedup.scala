@@ -295,8 +295,8 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  private lazy val permA: Array[Long] = perms.map(_._1).toArray
-  private lazy val permB: Array[Long] = perms.map(_._2).toArray
+  private[graft] lazy val permA: Array[Long] = perms.map(_._1).toArray
+  private[graft] lazy val permB: Array[Long] = perms.map(_._2).toArray
 
   /** MinHash signature computed per-row (no shuffle): shingles → base hash
     * in [0,P) (pmod of xxhash64) → min over shingles of (a·h+b mod P) per
@@ -346,7 +346,11 @@ object Dedup {
       .distinct()
     val g1 = sigs.select(col("doc_id").as("d1"), col("grams").as("g1"))
     val g2 = sigs.select(col("doc_id").as("d2"), col("grams").as("g2"))
-    cand.join(g1, "d1").join(g2, "d2")
+    // The candidate-pair set is tiny (LSH already filtered the corpus to
+    // near-dup suspects): broadcast it through both verify joins so the
+    // gram arrays — the heavy column — are never shuffled, only streamed
+    // past a broadcast hash table.
+    broadcast(cand).join(g1, "d1").hint("broadcast").join(g2, "d2")
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2")))).as("jaccard"))

@@ -84,8 +84,39 @@ object Graph {
         (col("id") * col("id") + k * 7) % col("n")): _*)).as("dst"))
   }
 
+  /** Triangle census of the link graph: undirected edge count, wedge
+    * (open-triple) count, and triangle count — the inputs to a global
+    * clustering coefficient, all exact integers.
+    *
+    * The enumeration is the classic ordered-edge join: every triangle
+    * a<b<c is found exactly once by joining (a,b)⋈(b,c) and probing
+    * (a,c). Two shuffle joins on single bigint keys; at 100 TB the
+    * production refinement is orienting edges from low- to high-degree
+    * endpoints instead of low-to-high id (caps the join fan-out per key
+    * at O(sqrt(m)) even under power-law skew) — id-orientation keeps the
+    * oracle SQL identical and is already sub-enumeration (no pair ever
+    * materializes twice). */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = parts(s, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val bc = und.select(col("a").as("b"), col("b").as("c"))
+    val ac = und.select(col("a"), col("b").as("c"))
+    val tri = und.join(bc, "b").join(ac, Seq("a", "c"), "left_semi")
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_pagerank" -> qLinkPagerank,
+    "q_graph_triangles" -> qGraphTriangles,
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -106,5 +137,24 @@ object Graph {
          |${iterSql("1", "2")},
          |${iterSql("2", "3")}
          |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin,
+    "q_graph_triangles" ->
+      // NB: `unnest` inside a CTE that is expanded more than once trips a
+      // DuckDB binder assertion ("Failed to bind column reference"); the
+      // VALUES-join form generates the same k=1..3 edges without unnest.
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |edges AS (SELECT id AS src, (id*id + 7*k) % nn.n AS dst
+        |  FROM nodes, nn, (VALUES (1),(2),(3)) t(k)),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |tri AS (SELECT count(*) AS n_triangles FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |  (SELECT count(*) FROM und) AS n_edges,
+        |  (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
   )
 }

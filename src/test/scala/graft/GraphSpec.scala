@@ -32,6 +32,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle census == naive in-memory enumeration") {
+    val r = Graph.qGraphTriangles(spark, TestSpark.sf0001).collect()(0)
+    val n = Tables.documents(spark, TestSpark.sf0001).count().toInt
+    val und = (for {
+      i <- 0 until n
+      k <- 1 to 3
+      j = ((i.toLong * i + k * 7) % n).toInt
+      if i != j
+    } yield (math.min(i, j), math.max(i, j))).toSet
+    val adj = und.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+      .withDefaultValue(Set.empty[Int])
+    val tris = und.toSeq.map { case (a, b) => (adj(a) & adj(b)).size }.sum
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(r.getLong(0) == n.toLong, "n_nodes")
+    assert(r.getLong(1) == und.size.toLong, "n_edges")
+    assert(r.getLong(2) == deg.map(d => d * (d - 1) / 2).sum, "n_wedges")
+    assert(r.getLong(3) == tris.toLong, "n_triangles")
+    assert(r.getLong(3) <= r.getLong(2), "triangles bounded by wedges")
+  }
+
   test("pagerank is invariant under repartitioning") {
     val a = Graph.qLinkPagerank(spark, TestSpark.sf001).collect().toSeq
     val b = Graph.qLinkPagerank(spark, TestSpark.sf001)
