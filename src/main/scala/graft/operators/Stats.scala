@@ -185,7 +185,51 @@ object Stats {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Time travel: the (user → event_type) state as of the timeline
+    * midpoint, reconstructed from the raw log — the read side of the SCD2
+    * build ([[qScd2]]). The as-of instant is derived in-query from exact
+    * integer microseconds ((min+max) div 2, one 1-row broadcast), so the
+    * query is self-contained at any scale factor; the latest-row-per-key
+    * window shares the log's natural user_id partitioning. */
+  def qAsOfSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val t = e.agg(((min(col("us")) + max(col("us"))) / lit(2L))
+      .cast("bigint").as("t_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.crossJoin(broadcast(t))
+      .filter(col("us") <= col("t_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("state_as_of"),
+        col("ts").as("since"))
+      .orderBy("user_id")
+  }
+
+  /** CDC apply: fold a change log into its end state. Each event is an
+    * upsert of (user → value-in-cents) except `error` rows, which are
+    * deletes; the last operation per key (ts, event_id order) wins, and a
+    * trailing delete removes the key. One latest-row-per-key window on
+    * the change-log's key — the canonical log-compaction shape (a 100 TB
+    * log compacts per-key in one exchange, no driver state). */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("cents").as("last_cents"),
+        col("ts").as("last_ts"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_snapshot" -> qAsOfSnapshot,
+    "q_cdc_apply" -> qCdcApply,
     "q_stats_moments" -> qStatsMoments,
     "q_stats_linreg" -> qStatsLinreg,
     "q_ab_ttest" -> qAbTtest,
@@ -195,6 +239,23 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_snapshot" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events),
+        |t AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS t_us FROM e),
+        |f AS (SELECT user_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e, t WHERE us <= t_us)
+        |SELECT user_id, event_type AS state_as_of, ts AS since
+        |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |  CAST(floor(value*100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, cents AS last_cents, ts AS last_ts,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM e WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "q_stats_moments" ->
       """WITH g AS (SELECT l_returnflag, count(*) AS n,
         |  sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,

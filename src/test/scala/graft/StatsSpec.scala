@@ -94,6 +94,37 @@ class StatsSpec extends AnyFunSuite {
     assert(los.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
   }
 
+  test("as-of snapshot and cdc apply match a naive in-memory fold") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"), floor(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val t = (ev.map(_._5).min + ev.map(_._5).max) / 2
+    val wantAsof = ev.filter(_._5 <= t).groupBy(_._1).map { case (u, es) =>
+      val last = es.maxBy(e => (e._5, e._4))
+      u -> last._2
+    }
+    val gotAsof = Stats.qAsOfSnapshot(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotAsof == wantAsof)
+
+    val wantCdc = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val last = es.maxBy(e => (e._5, e._4))
+      if (last._2 == "error") None
+      else Some(u -> (last._6, es.length.toLong))
+    }
+    val gotCdc = Stats.qCdcApply(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(gotCdc == wantCdc)
+    // deleted keys really are absent
+    val deleted = ev.groupBy(_._1).filter { case (_, es) =>
+      es.maxBy(e => (e._5, e._4))._2 == "error"
+    }.keySet
+    assert(gotCdc.keySet.intersect(deleted).isEmpty)
+  }
+
   test("scd2: per-user intervals chain exactly and one row is current") {
     val rows = Stats.qScd2(spark, TestSpark.sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
