@@ -198,6 +198,53 @@ object ScaleProbe {
         graft.operators.Graph.pagerank(nodes, graft.operators.Graph.synthEdges(nodes))
           .agg(sum(col("rank"))).collect()(0).getLong(0) % 1000
       }
+      time(s"stats_moments x$n") {
+        // power-sum moment kernel: exchanges carry 8 sums per group no
+        // matter the row count — should stay scan-bound
+        val li = amplifyLineitem(n)
+        val x = col("l_quantity")
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("c"), sum(x).as("s1"), sum(x * x).as("s2"),
+            sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+          .count()
+      }
+      time(s"bm25 x$n") {
+        // term filter before the (doc,term) count: exchanges carry only
+        // matching-term rows, constants broadcast
+        import graft.functions.TextAnalysis.tokens
+        val d = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+        val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+          .filter(col("tok").isin("hash", "spark", "window"))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy("tok").agg(count(lit(1)).as("df")).count() + tf.count()
+      }
+      time(s"triangle_census x$n") {
+        // ordered-edge joins; edge count scales n× with the synthetic
+        // graph, join keys stay single bigints
+        val nodes = docs.select(col("doc_id").as("id"))
+        val edges = graft.operators.Graph.synthEdges(nodes)
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val bc = und.select(col("a").as("b"), col("b").as("c"))
+        val ac = und.select(col("a"), col("b").as("c"))
+        und.join(bc, "b").join(ac, Seq("a", "c"), "left_semi").count()
+      }
+      time(s"cdc_compact x$n") {
+        // latest-row-per-key window over an n×-amplified event log
+        val e = graft.Tables.events(spark, sfDir)
+        val amp = (0 until n).map(i =>
+          e.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+            col("event_type"), col("ts"), col("event_id")))
+          .reduce(_ union _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        amp.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error").count()
+      }
       time(s"ivf_assign x$n") {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)
         val e = graft.Tables.embeddings(spark, sfDir)
