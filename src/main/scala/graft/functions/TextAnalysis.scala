@@ -311,7 +311,27 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 6).as("bm25"))
   }
 
+  /** Adjacent-token-pair counts (the first iteration of BPE-style merge
+    * mining): top-30 bigrams corpus-wide. The pair explode is linear in
+    * token count; the groupBy partial-aggregates map-side so the exchange
+    * carries one row per distinct pair, and the final top-k orders a
+    * vocabulary²-bounded (in practice tiny) set with a total
+    * (count, t1, t2) tie-break. */
+  def qTextBigrams(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 1)
+    d.select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] as t1, w[i+1] as t2))"))
+        .as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigrams" -> qTextBigrams,
     "q_text_bm25" -> qTextBm25,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_tfidf" -> qTextTfidf,
@@ -339,6 +359,11 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |i AS (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) > 1)
+        |SELECT w[i] AS t1, w[i+1] AS t2, count(*) AS n FROM i GROUP BY t1, t2
+        |ORDER BY n DESC, t1, t2 LIMIT 30""".stripMargin,
     "q_text_bm25" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |d AS (SELECT doc_id, w, len(w) AS dl FROM t),

@@ -227,7 +227,34 @@ object Stats {
       .orderBy("user_id")
   }
 
+  /** Column profiling (the `ANALYZE`/data-audit pass): per column, row
+    * count, null count, exact distinct count, and min/max — one profile
+    * row per column, unioned. Each column profiles in its own aggregate
+    * over a single-column pruned scan (ReadSchema shows exactly one
+    * field), so a 100 TB profile reads each column's pages once and
+    * shuffles one row per distinct value during the two-stage distinct.
+    * Min/max travel as strings (integer-valued numerics cast through
+    * bigint so both engines render identically). */
+  def qProfileColumns(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    def prof(name: String, v: Column): DataFrame =
+      li.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col(name)).as("n_distinct"),
+          min(v).cast("string").as("min_v"),
+          max(v).cast("string").as("max_v"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    prof("l_returnflag", col("l_returnflag"))
+      .union(prof("l_linestatus", col("l_linestatus")))
+      .union(prof("l_quantity", col("l_quantity").cast("bigint")))
+      .union(prof("l_orderkey", col("l_orderkey")))
+      .union(prof("l_linenumber", col("l_linenumber").cast("bigint")))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> qProfileColumns,
     "q_asof_snapshot" -> qAsOfSnapshot,
     "q_cdc_apply" -> qCdcApply,
     "q_stats_moments" -> qStatsMoments,
@@ -238,7 +265,23 @@ object Stats {
     "q_scd2" -> qScd2,
   )
 
+  private def profSql(name: String, expr: String): String =
+    s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  count(DISTINCT $name) AS n_distinct,
+       |  CAST(min($expr) AS VARCHAR) AS min_v,
+       |  CAST(max($expr) AS VARCHAR) AS max_v
+       |FROM lineitem""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_profile_columns" ->
+      (Seq(
+        profSql("l_returnflag", "l_returnflag"),
+        profSql("l_linestatus", "l_linestatus"),
+        profSql("l_quantity", "CAST(l_quantity AS BIGINT)"),
+        profSql("l_orderkey", "l_orderkey"),
+        profSql("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "q_asof_snapshot" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events),
         |t AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS t_us FROM e),

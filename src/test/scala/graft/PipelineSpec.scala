@@ -43,6 +43,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("bigrams: top-30 matches an in-memory sliding-pair count") {
+    val got = graft.functions.TextAnalysis.qTextBigrams(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 30)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    Tables.documents(spark, TestSpark.sf0001).select("text").collect()
+      .foreach { r =>
+        val w = r.getString(0).split(" ").filter(_.nonEmpty)
+        w.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+        }
+      }
+    val want = counts.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(30)
+    assert(got.toSeq == want)
+  }
+
   test("hash sample: deterministic, subset, rate near 2/16") {
     val total = Tables.documents(spark, TestSpark.sf001).count()
     val s1 = Pipeline.qSampleHash(spark, TestSpark.sf001).collect()

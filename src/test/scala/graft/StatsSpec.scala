@@ -125,6 +125,25 @@ class StatsSpec extends AnyFunSuite {
     assert(gotCdc.keySet.intersect(deleted).isEmpty)
   }
 
+  test("column profile matches independent per-column recompute") {
+    val rows = Stats.qProfileColumns(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_orderkey", "l_linenumber"))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val n = li.count()
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == n, "n_rows")
+      assert(r.getLong(2) == 0L, "fixture has no nulls")
+      assert(r.getLong(3) <= n, "distinct bounded")
+    }
+    val distinctFlags = li.select("l_returnflag").distinct().count()
+    assert(rows("l_returnflag").getLong(3) == distinctFlags)
+    val qs = li.agg(min(col("l_quantity")), max(col("l_quantity"))).collect()(0)
+    assert(rows("l_quantity").getString(4) == qs.getDouble(0).toLong.toString)
+    assert(rows("l_quantity").getString(5) == qs.getDouble(1).toLong.toString)
+  }
+
   test("scd2: per-user intervals chain exactly and one row is current") {
     val rows = Stats.qScd2(spark, TestSpark.sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
