@@ -172,6 +172,24 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys instead of dropping out — the semantics a dimension
+    * join needs when "unknown" is itself a category. The nullable key is
+    * derived (`nullif(status, 'O')` makes open orders an "unknown"
+    * bucket); the distinct-key dim frame (≤3 rows incl. NULL) broadcasts,
+    * so the fact side is never shuffled: a null-safe broadcast hash join
+    * plans identically to the plain one (the null check folds into the
+    * key comparison, no fallback to nested-loop). */
+  def joinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("k"))
+    val dim = o.select(col("k").as("dk")).distinct()
+    o.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy(col("dk"))
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("dk"))
+  }
+
   /** Semi join: suppliers with at least one returned lineitem (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
@@ -518,6 +536,7 @@ object Relational {
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
     "q_join_semi" -> joinSemi,
+    "q_join_nullsafe" -> joinNullsafe,
     "q_window_rank" -> windowRank,
     "q_window_running" -> windowRunning,
     "q_window_lag" -> windowLag,
@@ -614,6 +633,12 @@ object Relational {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT dk, count(*) AS n_orders, min(o_orderkey) AS min_key
+        |FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders) o
+        |JOIN (SELECT DISTINCT nullif(o_orderstatus, 'O') AS dk FROM orders) d
+        |  ON o.k IS NOT DISTINCT FROM d.dk
+        |GROUP BY dk ORDER BY dk""".stripMargin,
     "q_join_semi" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')

@@ -16,6 +16,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).sum == 6000L)
   }
 
+  test("null-safe join: every order lands in a bucket, incl. the NULL one") {
+    val rows = Relational.joinNullsafe(spark, TestSpark.sf0001).collect()
+    val total = Tables.orders(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "null keys must not drop")
+    assert(rows.exists(_.isNullAt(0)), "the NULL bucket exists")
+    // null-safe equality still plans as a broadcast HASH join
+    val plan = Relational.joinNullsafe(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join:\n$plan")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
