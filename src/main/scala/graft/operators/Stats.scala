@@ -143,6 +143,31 @@ object Stats {
       .orderBy("event_id")
   }
 
+  /** Robust outlier detection via median absolute deviation: events more
+    * than 3 scaled MADs (σ-consistent factor 1.4826) from their type's
+    * median — the heavy-tail-safe complement of [[qAnomalyZscore]] (a
+    * single extreme value shifts a mean/stddev gate but not a median/MAD
+    * gate). Two aggregate-then-broadcast passes (median, then MAD); the
+    * event table is scanned, never shuffled. Exact interpolated
+    * percentiles over integer cents keep both engines bit-identical —
+    * the q_percentiles precedent. */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      col("value"), floor(col("value") * 100).cast("bigint").as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(d(col("cents")) - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("mad_score", col("adev") / (lit(1.4826) * col("mad")))
+      .filter(col("mad_score") >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mad_score"))
+      .orderBy("event_id")
+  }
+
   /** Equal-width histogram of order totals: 20 bins between the global min
     * and max. The 1-row min/max frame broadcasts onto the fact table
     * (`crossJoin`); the only shuffle is the 20-group count. The top edge
@@ -261,6 +286,7 @@ object Stats {
     "q_stats_linreg" -> qStatsLinreg,
     "q_ab_ttest" -> qAbTtest,
     "q_anomaly_zscore" -> qAnomalyZscore,
+    "q_anomaly_mad" -> qAnomalyMad,
     "q_hist_bins" -> qHistBins,
     "q_scd2" -> qScd2,
   )
@@ -363,6 +389,18 @@ object Stats {
         |  (CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE abs((CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd) >= 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |  CAST(floor(value*100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_id, c.event_type, c.value,
+        |  abs(CAST(c.cents AS DOUBLE) - m.med) AS adev
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type)
+        |SELECT event_id, event_type, value, adev / (1.4826 * mad) AS mad_score
+        |FROM d JOIN md USING (event_type)
+        |WHERE adev / (1.4826 * mad) >= 3.0
         |ORDER BY event_id""".stripMargin,
     "q_hist_bins" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),

@@ -125,6 +125,36 @@ class StatsSpec extends AnyFunSuite {
     assert(gotCdc.keySet.intersect(deleted).isEmpty)
   }
 
+  test("mad outliers match an in-memory median/MAD recompute") {
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // the interpolated (type-7) quantile both engines implement
+      val pos = 0.5 * (n - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.min(pos.toInt + 1, n - 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2)
+    val want = ev.flatMap { case (id, t, c) =>
+      val xs = byType(t).map(_._3.toDouble)
+      val med = medianOf(xs)
+      val adev = math.abs(c.toDouble - med)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val score = adev / (1.4826 * mad)
+      if (score >= 3.0) Some(id -> score) else None
+    }.toMap
+    val got = Stats.qAnomalyMad(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, sc) => assert(math.abs(sc - want(id)) < 1e-9) }
+    assert(got.nonEmpty, "fixture should contain >=1 robust outlier")
+  }
+
   test("column profile matches independent per-column recompute") {
     val rows = Stats.qProfileColumns(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r).toMap
