@@ -126,22 +126,32 @@ object Stats {
     * fact table at most: one partial-aggregated groupBy for the per-type
     * stats (5 rows), then the stats broadcast back — the event table
     * itself is never shuffled. */
-  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame =
+    flagOutliers(events(s, dir), typeProfile(events(s, dir)))
+      .orderBy("event_id")
+
+  /** Per-event-type (mean, population stddev) profile from exact power
+    * sums — the batch half shared by the batch detector and the
+    * streaming alerter ([[graft.streaming.StreamJoin.anomalyStream]]:
+    * profile yesterday's log, alert on today's stream). */
+  def typeProfile(e: DataFrame): DataFrame = {
     val c = d(floor(col("value") * 100))
-    val stats = e.groupBy(col("event_type"))
+    e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
       .select(col("event_type"),
         (col("s1") / d(col("n"))).as("mean"),
         sqrt(col("s2") / d(col("n")) -
           (col("s1") / d(col("n"))) * (col("s1") / d(col("n")))).as("sd"))
+  }
+
+  /** Stateless ≥3σ gate against a broadcast profile; works unchanged on a
+    * batch frame or a micro-batched stream (no watermark, no state). */
+  def flagOutliers(e: DataFrame, stats: DataFrame): DataFrame =
     e.select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(stats), "event_type")
       .withColumn("z", (d(floor(col("value") * 100)) - col("mean")) / col("sd"))
       .filter(abs(col("z")) >= 3.0)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
-      .orderBy("event_id")
-  }
 
   /** Robust outlier detection via median absolute deviation: events more
     * than 3 scaled MADs (σ-consistent factor 1.4826) from their type's

@@ -85,6 +85,16 @@ object StreamJoin {
     segmentRevenue(enriched(EventWindows.eventsStream(s, dir),
       graft.Tables.customer(s, dir)))
 
+  /** Streaming anomaly alerter: the per-type profile computed from the
+    * batch table ("yesterday's log") broadcasts onto the live stream;
+    * each micro-batch is a stateless ≥3σ gate — no watermark, no state
+    * store, alert latency = trigger interval. StreamJoinSpec asserts the
+    * streamed alerts equal the batch detector's output exactly. */
+  def anomalyStream(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.flagOutliers(
+      EventWindows.eventsStream(s, dir),
+      graft.operators.Stats.typeProfile(graft.Tables.events(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> qStreamJoin,
     "q_stream_enrich" -> qStreamEnrich,

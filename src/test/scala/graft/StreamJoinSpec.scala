@@ -86,6 +86,22 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming anomaly alerts equal the batch z-score detector") {
+    val q = StreamJoin.anomalyStream(spark, TestSpark.sf0001)
+      .writeStream.format("memory").queryName("sa_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sa_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.operators.Stats.qAnomalyZscore(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("registered batch form: delays within horizon, keyed by same user") {
     val rows = StreamJoin.qStreamJoin(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
