@@ -102,6 +102,8 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .cache() // feeds the census from four angles (e1/e2/probe/degrees):
+               // without it each branch re-derives the whole edge pipeline
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
