@@ -385,7 +385,45 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Fuzzy (edit-distance-1) vocabulary join via SymSpell-style
+    * deletion-neighborhood blocking: every token is keyed by itself plus
+    * each single-character deletion; two tokens within distance 1 MUST
+    * share a key (delete-side: one is the other's deletion; substitution:
+    * both delete the differing position), so the equi-join on block keys
+    * has full recall and candidates verify with `levenshtein == 1` — no
+    * all-pairs comparison ever materializes. At 100 TB vocabulary the
+    * block keys bound bucket sizes by alphabet-neighborhoods, the same
+    * prefix-filtering argument as the shingle df cap.
+    *
+    * Fixture: deterministic injected typos (drop the 2nd character; 'z'
+    * for the 1st) of every length≥4 token — both engines rebuild them, so
+    * the pairs to find are known positives. The DuckDB oracle brute-forces
+    * the quadratic self-join — an independent algorithm agreeing on the
+    * output IS the blocking-recall proof. */
+  def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+    val long4 = base.filter(length(col("tok")) >= 4)
+    val vocab = base
+      .union(long4.select(concat(substring(col("tok"), 1, 1),
+        expr("substring(tok, 3)")).as("tok")))
+      .union(long4.select(concat(lit("z"),
+        expr("substring(tok, 2)")).as("tok")))
+      .distinct()
+    val keyed = vocab.select(col("tok"), explode(array_distinct(concat(
+        array(col("tok")),
+        expr("transform(sequence(1, length(tok)), i -> concat(substring(tok, 1, i-1), substring(tok, i+1)))")
+      ))).as("v"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.v") === col("y.v") && col("x.tok") < col("y.tok"))
+      .select(col("x.tok").as("t1"), col("y.tok").as("t2"))
+      .distinct()
+      .filter(levenshtein(col("t1"), col("t2")) === 1)
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -409,6 +447,15 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_fuzzy" ->
+      """WITH base AS (SELECT DISTINCT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |t1 AS (SELECT substring(tok,1,1) || substring(tok,3) AS tok FROM base WHERE length(tok) >= 4),
+        |t2 AS (SELECT 'z' || substring(tok,2) AS tok FROM base WHERE length(tok) >= 4),
+        |v AS (SELECT DISTINCT tok FROM (SELECT tok FROM base
+        |  UNION ALL SELECT tok FROM t1 UNION ALL SELECT tok FROM t2))
+        |SELECT a.tok AS t1, b.tok AS t2 FROM v a JOIN v b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+        |ORDER BY t1, t2""".stripMargin,
     "q_dedup_canonical" -> (corpusCte +
       """, t AS (SELECT md5(text) AS content_hash, doc_id,
         |    CASE WHEN doc_id BETWEEN 100000 AND 199999 THEN 0

@@ -94,6 +94,36 @@ class DedupSpec extends AnyFunSuite {
     assert(distributed == lbl)
   }
 
+  test("fuzzy join: blocking finds every injected typo pair, all pairs d=1") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val got = Dedup.qDedupFuzzy(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (a, b) =>
+      assert(a < b && lev(a, b) == 1, s"($a,$b) not a d=1 pair")
+    }
+    // every injected (word, drop-2nd-char) and (word, z-subst) pair found
+    val words = Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))))
+      .distinct().collect().map(_.getString(0)).filter(_.length >= 4)
+    words.foreach { w =>
+      val del = w.take(1) + w.drop(2)
+      val sub = "z" + w.drop(1)
+      Seq(del, sub).filter(t => t != w).foreach { t =>
+        val p = if (w < t) (w, t) else (t, w)
+        assert(got.contains(p), s"injected pair $p missing")
+      }
+    }
+  }
+
   test("exact dedup: every injected copy collapses to its original") {
     val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
     val dups = rows.filter(_.getLong(2) > 1)
