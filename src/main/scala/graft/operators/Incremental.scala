@@ -132,11 +132,47 @@ object Incremental {
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
     incrementalNovel(s, dir, fpp = 0.01)
 
+  /** Incremental aggregate maintenance: the nightly-cube-refresh algebra.
+    * The "standing" summary (slices 0..8 of the key space) and the "new
+    * delta" (slice 9) are aggregated SEPARATELY and merged by summing
+    * partial states — never rescanning the standing side's raw rows. The
+    * DuckDB oracle computes the same result as one flat group-over-
+    * everything: hash-matching it proves the merge algebra (sum/count
+    * re-aggregate; min/max re-min/max) — the property that lets a 100 TB
+    * cube absorb a daily sliver for the delta's scan cost, not the
+    * lake's. Exact integer cents keep the merge bit-identical. */
+  def qAggDeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    def partial(slice: DataFrame): DataFrame =
+      slice.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"),
+          min(cents(col("l_extendedprice"))).as("min_cents"),
+          max(cents(col("l_extendedprice"))).as("max_cents"))
+    val standing = partial(li.filter(col("l_orderkey") % 10 < 9))
+    val delta = partial(li.filter(col("l_orderkey") % 10 === 9))
+    standing.union(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_delta_merge" -> qAggDeltaMerge,
     "q_dedup_incremental" -> qDedupIncremental,
   )
 
   val oracles: Map[String, String] = Map(
+    // The flat one-pass form: hash-matching the split-and-merge engine
+    // path against it IS the merge-algebra proof.
+    "q_agg_delta_merge" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(round(l_extendedprice*100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(l_extendedprice*100) AS BIGINT)) AS max_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_dedup_incremental" ->
       """WITH batch AS (
         |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0

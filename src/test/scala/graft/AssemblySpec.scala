@@ -95,6 +95,24 @@ class AssemblySpec extends AnyFunSuite {
     assert(tight.forall(_.getLong(0) >= 500000L))
   }
 
+  test("delta merge: split-and-merge equals the flat one-pass aggregate") {
+    import graft.operators.Incremental
+    val merged = Incremental.qAggDeltaMerge(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    import org.apache.spark.sql.functions._
+    val flat = Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.cents(col("l_extendedprice"))).as("s"),
+        min(Tables.cents(col("l_extendedprice"))).as("mn"),
+        max(Tables.cents(col("l_extendedprice"))).as("mx"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(merged == flat)
+  }
+
   test("tfidf: five keywords per doc, ranked by score with token tiebreak") {
     val rows = TextAnalysis.qTextTfidf(spark, TestSpark.sf001).collect()
     val byDoc = rows.groupBy(_.getLong(0))
