@@ -40,7 +40,7 @@ object ProfileBloom {
           org.apache.spark.sql.catalyst.expressions.Literal(nbits))
         .toAggregateExpression()
       d.select(org.apache.spark.sql.graftshim.ColumnShim.column(agg).as("bf"))
-        .head.getAs[Array[Byte]]("bf").length
+        .head().getAs[Array[Byte]]("bf").length
     }
     time("corpus md5 distinct")(
       d.select(md5(col("text").cast("binary")).as("h")).distinct().count())

@@ -103,7 +103,7 @@ object Incremental {
         Literal(n), Literal(optimalNumBits(n, fpp)))
       .toAggregateExpression()
     val bytes = corpus.select(ColumnShim.column(agg).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val batch = batch0
       .withColumn("content_hash", md5(col("text").cast("binary")))
     val corpusHashes = corpus
