@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants of the query registry itself: every oracle
+  * targets a registered query (an orphan oracle would make the driver
+  * compare against a missing parquet dump → a red correctness row), and
+  * every query without an oracle is on the DOCUMENTED rows-only list —
+  * so adding a query without deciding its checking story fails CI
+  * instead of silently weakening the gate. */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries that legitimately have no SQL-expressible oracle: sketch
+    * outputs (HLL, quantile), custom-kernel hash families (MinHash,
+    * SimHash, sign-LSH, IVF, rolling hash), and stub-decoded multimodal
+    * derivations. Each is covered by a ScalaTest recall/tolerance spec. */
+  private val rowsOnly = Set(
+    "q_agg_approx", "q_agg_hll_partial", "q_percentiles_approx",
+    "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf",
+    "q_text_rolling", "q_multimodal_decode", "q_multimodal_resize",
+    "q_multimodal_embed")
+
+  test("every oracle key is a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query either has an oracle or is documented rows-only") {
+    val unchecked =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(unchecked.isEmpty,
+      s"queries with neither oracle nor rows-only entry: $unchecked")
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only entries for unregistered queries: $stale")
+    val both = rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(both.isEmpty, s"rows-only entries that now have oracles: $both")
+  }
+
+  test("query names are driver-safe and aliased consistently") {
+    SparkEntry.queries.keySet.foreach { n =>
+      assert(n.matches("[a-z0-9_]+"), s"unsafe query name: $n")
+    }
+    // oracle SQL must not be empty or whitespace
+    SparkEntry.oracleSql.foreach { case (n, sql) =>
+      assert(sql.trim.nonEmpty, s"empty oracle for $n")
+    }
+  }
+}
