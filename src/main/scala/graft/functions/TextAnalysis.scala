@@ -330,7 +330,37 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Pairwise vocabulary overlap between corpus sources: distinct-token
+    * Jaccard per source pair — the corpus-diversity audit that tells a
+    * mixing pipeline whether two feeds are near-duplicates of each other
+    * or genuinely complementary. Shape: one distinct over (source, token)
+    * — the vocabulary, tiny against the corpus — then an inverted-index
+    * equi-join ON TOKEN for intersection counts (bounded per token by
+    * source-count², never corpus-sized) and a broadcast of the per-source
+    * sizes. The Jaccard is one integer-over-integer division per pair —
+    * bit-identical across engines. */
+  def qVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val v = documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .cache() // feeds sizes + both join sides
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = v.as("a").join(v.as("b"), "tok")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnsRenamed(Map("source" -> "s1", "n" -> "n1"))), "s1")
+      .join(broadcast(sizes.withColumnsRenamed(Map("source" -> "s2", "n" -> "n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_overlap" -> qVocabOverlap,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_bm25" -> qTextBm25,
     "q_vocab_topk" -> qVocabTopk,
@@ -359,6 +389,16 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY s1, s2)
+        |SELECT s1, s2, x.n AS n1, y.n AS n2, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source
+        |ORDER BY s1, s2""".stripMargin,
     "q_text_bigrams" ->
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |i AS (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) > 1)

@@ -43,6 +43,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("vocab overlap: pairwise jaccard matches in-memory set algebra") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val vocab = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split(" ").filter(_.nonEmpty)).toSet
+    }
+    val got = graft.functions.TextAnalysis.qVocabOverlap(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val sources = vocab.keys.toSeq.sorted
+    val wantPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      a = sources(i); b = sources(j)
+      common = vocab(a).intersect(vocab(b)).size
+      if common > 0
+    } yield (a, b) -> (vocab(a).size.toLong, vocab(b).size.toLong,
+      common.toLong,
+      common.toDouble / (vocab(a).size + vocab(b).size - common).toDouble)
+    assert(got.keySet == wantPairs.map(_._1).toSet)
+    wantPairs.foreach { case (k, (n1, n2, c, j)) =>
+      val (g1, g2, gc, gj) = got(k)
+      assert((g1, g2, gc) == (n1, n2, c), s"sizes for $k")
+      assert(math.abs(gj - j) < 1e-12, s"jaccard for $k")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("bigrams: top-30 matches an in-memory sliding-pair count") {
     val got = graft.functions.TextAnalysis.qTextBigrams(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
