@@ -91,13 +91,55 @@ object Cohort {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Event debounce: drop any event that fires within 5 s of the previous
+    * event of the same (user, type) — double-click / retry noise removal,
+    * the standard telemetry-hygiene pass before counting anything. One
+    * lag window on the (user_id, event_type) key; exact integer-µs
+    * arithmetic. Reports survivors with their gap to the previous raw
+    * event (NULL for each key's first).
+    *
+    * Fixture: the organic log's gaps are all >5 s, so every 7th event is
+    * re-injected as a +1 s "retry" duplicate (id+1000000) — deterministic
+    * in both engines, guaranteed drops for the gate to prove the filter
+    * actually fires. */
+  def qEventsDebounce(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val retries = e.filter(col("event_id") % 7 === 0)
+      .select((col("event_id") + 1000000).as("event_id"), col("user_id"),
+        col("event_type"), (col("ts") + expr("INTERVAL 1 SECOND")).as("ts"),
+        col("value"), col("props"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    e.unionByName(retries)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNull || col("gap_us") > lit(5000000L))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("gap_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_debounce" -> qEventsDebounce,
     "q_cohort_retention" -> qCohortRetention,
     "q_funnel_steps" -> qFunnelSteps,
     "q_session_batch" -> qSessionBatch,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_debounce" ->
+      """WITH c AS (SELECT event_id, user_id, event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id + 1000000, user_id, event_type, ts + INTERVAL 1 SECOND
+        |  FROM events WHERE event_id % 7 = 0),
+        |x AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS gap_us
+        |  FROM c)
+        |SELECT event_id, user_id, event_type, ts, gap_us
+        |FROM x WHERE gap_us IS NULL OR gap_us > 5000000
+        |ORDER BY event_id""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),

@@ -10,6 +10,32 @@ import graft.operators.Cohort
 class CohortSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("debounce: survivors keep >5s gaps vs the raw predecessor") {
+    val out = Cohort.qEventsDebounce(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.nonEmpty)
+    // every surviving non-first gap exceeds 5s
+    out.foreach { case (_, _, _, g) => g.foreach(v => assert(v > 5000000L)) }
+    // exactly one NULL-gap (first) survivor per (user, type) key
+    val firsts = out.filter(_._4.isEmpty)
+    assert(firsts.map(e => (e._2, e._3)).distinct.length == firsts.length)
+    val keys = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(firsts.length == keys)
+    // every injected +1s retry duplicate is debounced away
+    val retryIds = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_id") % 7 === 0)
+      .select("event_id").collect().map(_.getLong(0) + 1000000).toSet
+    assert(retryIds.nonEmpty)
+    val survivors = out.map(_._1).toSet
+    assert(survivors.intersect(retryIds).isEmpty, "a retry survived")
+    // and the organic log itself survives intact (its gaps are >5s)
+    val raw = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == raw)
+  }
+
   test("retention: offset-0 row counts the whole cohort, no count exceeds it") {
     val rows = Cohort.qCohortRetention(spark, TestSpark.sf001).collect()
       .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
