@@ -247,6 +247,45 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** 7-day moving average over the per-priority daily revenue series — a
+    * bounded ROWS frame (6 preceding + current) on TOP of the daily
+    * aggregate, so the window input is one row per (priority, day), not
+    * the raw fact table: the aggregate shrinks the data BEFORE the sort,
+    * which is what keeps a 100 TB moving average tractable. The average
+    * divides two exact integers (windowed cent sum / windowed row count),
+    * so the float hash-matches. */
+  def windowMoving(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win_cents", sum(col("day_cents")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .select(col("o_orderpriority"), col("day").cast("timestamp").as("day"),
+        col("day_cents"), col("win_cents"), col("n_days"),
+        (col("win_cents").cast("double") / col("n_days").cast("double"))
+          .as("avg_cents"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  /** Ratio-to-report: each (flag, status) cell's share of its flag's
+    * revenue. The share window runs over the 6-row AGGREGATE, never the
+    * fact table — pre-aggregate, then window, the scalable order. */
+  def windowShare(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_extendedprice"))).as("cell_cents"))
+    val w = Window.partitionBy(col("l_returnflag"))
+    cells
+      .withColumn("flag_cents", sum(col("cell_cents")).over(w))
+      .select(col("l_returnflag"), col("l_linestatus"), col("cell_cents"),
+        (col("cell_cents").cast("double") / col("flag_cents").cast("double"))
+          .as("share"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Lag window: gap in days since the customer's previous order. */
   def windowLag(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -539,6 +578,8 @@ object Relational {
     "q_join_nullsafe" -> joinNullsafe,
     "q_window_rank" -> windowRank,
     "q_window_running" -> windowRunning,
+    "q_window_moving" -> windowMoving,
+    "q_window_share" -> windowShare,
     "q_window_lag" -> windowLag,
     "q_window_distribution" -> windowDistribution,
     "q_map_funcs" -> mapFuncs,
@@ -648,6 +689,27 @@ object Relational {
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "q_window_moving" ->
+      """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY o_orderpriority, day)
+        |SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day, day_cents,
+        |  CAST(sum(day_cents) OVER w AS BIGINT) AS win_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_days,
+        |  CAST(CAST(sum(day_cents) OVER w AS BIGINT) AS DOUBLE) /
+        |    CAST(count(*) OVER w AS DOUBLE) AS avg_cents
+        |FROM d
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, day""".stripMargin,
+    "q_window_share" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cell_cents
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, cell_cents,
+        |  CAST(cell_cents AS DOUBLE) /
+        |    CAST(CAST(sum(cell_cents) OVER (PARTITION BY l_returnflag) AS BIGINT) AS DOUBLE) AS share
+        |FROM c ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (

@@ -16,6 +16,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).sum == 6000L)
   }
 
+  test("moving average: frame bounded at 7 rows, first row equals its day") {
+    val rows = Relational.windowMoving(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, win, n, avg) =>
+      assert(n >= 1 && n <= 7)
+      assert(math.abs(avg - win.toDouble / n.toDouble) < 1e-12)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val first = rs.minBy(_._2.getTime)
+      assert(first._5 == 1 && first._3 == first._4, "first row is its own frame")
+    }
+  }
+
+  test("ratio-to-report: shares sum to 1 within every flag") {
+    val rows = Relational.windowShare(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      assert(math.abs(rs.map(_._2).sum - 1.0) < 1e-9, s"flag $flag")
+    }
+  }
+
   test("null-safe join: every order lands in a bucket, incl. the NULL one") {
     val rows = Relational.joinNullsafe(spark, TestSpark.sf0001).collect()
     val total = Tables.orders(spark, TestSpark.sf0001).count()
