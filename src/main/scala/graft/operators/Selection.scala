@@ -184,7 +184,29 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * top-50 documents by the key ln(u)/w, where u is a deterministic
+    * md5-derived uniform (first 13 hex digits / 16^13 — 52 bits, exact in
+    * a double) and w = n_chars, so longer documents are proportionally
+    * likelier but nothing is certain. One map-side key computation plus a
+    * bounded top-k (`TakeOrderedAndProject` — k rows per partition cross
+    * the wire, no global sort), the distributed shape of weighted corpus
+    * subsampling at any scale. Rows-only (`ln` is JVM-specific); the spec
+    * recomputes the identical formula in Scala and matches exactly. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("aes"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      .cast("double") / lit(math.pow(16.0, 13)))
+    documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("aes_key"))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> qSampleWeighted,
     "q_mix_weighted" -> qMixWeighted,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_epochs" -> qMixEpochs,

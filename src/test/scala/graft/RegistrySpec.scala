@@ -18,7 +18,7 @@ class RegistrySpec extends AnyFunSuite {
     "q_agg_approx", "q_agg_hll_partial", "q_percentiles_approx",
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf",
     "q_text_rolling", "q_multimodal_decode", "q_multimodal_resize",
-    "q_multimodal_embed")
+    "q_multimodal_embed", "q_sample_weighted")
 
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

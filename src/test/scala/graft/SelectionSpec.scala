@@ -11,6 +11,35 @@ import graft.operators.{Dedup, Selection}
 class SelectionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("A-ES weighted sample: exact scalar recompute, weight monotonicity") {
+    val got = Selection.qSampleWeighted(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 50)
+    // exact recompute: same md5-derived uniform, same key formula
+    val docs = Tables.documents(spark, TestSpark.sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long, w: Long): Double = {
+      val hex = md.digest(s"aes$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16.0, 13)
+      // Spark's Log expression evaluates via StrictMath (platform-stable),
+      // not Math — match it for the bit-exact comparison
+      StrictMath.log(u) / w.toDouble
+    }
+    val want = docs.map { case (id, w) => (id, w, keyOf(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(50)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, "selection differs")
+    got.zip(want).foreach { case ((_, _, gk), (_, _, wk)) =>
+      assert(gk == wk, s"key mismatch $gk vs $wk") // bit-exact, same JVM ops
+    }
+    // weight pressure: sampled docs skew long vs the corpus average
+    val corpusAvg = docs.map(_._2).sum.toDouble / docs.length
+    val sampleAvg = got.map(_._2).sum.toDouble / got.length
+    assert(sampleAvg > corpusAvg, s"sample $sampleAvg !> corpus $corpusAvg")
+  }
+
   test("weighted mix: per-language keep rate tracks its configured weight") {
     val docs = Tables.documents(spark, TestSpark.sf001)
     val totals = docs.groupBy("lang").count().collect()
