@@ -359,7 +359,38 @@ object TextAnalysis {
       .orderBy("s1", "s2")
   }
 
+  /** Per-document unigram entropy (bits) — the vocabulary-diversity
+    * quality signal (near-zero = degenerate repetition, high = diverse
+    * text). A float SUM over a group is normally reduce-order-dependent
+    * and so un-oracle-able; here the per-term contributions accumulate as
+    * an ordered prefix sum (ORDER BY token) and the last prefix is the
+    * total — the same addition sequence in any engine, a generalizable
+    * trick for making float reductions deterministic. `log2` may still
+    * differ by an ulp between runtimes, so the result rounds to 6
+    * decimals on both sides. One exchange on doc_id serves every window. */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = Window.partitionBy("doc_id").orderBy("tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    tf.withColumn("n", sum(col("c")).over(byDoc))
+      .withColumn("n_distinct", count(lit(1)).over(byDoc))
+      .withColumn("term", -(p * log2(p)))
+      .withColumn("cum", sum(col("term")).over(prefix))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tok").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        round(col("cum"), 6).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> qTextEntropy,
     "q_vocab_overlap" -> qVocabOverlap,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_bm25" -> qTextBm25,
@@ -389,6 +420,21 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |x AS (SELECT doc_id, tok, c,
+        |  CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+        |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+        |  FROM tf),
+        |y AS (SELECT doc_id, n, n_distinct,
+        |  sum(-((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))))
+        |    OVER (PARTITION BY doc_id ORDER BY tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tok DESC) AS rn
+        |  FROM x)
+        |SELECT doc_id, n AS n_tokens, n_distinct, round(cum, 6) AS entropy_bits
+        |FROM y WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),

@@ -43,6 +43,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("entropy: bounded by log2(distinct), matches in-memory recompute") {
+    val got = graft.functions.TextAnalysis.qTextEntropy(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (n, d, h)) =>
+      assert(h >= -1e-9, s"doc $id negative entropy")
+      assert(h <= math.log(d.toDouble) / math.log(2.0) + 1e-6,
+        s"doc $id entropy above log2(distinct)")
+      assert(d <= n)
+    }
+    // exact recompute on a sample of documents
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect().take(50)
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val n = toks.length.toDouble
+        val h = toks.groupBy(identity).values
+          .map(g => -(g.length / n) * (math.log(g.length / n) / math.log(2.0)))
+          .sum
+        assert(math.abs(got(id)._3 - h) < 1e-5, s"doc $id entropy $h")
+      }
+    }
+  }
+
   test("vocab overlap: pairwise jaccard matches in-memory set algebra") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select("source", "text").collect()
