@@ -178,6 +178,47 @@ object Stats {
       .orderBy("event_id")
   }
 
+  /** Chi-square test of independence between event type and value band
+    * (low/mid/high by fixed cent thresholds) — the categorical
+    * counterpart of [[qAbTtest]]: does outcome band depend on event
+    * type? Observed counts are exact integers; expected counts and the
+    * statistic derive from them in one pass over the 15-cell contingency
+    * table, with the float sum made engine-exact by the same ordered
+    * prefix-sum trick as q_text_entropy (ORDER BY cell key fixes the
+    * addition sequence). Output: one row, chi2 + degrees of freedom. */
+  def qStatsChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type"),
+        when(floor(col("value") * 100) < 10000L, "low")
+          .when(floor(col("value") * 100) < 30000L, "mid")
+          .otherwise("high").as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("o"))
+    val dims = cells.agg(count_distinct(col("event_type")).as("n_types"),
+      count_distinct(col("band")).as("n_bands"), sum(col("o")).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val byBand = Window.partitionBy("band")
+    // windows and the prefix sum run over the CONTINGENCY TABLE
+    // (types × bands rows), never the fact table — single-partition here
+    // is by construction tiny
+    val prefix = Window.orderBy("event_type", "band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = (d(col("row_n")) * d(col("col_n"))) / d(col("n"))
+    cells
+      .withColumn("row_n", sum(col("o")).over(byType))
+      .withColumn("col_n", sum(col("o")).over(byBand))
+      .crossJoin(broadcast(dims))
+      .withColumn("term", ((d(col("o")) - e) * (d(col("o")) - e)) / e)
+      .withColumn("cum", sum(col("term")).over(prefix))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("event_type").desc,
+          col("band").desc)))
+      .filter(col("rn") === 1)
+      .select(round(col("cum"), 6).as("chi2"),
+        ((col("n_types") - 1) * (col("n_bands") - 1)).as("dof"),
+        col("n").as("n_events"))
+  }
+
   /** Equal-width histogram of order totals: 20 bins between the global min
     * and max. The 1-row min/max frame broadcasts onto the fact table
     * (`crossJoin`); the only shuffle is the 20-group count. The top edge
@@ -297,6 +338,7 @@ object Stats {
     "q_ab_ttest" -> qAbTtest,
     "q_anomaly_zscore" -> qAnomalyZscore,
     "q_anomaly_mad" -> qAnomalyMad,
+    "q_stats_chi2" -> qStatsChi2,
     "q_hist_bins" -> qHistBins,
     "q_scd2" -> qScd2,
   )
@@ -400,6 +442,31 @@ object Stats {
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE abs((CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd) >= 3.0
         |ORDER BY event_id""".stripMargin,
+    "q_stats_chi2" ->
+      """WITH b AS (SELECT event_type,
+        |  CASE WHEN floor(value*100) < 10000 THEN 'low'
+        |       WHEN floor(value*100) < 30000 THEN 'mid'
+        |       ELSE 'high' END AS band FROM events),
+        |cells AS (SELECT event_type, band, count(*) AS o FROM b GROUP BY event_type, band),
+        |dims AS (SELECT count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT band) AS n_bands, CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |x AS (SELECT cells.event_type, cells.band, cells.o,
+        |  dims.n_types, dims.n_bands, dims.n,
+        |  CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |  CAST(sum(o) OVER (PARTITION BY band) AS BIGINT) AS col_n
+        |  FROM cells, dims),
+        |y AS (SELECT *,
+        |  ((CAST(o AS DOUBLE) - (CAST(row_n AS DOUBLE)*CAST(col_n AS DOUBLE))/CAST(n AS DOUBLE))
+        |   * (CAST(o AS DOUBLE) - (CAST(row_n AS DOUBLE)*CAST(col_n AS DOUBLE))/CAST(n AS DOUBLE)))
+        |  / ((CAST(row_n AS DOUBLE)*CAST(col_n AS DOUBLE))/CAST(n AS DOUBLE)) AS term
+        |  FROM x),
+        |z AS (SELECT *, sum(term) OVER (ORDER BY event_type, band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (ORDER BY event_type DESC, band DESC) AS rn FROM y)
+        |SELECT round(cum, 6) AS chi2,
+        |  CAST((n_types - 1) * (n_bands - 1) AS BIGINT) AS dof,
+        |  n AS n_events
+        |FROM z WHERE rn = 1""".stripMargin,
     "q_anomaly_mad" ->
       """WITH c AS (SELECT event_id, event_type, value,
         |  CAST(floor(value*100) AS BIGINT) AS cents FROM events),

@@ -125,6 +125,27 @@ class StatsSpec extends AnyFunSuite {
     assert(gotCdc.keySet.intersect(deleted).isEmpty)
   }
 
+  test("chi2 matches an in-memory contingency recompute") {
+    val r = Stats.qStatsChi2(spark, TestSpark.sf0001).collect()(0)
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0),
+        if (x.getLong(1) < 10000L) "low"
+        else if (x.getLong(1) < 30000L) "mid" else "high"))
+    val n = rows.length.toDouble
+    val byCell = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val byType = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val byBand = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val chi2 = byCell.map { case ((t, b), o) =>
+      val e = byType(t).toDouble * byBand(b).toDouble / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getDouble(0) - chi2) < 1e-5, s"${r.getDouble(0)} vs $chi2")
+    assert(r.getLong(1) == (byType.size - 1).toLong * (byBand.size - 1))
+    assert(r.getLong(2) == rows.length.toLong)
+    assert(r.getDouble(0) >= 0.0)
+  }
+
   test("mad outliers match an in-memory median/MAD recompute") {
     def medianOf(xs: Array[Double]): Double = {
       val s = xs.sorted
