@@ -10,6 +10,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 113 queries × 2 runs in one JVM: the app-status store retains
+      // per-execution plan graphs and per-stage metrics that otherwise
+      // grow the heap all session (the r6 drift suspect) — cap retention
+      // hard since nothing reads the store with the UI off.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Generic session warmup (parquet footers, shuffle machinery, codegen
@@ -32,6 +40,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
+        // Untimed GC between runs: lets the ContextCleaner actually drop
+        // dead broadcasts/shuffles so the NEXT query isn't timed under
+        // this one's accumulated garbage (session-pressure drift showed
+        // up in r6 as 2× slowdowns on unchanged trivial plans).
+        System.gc()
         t
       }.min
       name -> dt
@@ -44,8 +57,10 @@ object Bench {
     def round3(v: Double): BigDecimal = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def fmt(v: Double): String = round3(v).toString
-    // Sum the rounded per-query values so "value" equals the sum of the
-    // reported "queries" entries exactly.
+    // "value" totals ALL queries (rounded per-query then summed); the
+    // PRINTED line elides sub-threshold queries, so its own "queries" map
+    // sums to less than "value" — only bench_out.json's full map has the
+    // sum-equals-value property.
     val total = results.values.map(round3).sum.toDouble
     def jsonFor(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -149,10 +149,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Rolling-hash fingerprint profile (rows-only; Rabin-Karp kernel,
+  /** Rolling-hash fingerprint profile (Rabin-Karp kernel,
     * [[graft.plans.RollingHashExpr]]): per doc, the count of distinct
     * 32-byte window hashes and a stable min-hash representative — the
-    * character-level containment fingerprint. */
+    * character-level containment fingerprint. Oracle-exact: the kernel's
+    * mod-2⁶¹-1 arithmetic is pure integer math, reproduced in DuckDB with
+    * a HUGEINT Horner fold per window (the corpus text is ASCII, so SQL
+    * char positions equal the kernel's UTF-8 byte positions). */
   def qTextRolling(s: SparkSession, dir: String): DataFrame = {
     val rh = graft.plans.GraftExpressions.rolling_hash(col("text"), 32)
     documents(s, dir).select(
@@ -370,22 +373,25 @@ object TextAnalysis {
     * decimals on both sides. One exchange on doc_id serves every window. */
   def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("doc_id")
+    // H = log2(n) - (Σ c·log2 c)/n: the per-term contribution c·log2(c)
+    // needs no doc total, so ONE ordered window (the prefix sum that makes
+    // the float reduction deterministic) replaces the r6 shape's three
+    // window passes + row_number; doc totals and the last prefix value
+    // (max_by over tok) come from a groupBy that reuses the window's
+    // hash partitioning on doc_id — no extra exchange, one sort.
     val prefix = Window.partitionBy("doc_id").orderBy("tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tf = documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val p = col("c").cast("double") / col("n").cast("double")
-    tf.withColumn("n", sum(col("c")).over(byDoc))
-      .withColumn("n_distinct", count(lit(1)).over(byDoc))
-      .withColumn("term", -(p * log2(p)))
-      .withColumn("cum", sum(col("term")).over(prefix))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("tok").desc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
-        round(col("cum"), 6).as("entropy_bits"))
+    val cd = col("c").cast("double")
+    val n = sum(col("c")).cast("double")
+    tf.withColumn("s_cum", sum(cd * log2(cd)).over(prefix))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log2(n) - max_by(col("s_cum"), col("tok")) / n, 6)
+          .as("entropy_bits"))
       .orderBy("doc_id")
   }
 
@@ -420,21 +426,34 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_rolling" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i
+        |  FROM documents WHERE length(text) >= 32),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 32),
+        |      j -> CAST(unicode(substr(text, CAST(i AS INT) + CAST(j AS INT), 1)) AS HUGEINT)),
+        |      (a, b) -> (a * 257 + b) % CAST(2305843009213693951 AS HUGEINT)) AS hash
+        |  FROM pos),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(DISTINCT hash) AS INT) AS n_windows,
+        |    CAST(min(hash) AS BIGINT) AS min_window_hash
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_windows, 0) AS n_windows, a.min_window_hash
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_text_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
         |x AS (SELECT doc_id, tok, c,
-        |  CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
-        |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
-        |  FROM tf),
-        |y AS (SELECT doc_id, n, n_distinct,
-        |  sum(-((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * log2(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))))
+        |  sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
         |    OVER (PARTITION BY doc_id ORDER BY tok
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY tok DESC) AS rn
-        |  FROM x)
-        |SELECT doc_id, n AS n_tokens, n_distinct, round(cum, 6) AS entropy_bits
-        |FROM y WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+        |  FROM tf)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(log2(CAST(sum(c) AS DOUBLE)) - max_by(s_cum, tok) / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),

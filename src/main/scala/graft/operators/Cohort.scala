@@ -99,13 +99,21 @@ object Cohort {
     * event (NULL for each key's first).
     *
     * Fixture: the organic log's gaps are all >5 s, so every 7th event is
-    * re-injected as a +1 s "retry" duplicate (id+1000000) — deterministic
-    * in both engines, guaranteed drops for the gate to prove the filter
-    * actually fires. */
+    * re-injected as a +1 s "retry" duplicate — deterministic in both
+    * engines, guaranteed drops for the gate to prove the filter actually
+    * fires. Retry ids offset by max(event_id)+1 (a one-row aggregate,
+    * scalar subquery in the oracle) so injected ids can NEVER collide
+    * with organic ones at any scale — a fixed constant would collide once
+    * organic ids reach it, and the resulting duplicate-key orderBy ties
+    * would break the exact compare. */
   def qEventsDebounce(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
+    val idOffset = e.agg(max(col("event_id"))).first() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
     val retries = e.filter(col("event_id") % 7 === 0)
-      .select((col("event_id") + 1000000).as("event_id"), col("user_id"),
+      .select((col("event_id") + idOffset).as("event_id"), col("user_id"),
         col("event_type"), (col("ts") + expr("INTERVAL 1 SECOND")).as("ts"),
         col("value"), col("props"))
     val w = Window.partitionBy("user_id", "event_type")
@@ -131,7 +139,8 @@ object Cohort {
     "q_events_debounce" ->
       """WITH c AS (SELECT event_id, user_id, event_type, ts FROM events
         |  UNION ALL
-        |  SELECT event_id + 1000000, user_id, event_type, ts + INTERVAL 1 SECOND
+        |  SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+        |    user_id, event_type, ts + INTERVAL 1 SECOND
         |  FROM events WHERE event_id % 7 = 0),
         |x AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type

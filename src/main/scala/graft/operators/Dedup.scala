@@ -127,10 +127,18 @@ object Dedup {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("d1", "d2")
 
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    ngramPairsScoped(s, dir)._1
+
   /** The pair pipeline without the presentation sort — cluster assignment
     * consumes pairs in any order, so [[qDedupClusters]] skips the global
-    * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds. */
-  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds.
+    * Returns the pair frame plus the cached posting-list frame so an
+    * eager consumer ([[qDedupClusters]]) can unpersist it the moment the
+    * pairs are consumed, instead of leaking storage memory into the rest
+    * of the session. */
+  private[graft] def ngramPairsScoped(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -147,7 +155,7 @@ object Dedup {
       graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
     val inter = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val result = inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("n_grams", "s1")), "d1")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
@@ -156,6 +164,7 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    (result, byGram)
   }
 
   /** Cluster assignment over the near-dup pair graph (the step after
@@ -163,8 +172,16 @@ object Dedup {
     * components — every document labeled with the smallest doc_id
     * reachable through near-dup pairs, one canonical id per duplicate
     * cluster. Execution strategy in [[clustersOf]]. */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersOf(s, ngramPairs(s, dir).select(col("d1"), col("d2")))
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, postingLists) = ngramPairsScoped(s, dir)
+    // clustersOf consumes the pairs EAGERLY (driver collect on the small
+    // path, localCheckpoint'ed labels on the distributed one), so the
+    // posting-list cache is dead weight by the time it returns — drop it
+    // here rather than leave it pinned for the rest of the session.
+    val out = clustersOf(s, pairs.select(col("d1"), col("d2")))
+    postingLists.unpersist(false)
+    out
+  }
 
   /** Components of an undirected pair graph as (doc_id, cluster_id =
     * smallest member). The pair set is already the REDUCED output of
@@ -346,11 +363,13 @@ object Dedup {
       .distinct()
     val g1 = sigs.select(col("doc_id").as("d1"), col("grams").as("g1"))
     val g2 = sigs.select(col("doc_id").as("d2"), col("grams").as("g2"))
-    // The candidate-pair set is tiny (LSH already filtered the corpus to
-    // near-dup suspects): broadcast it through both verify joins so the
-    // gram arrays — the heavy column — are never shuffled, only streamed
-    // past a broadcast hash table.
-    broadcast(cand).join(g1, "d1").hint("broadcast").join(g2, "d2")
+    // Only the pair-ID frame (two longs per candidate) is ever broadcast:
+    // each side's gram arrays are filtered by streaming past that hash
+    // table, and the two |cand|-row results meet in a pair-keyed shuffle
+    // that moves just one gram array per surviving row. (The r6 shape
+    // hinted broadcast on cand⋈g1 — which would have shipped gram arrays
+    // to every executor if the candidate set grew.)
+    g1.join(broadcast(cand), "d1").join(g2.join(broadcast(cand), "d2"), Seq("d1", "d2"))
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2")))).as("jaccard"))

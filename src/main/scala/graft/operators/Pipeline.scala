@@ -207,9 +207,21 @@ object Pipeline {
     * segments (one shuffle on the segment key), per-segment totals — one
     * tiny row per segment — prefix-sum on the driver-sized side and
     * broadcast back. Global offset = segment offset + within-segment
-    * cumsum. The oracle checks it against DuckDB's plain global window. */
+    * cumsum. The oracle checks it against DuckDB's plain global window.
+    *
+    * Segment SIZE scales with the corpus so segment COUNT stays a
+    * constant ≤4096: a fixed size would grow the partition-less
+    * `Window.orderBy(seg)` over the per-segment totals linearly with the
+    * data (the r6 scale flag). Sizing off max(doc_id) — a map-side
+    * partial max, one-row collect — bounds the count even when ids are
+    * sparse; the floor of 256 keeps toy-scale segments from degenerating
+    * to one doc each. */
   def qPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val segSize = 256   // docs per prefix-sum segment
+    val maxId = documents(s, dir).agg(max(col("doc_id"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val segSize = packSegSize(maxId)
     val budget = 2048   // tokens per packed context window
     val toks = documents(s, dir).select(
       col("doc_id"),
@@ -232,6 +244,14 @@ object Pipeline {
         expr(s"start_offset div $budget").as("window_id"))
       .orderBy("doc_id")
   }
+
+  /** Prefix-sum segment size for [[qPackSequences]]: scales with the id
+    * domain so the number of segments — the rows through the partition-
+    * less offsets window — never exceeds 4097 (PipelineSpec proves the
+    * bound across id domains up to 10^15; the 256 floor keeps toy-scale
+    * segments from degenerating to one doc each). */
+  private[graft] def packSegSize(maxId: Long): Long =
+    math.max(256L, maxId / 4096L + 1L)
 
   /** End-to-end corpus curation — the whole pre-training data funnel as
     * ONE declarative plan Catalyst optimizes globally:

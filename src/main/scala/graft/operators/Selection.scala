@@ -191,8 +191,10 @@ object Selection {
     * likelier but nothing is certain. One map-side key computation plus a
     * bounded top-k (`TakeOrderedAndProject` — k rows per partition cross
     * the wire, no global sort), the distributed shape of weighted corpus
-    * subsampling at any scale. Rows-only (`ln` is JVM-specific); the spec
-    * recomputes the identical formula in Scala and matches exactly. */
+    * subsampling at any scale. Selection orders by the RAW key (`ln`
+    * differs by ulps between runtimes, but adjacent keys are far wider
+    * apart than an ulp); the reported key rounds to 6 decimals so the
+    * oracle compare is exact — the established ln-query convention. */
   def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit("aes"),
         col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
@@ -200,9 +202,11 @@ object Selection {
     documents(s, dir)
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars"),
-        (log(u) / col("n_chars").cast("double")).as("aes_key"))
-      .orderBy(col("aes_key").desc, col("doc_id"))
+        (log(u) / col("n_chars").cast("double")).as("raw_key"))
+      .orderBy(col("raw_key").desc, col("doc_id"))
       .limit(50)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("raw_key"), 6).as("aes_key"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,6 +223,17 @@ object Selection {
     .mkString("CASE ", " ", " ELSE '0' END")
 
   val oracles: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  ln(CAST(CAST('0x' || substring(md5('aes' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+        |     / power(16.0, 13)) / CAST(n_chars AS DOUBLE) AS raw_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, round(raw_key, 6) + 0 AS aes_key
+        |FROM k ORDER BY raw_key DESC, doc_id LIMIT 50""".stripMargin,
+        // `+ 0`: DuckDB's round yields IEEE -0.0 for a key in (-5e-7, 0)
+        // where Spark's BigDecimal round yields +0.0; adding +0.0
+        // normalizes the sign bit and is an exact no-op for every other
+        // value.
     "q_mix_weighted" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1) < $langRateSql

@@ -74,15 +74,26 @@ object Stats {
     * crosses the wire. */
   def qStatsLinreg(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity")
-    val y = d(cents(col("l_extendedprice")))
+    val yi = cents(col("l_extendedprice"))
+    val y = d(yi)
+    // sy2 ≈ 7.4e18 per group at sf0.1 — far past the 2^53 exact-double
+    // envelope, so a double sum would be addition-order-dependent (and
+    // flip r2's low bits under any parallel/multi-partition reduce).
+    // Accumulate it exactly: bigint cents² (≤ ~1e14 per row) summed as
+    // decimal(38,0), mirrored by a HUGEINT sum in the oracle; only the
+    // final moment formulas drop to double. sy and sxy stay double sums —
+    // their row terms are integer-valued and the totals sit < 2^53, so
+    // they are exact in any order.
     val g = lineitem(s, dir).groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sx2"),
-        sum(y).as("sy"), sum(y * y).as("sy2"), sum(x * y).as("sxy"))
+        sum(y).as("sy"),
+        sum((yi * yi).cast("decimal(38,0)")).as("sy2"),
+        sum(x * y).as("sxy"))
     val n = d(col("n"))
     val mx = col("sx") / n
     val my = col("sy") / n
     val vx = col("sx2") / n - mx * mx
-    val vy = col("sy2") / n - my * my
+    val vy = d(col("sy2")) / n - my * my
     val cov = col("sxy") / n - mx * my
     val slope = cov / vx
     g.select(col("l_returnflag"), col("n"),
@@ -145,10 +156,13 @@ object Stats {
   }
 
   /** Stateless ≥3σ gate against a broadcast profile; works unchanged on a
-    * batch frame or a micro-batched stream (no watermark, no state). */
+    * batch frame or a micro-batched stream (no watermark, no state).
+    * Degenerate types (constant values ⇒ sd = 0) are excluded BEFORE the
+    * division: z would otherwise be NaN/Infinity, whose repr and filter
+    * semantics differ between engines. */
   def flagOutliers(e: DataFrame, stats: DataFrame): DataFrame =
     e.select(col("event_id"), col("event_type"), col("value"))
-      .join(broadcast(stats), "event_type")
+      .join(broadcast(stats.filter(col("sd") > 0.0)), "event_type")
       .withColumn("z", (d(floor(col("value") * 100)) - col("mean")) / col("sd"))
       .filter(abs(col("z")) >= 3.0)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
@@ -170,7 +184,9 @@ object Stats {
       .withColumn("adev", abs(d(col("cents")) - col("med")))
     val mad = dev.groupBy(col("event_type"))
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), "event_type")
+    // mad = 0 (>50% of a type at its median) would make every deviating
+    // row's score Infinity — engine-dependent repr; guard before dividing.
+    dev.join(broadcast(mad.filter(col("mad") > 0.0)), "event_type")
       .withColumn("mad_score", col("adev") / (lit(1.4826) * col("mad")))
       .filter(col("mad_score") >= 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -402,13 +418,13 @@ object Stats {
       """WITH g AS (SELECT l_returnflag, count(*) AS n,
         |  sum(l_quantity) AS sx, sum(l_quantity*l_quantity) AS sx2,
         |  sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sy,
-        |  sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)*CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sy2,
+        |  sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sy2,
         |  sum(l_quantity*CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE)) AS sxy
         |  FROM lineitem GROUP BY l_returnflag),
         |m AS (SELECT l_returnflag, n, sx/CAST(n AS DOUBLE) AS mx,
         |  sy/CAST(n AS DOUBLE) AS my,
         |  sx2/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE))*(sx/CAST(n AS DOUBLE)) AS vx,
-        |  sy2/CAST(n AS DOUBLE) - (sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS vy,
+        |  CAST(sy2 AS DOUBLE)/CAST(n AS DOUBLE) - (sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS vy,
         |  sxy/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cov
         |  FROM g)
         |SELECT l_returnflag, n, cov/vx AS slope_cents_per_qty,
@@ -440,7 +456,8 @@ object Stats {
         |SELECT e.event_id, e.event_type, e.value,
         |  (CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |WHERE abs((CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd) >= 3.0
+        |WHERE st.sd > 0
+        |  AND abs((CAST(floor(e.value*100) AS DOUBLE) - st.mean) / st.sd) >= 3.0
         |ORDER BY event_id""".stripMargin,
     "q_stats_chi2" ->
       """WITH b AS (SELECT event_type,
@@ -477,7 +494,7 @@ object Stats {
         |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type)
         |SELECT event_id, event_type, value, adev / (1.4826 * mad) AS mad_score
         |FROM d JOIN md USING (event_type)
-        |WHERE adev / (1.4826 * mad) >= 3.0
+        |WHERE mad > 0 AND adev / (1.4826 * mad) >= 3.0
         |ORDER BY event_id""".stripMargin,
     "q_hist_bins" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),

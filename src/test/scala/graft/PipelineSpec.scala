@@ -11,6 +11,20 @@ import graft.operators.Pipeline
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("pack_sequences: segment count is bounded at every corpus scale") {
+    // The r6 scale flag: a FIXED segment size makes the partition-less
+    // offsets window grow linearly with the corpus. The sizing formula
+    // must cap the segment count (rows through that one task) regardless
+    // of the id domain — probe it far past any test fixture.
+    for (maxId <- Seq(0L, 500L, 1000000L, 1000000000L, 1000000000000L,
+        1000000000000000L)) {
+      val segSize = graft.operators.Pipeline.packSegSize(maxId)
+      val segments = maxId / segSize + 1
+      assert(segments <= 4097, s"maxId=$maxId -> $segments segments")
+      assert(segSize >= 256L, s"maxId=$maxId -> degenerate segSize $segSize")
+    }
+  }
+
   test("bm25: matches a scalar reference implementation on the full corpus") {
     val got = graft.functions.TextAnalysis.qTextBm25(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))

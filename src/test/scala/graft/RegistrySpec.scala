@@ -12,13 +12,14 @@ class RegistrySpec extends AnyFunSuite {
 
   /** Queries that legitimately have no SQL-expressible oracle: sketch
     * outputs (HLL, quantile), custom-kernel hash families (MinHash,
-    * SimHash, sign-LSH, IVF, rolling hash), and stub-decoded multimodal
-    * derivations. Each is covered by a ScalaTest recall/tolerance spec. */
+    * SimHash, sign-LSH, IVF), and stub-decoded multimodal derivations.
+    * Each is covered by a ScalaTest recall/tolerance spec. (q_text_rolling
+    * and q_sample_weighted graduated to oracles in r7: HUGEINT Horner
+    * fold / rounded A-ES key.) */
   private val rowsOnly = Set(
     "q_agg_approx", "q_agg_hll_partial", "q_percentiles_approx",
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf",
-    "q_text_rolling", "q_multimodal_decode", "q_multimodal_resize",
-    "q_multimodal_embed", "q_sample_weighted")
+    "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_embed")
 
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -25,6 +25,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("partition-less windows only ever see aggregated rows") {
+    // A WindowExec with no partitionSpec funnels its whole input through
+    // ONE task — tolerable only over per-group totals (segment offsets,
+    // bucket ranks) whose cardinality is fixed by construction, never
+    // over raw table rows that grow with the data. Fence: beneath every
+    // global WindowExec there must be an aggregate before any scan.
+    // (That the aggregate's group count stays constant at 100 TB is the
+    // formula-level bound proven in PipelineSpec/SelectionSpec — group
+    // cardinality is invisible to a toy-scale plan.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+
+    def hasAggBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAggBelow(a.executedPlan)
+      case other => other.children.exists(hasAggBelow)
+    }
+    def nakedGlobalWindows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) =>
+          Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => nakedGlobalWindows(a.executedPlan)
+        case other => other.children.flatMap(nakedGlobalWindows)
+      }
+      self ++ kids
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = nakedGlobalWindows(
+          fn(spark, TestSpark.sf0001).queryExecution.executedPlan)
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less WindowExec over un-aggregated rows in: $offenders")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan") {
     // write.partitionBy is the directory-layout lever: a predicate on the
     // partition column must resolve as a PartitionFilter (directory

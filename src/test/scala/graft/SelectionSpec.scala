@@ -32,7 +32,11 @@ class SelectionSpec extends AnyFunSuite {
       .sortBy { case (id, _, k) => (-k, id) }.take(50)
     assert(got.map(_._1).toSeq == want.map(_._1).toSeq, "selection differs")
     got.zip(want).foreach { case ((_, _, gk), (_, _, wk)) =>
-      assert(gk == wk, s"key mismatch $gk vs $wk") // bit-exact, same JVM ops
+      // the query reports the key rounded to 6 dp (oracle convention for
+      // ln-derived floats); selection above still used the raw key
+      val wkr = BigDecimal(wk)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gk == wkr, s"key mismatch $gk vs $wkr")
     }
     // weight pressure: sampled docs skew long vs the corpus average
     val corpusAvg = docs.map(_._2).sum.toDouble / docs.length
