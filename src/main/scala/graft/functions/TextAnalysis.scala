@@ -395,7 +395,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf power-law fit over the top-1000 vocabulary: linear regression
+    * of ln(freq) on ln(rank) — slope ≈ −1 is the healthy-natural-text
+    * signature; a flat slope flags boilerplate/templated corpora and a
+    * cliff flags degenerate repetition. One corpus-level row.
+    *
+    * Scale shape: the only unbounded stage is the (tok → count)
+    * aggregate; the top-1000 cut runs as TakeOrderedAndProject (k rows
+    * per partition cross the wire), and every later stage — the global
+    * rank, the five prefix sums, the closing aggregate — touches ≤1000
+    * rows by construction. Determinism: the five ln-product sums
+    * accumulate as ordered prefix sums (ORDER BY rank), so both engines
+    * add in the same sequence; round(6) absorbs the ln ulp. */
+  def qTextZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("tok")).limit(1000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    val pw = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = top
+      .withColumn("sx", sum(x).over(pw))
+      .withColumn("sy", sum(y).over(pw))
+      .withColumn("sxx", sum(x * x).over(pw))
+      .withColumn("sxy", sum(x * y).over(pw))
+      .withColumn("syy", sum(y * y).over(pw))
+      .groupBy()
+      .agg(count(lit(1)).as("n_terms"),
+        max_by(col("sx"), col("rank")).as("sx"),
+        max_by(col("sy"), col("rank")).as("sy"),
+        max_by(col("sxx"), col("rank")).as("sxx"),
+        max_by(col("sxy"), col("rank")).as("sxy"),
+        max_by(col("syy"), col("rank")).as("syy"))
+    val n = col("n_terms").cast("double")
+    val mx = col("sx") / n
+    val my = col("sy") / n
+    val vx = col("sxx") / n - mx * mx
+    val vy = col("syy") / n - my * my
+    val cov = col("sxy") / n - mx * my
+    val slope = cov / vx
+    sums.select(col("n_terms"),
+      round(slope, 6).as("zipf_slope"),
+      round(my - slope * mx, 6).as("intercept"),
+      round((cov * cov) / (vx * vy), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf" -> qTextZipf,
     "q_text_entropy" -> qTextEntropy,
     "q_vocab_overlap" -> qVocabOverlap,
     "q_text_bigrams" -> qTextBigrams,
@@ -426,6 +477,34 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_zipf" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |top AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+        |  FROM tf QUALIFY rank <= 1000),
+        |p AS (SELECT rank,
+        |  sum(ln(CAST(rank AS DOUBLE))) OVER w AS sx,
+        |  sum(ln(CAST(c AS DOUBLE))) OVER w AS sy,
+        |  sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) OVER w AS sxx,
+        |  sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))) OVER w AS sxy,
+        |  sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) OVER w AS syy
+        |  FROM top
+        |  WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  max_by(sx, rank) AS sx, max_by(sy, rank) AS sy,
+        |  max_by(sxx, rank) AS sxx, max_by(sxy, rank) AS sxy,
+        |  max_by(syy, rank) AS syy FROM p),
+        |m AS (SELECT n_terms, CAST(n_terms AS DOUBLE) AS n, sx, sy, sxx, sxy, syy FROM f),
+        |g AS (SELECT n_terms,
+        |  sxx/n - (sx/n)*(sx/n) AS vx,
+        |  syy/n - (sy/n)*(sy/n) AS vy,
+        |  sxy/n - (sx/n)*(sy/n) AS cov,
+        |  sx/n AS mx, sy/n AS my FROM m)
+        |SELECT n_terms,
+        |  round(cov/vx, 6) AS zipf_slope,
+        |  round(my - (cov/vx)*mx, 6) AS intercept,
+        |  round((cov*cov)/(vx*vy), 6) AS r2
+        |FROM g""".stripMargin,
     "q_text_rolling" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(1, length(text) - 30)) AS i

@@ -68,7 +68,7 @@ object Multimodal {
   }
 
   /** Partition-batched decode over the typed Dataset boundary
-    * (rows-only driver check; semantics covered by MultimodalSpec).
+    * (oracle-checked; semantics also covered by MultimodalSpec).
     *
     * The array-valued features are serialized to CSV strings at the output
     * boundary: the driver's rows-check sorts/hashes every column and cannot
@@ -116,7 +116,7 @@ object Multimodal {
   }
 
   /** Two-stage typed pipeline decode→resize, each partition-batched
-    * (rows-only driver check; exact values covered by MultimodalSpec).
+    * (oracle-checked; exact values also covered by MultimodalSpec).
     * The thumbnail ships as CSV for the same driver-hashability reason as
     * the decode features. */
   def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
@@ -150,9 +150,8 @@ object Multimodal {
     * map-side bounded top-k ([[graft.functions.TopKAgg]]) so only
     * k·partitions candidate rows per probe ever cross the wire. This is
     * the image-dedup / cross-modal-retrieval pipeline shape with the
-    * encoder as the single swappable stub. Rows-only driver check;
-    * MultimodalSpec re-derives the full top-k in memory and compares
-    * exactly. */
+    * encoder as the single swappable stub. Oracle-checked; MultimodalSpec
+    * also re-derives the full top-k in memory and compares exactly. */
   def qMultimodalEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cache at the fan-out: the probe branch filters AFTER the typed
@@ -188,6 +187,23 @@ object Multimodal {
     "q_multimodal_embed" -> qMultimodalEmbed,
   )
 
+  // The stub decode/resize/embed kernels are deterministic integer (or
+  // exact-double) arithmetic over the payload bytes, and the fixture
+  // corpus is ASCII (SQL char positions = UTF-8 byte positions), so all
+  // three are reproducible in DuckDB: the nibble histogram / frame
+  // sampling / block-average as list comprehensions, and the embedding
+  // cosine via list_cosine_similarity (bit-parity with the codegen
+  // kernel already proven by q_sim_topk). A real codec would demote
+  // decode/resize/embed back to rows-only — the oracle checks the
+  // PLUMBING'S determinism, not the stub's realism.
+  private val codesCte =
+    """WITH c AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    (length(text) + 15) // 16 AS h,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> unicode(substr(text, CAST(i AS INT), 1))) AS codes
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -198,5 +214,52 @@ object Multimodal {
         |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_decode" ->
+      (codesCte + """
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_bytes,
+        |  16 AS width,
+        |  CAST(h AS INT) AS height,
+        |  array_to_string(list_transform(range(0, 16),
+        |    k -> len(list_filter(codes, c -> c // 16 = k))), ',') AS histogram_csv,
+        |  array_to_string(list_transform(list_filter(range(0, 8), k -> k * 64 < n),
+        |    k -> codes[CAST(k * 64 + 1 AS INT)]), ',') AS frames_csv
+        |FROM c ORDER BY doc_id""".stripMargin),
+    "q_multimodal_resize" ->
+      (codesCte + """,
+        |v AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, 16), p ->
+        |      list_transform(
+        |        list_filter(flatten(list_transform(
+        |            range((p // 4) * h // 4,
+        |                  greatest((p // 4) * h // 4 + 1, ((p // 4) + 1) * h // 4)),
+        |            y -> list_transform(range((p % 4) * 4, (p % 4) * 4 + 4),
+        |                 x -> y * 16 + x))),
+        |          i -> i < n),
+        |        i -> codes[CAST(i + 1 AS INT)])) AS blocks
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  array_to_string(list_transform(blocks,
+        |    b -> CASE WHEN len(b) = 0 THEN 0 ELSE list_sum(b) // len(b) END), ',') AS thumb_csv
+        |FROM v ORDER BY doc_id""".stripMargin),
+    "q_multimodal_embed" ->
+      (codesCte + """,
+        |hh AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    k -> CAST(len(list_filter(codes, c -> c // 16 = k)) AS DOUBLE)) AS hist
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_dot_product(hist, hist) = 0 THEN hist
+        |         ELSE [x / sqrt(list_dot_product(hist, hist)) FOR x IN hist] END AS emb
+        |  FROM hh),
+        |p AS (SELECT doc_id AS probe_id, emb AS probe_emb FROM e WHERE doc_id % 100 = 0),
+        |scored AS (SELECT probe_id, e.doc_id AS neighbor_id,
+        |    list_cosine_similarity(probe_emb, e.emb) AS cos
+        |  FROM e, p WHERE e.doc_id <> p.probe_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
   )
 }

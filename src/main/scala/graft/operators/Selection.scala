@@ -209,7 +209,48 @@ object Selection {
         round(col("raw_key"), 6).as("aes_key"))
   }
 
+  /** Per-source KL divergence (bits) from the corpus-wide token
+    * distribution — the mixture-quality diagnostic that tells you how far
+    * each source's unigram profile sits from the blend it feeds (a
+    * near-zero source adds no diversity; a large one shifts the mix).
+    * KL(Pₛ‖P꜀) = Σ_tok pₛ·log2(pₛ/p꜀) over the source's own tokens.
+    *
+    * Determinism: same ordered-prefix-sum trick as q_text_entropy (the
+    * per-token terms accumulate ORDER BY tok within each source, so both
+    * engines add in the same sequence; round(6) absorbs the log2 ulp).
+    *
+    * Scale shape: one (source, tok) aggregate, then a tok-keyed window
+    * for corpus token totals and a source-keyed window pass for source
+    * totals + the prefix sum; the grand total N rides in as a broadcast
+    * 1-row aggregate (computed from per-doc token counts — no second
+    * explode). No partition-less window anywhere. */
+  def qMixKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val tot = documents(s, dir)
+      .agg(sum(size(toks).cast("bigint")).as("n_total"))
+    val tf = documents(s, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val byTok = Window.partitionBy("tok")
+    val bySrc = Window.partitionBy("source")
+    val prefix = Window.partitionBy("source").orderBy("tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ps = col("c").cast("double") / col("n_s").cast("double")
+    val pc = col("c_t").cast("double") / col("n_total").cast("double")
+    tf.crossJoin(broadcast(tot))
+      .withColumn("c_t", sum(col("c")).over(byTok))
+      .withColumn("n_s", sum(col("c")).over(bySrc))
+      .withColumn("term", ps * log2(ps / pc))
+      .withColumn("cum", sum(col("term")).over(prefix))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(max_by(col("cum"), col("tok")), 6).as("kl_bits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_kl" -> qMixKl,
     "q_sample_weighted" -> qSampleWeighted,
     "q_mix_weighted" -> qMixWeighted,
     "q_mix_temperature" -> qMixTemperature,
@@ -223,6 +264,24 @@ object Selection {
     .mkString("CASE ", " ", " ELSE '0' END")
 
   val oracles: Map[String, String] = Map(
+    "q_mix_kl" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |tot AS (SELECT CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS n_total FROM documents),
+        |x AS (SELECT source, tok, c,
+        |  sum(c) OVER (PARTITION BY tok) AS c_t,
+        |  sum(c) OVER (PARTITION BY source) AS n_s,
+        |  n_total FROM tf, tot),
+        |y AS (SELECT source, tok, n_s,
+        |  sum((CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE))
+        |      * log2((CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE)) / (CAST(c_t AS DOUBLE)/CAST(n_total AS DOUBLE))))
+        |    OVER (PARTITION BY source ORDER BY tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(max_by(cum, tok), 6) AS kl_bits
+        |FROM y GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH k AS (SELECT doc_id, n_chars,
         |  ln(CAST(CAST('0x' || substring(md5('aes' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)

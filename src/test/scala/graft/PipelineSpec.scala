@@ -25,6 +25,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit: negative slope, sane r2, bounded term count") {
+    val r = graft.functions.TextAnalysis.qTextZipf(spark, TestSpark.sf001)
+      .collect()(0)
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    val vocab = Tables.documents(spark, TestSpark.sf001)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .distinct().count()
+    assert(n == math.min(1000L, vocab), s"n_terms $n vs vocab $vocab")
+    // frequency falls with rank by construction of the ranking; r2 stays
+    // in [0,1]. The fixture corpus draws tokens near-uniformly, so the
+    // log-log fit explains almost NOTHING (r2 ≈ 0.06) — which is the
+    // diagnostic doing its job: real Zipfian text scores r2 near 1, and
+    // a low r2 flags synthetic/templated corpora exactly like this one.
+    assert(slope < 0.0, s"slope $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+  }
+
   test("bm25: matches a scalar reference implementation on the full corpus") {
     val got = graft.functions.TextAnalysis.qTextBm25(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))

@@ -11,15 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   /** Queries that legitimately have no SQL-expressible oracle: sketch
-    * outputs (HLL, quantile), custom-kernel hash families (MinHash,
-    * SimHash, sign-LSH, IVF), and stub-decoded multimodal derivations.
-    * Each is covered by a ScalaTest recall/tolerance spec. (q_text_rolling
-    * and q_sample_weighted graduated to oracles in r7: HUGEINT Horner
-    * fold / rounded A-ES key.) */
+    * outputs (HLL, quantile) and custom-kernel hash families (MinHash,
+    * SimHash, sign-LSH, IVF). Each is covered by a ScalaTest
+    * recall/tolerance spec. (r7 graduations: q_text_rolling — HUGEINT
+    * Horner fold; q_sample_weighted — rounded A-ES key; the multimodal
+    * decode/resize/embed trio — the stub kernels are deterministic
+    * integer/exact-double math over ASCII payloads, so DuckDB list
+    * comprehensions reproduce them.) */
   private val rowsOnly = Set(
     "q_agg_approx", "q_agg_hll_partial", "q_percentiles_approx",
-    "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf",
-    "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_embed")
+    "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf")
 
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

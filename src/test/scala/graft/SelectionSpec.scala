@@ -44,6 +44,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(sampleAvg > corpusAvg, s"sample $sampleAvg !> corpus $corpusAvg")
   }
 
+  test("KL mix diagnostic: non-negative per source, totals partition the corpus") {
+    val rows = Selection.qMixKl(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // Gibbs' inequality: KL(P_s || P_c) >= 0, zero only if the source IS
+    // the corpus distribution (never on a multi-source fixture)
+    rows.foreach { case (src, _, _, kl) =>
+      assert(kl >= 0.0, s"$src KL $kl < 0")
+    }
+    // per-source token totals partition the corpus token count
+    val corpusTokens = Tables.documents(spark, TestSpark.sf001)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == corpusTokens)
+  }
+
   test("weighted mix: per-language keep rate tracks its configured weight") {
     val docs = Tables.documents(spark, TestSpark.sf001)
     val totals = docs.groupBy("lang").count().collect()
