@@ -116,12 +116,16 @@ object ScaleProbe {
           .select(explode(col("kept"))).count()
       }
       time(s"pack_prefix_sum x$n") {
-        // segmented prefix sum: segment count grows with the corpus, the
-        // single-partition window only ever sees one row per segment
+        // segmented prefix sum with the SHIPPED r7 sizing: segment size
+        // scales with the id domain so the single-partition offsets
+        // window sees ≤4097 rows at ANY amplification (the r6 fixed-256
+        // sizing grew it linearly with the corpus)
         import org.apache.spark.sql.expressions.Window
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val segSize = graft.operators.Pipeline.packSegSize(maxId)
         val toks = docs.select(col("doc_id"),
           size(graft.functions.TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"),
-          expr("doc_id div 256").as("seg"))
+          expr(s"doc_id div $segSize").as("seg"))
         val withinW = Window.partitionBy(col("seg")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val within = toks.withColumn("cum", sum(col("n_tokens")).over(withinW))
