@@ -333,6 +333,46 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Top collocations by pointwise mutual information: adjacent token
+    * pairs that co-occur far more than their unigram frequencies predict
+    * — the phrase-mining / tokenizer-merge-candidate primitive.
+    * PMI = log2( p(t1,t2) / (p(t1)·p(t2)) ), support ≥ 5.
+    *
+    * Scale shape: unigram and bigram counts partial-aggregate map-side;
+    * the support filter prunes the bigram table BEFORE the two
+    * unigram-count joins (AQE picks broadcast vs shuffle by vocab size);
+    * corpus totals ride in as a broadcast 1-row aggregate. Ranking uses
+    * the 6-dp-ROUNDED pmi (log2 differs by ulps between engines, and an
+    * ordering column must not order differently per engine — the
+    * q_multimodal_embed lesson), tie-broken lexicographically; the
+    * top-30 cut is a TakeOrderedAndProject, k rows per partition. */
+  def qTextPmi(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val toksCol = tokens(col("text"))
+    val totals = d.agg(
+      sum(size(toksCol).cast("bigint")).as("n_uni"),
+      sum(greatest(size(toksCol) - 1, lit(0)).cast("bigint")).as("n_bi"))
+    val uni = d.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val bi = d.select(toksCol.as("w")).filter(size(col("w")) > 1)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] as t1, w[i+1] as t2))")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+    bi
+      .join(uni.withColumnsRenamed(Map("tok" -> "t1", "cu" -> "c1")), "t1")
+      .join(uni.withColumnsRenamed(Map("tok" -> "t2", "cu" -> "c2")), "t2")
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("cb"),
+        round(log2((col("cb").cast("double") / col("n_bi").cast("double")) /
+          ((col("c1").cast("double") / col("n_uni").cast("double")) *
+            (col("c2").cast("double") / col("n_uni").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(30)
+  }
+
   /** Pairwise vocabulary overlap between corpus sources: distinct-token
     * Jaccard per source pair — the corpus-diversity audit that tells a
     * mixing pipeline whether two feeds are near-duplicates of each other
@@ -447,6 +487,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_zipf" -> qTextZipf,
+    "q_text_pmi" -> qTextPmi,
     "q_text_entropy" -> qTextEntropy,
     "q_vocab_overlap" -> qVocabOverlap,
     "q_text_bigrams" -> qTextBigrams,
@@ -477,6 +518,19 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |u AS (SELECT tok, count(*) AS cu FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_uni,
+        |  CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_bi FROM t),
+        |i AS (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) > 1),
+        |b AS (SELECT w[i] AS t1, w[i+1] AS t2, count(*) AS cb FROM i GROUP BY t1, t2
+        |  HAVING count(*) >= 5)
+        |SELECT t1, t2, cb,
+        |  round(log2((CAST(cb AS DOUBLE)/CAST(n_bi AS DOUBLE)) /
+        |    ((CAST(u1.cu AS DOUBLE)/CAST(n_uni AS DOUBLE)) * (CAST(u2.cu AS DOUBLE)/CAST(n_uni AS DOUBLE)))), 6) AS pmi
+        |FROM b JOIN u u1 ON u1.tok = b.t1 JOIN u u2 ON u2.tok = b.t2, tot
+        |ORDER BY pmi DESC, t1, t2 LIMIT 30""".stripMargin,
     "q_text_zipf" ->
       """WITH t AS (SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |tf AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),

@@ -139,6 +139,21 @@ object Dedup {
     * of the session. */
   private[graft] def ngramPairsScoped(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (sized, byGram) = ngramInterScoped(s, dir)
+    val result = sized
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    (result, byGram)
+  }
+
+  /** The shared sized-intersection frame (d1, d2, n_inter, s1, s2) that
+    * every n-gram set-similarity measure derives from — jaccard
+    * ([[qDedupNgram]]), containment ([[qDedupContainment]]) — plus the
+    * cached posting-list frame for eager consumers to unpersist. */
+  private[graft] def ngramInterScoped(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -155,17 +170,28 @@ object Dedup {
       graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
     val inter = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
-    val result = inter
+    val sized = inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("n_grams", "s1")), "d1")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
         .withColumnRenamed("n_grams", "s2")), "d2")
+    (sized, byGram)
+  }
+
+  /** Asymmetric containment dedup: pairs where the smaller shingle set is
+    * ≥80% contained in the other — catches quote/subset duplication
+    * (a document embedded whole inside a longer one) that symmetric
+    * Jaccard misses: a 100-gram doc inside a 10,000-gram doc has
+    * jaccard ≈ 0.01 but containment 1.0. Same df-capped posting-list
+    * pipeline and the same single wide shuffle as [[qDedupNgram]];
+    * only the final score differs. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    ngramInterScoped(s, dir)._1
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
-          (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-    (result, byGram)
-  }
+          least(col("s1"), col("s2"))).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("d1", "d2")
 
   /** Cluster assignment over the near-dup pair graph (the step after
     * pair-finding that a dedup pipeline actually consumes): connected
@@ -445,6 +471,7 @@ object Dedup {
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_clusters" -> qDedupClusters,
@@ -499,6 +526,12 @@ object Dedup {
         |SELECT d1, d2, CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) AS jaccard
         |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+    "q_dedup_containment" -> (corpusCte + ngramPairsCtes +
+      """
+        |SELECT d1, d2, CAST(n_inter AS DOUBLE)/least(s1.n_grams, s2.n_grams) AS containment
+        |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(n_inter AS DOUBLE)/least(s1.n_grams, s2.n_grams) >= 0.8
         |ORDER BY d1, d2""".stripMargin),
     "q_dedup_clusters" -> (corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       ngramPairsCtes +

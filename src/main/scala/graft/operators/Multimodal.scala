@@ -169,9 +169,16 @@ object Multimodal {
       .cache()
     val probes = embs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("probe_id"), col("emb").as("probe_emb"))
+    // cos rounds to 6 dp BEFORE ranking: near-duplicate payloads put many
+    // candidates at cos ≈ 1.0, where the kernel's dot/(√na·√nb) tree and
+    // DuckDB's list_cosine_similarity differ by an ulp — ranking raw
+    // values would order such near-ties differently per engine, while
+    // ranking the rounded score ties them and the id tie-break decides
+    // identically everywhere.
     embs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id").as("neighbor_id"),
-        graft.functions.Similarity.cosine(col("probe_emb"), col("emb")).as("cos"))
+        round(graft.functions.Similarity.cosine(
+          col("probe_emb"), col("emb")), 6).as("cos"))
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopK.topK(5)(col("cos"), col("neighbor_id")).as("tk"))
       .select(col("probe_id"), posexplode(col("tk")))
@@ -256,7 +263,7 @@ object Multimodal {
         |  FROM hh),
         |p AS (SELECT doc_id AS probe_id, emb AS probe_emb FROM e WHERE doc_id % 100 = 0),
         |scored AS (SELECT probe_id, e.doc_id AS neighbor_id,
-        |    list_cosine_similarity(probe_emb, e.emb) AS cos
+        |    round(list_cosine_similarity(probe_emb, e.emb), 6) AS cos
         |  FROM e, p WHERE e.doc_id <> p.probe_id),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5

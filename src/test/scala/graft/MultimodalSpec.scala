@@ -67,9 +67,13 @@ class MultimodalSpec extends AnyFunSuite {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // the query ranks the 6-dp-rounded cosine (so near-1 kernel/DuckDB
+    // ulp differences tie instead of ordering differently) — mirror that
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = embs.keys.filter(_ % 100 == 0).toSeq.sorted.flatMap { p =>
       embs.toSeq.filter(_._1 != p)
-        .map { case (id, v) => (cos(embs(p), v), id) }
+        .map { case (id, v) => (r6(cos(embs(p), v)), id) }
         .sortBy { case (c, id) => (-c, id) }.take(5).zipWithIndex
         .map { case ((c, id), i) => (p, id, c, i + 1) }
     }
