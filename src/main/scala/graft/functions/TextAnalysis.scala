@@ -485,7 +485,67 @@ object TextAnalysis {
       round((cov * cov) / (vx * vy), 6).as("r2"))
   }
 
+  /** Per-document cross-entropy (bits/token) under the corpus unigram
+    * LM — the CCNet-style perplexity quality filter: low bits/token means
+    * stereotypical in-distribution text, high flags rare-vocabulary
+    * outliers (or noise) worth down-weighting before training.
+    * H(d) = Σ_t c_d(t)·log2(N/C(t)) / |d|, C(t) the corpus count.
+    *
+    * Scale shape: one (doc_id, tok) aggregate; corpus counts C(t) arrive
+    * by a tok-keyed window over that aggregate (never the raw explode);
+    * the grand total N broadcasts as a 1-row aggregate of per-doc token
+    * counts. The float sum accumulates as an ordered prefix sum (ORDER BY
+    * tok inside doc_id) — the [[qTextEntropy]] determinism trick — and
+    * round(6) absorbs the log2 ulp. */
+  def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val tot = documents(s, dir)
+      .agg(sum(size(toks).cast("bigint")).as("n_total"))
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val byTok = Window.partitionBy("tok")
+    val prefix = Window.partitionBy("doc_id").orderBy("tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = col("c").cast("double") *
+      log2(col("n_total").cast("double") / col("c_t").cast("double"))
+    tf.crossJoin(broadcast(tot))
+      .withColumn("c_t", sum(col("c")).over(byTok))
+      .withColumn("cum", sum(term).over(prefix))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        round(max_by(col("cum"), col("tok")) / sum(col("c")).cast("double"),
+          6).as("xent_bits_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** LIX readability index per document: words/sentences +
+    * 100·long_words/words (long = more than 6 chars) — the classic
+    * readability score whose inputs are pure integer counts, so both
+    * engines count identically (no syllable heuristics). Sentence count
+    * is the `[.!?]` terminator count floored at 1 (a terminator-less doc
+    * is one sentence — the fixture corpus has no punctuation at all).
+    * Pure per-row projection: zero shuffles at any corpus size. */
+  def qTextReadability(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_words"),
+      greatest(length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+        .cast("bigint").as("n_sents"),
+      size(filter(toks, t => length(t) > 6)).cast("bigint").as("n_long"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_long"),
+        (col("n_words").cast("double") / col("n_sents").cast("double") +
+          lit(100.0) * col("n_long").cast("double") /
+            col("n_words").cast("double")).as("lix"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity" -> qTextPerplexity,
+    "q_text_readability" -> qTextReadability,
     "q_text_zipf" -> qTextZipf,
     "q_text_pmi" -> qTextPmi,
     "q_text_entropy" -> qTextEntropy,
@@ -518,6 +578,30 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |tot AS (SELECT CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS n_total FROM documents),
+        |x AS (SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY tok) AS c_t,
+        |  n_total FROM tf, tot),
+        |y AS (SELECT doc_id, tok, c,
+        |  sum(CAST(c AS DOUBLE) * log2(CAST(n_total AS DOUBLE) / CAST(c_t AS DOUBLE)))
+        |    OVER (PARTITION BY doc_id ORDER BY tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max_by(cum, tok) / CAST(sum(c) AS DOUBLE), 6) AS xent_bits_per_tok
+        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT) AS n_sents,
+        |  CAST(len(list_filter(string_split(text,' '), x -> length(x) > 6)) AS BIGINT) AS n_long
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_long,
+        |  CAST(n_words AS DOUBLE)/CAST(n_sents AS DOUBLE)
+        |    + 100.0 * CAST(n_long AS DOUBLE)/CAST(n_words AS DOUBLE) AS lix
+        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "q_text_pmi" ->
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |u AS (SELECT tok, count(*) AS cu FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),

@@ -128,7 +128,33 @@ object Cohort {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution: each `purchase` is credited to the nearest
+    * PRECEDING non-purchase event of the same user (the touchpoint that
+    * "caused" it), rolled up to credited-channel totals — the standard
+    * marketing-attribution fold. One user-keyed window (`last(...,
+    * ignoreNulls)` over the unbounded-preceding-to-−1 frame carries the
+    * latest touch type forward), co-partitioned with every other
+    * user-keyed pass; purchases with no prior touch credit `(none)`.
+    * Money sums as exact integer cents; ties on ts break by event_id so
+    * both engines pick the same touch. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("credited"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("credited")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution,
     "q_events_debounce" -> qEventsDebounce,
     "q_cohort_retention" -> qCohortRetention,
     "q_funnel_steps" -> qFunnelSteps,
@@ -136,6 +162,18 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT user_id, event_id, event_type, cents,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, '(none)') AS credited,
+        |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY credited ORDER BY credited""".stripMargin,
     "q_events_debounce" ->
       """WITH c AS (SELECT event_id, user_id, event_type, ts FROM events
         |  UNION ALL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -276,7 +276,57 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Bit-interleave spread of a 16-bit value to even bit positions (the
+    * classic Morton magic-constant chain) — pure codegen'd bit arithmetic,
+    * identical `&`/`|`/`<<` semantics in every engine. */
+  private def spread16(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) layout audit: interleave `o_custkey` with the
+    * order-date day offset into one clustering key, bucket by its top 6
+    * bits, and report each bucket's bounding box on BOTH dimensions —
+    * the data-layout primitive behind multi-dimensional scan pruning. At
+    * cluster scale the same `zkey` drives `repartitionByRange(zkey)` +
+    * sorted parquet writes, so file-level min/max statistics stay tight
+    * on customer AND date simultaneously and a scan filtered on either
+    * dimension prunes most files — a single-column sort gives tight
+    * stats on one dimension only. This audit IS the proof: each of the
+    * 64 buckets covers ≤1/8 of the custkey range and ≤1/8 of the date
+    * range (3 top bits each), where a custkey sort would leave every
+    * file spanning the full date range. Both dimensions first normalize
+    * to the full 16-bit domain by exact integer scaling `(v·65535) div
+    * vmax` (raw skewed domains would leave the interleave's top bits
+    * constant and every row in one bucket); the min/max frame is a
+    * broadcast 1-row aggregate. Exact integer arithmetic end-to-end. */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val ext = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"),
+      max(col("o_custkey")).as("cmax"))
+    val z = o.crossJoin(broadcast(ext))
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), col("d0")).cast("bigint")
+          .as("day"),
+        datediff(col("d1"), col("d0")).cast("bigint").as("dmax"),
+        col("cmax"))
+      .withColumn("xs", expr("(o_custkey * 65535) div cmax"))
+      .withColumn("ys", expr("(day * 65535) div dmax"))
+      .withColumn("zkey",
+        spread16(col("xs")).bitwiseOR(shiftleft(spread16(col("ys")), 1)))
+    z.groupBy(shiftright(col("zkey"), 26).cast("bigint").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("z_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> qZorderLayout,
     "q_sample_hash" -> qSampleHash,
     "q_split_stratified" -> qSplitStratified,
     "q_sample_quota" -> qSampleQuota,
@@ -290,6 +340,24 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      """WITH ext AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |  CAST(max(o_orderdate) AS DATE) AS d1, max(o_custkey) AS cmax FROM orders),
+        |base AS (SELECT o_custkey AS x,
+        |  CAST(date_diff('day', d0, CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |  (o_custkey * 65535) // cmax AS xs,
+        |  (CAST(date_diff('day', d0, CAST(o_orderdate AS DATE)) AS BIGINT) * 65535)
+        |    // CAST(date_diff('day', d0, d1) AS BIGINT) AS ys
+        |  FROM orders, ext),
+        |a AS (SELECT x, y, xs & 65535 AS xa, ys & 65535 AS ya FROM base),
+        |b AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb, (ya | (ya << 8)) & 16711935 AS yb FROM a),
+        |c AS (SELECT *, (xb | (xb << 4)) & 252645135 AS xc, (yb | (yb << 4)) & 252645135 AS yc FROM b),
+        |d AS (SELECT *, (xc | (xc << 2)) & 858993459 AS xd, (yc | (yc << 2)) & 858993459 AS yd FROM c),
+        |e AS (SELECT *, (xd | (xd << 1)) & 1431655765 AS xe, (yd | (yd << 1)) & 1431655765 AS ye FROM d)
+        |SELECT (xe | (ye << 1)) >> 26 AS z_bucket, count(*) AS n,
+        |  CAST(min(x) AS BIGINT) AS min_cust, CAST(max(x) AS BIGINT) AS max_cust,
+        |  CAST(min(y) AS BIGINT) AS min_day, CAST(max(y) AS BIGINT) AS max_day
+        |FROM e GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('smp' || CAST(doc_id AS VARCHAR)) < '2'

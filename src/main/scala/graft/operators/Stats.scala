@@ -345,7 +345,91 @@ object Stats {
       .orderBy("col_name")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `view` and
+    * `click` value distributions — the distribution-drift detector a data
+    * pipeline runs between corpus versions or A/B arms. D =
+    * max_v |F_view(v) − F_click(v)|, computed entirely in integers:
+    * the max runs over |nb·cumA(v) − na·cumB(v)| (exact bigints) and only
+    * the final single division drops to double — bit-identical in any
+    * engine, no rounding needed.
+    *
+    * Scale shape: the fact table collapses to one cell per distinct cents
+    * value (domain-bounded — value-range·100 cells regardless of corpus
+    * size, ~17k at sf0.1). The CDF prefix sums run two-level: an in-segment
+    * window partitioned on `cents div 256` plus a partition-less offsets
+    * window over the ≤domain/256 segment totals — no window task ever sees
+    * more than max(256, #segments) rows (the [[graft.operators.Pipeline]]
+    * pack-sequences pattern). The cross-term products stay within int64
+    * while na·nb < ~9e18; past that the same query promotes to
+    * decimal(38,0). */
+  def qStatsKs(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+      .withColumn("seg", expr("cents div 256"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val offW = Window.orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells.groupBy("seg")
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .select(col("seg"),
+        coalesce(sum(col("sa")).over(offW), lit(0L)).as("off_a"),
+        coalesce(sum(col("sb")).over(offW), lit(0L)).as("off_b"))
+    val inSeg = Window.partitionBy("seg").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(offs), "seg")
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(inSeg))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(inSeg))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("nb") * col("cum_a") - col("na") * col("cum_b")))
+          .as("ks_num"))
+      .select(col("na"), col("nb"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")))
+          .as("ks_stat"))
+  }
+
+  /** Per-type winsorized mean at [p05, p95] — the robust-mean audit that
+    * survives the heavy tails a plain mean does not. The exact discrete
+    * quantile thresholds come from integer cumulative counts over the
+    * per-(type, cents) cells (lo = least v with 20·cum ≥ n, hi = least v
+    * with 20·cum ≥ 19·n — pure integer comparisons, no interpolated
+    * percentile whose float arithmetic differs between engines), then the
+    * tiny bounds frame broadcasts back and the clamped integer cents sum
+    * exactly. Scale: the cells are domain-bounded per type; the fact table
+    * is touched by one partial-aggregated groupBy per pass and never
+    * shuffled on rows. */
+  def qStatsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+    val cells = e.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = cells
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    val bounds = x.groupBy("event_type")
+      .agg(min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+        (sum(greatest(col("lo"), least(col("hi"), col("cents"))))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("wins_mean_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ks" -> qStatsKs,
+    "q_stats_winsorize" -> qStatsWinsorize,
     "q_profile_columns" -> qProfileColumns,
     "q_asof_snapshot" -> qAsOfSnapshot,
     "q_cdc_apply" -> qCdcApply,
@@ -368,6 +452,41 @@ object Stats {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_ks" ->
+      """WITH f AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view','click')),
+        |cells AS (SELECT cents,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM f GROUP BY cents),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |c AS (SELECT cents,
+        |  CAST(sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |  CAST(sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM cells)
+        |SELECT na, nb,
+        |  CAST(max(abs(nb*cum_a - na*cum_b)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(nb*cum_a - na*cum_b)) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+        |FROM c, tot GROUP BY na, nb""".stripMargin,
+    "q_stats_winsorize" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents FROM events),
+        |cells AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY event_type, cents),
+        |x AS (SELECT event_type, cents,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM cells),
+        |b AS (SELECT event_type,
+        |  min(CASE WHEN 20*cum >= n THEN cents END) AS lo,
+        |  min(CASE WHEN 20*cum >= 19*n THEN cents END) AS hi
+        |  FROM x GROUP BY event_type)
+        |SELECT e.event_type AS event_type, count(*) AS n,
+        |  CAST(b.lo AS BIGINT) AS lo_cents, CAST(b.hi AS BIGINT) AS hi_cents,
+        |  CAST(sum(greatest(b.lo, least(b.hi, e.cents))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS wins_mean_cents
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, b.lo, b.hi ORDER BY 1""".stripMargin,
     "q_profile_columns" ->
       (Seq(
         profSql("l_returnflag", "l_returnflag"),

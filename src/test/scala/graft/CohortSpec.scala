@@ -93,4 +93,30 @@ class CohortSpec extends AnyFunSuite {
       .select(count_distinct(col("user_id"))).collect()(0).getLong(0)
     assert(rows(0) == viewers)
   }
+
+  test("attribution: every purchase credited once, matching in-memory last-touch") {
+    val got = Cohort.qAttribution(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val ev = Tables.events(spark, TestSpark.sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"), floor(col("value") * 100).cast("bigint"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var touch: String = null
+      rows.sortBy(r => (r._3, r._2)).flatMap { r =>
+        val out =
+          if (r._4 == "purchase")
+            Some((if (touch == null) "(none)" else touch, r._5))
+          else { touch = r._4; None }
+        out
+      }
+    }
+    val agg = brute.groupBy(_._1).map { case (k, v) =>
+      (k, v.size.toLong, v.map(_._2).sum)
+    }.toList.sortBy(_._1)
+    assert(got == agg)
+    assert(got.map(_._2).sum == ev.count(_._4 == "purchase").toLong)
+  }
 }

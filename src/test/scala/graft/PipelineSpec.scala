@@ -300,4 +300,65 @@ class PipelineSpec extends AnyFunSuite {
     val q = Pipeline.qTextRedact(spark, TestSpark.sf001)
     assert(q.filter(col("n_emails") < 1 || col("n_nums") < 1).isEmpty)
   }
+
+  test("zorder: buckets partition the table with dual-dimension locality") {
+    val rows = Pipeline.qZorderLayout(spark, TestSpark.sf001).collect()
+    val o = Tables.orders(spark, TestSpark.sf001)
+    assert(rows.map(_.getLong(1)).sum == o.count())
+    assert(rows.length >= 32 && rows.length <= 64)
+    val mm = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"),
+      max(col("o_custkey")).as("cmax")).collect()(0)
+    val dmax = java.time.temporal.ChronoUnit.DAYS.between(
+      mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+    val cmax = mm.getLong(2)
+    // a bucket fixes the top 3 bits of BOTH scaled dimensions, so each
+    // bucket's span in the 16-bit scaled domain is < 2^13 on each axis —
+    // the dual-dimension locality a single-column sort cannot give
+    def sc(v: Long, vmax: Long): Long = v * 65535L / vmax
+    rows.foreach { r =>
+      assert(sc(r.getLong(3), cmax) - sc(r.getLong(2), cmax) <= 8191L,
+        s"cust span in bucket ${r.getLong(0)}")
+      assert(sc(r.getLong(5), dmax) - sc(r.getLong(4), dmax) <= 8191L,
+        s"day span in bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("perplexity: Gibbs bound (doc entropy <= cross-entropy vs corpus)") {
+    val xent = graft.functions.TextAnalysis
+      .qTextPerplexity(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("xent_bits_per_tok"))
+    val ent = graft.functions.TextAnalysis
+      .qTextEntropy(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("entropy_bits"))
+    val joined = xent.join(ent, "doc_id").collect()
+    assert(joined.nonEmpty)
+    // H(p) <= H(p, q) for every doc, with 6-dp rounding slack on each side
+    joined.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) + 2e-6,
+        s"doc ${r.getLong(0)}: entropy ${r.getDouble(2)} > xent ${r.getDouble(1)}")
+    }
+  }
+
+  test("readability: matches a scalar LIX recompute") {
+    val got = graft.functions.TextAnalysis
+      .qTextReadability(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size == docs.count(_._2.split(" ").exists(_.nonEmpty)))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val sents = math.max(text.count(c => "?!.".contains(c)), 1)
+        val long = toks.count(_.length > 6)
+        val (w, se, l, lix) = got(id)
+        assert(w == toks.length.toLong && se == sents.toLong && l == long.toLong)
+        assert(lix == toks.length.toDouble / sents +
+          100.0 * long / toks.length)
+      }
+    }
+  }
 }

@@ -215,4 +215,45 @@ class StatsSpec extends AnyFunSuite {
       assert(sorted.forall(r => (r._5 == 1) == r._4.isEmpty))
     }
   }
+
+  test("ks statistic matches a brute-force recompute and sits in [0,1]") {
+    val r = Stats.qStatsKs(spark, TestSpark.sf001).collect()(0)
+    val (na, nb, ksNum, ksStat) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val rows = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), floor(col("value") * 100).cast("bigint"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = rows.filter(_._1 == "view").map(_._2)
+    val b = rows.filter(_._1 == "click").map(_._2)
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val brute = (a ++ b).distinct.map { v =>
+      math.abs(nb * a.count(_ <= v) - na * b.count(_ <= v))
+    }.max
+    assert(ksNum == brute)
+    assert(ksStat == brute.toDouble / (na.toDouble * nb.toDouble))
+    assert(ksStat >= 0.0 && ksStat <= 1.0)
+  }
+
+  test("winsorize: exact discrete 5/95 bounds and the clamped mean") {
+    val got = Stats.qStatsWinsorize(spark, TestSpark.sf001).collect()
+    assert(got.nonEmpty)
+    val byType = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_type"), floor(col("value") * 100).cast("bigint"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1)
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val (t, n, lo, hi, m) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      val xs = byType(t).map(_._2).sorted
+      assert(n == xs.length.toLong)
+      val dv = xs.distinct
+      assert(lo == dv.find(v => 20L * xs.count(_ <= v) >= n).get)
+      assert(hi == dv.find(v => 20L * xs.count(_ <= v) >= 19L * n).get)
+      val clamped = xs.map(v => math.max(lo, math.min(hi, v)))
+      assert(m == clamped.sum.toDouble / n.toDouble)
+      assert(lo <= hi && m >= lo.toDouble && m <= hi.toDouble)
+    }
+  }
 }
