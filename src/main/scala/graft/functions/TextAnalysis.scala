@@ -543,7 +543,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source hapax-legomenon ratio (share of the vocabulary appearing
+    * exactly once) — the vocabulary-richness audit: natural prose sits
+    * around 0.4–0.6, templated/boilerplate corpora collapse toward 0,
+    * OCR noise inflates toward 1. One (source, tok) partial-aggregated
+    * count; the ratio is a single integer-over-integer division. */
+  def qTextHapax(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_vocab"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_ratio"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_hapax" -> qTextHapax,
     "q_text_perplexity" -> qTextPerplexity,
     "q_text_readability" -> qTextReadability,
     "q_text_zipf" -> qTextZipf,
@@ -578,6 +596,14 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_hapax" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok)
+        |SELECT source, count(*) AS n_vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     "q_text_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),

@@ -427,7 +427,82 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Mann–Whitney U (rank-sum) between the `view` and `click` value
+    * distributions — the non-parametric A/B effect test, with the AUC
+    * effect size U/(na·nb). Ties take midranks; everything stays integer
+    * by carrying DOUBLED ranks (2·midrank(v) = 2·cum_before(v) + c(v) + 1,
+    * all exact bigints), so 2·U_a = Σ ca·2midrank − na(na+1) is exact and
+    * only the final AUC division drops to double. Same domain-bounded
+    * cells + two-level prefix-sum shape as [[qStatsKs]]. */
+  def qStatsMwu(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+      .withColumn("seg", expr("cents div 256"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val offW = Window.orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells.groupBy("seg")
+      .agg(sum(col("ca") + col("cb")).as("st"))
+      .select(col("seg"),
+        coalesce(sum(col("st")).over(offW), lit(0L)).as("off_t"))
+    val inSeg = Window.partitionBy("seg").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(offs), "seg")
+      .withColumn("excl",
+        col("off_t") + sum(col("ca") + col("cb")).over(inSeg) -
+          (col("ca") + col("cb")))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("ca") * (col("excl") * 2 + col("ca") + col("cb") + 1))
+          .as("r2a"))
+      .select(col("na"), col("nb"),
+        (col("r2a") - col("na") * (col("na") + 1)).as("u2_a"))
+      .withColumn("auc",
+        col("u2_a").cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+  }
+
+  /** Lag-1 autocorrelation of the daily revenue series — the
+    * time-series health check (near-0 = independent days, near-1 =
+    * strong persistence/trend). The fact table collapses to one exact
+    * integer-cents row per day FIRST (date-domain-bounded — thousands of
+    * rows at any corpus size), so the lead window and the five moment
+    * sums touch only the aggregate. Squared daily totals exceed 2^53, so
+    * the power sums accumulate in decimal(38,0) / HUGEINT like
+    * [[qStatsLinreg]]; the final correlation drops to double through the
+    * same operation tree in both engines. */
+  def qStatsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val pairs = daily
+      .withColumn("next", lead(col("rev"), 1).over(Window.orderBy("day")))
+      .filter(col("next").isNotNull)
+    // products computed IN decimal (not cast after an int64 multiply):
+    // daily totals past ~3e9 cents would overflow the intermediate long
+    val dx = col("rev").cast("decimal(19,0)")
+    val dy = col("next").cast("decimal(19,0)")
+    val g = pairs.agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("sx"), sum(col("next")).as("sy"),
+      sum(dx * dx).as("sx2"), sum(dy * dy).as("sy2"),
+      sum(dx * dy).as("sxy"))
+    val n = d(col("n"))
+    val mx = d(col("sx")) / n
+    val my = d(col("sy")) / n
+    val vx = d(col("sx2")) / n - mx * mx
+    val vy = d(col("sy2")) / n - my * my
+    val cov = d(col("sxy")) / n - mx * my
+    g.select(col("n"), (cov / (sqrt(vx) * sqrt(vy))).as("lag1_autocorr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_mwu" -> qStatsMwu,
+    "q_stats_autocorr" -> qStatsAutocorr,
     "q_stats_ks" -> qStatsKs,
     "q_stats_winsorize" -> qStatsWinsorize,
     "q_profile_columns" -> qProfileColumns,
@@ -452,6 +527,46 @@ object Stats {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_mwu" ->
+      """WITH f AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view','click')),
+        |cells AS (SELECT cents,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM f GROUP BY cents),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |c AS (SELECT cents, ca, cb,
+        |  CAST(sum(ca+cb) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca+cb) AS BIGINT) AS excl
+        |  FROM cells),
+        |u AS (SELECT na, nb,
+        |  CAST(sum(ca*(excl*2 + ca + cb + 1)) - na*(na+1) AS BIGINT) AS u2_a
+        |  FROM c, tot GROUP BY na, nb)
+        |SELECT na, nb, u2_a,
+        |  CAST(u2_a AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc
+        |FROM u""".stripMargin,
+    "q_stats_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY day),
+        |p AS (SELECT rev, lead(rev, 1) OVER (ORDER BY day) AS next FROM daily),
+        |g AS (SELECT count(*) AS n,
+        |  CAST(sum(rev) AS BIGINT) AS sx, CAST(sum(next) AS BIGINT) AS sy,
+        |  sum(CAST(rev AS HUGEINT)*rev) AS sx2,
+        |  sum(CAST(next AS HUGEINT)*next) AS sy2,
+        |  sum(CAST(rev AS HUGEINT)*next) AS sxy
+        |  FROM p WHERE next IS NOT NULL),
+        |m AS (SELECT n,
+        |  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mx,
+        |  CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS my,
+        |  CAST(sx2 AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS vx,
+        |  CAST(sy2 AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS vy,
+        |  CAST(sxy AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS cov
+        |  FROM g)
+        |SELECT n, cov / (sqrt(vx) * sqrt(vy)) AS lag1_autocorr FROM m""".stripMargin,
     "q_stats_ks" ->
       """WITH f AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents
         |  FROM events WHERE event_type IN ('view','click')),

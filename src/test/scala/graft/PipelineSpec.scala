@@ -340,6 +340,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hapax ratio: matches in-memory per-source vocabulary counts") {
+    val got = graft.functions.TextAnalysis.qTextHapax(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val bySource = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, docs) =>
+      val counts = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (_, v) => v.length }
+      val (vocab, hapax) = (counts.size.toLong, counts.count(_ == 1).toLong)
+      val (gv, gh, gr) = got(src)
+      assert(gv == vocab && gh == hapax)
+      assert(gr == hapax.toDouble / vocab.toDouble)
+      assert(gr >= 0.0 && gr <= 1.0)
+    }
+  }
+
   test("readability: matches a scalar LIX recompute") {
     val got = graft.functions.TextAnalysis
       .qTextReadability(spark, TestSpark.sf0001).collect()

@@ -235,6 +235,45 @@ class StatsSpec extends AnyFunSuite {
     assert(ksStat >= 0.0 && ksStat <= 1.0)
   }
 
+  test("mwu: doubled rank-sum matches a brute-force midrank recompute") {
+    val r = Stats.qStatsMwu(spark, TestSpark.sf001).collect()(0)
+    val (na, nb, u2a, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val rows = Tables.events(spark, TestSpark.sf001)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), floor(col("value") * 100).cast("bigint"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = rows.filter(_._1 == "view").map(_._2)
+    val b = rows.filter(_._1 == "click").map(_._2)
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val all = a ++ b
+    // 2·midrank(v) = 2·|{x < v}| + |{x = v}| + 1
+    def mid2(v: Long): Long = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val r2a = a.map(mid2).sum
+    assert(u2a == r2a - na * (na + 1))
+    assert(auc == u2a.toDouble / (2.0 * na.toDouble * nb.toDouble))
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("autocorr: matches in-memory Pearson r of consecutive daily sums") {
+    val r = Stats.qStatsAutocorr(spark, TestSpark.sf001).collect()(0)
+    val (n, r1) = (r.getLong(0), r.getDouble(1))
+    assert(r1 >= -1.0 && r1 <= 1.0)
+    val daily = Tables.orders(spark, TestSpark.sf001)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val xs = daily.dropRight(1).map(_.toDouble)
+    val ys = daily.drop(1).map(_.toDouble)
+    assert(n == xs.length.toLong)
+    val m = xs.length.toDouble
+    val (mx, my) = (xs.sum / m, ys.sum / m)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / m
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / m
+    val vy = ys.map(y => (y - my) * (y - my)).sum / m
+    assert(math.abs(r1 - cov / math.sqrt(vx * vy)) < 1e-9)
+  }
+
   test("winsorize: exact discrete 5/95 bounds and the clamped mean") {
     val got = Stats.qStatsWinsorize(spark, TestSpark.sf001).collect()
     assert(got.nonEmpty)
