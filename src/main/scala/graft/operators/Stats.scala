@@ -363,6 +363,9 @@ object Stats {
     * while na·nb < ~9e18; past that the same query promotes to
     * decimal(38,0). */
   def qStatsKs(s: SparkSession, dir: String): DataFrame = {
+    // cache() the POST-AGGREGATE cells (domain-bounded, tiny): three
+    // consumers (CDF pass, segment offsets, totals) would otherwise each
+    // rescan and re-aggregate the full fact table
     val cells = events(s, dir)
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_type"),
@@ -371,11 +374,13 @@ object Stats {
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
       .withColumn("seg", expr("cents div 256"))
-    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .cache()
+    val segTot = cells.groupBy("seg")
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val tot = segTot.agg(sum(col("sa")).as("na"), sum(col("sb")).as("nb"))
     val offW = Window.orderBy("seg")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = cells.groupBy("seg")
-      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val offs = segTot
       .select(col("seg"),
         coalesce(sum(col("sa")).over(offW), lit(0L)).as("off_a"),
         coalesce(sum(col("sb")).over(offW), lit(0L)).as("off_b"))
@@ -435,6 +440,7 @@ object Stats {
     * only the final AUC division drops to double. Same domain-bounded
     * cells + two-level prefix-sum shape as [[qStatsKs]]. */
   def qStatsMwu(s: SparkSession, dir: String): DataFrame = {
+    // same cached-cells discipline as [[qStatsKs]] — one fact scan
     val cells = events(s, dir)
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_type"),
@@ -443,13 +449,15 @@ object Stats {
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
       .withColumn("seg", expr("cents div 256"))
-    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .cache()
+    val segTot = cells.groupBy("seg")
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val tot = segTot.agg(sum(col("sa")).as("na"), sum(col("sb")).as("nb"))
     val offW = Window.orderBy("seg")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = cells.groupBy("seg")
-      .agg(sum(col("ca") + col("cb")).as("st"))
+    val offs = segTot
       .select(col("seg"),
-        coalesce(sum(col("st")).over(offW), lit(0L)).as("off_t"))
+        coalesce(sum(col("sa") + col("sb")).over(offW), lit(0L)).as("off_t"))
     val inSeg = Window.partitionBy("seg").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells.join(broadcast(offs), "seg")
