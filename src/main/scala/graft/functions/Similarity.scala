@@ -313,7 +313,70 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-label centroid frame over GLOBALLY-quantized embeddings: each
+    * component snaps to a fixed 1e-4 grid (`floor(x·10⁴ + 0.5)` — exact
+    * double arithmetic on the float32-widened value, identical in any
+    * engine), so the per-(label, dim) component sums are exact integers
+    * whose partial-aggregate merge order cannot change a bit; squared
+    * magnitudes accumulate in decimal(38,0)/HUGEINT for int64 headroom
+    * at corpus scale. Returns label, n, Σ|x|² (grid units²), and the
+    * dim-ordered centroid array (exact sums / n) — everything downstream
+    * touches only |labels| rows. */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val qcol = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 10000d + 0.5d) as bigint))")
+    embeddings(s, dir)
+      .select(col("label"), posexplode(qcol).as(Seq("dim", "qi")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("qq"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"), sum(col("qq")).as("qtot"),
+        transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          p => p.getField("s").cast("double")).as("ss"))
+      .select(col("label"), col("n"), col("qtot"),
+        transform(col("ss"), x => x / col("n").cast("double")).as("cvec"))
+  }
+
+  /** Per-label cluster-quality audit: centroid magnitude and inertia
+    * (mean squared distance to the label centroid) in quantized-grid
+    * units², via the exact decomposition E|x−c|² = E|x|² − |c|² — so NO
+    * join-back of the centroid onto the corpus and no per-vector second
+    * pass: one explode-aggregate over (label, dim), then |labels| rows.
+    * The float part (|c|² via the left-fold dot kernel, mirrored by
+    * DuckDB's list_dot_product) runs over the dim-ordered centroid
+    * array; round(6) absorbs nothing — the tree is deterministic — but
+    * keeps parity with the similarity family's score convention. */
+  def qEmbInertia(s: SparkSession, dir: String): DataFrame = {
+    val c = labelCentroids(s, dir)
+    val n = col("n").cast("double")
+    c.select(col("label"), col("n"),
+        round(dot(col("cvec"), col("cvec")), 6).as("centroid_sq"),
+        round(col("qtot").cast("double") / n - dot(col("cvec"), col("cvec")),
+          6).as("inertia"))
+      .orderBy("label")
+  }
+
+  /** Pairwise label-centroid separation |c_a − c_b|² (same grid units²)
+    * — the between-cluster counterpart of [[qEmbInertia]], computed as
+    * dot(a,a) − 2·dot(a,b) + dot(b,b) over the tiny cached centroid
+    * frame (|labels|² pairs; the corpus is scanned once by the shared
+    * centroid aggregate). Together they give the Davies-Bouldin-style
+    * separation-vs-spread read on an embedding space. */
+  def qEmbSeparation(s: SparkSession, dir: String): DataFrame = {
+    val c = labelCentroids(s, dir).select(col("label"), col("cvec")).cache()
+    val a = c.select(col("label").as("la"), col("cvec").as("ca"))
+    val b = c.select(col("label").as("lb"), col("cvec").as("cb"))
+    a.join(broadcast(b), col("la") < col("lb"))
+      .select(col("la"), col("lb"),
+        round(dot(col("ca"), col("ca")) - lit(2.0) * dot(col("ca"), col("cb"))
+          + dot(col("cb"), col("cb")), 6).as("dist_sq"))
+      .orderBy("la", "lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_inertia" -> qEmbInertia,
+    "q_emb_separation" -> qEmbSeparation,
     "q_sim_topk" -> qSimTopk,
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
@@ -323,7 +386,36 @@ object Similarity {
     "q_array_math" -> qArrayMath,
   )
 
+  // Shared CTE chain for the centroid audits. The unnest-bearing CTEs are
+  // MATERIALIZED: the separation oracle expands `c` twice, and an unnest
+  // inside a multiply-expanded CTE trips a DuckDB binder assertion.
+  private val centroidCte =
+    """WITH v AS MATERIALIZED (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS MATERIALIZED (SELECT label, unnest(range(1, len(e)+1)) AS d, e FROM v),
+      |q AS (SELECT label, d, CAST(floor(e[CAST(d AS INT)]*10000 + 0.5) AS BIGINT) AS qi FROM x),
+      |g AS (SELECT label, d, count(*) AS n, CAST(sum(qi) AS BIGINT) AS s,
+      |  sum(CAST(qi AS HUGEINT)*qi) AS qq FROM q GROUP BY label, d),
+      |l AS (SELECT label, CAST(max(n) AS BIGINT) AS n, sum(qq) AS qtot,
+      |  list(CAST(s AS DOUBLE) ORDER BY d) AS ss FROM g GROUP BY label),
+      |c AS (SELECT label, n, qtot,
+      |  list_transform(ss, x -> x / CAST(n AS DOUBLE)) AS cvec FROM l)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_emb_inertia" ->
+      (centroidCte + """
+        |SELECT label, n,
+        |  round(list_dot_product(cvec, cvec), 6) AS centroid_sq,
+        |  round(CAST(qtot AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - list_dot_product(cvec, cvec), 6) AS inertia
+        |FROM c ORDER BY label""".stripMargin),
+    "q_emb_separation" ->
+      (centroidCte + """
+        |SELECT a.label AS la, b.label AS lb,
+        |  round(list_dot_product(a.cvec, a.cvec)
+        |    - 2.0 * list_dot_product(a.cvec, b.cvec)
+        |    + list_dot_product(b.cvec, b.cvec), 6) AS dist_sq
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY la, lb""".stripMargin),
     "q_array_math" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  list_min(embedding::DOUBLE[]) AS mn, list_max(embedding::DOUBLE[]) AS mx,

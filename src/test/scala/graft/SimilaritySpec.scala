@@ -89,4 +89,46 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "var_id").as[(Long, Long)].collect().toSet
     assert(rows == (0L until 20L).map(i => (i, i + 100000)).toSet)
   }
+
+  test("inertia/separation: match a naive in-memory centroid recompute") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 10000d + 0.5d)).toArray))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2) }
+    val cents = vecs.map { case (l, xs) =>
+      val n = xs.length
+      val c = xs.transpose.map(_.sum / n).toArray
+      l -> (n, c)
+    }
+    // inertia: direct mean |x - c|^2 — validates the E|x|^2 - |c|^2
+    // identity the operator uses, not just its arithmetic
+    val gotI = Similarity.qEmbInertia(spark, TestSpark.sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(gotI.keySet == vecs.keySet)
+    vecs.foreach { case (l, xs) =>
+      val (n, c) = cents(l)
+      val naive = xs.map(x =>
+        x.zip(c).map { case (xi, ci) => (xi - ci) * (xi - ci) }.sum).sum / n
+      val (gn, csq, inertia) = gotI(l)
+      assert(gn == n.toLong)
+      assert(math.abs(inertia - naive) < math.abs(naive) * 1e-9 + 1e-6,
+        s"label $l inertia $inertia vs naive $naive")
+      assert(inertia >= 0.0 && csq >= 0.0)
+    }
+    val gotS = Similarity.qEmbSeparation(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val labels = cents.keys.toSeq.sorted
+    assert(gotS.size == labels.size * (labels.size - 1) / 2)
+    for (a <- labels; b <- labels if a < b) {
+      val (ca, cb) = (cents(a)._2, cents(b)._2)
+      val naive = ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum
+      val d = gotS((a, b))
+      assert(math.abs(d - naive) < math.abs(naive) * 1e-9 + 1e-6,
+        s"pair ($a,$b) dist_sq $d vs naive $naive")
+      assert(d >= 0.0)
+    }
+  }
 }
