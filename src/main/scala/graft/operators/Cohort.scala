@@ -153,7 +153,29 @@ object Cohort {
       .orderBy("credited")
   }
 
+  /** First-order event-transition matrix: counts and row-normalized
+    * shares of (previous type → type) steps along each user's timeline —
+    * the Markov-chain view of user behavior (and the input to
+    * next-action models). One lag window per user (co-partitioned with
+    * every other user-keyed pass); the share normalization windows over
+    * the ≤(types+1)·types aggregate. First events transition from
+    * `(start)`. Counts exact; share is one exact-integer division. */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .groupBy(coalesce(col("prev"), lit("(start)")).as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> qEventTransitions,
     "q_attribution" -> qAttribution,
     "q_events_debounce" -> qEventsDebounce,
     "q_cohort_retention" -> qCohortRetention,
@@ -162,6 +184,15 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT coalesce(prev, '(start)') AS from_type,
+        |  event_type AS to_type, count(*) AS n FROM t GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |  CAST(floor(value*100) AS BIGINT) AS cents FROM events),

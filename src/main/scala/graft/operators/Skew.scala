@@ -65,8 +65,60 @@ object Skew {
       .orderBy("s_name")
   }
 
+  /** Key-distribution skew audit over `events.user_id` — the measurement
+    * that DRIVES the salting decision above: row count, key count,
+    * hottest-key share, and the normalized entropy of the key
+    * distribution (balance 1.0 = perfectly uniform keys, →0 = one key
+    * owns the table; shares/entropy tell you whether [[saltedJoin]] or a
+    * plain join is the right plan BEFORE running it).
+    *
+    * The integer stats are exact in any merge order. The float
+    * Σ c·log2 c runs over a CORPUS-SIZED key set, so a flat ordered
+    * window would funnel every key through one task; instead BOTH
+    * engines run the same MIRRORED two-level ordered reduction —
+    * in-segment prefix sums on `user_id div segSize` (segment count
+    * ≤4097 via [[Pipeline.packSegSize]]), then an ordered prefix over
+    * the ≤4097 segment leaves. The addition sequence is identical in
+    * Spark and DuckDB, which is all float determinism needs; round(6)
+    * absorbs the log2 ulp. */
+  def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = events(s, dir).agg(max(col("user_id"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val segSize = Pipeline.packSegSize(maxId)
+    val counts = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("seg", expr(s"user_id div $segSize"))
+    val cd = col("c").cast("double")
+    val inSeg = Window.partitionBy("seg").orderBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segLeaf = counts
+      .withColumn("cum", sum(cd * log2(cd)).over(inSeg))
+      .groupBy("seg")
+      .agg(sum(col("c")).as("n_seg"), count(lit(1)).as("k_seg"),
+        max(col("c")).as("max_seg"),
+        max_by(col("cum"), col("user_id")).as("s_seg"))
+    val segW = Window.orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = segLeaf
+      .withColumn("s_cum", sum(col("s_seg")).over(segW))
+      .groupBy()
+      .agg(sum(col("n_seg")).as("n_rows"), sum(col("k_seg")).as("n_keys"),
+        max(col("max_seg")).as("max_c"),
+        max_by(col("s_cum"), col("seg")).as("s_tot"))
+    val n = col("n_rows").cast("double")
+    val h = log2(n) - col("s_tot") / n
+    tot.select(col("n_rows"), col("n_keys"), col("max_c"),
+      (col("max_c").cast("double") / n).as("top_share"),
+      round(h, 6).as("entropy_bits"),
+      round(h / log2(col("n_keys").cast("double")), 6).as("balance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_skew_salted" -> qJoinSkewSalted,
+    "q_skew_audit" -> qSkewAudit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,5 +127,29 @@ object Skew {
         |  CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100 AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q_skew_audit" ->
+      """WITH m AS (SELECT greatest(256, max(user_id) // 4096 + 1) AS seg_size FROM events),
+        |c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |x AS (SELECT user_id, c, user_id // seg_size AS seg FROM c, m),
+        |y AS (SELECT seg, user_id, c,
+        |  sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |    OVER (PARTITION BY seg ORDER BY user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x),
+        |sl AS (SELECT seg, CAST(sum(c) AS BIGINT) AS n_seg, count(*) AS k_seg,
+        |  CAST(max(c) AS BIGINT) AS max_seg, max_by(cum, user_id) AS s_seg
+        |  FROM y GROUP BY seg),
+        |t AS (SELECT seg, n_seg, k_seg, max_seg,
+        |  sum(s_seg) OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+        |  FROM sl),
+        |g AS (SELECT CAST(sum(n_seg) AS BIGINT) AS n_rows,
+        |  CAST(sum(k_seg) AS BIGINT) AS n_keys,
+        |  CAST(max(max_seg) AS BIGINT) AS max_c, max_by(s_cum, seg) AS s_tot FROM t)
+        |SELECT n_rows, n_keys, max_c,
+        |  CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+        |  round(log2(CAST(n_rows AS DOUBLE)) - s_tot / CAST(n_rows AS DOUBLE), 6) AS entropy_bits,
+        |  round((log2(CAST(n_rows AS DOUBLE)) - s_tot / CAST(n_rows AS DOUBLE))
+        |    / log2(CAST(n_keys AS DOUBLE)), 6) AS balance
+        |FROM g""".stripMargin,
   )
 }
