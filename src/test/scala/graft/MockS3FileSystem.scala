@@ -1,0 +1,175 @@
+package graft
+
+import java.io.FileNotFoundException
+import java.net.URI
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Shared backing store for [[MockS3FileSystem]] — static because local-mode
+  * executor threads share the JVM, mirroring how a bucket is shared state
+  * behind every S3 client. Keys are flat strings; "directories" exist only
+  * as key prefixes, exactly like S3 (`/root/reference/src/s3.rs:87-100`). */
+object MockS3Store {
+  /** bucket → sorted key → (size, mtimeMillis). Sorted so ranged prefix
+    * scans mirror ListObjectsV2's lexicographic cursor. */
+  val buckets =
+    new ConcurrentHashMap[String, ConcurrentSkipListMap[String, (Long, Long)]]()
+  /** Values of fs.s3a.endpoint observed at FileSystem.initialize — proves
+    * the env→conf client config (S7) reaches actual FS construction,
+    * including the executor-side Configuration rebuild. */
+  val seenEndpoints = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Number of ListObjectsV2-style pages served by recursive listings. */
+  val pagesServed = new AtomicInteger(0)
+
+  def bucket(b: String): ConcurrentSkipListMap[String, (Long, Long)] =
+    buckets.computeIfAbsent(b, _ => new ConcurrentSkipListMap[String, (Long, Long)]())
+
+  def put(b: String, key: String, size: Long, mtime: Long): Unit =
+    bucket(b).put(key, (size, mtime))
+
+  def clear(): Unit = { buckets.clear(); seenEndpoints.clear(); pagesServed.set(0) }
+}
+
+/** In-JVM Hadoop FileSystem with S3 object-store semantics, registered as
+  * `mocks3://`. The listing stack (`FileListing.list`/`listDF`) talks to the
+  * Hadoop FS SPI — the exact interface s3a implements — so driving it
+  * through this class executes the same code paths a real bucket would
+  * (shard BFS over synthesized prefix-dirs, recursive paged listing under a
+  * prefix, executor-side conf rebuild) minus only the AWS wire protocol,
+  * which this offline harness cannot reach. S3 semantics mirrored:
+  * flat keys, implicit directories (mtime 0), no creation time, page size
+  * 1000 (`s3.rs:95` MaxKeys default), lexicographic cursor pagination.
+  *
+  * Tests must set `fs.mocks3.impl.disable.cache=true`: Hadoop's FS cache is
+  * keyed by (scheme, authority) only, so without it an executor would
+  * silently reuse the driver's instance and the conf-propagation assertions
+  * would test nothing.
+  */
+class MockS3FileSystem extends FileSystem {
+  private var fsUri: URI = _
+  private var bucketName: String = _
+  private var workDir: Path = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    bucketName = name.getAuthority
+    workDir = new Path(fsUri.toString + "/")
+    setConf(conf)
+    Option(conf.get("fs.s3a.endpoint")).foreach(MockS3Store.seenEndpoints.add)
+  }
+
+  override def getScheme: String = "mocks3"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+
+  private def keyOf(p: Path): String = {
+    val raw = p.toUri.getPath
+    if (raw == null) "" else raw.stripPrefix("/")
+  }
+  private def store = MockS3Store.bucket(bucketName)
+
+  private def fileStatus(key: String, size: Long, mtime: Long): FileStatus =
+    new FileStatus(size, false, 1, 64L * 1024 * 1024, mtime,
+      new Path(s"$fsUri/$key"))
+  private def dirStatus(key: String): FileStatus =
+    new FileStatus(0, true, 1, 0, 0L,
+      if (key.isEmpty) new Path(s"$fsUri/") else new Path(s"$fsUri/$key"))
+
+  private def hasPrefix(prefix: String): Boolean = {
+    val from = store.tailMap(prefix, true)
+    !from.isEmpty && from.firstKey.startsWith(prefix)
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) dirStatus("")
+    else Option(store.get(key)) match {
+      case Some((size, mtime)) => fileStatus(key, size, mtime)
+      case None if hasPrefix(key + "/") => dirStatus(key)
+      case None => throw new FileNotFoundException(s"mocks3: no key $key")
+    }
+  }
+
+  /** Immediate children of a prefix — S3 ListObjectsV2 with delimiter="/":
+    * direct objects become files, deeper keys collapse into one synthetic
+    * dir per first path segment. */
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    if (key.nonEmpty && store.containsKey(key)) return Array(getFileStatus(f))
+    if (prefix.nonEmpty && !hasPrefix(prefix)) {
+      throw new FileNotFoundException(s"mocks3: no prefix $prefix")
+    }
+    val files = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    store.tailMap(prefix, true).asScala.takeWhile(_._1.startsWith(prefix))
+      .foreach { case (k, (size, mtime)) =>
+        val rest = k.substring(prefix.length)
+        val slash = rest.indexOf('/')
+        if (slash < 0) files += fileStatus(k, size, mtime)
+        else dirs += prefix + rest.substring(0, slash)
+      }
+    (files ++ dirs.toSeq.map(dirStatus)).toArray
+  }
+
+  /** Recursive listing under a prefix — the s3a shape of S4: one flat
+    * lexicographic scan in pages of 1000 keys (no per-directory recursion),
+    * exactly ListObjectsV2 with no delimiter (`s3.rs:87-100`). */
+  override def listFiles(
+      f: Path, recursive: Boolean): RemoteIterator[LocatedFileStatus] = {
+    if (!recursive) return super.listFiles(f, recursive)
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val pageSize = 1000
+    new RemoteIterator[LocatedFileStatus] {
+      private var page: Iterator[(String, (Long, Long))] = Iterator.empty
+      private var cursor: String = prefix        // exclusive continuation key
+      private var exhausted = false
+      private def fetchPage(): Unit = {
+        val batch = store.tailMap(cursor, false).asScala.iterator
+          .takeWhile(_._1.startsWith(prefix)).take(pageSize).toVector
+        if (batch.isEmpty) exhausted = true
+        else {
+          MockS3Store.pagesServed.incrementAndGet()
+          cursor = batch.last._1
+          page = batch.iterator
+        }
+      }
+      override def hasNext: Boolean = {
+        if (!page.hasNext && !exhausted) fetchPage()
+        page.hasNext
+      }
+      override def next(): LocatedFileStatus = {
+        if (!hasNext) throw new NoSuchElementException
+        val (k, (size, mtime)) = page.next()
+        new LocatedFileStatus(fileStatus(k, size, mtime), Array.empty[BlockLocation])
+      }
+    }
+  }
+
+  // The listing stack never reads, writes, or mutates objects.
+  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw new UnsupportedOperationException("mocks3 is listing-only")
+}
