@@ -174,7 +174,30 @@ object Cohort {
       .orderBy("from_type", "to_type")
   }
 
+  /** Daily new users and the cumulative distinct-user count — the growth
+    * curve. A naive `count(distinct user_id)` per day re-scans every
+    * prior day; instead each user reduces to a first-touch date (one
+    * user-keyed shuffle, partial-aggregated), days roll up, and the
+    * running total is a prefix sum over the DATE-DOMAIN-BOUNDED daily
+    * frame (≤ a few thousand rows at any corpus size — the same bounded-
+    * global-window argument as the autocorrelation query; integer sum,
+    * order-immune). */
+  def qUsersCumulative(s: SparkSession, dir: String): DataFrame = {
+    val firsts = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day").cast("timestamp").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_users_cumulative" -> qUsersCumulative,
     "q_event_transitions" -> qEventTransitions,
     "q_attribution" -> qAttribution,
     "q_events_debounce" -> qEventsDebounce,
@@ -184,6 +207,14 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_users_cumulative" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "q_event_transitions" ->
       """WITH t AS (SELECT user_id, event_id, ts, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

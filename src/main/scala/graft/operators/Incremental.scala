@@ -49,7 +49,7 @@ object Incremental {
 
   /** Corpus row count from parquet footers — metadata only, no scan, no
     * Spark job (the sizing input the Bloom filter needs). */
-  private def footerRowCount(s: SparkSession, path: String): Long = {
+  private[operators] def footerRowCount(s: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = s.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)

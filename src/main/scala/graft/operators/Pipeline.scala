@@ -325,7 +325,36 @@ object Pipeline {
       .orderBy("z_bucket")
   }
 
+  /** Sequence-length distribution + padding-waste audit — the diagnostic
+    * that decides between pad-to-context and pack-to-context batching
+    * (the question [[qPackSequences]] answers operationally). Documents
+    * bucket by token-count magnitude (`length(bin(n))` = ⌊log₂ n⌋+1 —
+    * string length of the binary representation, integer-exact in both
+    * engines where float log2 is not); per bucket: doc count, token mass,
+    * docs exceeding the 2048 context, and the tokens padding would waste
+    * (next-multiple-of-2048 minus n). Pure map-side transform + one tiny
+    * groupBy — zero pre-aggregation shuffle at any corpus size. */
+  def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    documents(s, dir)
+      .select(size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("bigint").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("bigint"))
+      .withColumn("pad",
+        expr(s"((n_tokens + ${budget - 1}) div $budget) * $budget - n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("over_context"),
+        sum(col("pad")).as("pad_tokens"))
+      .withColumn("pad_share",
+        col("pad_tokens").cast("double") /
+          (col("tot_tokens") + col("pad_tokens")).cast("double"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_efficiency" -> qPackEfficiency,
     "q_zorder_layout" -> qZorderLayout,
     "q_sample_hash" -> qSampleHash,
     "q_split_stratified" -> qSplitStratified,
@@ -340,6 +369,20 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pack_efficiency" ->
+      """WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT n, CAST(length(bin(n)) AS BIGINT) AS bucket,
+        |    ((n + 2047) // 2048) * 2048 - n AS pad FROM t),
+        |g AS (SELECT bucket, count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS over_context,
+        |    CAST(sum(pad) AS BIGINT) AS pad_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, tot_tokens, over_context, pad_tokens,
+        |  CAST(pad_tokens AS DOUBLE) / CAST(tot_tokens + pad_tokens AS DOUBLE) AS pad_share
+        |FROM g ORDER BY bucket""".stripMargin,
     "q_zorder_layout" ->
       """WITH ext AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
         |  CAST(max(o_orderdate) AS DATE) AS d1, max(o_custkey) AS cmax FROM orders),

@@ -116,8 +116,59 @@ object Skew {
       round(h / log2(col("n_keys").cast("double")), 6).as("balance"))
   }
 
+  /** Bloom semi-join reduction: probe the FACT side with a Bloom filter of
+    * the (filtered) dimension keyset BEFORE the join — the classic 100 TB
+    * join trick for the regime where the dim subset is too big to
+    * broadcast as a hash table but its keyset fits an 8 MiB filter: rows
+    * that cannot match never enter the join's exchange, turning a
+    * fact-table-sized shuffle into a match-sized one. (Spark's own
+    * InjectRuntimeFilter does this for SMJ under AQE; the explicit form
+    * works on any plan and under deterministic local testing.)
+    *
+    * Build side: Catalyst's BloomFilterAggregate (executor-merged
+    * partials, one finished filter to the driver — see
+    * [[Incremental.novelAgainst]]'s measured note); probe side: the
+    * by-reference codegen [[graft.plans.BloomMightContainExpr]]. False
+    * positives are eliminated by the real join that follows, so the
+    * result is EXACTLY the plain join's — the DuckDB oracle runs the
+    * join with no filter at all, and the hash-match IS the invariance
+    * proof (same pattern as q_join_skew_salted). */
+  def qJoinBloomReduce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val dim = orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // ~1/5 of orders; footer count of the whole table over-sizes the
+    // filter slightly, which only lowers the false-positive rate
+    val n = math.max(64L,
+      Incremental.footerRowCount(s, s"$dir/orders.parquet") / 4)
+    val numBits = math.min(1L << 26, math.max(64L,
+      math.ceil(-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong))
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        ColumnShim.expression(xxhash64(col("o_orderkey"))),
+        Literal(n), Literal(numBits))
+      .toAggregateExpression()
+    val bytes = dim.select(ColumnShim.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fact = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val probed =
+      if (bytes == null) fact.filter(lit(false)) // empty dim: empty join
+      else fact.filter(graft.plans.GraftExpressions
+        .bloom_might_contain(xxhash64(col("l_orderkey")), bytes))
+    probed.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+          .as("revenue"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_skew_salted" -> qJoinSkewSalted,
+    "q_join_bloom" -> qJoinBloomReduce,
     "q_skew_audit" -> qSkewAudit,
   )
 
@@ -127,6 +178,16 @@ object Skew {
         |  CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100 AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // no bloom on the oracle side AT ALL: the filter only removes rows the
+    // join would drop anyway, so plain-join equality proves the reduction
+    // is lossless
+    "q_join_bloom" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_audit" ->
       """WITH m AS (SELECT greatest(256, max(user_id) // 4096 + 1) AS seg_size FROM events),
         |c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

@@ -508,7 +508,49 @@ object Stats {
     g.select(col("n"), (cov / (sqrt(vx) * sqrt(vy))).as("lag1_autocorr"))
   }
 
+  /** Exponential smoothing (half-life decay, α=1/2) of the daily revenue
+    * series — the trend-following view the autocorrelation above
+    * quantifies. Float pow/exp would differ across engines, so the EWMA
+    * is computed as a finite-impulse-response filter with EXACT integer
+    * weights: over the trailing 41 observed days, numerator
+    * Σ revₖ·2^(40-k) and denominator Σ [day exists]·2^(40-k) accumulate
+    * in decimal/HUGEINT (weights beyond lag 40 are < 2⁻⁴⁰ of the newest —
+    * below cent resolution, so the truncation is the definition, not an
+    * approximation; both engines share it). The tail is all correctly-
+    * rounded IEEE ops on identical integer operands — int→double
+    * conversion, one division, one /100 — so the result is bit-identical
+    * WITHOUT rounding. Two measured traps shaped this tail: a round(6)
+    * broke sf0.1 (one quotient sat on a half-up boundary the engines
+    * resolve apart at 16-significant-digit magnitudes), and DuckDB's
+    * direct HUGEINT→DOUBLE cast is NOT correctly rounded past 2^53 (its
+    * hi·2⁶⁴+lo float arithmetic double-rounds; Spark's decimal→double
+    * is exact-parse), so the oracle routes num through VARCHAR, whose
+    * parse IS correctly rounded. The 41 lags compute in ONE
+    * WindowExec over the date-domain-bounded daily aggregate — the same
+    * bounded-global-window shape as the autocorrelation. */
+  def qStatsEwma(s: SparkSession, dir: String): DataFrame = {
+    val lags = 40
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .withColumn("one", lit(1L))
+    val w = Window.orderBy("day")
+    def wsum(c: String): Column = (0 to lags).map { k =>
+      coalesce(lag(col(c), k).over(w), lit(0L)).cast("decimal(19,0)") *
+        lit(1L << (lags - k)).cast("decimal(19,0)")
+    }.reduce(_ + _)
+    daily
+      .withColumn("num", wsum("rev"))
+      .withColumn("den", wsum("one"))
+      .select(col("day").cast("timestamp").as("day"),
+        (col("rev").cast("double") / 100).as("revenue"),
+        (col("num").cast("double") / col("den").cast("double") / 100.0)
+          .as("ewma_05"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ewma" -> qStatsEwma,
     "q_stats_mwu" -> qStatsMwu,
     "q_stats_autocorr" -> qStatsAutocorr,
     "q_stats_ks" -> qStatsKs,
@@ -553,6 +595,23 @@ object Stats {
         |SELECT na, nb, u2_a,
         |  CAST(u2_a AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc
         |FROM u""".stripMargin,
+    // 41 FIR terms generated, not hand-written, so the weight ladder
+    // cannot drift from the Spark side's (1L << (40-k))
+    "q_stats_ewma" -> {
+      def terms(c: String): String = (0 to 40).map { k =>
+        s"CAST(coalesce(lag($c, $k) OVER win, 0) AS HUGEINT) * ${1L << (40 - k)}"
+      }.mkString(" + ")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev,
+         |  1 AS one FROM orders GROUP BY day),
+         |f AS (SELECT day, rev, ${terms("rev")} AS num,
+         |  ${terms("one")} AS den
+         |  FROM daily WINDOW win AS (ORDER BY day))
+         |SELECT CAST(day AS TIMESTAMP) AS day,
+         |  CAST(rev AS DOUBLE) / 100 AS revenue,
+         |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma_05
+         |FROM f ORDER BY day""".stripMargin
+    },
     "q_stats_autocorr" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev

@@ -119,4 +119,19 @@ class CohortSpec extends AnyFunSuite {
     assert(got == agg)
     assert(got.map(_._2).sum == ev.count(_._4 == "purchase").toLong)
   }
+
+  test("cumulative users: prefix-sums new_users and ends at the distinct total") {
+    val rows = Cohort.qUsersCumulative(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    var run = 0L
+    rows.foreach { case (nu, cum) =>
+      assert(nu > 0)
+      run += nu
+      assert(cum == run)
+    }
+    val total = Tables.events(spark, TestSpark.sf001)
+      .select("user_id").distinct().count()
+    assert(run == total)
+  }
 }

@@ -381,4 +381,22 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pack efficiency: magnitude buckets and padding agree with a scalar fold") {
+    val got = Pipeline.qPackEfficiency(spark, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val lens = Tables.documents(spark, TestSpark.sf001)
+      .select(size(graft.functions.TextAnalysis.tokens(col("text"))).cast("bigint"))
+      .collect().map(_.getLong(0))
+    val exp = lens.groupBy(n => java.lang.Long.toBinaryString(n).length.toLong)
+      .map { case (b, ns) =>
+        b -> (ns.length.toLong, ns.sum,
+          ns.count(_ > 2048L).toLong,
+          ns.map(n => ((n + 2047) / 2048) * 2048 - n).sum)
+      }
+    assert(got == exp)
+    // pad always completes to a context multiple
+    got.foreach { case (_, (_, tot, _, pad)) => assert((tot + pad) % 2048 == 0 || pad >= 0) }
+  }
 }

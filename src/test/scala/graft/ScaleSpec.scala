@@ -136,4 +136,25 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("bloom join reduction returns exactly the plain join's aggregate") {
+    // false positives die in the real join, so the bloom probe is pure
+    // shuffle reduction -- the result must be bit-identical to no-bloom
+    val got = graft.operators.Skew.qJoinBloomReduce(spark, TestSpark.sf001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val dim = Tables.orders(spark, TestSpark.sf001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = Tables.lineitem(spark, TestSpark.sf001)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(Tables.cents(col("l_extendedprice"))).cast("double") / 100)
+          .as("revenue"))
+      .orderBy("month")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == plain.toSeq)
+  }
 }

@@ -295,4 +295,28 @@ class StatsSpec extends AnyFunSuite {
       assert(lo <= hi && m >= lo.toDouble && m <= hi.toDouble)
     }
   }
+
+  test("ewma: matches an exact-integer scalar recompute of the FIR form") {
+    val rows = graft.operators.Stats.qStatsEwma(spark, TestSpark.sf001).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length > 41, "need more days than the FIR horizon")
+    val revCents = rows.map(r => math.round(r._2 * 100))
+    rows.indices.foreach { t =>
+      var num = BigInt(0); var den = BigInt(0)
+      (0 to 40).foreach { k =>
+        if (t - k >= 0) {
+          val wgt = BigInt(1) << (40 - k)
+          num += BigInt(revCents(t - k)) * wgt
+          den += wgt
+        }
+      }
+      val exp = num.toDouble / den.toDouble / 100.0
+      assert(math.abs(rows(t)._3 - exp) < 1e-5, s"row $t: ${rows(t)._3} vs $exp")
+      // smoothing stays inside the window's envelope
+      val window = revCents.slice(math.max(0, t - 40), t + 1).map(_ / 100.0)
+      assert(rows(t)._3 >= window.min - 1e-6 && rows(t)._3 <= window.max + 1e-6)
+    }
+    // first observation: ewma equals the revenue itself
+    assert(math.abs(rows.head._3 - rows.head._2) < 1e-6)
+  }
 }
