@@ -151,6 +151,67 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped: six-table local-supplier-volume join — revenue per
+    * nation where customer and supplier sit in the same ASIA nation, one
+    * order-year slice. The dim chain region→nation→supplier collapses
+    * into ONE broadcast (region filter first, so only ASIA suppliers
+    * ship); the two remaining joins shuffle on keys the fact tables
+    * already carry (orderkey, then custkey). The same-nation predicate
+    * rides as a post-join map-side filter once both nationkeys are in
+    * flight — never a join of its own. Revenue in exact e4 integer units
+    * until the final division. */
+  def q5LocalVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = region(s, dir).filter(col("r_name") === "ASIA")
+    val n = nation(s, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .as("rev_e4"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q10-shaped: returned-item reporting — the 20 customers who
+    * returned the most revenue in one quarter, with their nation. Fact
+    * joins shuffle on carried keys (orderkey, custkey); nation
+    * broadcasts; the top-20 runs as TakeOrderedAndProject (per-partition
+    * heaps, only 20 rows to the driver — never a global sort). Revenue
+    * ties break on c_custkey so the limit is deterministic. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** Broadcast-hash dimension join: lineitem ⋈ part, rolled up by brand. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
     val p = part(s, dir).select("p_partkey", "p_brand")
@@ -572,6 +633,8 @@ object Relational {
     "q_agg_hll_partial" -> aggHllPartial,
     "q_agg_distinct" -> aggDistinct,
     "q3_shipping" -> q3Shipping,
+    "q5_local_volume" -> q5LocalVolume,
+    "q10_returns" -> q10Returns,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
     "q_join_semi" -> joinSemi,
@@ -666,6 +729,32 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
