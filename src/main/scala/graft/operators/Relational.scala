@@ -212,6 +212,41 @@ object Relational {
       .limit(20)
   }
 
+  /** Market-basket co-occurrence with lift: the top-30 part pairs bought
+    * together in the same order, scored by lift = N·c₁₂/(c₁·c₂) — the
+    * association-rule primitive. One shuffle on orderkey builds the
+    * per-order basket; the codegen [[graft.plans.SortedPairsExpr]] kernel
+    * (shared with n-gram dedup) emits canonical pairs IN-ARRAY, so the
+    * pair blowup is bounded by basket size (≤7 lineitems per TPC-H order)
+    * and never crosses the wire unpaired. Part frequencies derive from
+    * the SAME basket frame (no second fact scan), the top-30 cut runs
+    * BEFORE the frequency joins (30 rows through two broadcast lookups),
+    * and lift is one correctly-rounded division of exact-integer doubles.
+    * The c₁₂-desc, (p1,p2)-asc order makes the cut deterministic. */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val baskets = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("docs"))
+      .cache() // feeds pairs + frequencies + the order count
+    val pairs = baskets.select(explode(
+        graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.d1").as("p1"), col("p.d2").as("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), asc("p1"), asc("p2"))
+      .limit(30)
+    val freq = baskets.select(explode(col("docs")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(freq.select(col("pk").as("p1"), col("c").as("c1"))), "p1")
+      .join(broadcast(freq.select(col("pk").as("p2"), col("c").as("c2"))), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("c12"),
+        (col("c12").cast("double") * col("n_orders").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+      .orderBy(desc("c12"), asc("p1"), asc("p2"))
+  }
+
   /** Broadcast-hash dimension join: lineitem ⋈ part, rolled up by brand. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
     val p = part(s, dir).select("p_partkey", "p_brand")
@@ -635,6 +670,7 @@ object Relational {
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
+    "q_basket_lift" -> qBasketLift,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
     "q_join_semi" -> joinSemi,
@@ -729,6 +765,20 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS c12
+        |  FROM b a JOIN b c USING (l_orderkey)
+        |  WHERE a.l_partkey < c.l_partkey GROUP BY p1, p2),
+        |top AS (SELECT * FROM p ORDER BY c12 DESC, p1, p2 LIMIT 30),
+        |f AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b)
+        |SELECT p1, p2, c12,
+        |  CAST(c12 AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(f1.c AS DOUBLE) * CAST(f2.c AS DOUBLE)) AS lift
+        |FROM top JOIN f f1 ON p1 = f1.l_partkey
+        |  JOIN f f2 ON p2 = f2.l_partkey, n
+        |ORDER BY c12 DESC, p1, p2""".stripMargin,
     "q5_local_volume" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue

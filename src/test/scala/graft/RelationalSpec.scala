@@ -128,4 +128,35 @@ class RelationalSpec extends AnyFunSuite {
       assert(n >= 0, s"$name failed")
     }
   }
+
+  test("basket lift: canonical pairs, counts match an in-memory basket fold") {
+    val got = Relational.qBasketLift(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 30)
+    got.foreach { case (p1, p2, c12, lift) =>
+      assert(p1 < p2, "pairs must be canonical (p1 < p2)")
+      assert(c12 >= 1 && lift > 0)
+    }
+    // in-memory recompute of pair counts and lift from raw baskets
+    val baskets = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val n = baskets.length.toLong
+    val freq = baskets.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pairCounts = baskets.flatMap { b =>
+      val sorted = b.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (p1, p2, c12, lift) =>
+      assert(pairCounts((p1, p2)) == c12)
+      val exp = c12.toDouble * n.toDouble / (freq(p1).toDouble * freq(p2).toDouble)
+      assert(lift == exp, s"($p1,$p2): $lift vs $exp")
+    }
+    // the cut keeps the globally most frequent pairs
+    val maxKept = got.map(_._3).min
+    val dropped = pairCounts.filterNot(kv => got.exists(g => (g._1, g._2) == kv._1))
+    assert(dropped.values.forall(_ <= maxKept))
+  }
 }
