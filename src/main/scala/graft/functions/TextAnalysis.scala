@@ -560,7 +560,45 @@ object TextAnalysis {
           .as("hapax_ratio"))
       .orderBy("source")
 
+  /** Per-document n-gram novelty vs the whole corpus: the share of a
+    * document's distinct word-3-gram shingles that no other document
+    * contains (df = 1, novelty — high for fresh prose) and the share that
+    * is corpus-boilerplate (df ≥ 10% of documents — headers, templates,
+    * license blurbs; the C4/RefinedWeb "remove lines repeated across
+    * pages" signal re-expressed at shingle granularity for a corpus with
+    * no line structure). The boilerplate threshold scales with the corpus
+    * (`df·10 ≥ n_docs`, pure integer compare — no float threshold to
+    * drift), so the same query is meaningful at any SF.
+    *
+    * Scale shape: explode distinct shingles (the [[graft.plans.Shingles3Expr]]
+    * codegen kernel), ONE shuffle keyed by shingle for the document
+    * frequency (map-side combine), join the df back on the same key (the
+    * exchange is reused), one shuffle back to doc_id for the per-doc
+    * ratios; the corpus size rides along as a broadcast scalar. Both
+    * ratios are single divisions of exact integers — bit-identical across
+    * engines, no rounding needed. */
+  def qTextNovelty(s: SparkSession, dir: String): DataFrame = {
+    val ex = documents(s, dir).select(col("doc_id"),
+      explode(graft.plans.GraftExpressions.shingles3(col("text"))).as("gram"))
+    val dfreq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    ex.join(dfreq, "gram")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("df") * 10 >= col("n_docs"), 1L).otherwise(0L))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"), col("n_boiler"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_ratio"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty" -> qTextNovelty,
     "q_text_hapax" -> qTextHapax,
     "q_text_perplexity" -> qTextPerplexity,
     "q_text_readability" -> qTextReadability,
@@ -596,6 +634,21 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_novelty" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |ex AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS gram
+        |  FROM w WHERE len(w) >= 3),
+        |dfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN df * 10 >= n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty_ratio,
+        |  CAST(sum(CASE WHEN df * 10 >= n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS boiler_ratio
+        |FROM ex JOIN dfreq USING (gram), n
+        |GROUP BY doc_id, n_docs ORDER BY doc_id""".stripMargin,
     "q_text_hapax" ->
       """WITH t AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok)

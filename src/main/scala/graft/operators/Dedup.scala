@@ -467,7 +467,44 @@ object Dedup {
       .orderBy("t1", "t2")
   }
 
+  /** Sorted-neighborhood dedup (Hernández–Stolfo): sort the corpus by a
+    * blocking key (the first 20 characters of the text), then compare only
+    * documents whose keys fall in the same or an ADJACENT position of the
+    * sorted key sequence — the sliding window that lets near-duplicates
+    * meet even when their keys differ slightly, without any quadratic
+    * self-join. Verification is exact `levenshtein ≤ 12` (the injected
+    * near-copies append 12 characters; exact copies are distance 0).
+    *
+    * Scale shape: the global sort order is materialized as a dense rank
+    * over the DISTINCT key frame — an aggregate whose size is the key
+    * cardinality, not the corpus (the premise of key-blocking dedup) —
+    * via the same two-level bucketed rank as
+    * [[Selection.qShuffleGlobal]], so no partition-less window ever sees
+    * an un-aggregated row. Neighborhood pairs come from one equi-join:
+    * each document probes ranks {kr−1, kr, kr+1} (a 3× generator, not a
+    * theta join), and the `d1 < d2` filter keeps each unordered pair
+    * exactly once (same block: both orientations generated, one kept;
+    * adjacent blocks: one orientation per direction, one kept). */
+  def qDedupSnm(s: SparkSession, dir: String): DataFrame = {
+    val keyed = corpus(s, dir).select(
+      col("doc_id"), col("text"), substring(col("text"), 1, 20).as("bkey"))
+    val ranked = Selection.twoLevelRank(
+        keyed.select("bkey").distinct().withColumn("kid", col("bkey")),
+        "bkey", "kid", Nil, "kr")
+      .select("bkey", "kr")
+    val d = keyed.join(ranked, "bkey")
+    val probe = d.select(col("doc_id"), col("text"),
+      explode(array(col("kr") - 1, col("kr"), col("kr") + 1)).as("pk"))
+    probe.as("a").join(d.as("b"),
+        col("a.pk") === col("b.kr") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.text"), col("b.text")).cast("bigint").as("lev"))
+      .filter(col("lev") <= 12)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_snm" -> qDedupSnm,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram" -> qDedupNgram,
@@ -493,6 +530,18 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_snm" -> (corpusCte +
+      """, keyed AS (SELECT doc_id, text, substring(text,1,20) AS bkey FROM corpus),
+        |kr AS (SELECT bkey, CAST(row_number() OVER (ORDER BY bkey) AS BIGINT) AS kr
+        |  FROM (SELECT DISTINCT bkey FROM keyed)),
+        |d AS (SELECT doc_id, text, kr FROM keyed JOIN kr USING (bkey)),
+        |probe AS (SELECT doc_id, text, kr + dl.dt AS pk
+        |  FROM d CROSS JOIN (VALUES (-1),(0),(1)) AS dl(dt))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM probe a JOIN d b ON a.pk = b.kr AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 12
+        |ORDER BY d1, d2""".stripMargin),
     "q_dedup_fuzzy" ->
       """WITH base AS (SELECT DISTINCT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |t1 AS (SELECT substring(tok,1,1) || substring(tok,3) AS tok FROM base WHERE length(tok) >= 4),

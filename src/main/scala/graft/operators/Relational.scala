@@ -212,6 +212,103 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q2-shaped: cheapest supplier per part — the correlated
+    * min-subquery decorrelated into a SINGLE aggregation pass:
+    * `min(struct(price, suppkey))` computes the group minimum AND its
+    * lexicographic tie-break (lowest suppkey among minimum-price rows) in
+    * one map-side-combined shuffle on partkey, where the textbook plan
+    * (min per group, then join the fact back on the min) scans the fact
+    * twice and shuffles twice. Supplier and nation attributes attach
+    * AFTER the aggregate — two broadcast lookups over one row per part.
+    * Prices in exact cents; everything else integer/text, so the output
+    * is engine-exact with no rounding. */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    val sup = supplier(s, dir).select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("price_cents"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("m.price_cents").as("min_price_cents"),
+        col("m.l_suppkey").as("s_suppkey"))
+      .join(broadcast(sup), "s_suppkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("min_price_cents"),
+        col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q18-shaped: large-volume orders — orders whose total quantity
+    * exceeds 300, with the customer who placed them. The HAVING filter
+    * runs where it belongs: ONE partial-aggregated shuffle on orderkey
+    * cuts ~15k orders to dozens BEFORE any join, so the orders join
+    * probes with a frame a broadcast can carry at any SF and the customer
+    * lookup is a second broadcast. Quantities are integral doubles in the
+    * fixture — summed as bigint, so the threshold and output are exact. */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("bigint").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
+    o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+  }
+
+  /** Referential-integrity audit over the star schema's five FK edges,
+    * with deterministically injected violations so the auditor provably
+    * counts (orphaned lineitems via negated orderkeys, orders pointing at
+    * negated custkeys, customers/suppliers moved to nonexistent nations —
+    * both engines rebuild the same corruption). Each edge is a left-anti
+    * join: dimension key sets (nation, customer, supplier, part)
+    * broadcast; the lineitem→orders edge — the one parent that outgrows a
+    * broadcast at 100 TB — shuffles on the join key both sides carry.
+    * Output is one row per edge with total child rows and orphan count,
+    * all exact integers. */
+  def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li0 = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val li = li0.union(li0.filter(col("l_orderkey") % 991 === 0)
+      .select((-col("l_orderkey")).as("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+    val o0 = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val o = o0.union(o0.filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"), (-col("o_custkey")).as("o_custkey")))
+    val c0 = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val c = c0.union(c0.filter(col("c_custkey") % 499 === 0)
+      .select(col("c_custkey"), (col("c_nationkey") + 1000).as("c_nationkey")))
+    val s0 = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val sup = s0.union(s0.filter(col("s_suppkey") % 97 === 0)
+      .select(col("s_suppkey"), (col("s_nationkey") + 1000).as("s_nationkey")))
+    val nKeys = nation(s, dir).select(col("n_nationkey"))
+    def audit(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      // Left join + conditional count instead of a separate anti-join so
+      // each edge costs ONE pass over the child (total + orphan counts
+      // from the same probe).
+      val p = parent.select(col(pkey)).distinct().withColumn("__hit", lit(1))
+      child.join(if (bcast) broadcast(p) else p, col(key) === col(pkey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    audit("lineitem.orderkey->orders", li, "l_orderkey", o0.select("o_orderkey"), "o_orderkey", bcast = false)
+      .union(audit("lineitem.partkey->part", li, "l_partkey",
+        part(s, dir).select("p_partkey"), "p_partkey", bcast = true))
+      .union(audit("lineitem.suppkey->supplier", li, "l_suppkey",
+        s0.select("s_suppkey"), "s_suppkey", bcast = true))
+      .union(audit("orders.custkey->customer", o, "o_custkey",
+        c0.select("c_custkey"), "c_custkey", bcast = true))
+      .union(audit("customer.nationkey->nation", c, "c_nationkey", nKeys, "n_nationkey", bcast = true))
+      .union(audit("supplier.nationkey->nation", sup, "s_nationkey", nKeys, "n_nationkey", bcast = true))
+      .orderBy("fk_edge")
+  }
+
   /** Market-basket co-occurrence with lift: the top-30 part pairs bought
     * together in the same order, scored by lift = N·c₁₂/(c₁·c₂) — the
     * association-rule primitive. One shuffle on orderkey builds the
@@ -671,6 +768,9 @@ object Relational {
     "q5_local_volume" -> q5LocalVolume,
     "q10_returns" -> q10Returns,
     "q_basket_lift" -> qBasketLift,
+    "q2_min_cost" -> q2MinCost,
+    "q18_big_orders" -> q18BigOrders,
+    "q_ref_integrity" -> qRefIntegrity,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
     "q_join_semi" -> joinSemi,
@@ -765,6 +865,54 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q2_min_cost" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents FROM lineitem),
+        |mc AS (SELECT l_partkey, min(price_cents) AS min_price_cents FROM li GROUP BY 1),
+        |w AS (SELECT li.l_partkey, mc.min_price_cents, min(li.l_suppkey) AS s_suppkey
+        |  FROM li JOIN mc ON li.l_partkey = mc.l_partkey AND li.price_cents = mc.min_price_cents
+        |  GROUP BY 1, 2)
+        |SELECT w.l_partkey AS p_partkey, w.min_price_cents, w.s_suppkey, s.s_name, n.n_name
+        |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, big.total_qty
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q_ref_integrity" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |  UNION ALL SELECT -l_orderkey, l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 991 = 0),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL SELECT o_orderkey, -o_custkey FROM orders WHERE o_orderkey % 997 = 0),
+        |c AS (SELECT c_custkey, c_nationkey FROM customer
+        |  UNION ALL SELECT c_custkey, c_nationkey + 1000 FROM customer WHERE c_custkey % 499 = 0),
+        |sup AS (SELECT s_suppkey, s_nationkey FROM supplier
+        |  UNION ALL SELECT s_suppkey, s_nationkey + 1000 FROM supplier WHERE s_suppkey % 97 = 0),
+        |e1 AS (SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON li.l_orderkey = p.o_orderkey),
+        |e2 AS (SELECT 'lineitem.partkey->part', count(*),
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM li LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON li.l_partkey = p.p_partkey),
+        |e3 AS (SELECT 'lineitem.suppkey->supplier', count(*),
+        |    CAST(sum(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM li LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p ON li.l_suppkey = p.s_suppkey),
+        |e4 AS (SELECT 'orders.custkey->customer', count(*),
+        |    CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON o.o_custkey = p.c_custkey),
+        |e5 AS (SELECT 'customer.nationkey->nation', count(*),
+        |    CAST(sum(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.c_nationkey = p.n_nationkey),
+        |e6 AS (SELECT 'supplier.nationkey->nation', count(*),
+        |    CAST(sum(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM sup LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON sup.s_nationkey = p.n_nationkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+        |ORDER BY fk_edge""".stripMargin,
     "q_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS c12
