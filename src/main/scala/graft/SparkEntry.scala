@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
       operators.Selection.queries ++ operators.Graph.queries ++
       operators.Cohort.queries ++ operators.Skew.queries ++
-      operators.Stats.queries ++
+      operators.Stats.queries ++ operators.Quant.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
@@ -38,7 +38,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
       operators.Selection.oracles ++ operators.Graph.oracles ++
       operators.Cohort.oracles ++ operators.Skew.oracles ++
-      operators.Stats.oracles ++
+      operators.Stats.oracles ++ operators.Quant.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles

@@ -196,7 +196,40 @@ object Cohort {
       .orderBy("day")
   }
 
+  /** Time-weighted average of `value` per user: each event's value holds
+    * until the user's NEXT event (hold-forward semantics — the TWAP /
+    * time-in-state primitive a metrics store needs when samples arrive
+    * irregularly); the last event has no holding interval and drops out.
+    * One partitioned window (lead over user_id, ties broken by event_id
+    * so both engines pair identical intervals) and one user-grain
+    * aggregate — both on the same user_id hash, one exchange total.
+    * Exactness: value in integer cents × interval in integer µs; the
+    * products reach ~10¹⁷ per term, so the weighted sum accumulates in
+    * decimal(38,0) / HUGEINT and drops to double only through the exact
+    * VARCHAR parse; the final division's operands are then bit-identical
+    * across engines, so no rounding is needed. */
+  def qTwapUser(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("t_us"),
+      round(col("value") * 100).cast("bigint").as("val_cents"))
+    val nextT = lead(col("t_us"), 1).over(
+      Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id")))
+    val holds = e.withColumn("d_us", nextT - col("t_us"))
+      .filter(col("d_us").isNotNull)
+    holds.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("d_us")).as("tot_us"),
+        sum(col("val_cents").cast("decimal(38,0)") *
+          col("d_us").cast("decimal(38,0)")).as("wsum"))
+      .filter(col("tot_us") > 0)
+      .select(col("user_id"), col("n_holds"), col("tot_us"),
+        (col("wsum").cast("double") / col("tot_us").cast("double") / lit(100.0))
+          .as("twap_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap_user" -> qTwapUser,
     "q_users_cumulative" -> qUsersCumulative,
     "q_event_transitions" -> qEventTransitions,
     "q_attribution" -> qAttribution,
@@ -207,6 +240,21 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_twap_user" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(round(value*100) AS BIGINT) AS val_cents FROM events),
+        |holds AS (SELECT user_id, val_cents,
+        |    lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) - t_us AS d_us
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        |    CAST(sum(d_us) AS BIGINT) AS tot_us,
+        |    sum(CAST(val_cents AS HUGEINT) * CAST(d_us AS HUGEINT)) AS wsum
+        |  FROM holds WHERE d_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_holds, tot_us,
+        |  CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / CAST(tot_us AS DOUBLE) / 100.0
+        |    AS twap_value
+        |FROM g WHERE tot_us > 0 ORDER BY user_id""".stripMargin,
     "q_users_cumulative" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
         |  FROM events GROUP BY user_id),

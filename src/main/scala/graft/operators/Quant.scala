@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Quantitative-distribution operators (north-star extension): inequality
+  * (Gini/Lorenz), weighted order statistics, and change-point scoring —
+  * the distribution-shape diagnostics a data warehouse runs over revenue
+  * and a training-data pipeline runs over quality/token distributions.
+  *
+  * Scale + exactness stance (shared by all three):
+  *  - The only fact-scale work is one equi-join/aggregate pass; every
+  *    rank/prefix window runs either PARTITIONED (per-nation) or over a
+  *    frame bounded by construction (the calendar date domain) — the
+  *    partition-less-window fence in [[graft.dev.WindowLint]] covers both.
+  *  - Money travels as exact integer cents; products that can pass 2^63
+  *    at 100 TB (rank×cents, day-count×cents) accumulate in
+  *    decimal(38,0), mirrored by HUGEINT in the oracle, and drop to
+  *    double only through an exact decimal→double parse (the oracle side
+  *    must `CAST(CAST(x AS VARCHAR) AS DOUBLE)` — DuckDB's direct
+  *    hugeint→double double-rounds past 2^53). Identical IEEE op trees on
+  *    identical operands need no rounding to hash-match.
+  */
+object Quant {
+
+  /** Gini coefficient of customer revenue inside each nation — the
+    * inequality audit ("do 20% of customers carry 80% of revenue?").
+    * Computed from the rank form G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) over
+    * revenue ranked ascending within the nation: ONE fact-scale join
+    * (lineitem⋈orders on orderkey) feeds a custkey aggregate; the rank
+    * window is partitioned by nation (never global), ties broken by
+    * custkey so both engines rank identically; Σi·xᵢ accumulates in
+    * decimal because rank(10⁷)×cents(10⁹) rows overflow bigint long
+    * before 100 TB. Customer/nation attach by broadcast. */
+  def qGiniNation(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("pc")).as("rev"))
+    val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val ranked = rev
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("n_name")).orderBy(col("rev"), col("o_custkey"))))
+    val g = ranked.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev").cast("decimal(38,0)")).as("sx"),
+        sum(col("i").cast("decimal(38,0)") * col("rev").cast("decimal(38,0)"))
+          .as("six"))
+    val nd = col("n_customers").cast("double")
+    val sxd = col("sx").cast("double")
+    val sixd = col("six").cast("double")
+    g.select(col("n_name"), col("n_customers"),
+        ((lit(2.0) * sixd - (nd + lit(1.0)) * sxd) / (nd * sxd)).as("gini"))
+      .orderBy("n_name")
+  }
+
+  /** Weighted median unit price per supplier nation, weighted by
+    * quantity: the order statistic that "half the shipped VOLUME cost
+    * less than this". Classic prefix-sum selection: cumulative weight
+    * within a nation-partitioned window ordered by (price, orderkey,
+    * linenumber) — fully deterministic — and the median is the first
+    * value whose doubled cumulative weight reaches the nation total.
+    * Everything is exact integers end to end; the nation totals frame
+    * (≤25 rows) broadcasts back. Supplier→nation attach by broadcast, so
+    * the fact table is shuffled exactly once (the nation hash for the
+    * window sort). */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val rows = lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        round(col("l_quantity")).cast("bigint").as("wt"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val cumw = rows.withColumn("cumw", sum(col("wt")).over(
+      Window.partitionBy(col("n_name"))
+        .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = rows.groupBy(col("n_name")).agg(sum(col("wt")).as("tot_wt"))
+    cumw.join(broadcast(tot), "n_name")
+      .filter(col("cumw") * 2 >= col("tot_wt"))
+      .groupBy(col("n_name"), col("tot_wt"))
+      .agg(min(col("price_cents")).as("wmedian_cents"))
+      .select(col("n_name"), col("tot_wt"), col("wmedian_cents"))
+      .orderBy("n_name")
+  }
+
+  /** CUSUM change-point score over daily revenue: the k-th day's
+    * deviation of the revenue trajectory from a constant-rate fit,
+    * scaled by n to stay integral — Cₖ = n·Sₖ − k·T (Sₖ = prefix sum,
+    * T = total, n = day count), the standard "where did the level
+    * shift?" statistic with every term exact. Top-20 days by |Cₖ|.
+    * The fact table collapses to the calendar-bounded day frame in one
+    * aggregate; both global windows (day rank, prefix sum) read that
+    * ~2.4k-row frame, never raw data; n·Sₖ reaches ~2.4k×10¹⁶ cents at
+    * 100 TB — past bigint — so the products run in decimal and only the
+    * final score drops to double (exact parse both engines). */
+  def qCusumDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(cents(col("l_extendedprice"))).as("daily_cents"))
+    val w = Window.orderBy(col("d"))
+    val pre = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s_k", sum(col("daily_cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("daily_cents")).as("t_cents"))
+    val cusum = (col("n_days").cast("decimal(38,0)") *
+        col("s_k").cast("decimal(38,0)") -
+      col("k").cast("decimal(38,0)") * col("t_cents").cast("decimal(38,0)"))
+      .cast("double")
+    pre.crossJoin(broadcast(tot))
+      // dates travel as UTC-midnight timestamps (driver-compare constraint)
+      .select(col("d").cast("timestamp").as("d"), col("daily_cents"),
+        cusum.as("cusum_scaled"))
+      .orderBy(abs(col("cusum_scaled")).desc, col("d"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini_nation" -> qGiniNation,
+    "q_weighted_median" -> qWeightedMedian,
+    "q_cusum_daily" -> qCusumDaily)
+
+  val oracles: Map[String, String] = Map(
+    "q_gini_nation" ->
+      """WITH rev AS (SELECT o.o_custkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        |ranked AS (SELECT n.n_name, rev.rev,
+        |    row_number() OVER (PARTITION BY n.n_name ORDER BY rev.rev, rev.o_custkey) AS i
+        |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(CAST(rev AS HUGEINT)) AS sx,
+        |    sum(CAST(i AS HUGEINT) * CAST(rev AS HUGEINT)) AS six
+        |  FROM ranked GROUP BY 1)
+        |SELECT n_name, n_customers,
+        |  (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
+        |    - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |  / (CAST(n_customers AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
+        |FROM g ORDER BY n_name""".stripMargin,
+    "q_weighted_median" ->
+      """WITH rows_ AS (SELECT n.n_name,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    CAST(round(l.l_quantity) AS BIGINT) AS wt,
+        |    l.l_orderkey, l.l_linenumber
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |cw AS (SELECT n_name, price_cents,
+        |    CAST(sum(wt) OVER (PARTITION BY n_name
+        |      ORDER BY price_cents, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+        |  FROM rows_),
+        |tot AS (SELECT n_name, CAST(sum(wt) AS BIGINT) AS tot_wt FROM rows_ GROUP BY 1)
+        |SELECT cw.n_name, tot.tot_wt, min(cw.price_cents) AS wmedian_cents
+        |FROM cw JOIN tot ON cw.n_name = tot.n_name
+        |WHERE cw.cumw * 2 >= tot.tot_wt
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_cusum_daily" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS daily_cents
+        |  FROM lineitem GROUP BY 1),
+        |pre AS (SELECT d, daily_cents,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+        |    CAST(sum(daily_cents) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(daily_cents) AS BIGINT) AS t_cents FROM daily)
+        |SELECT d, daily_cents,
+        |  CAST(CAST(CAST(n_days AS HUGEINT) * CAST(s_k AS HUGEINT)
+        |    - CAST(k AS HUGEINT) * CAST(t_cents AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |    AS cusum_scaled
+        |FROM pre, tot
+        |ORDER BY abs(cusum_scaled) DESC, d LIMIT 20""".stripMargin)
+}

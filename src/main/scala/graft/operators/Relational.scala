@@ -344,6 +344,115 @@ object Relational {
       .orderBy(desc("c12"), asc("p1"), asc("p2"))
   }
 
+  /** TPC-H Q21-shaped: suppliers who were the SOLE late shipper in a
+    * multi-supplier order ("late" = shipped >75 days after the order
+    * date — this fixture has no commit/receipt dates). The textbook
+    * formulation is EXISTS + NOT-EXISTS correlated self-joins on
+    * lineitem (three scans, three shuffles); here the per-order facts the
+    * two subqueries ask for — supplier count and LATE supplier count —
+    * come from ONE groupBy on the already-joined frame, and the join
+    * back to flag the qualifying (order, supplier) rows reuses the same
+    * orderkey hash partitioning, so Catalyst plans a single exchange of
+    * the fact table (ReusedExchange for the aggregate and the join-back).
+    * The closing supplier rollup shuffles one row per qualifying pair —
+    * tiny at any scale. Output ordering (numwait desc, s_name) is unique
+    * because supplier names are. */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+    val perOrder = joined.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    joined.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q16-shaped: how many DISTINCT suppliers can source each
+    * (brand, type, size) part profile, excluding suppliers whose return
+    * rate is strictly above the corpus-wide rate (the fixture's stand-in
+    * for Q16's complaint filter; a FIXED threshold would be meaningless —
+    * the synthetic returnflag is near-uniform, so every supplier sits in
+    * 29–37%). The compare is the exact integer cross-multiplication
+    * `r·N > R·n` in decimal (r·N passes 2⁶³ at 100 TB), so no float
+    * threshold exists to drift. The exclusion list is a supplier-grain
+    * aggregate (map-side combined, ≤|supplier| rows; the 1-row corpus
+    * totals ride along broadcast) applied as a BROADCAST anti-join to the
+    * distinct (part, supplier) pair frame — the pair distinct is the one
+    * fact-scale shuffle; part attributes then attach per-pair by
+    * broadcast and the profile rollup's countDistinct shuffles pairs,
+    * already deduped, once more at profile grain. */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"),
+        count(lit(1)).as("n"))
+    val global = perSupp.agg(sum(col("r")).as("r_tot"), sum(col("n")).as("n_tot"))
+    val excl = perSupp.crossJoin(broadcast(global))
+      .filter(col("r").cast("decimal(38,0)") * col("n_tot").cast("decimal(38,0)") >
+        col("r_tot").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+      .select(col("l_suppkey"))
+    val pairs = lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(excl), Seq("l_suppkey"), "left_anti")
+    pairs
+      .join(broadcast(part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      .limit(30)
+  }
+
+  /** Open-interval counting by sweep line: how many lineitems were
+    * "in flight" (ordered but not yet shipped) on each boundary date.
+    * The naive plan is a dates × intervals range theta-join — the exact
+    * shape that makes DuckDB's nested-loop q_join_range comparator take
+    * 60+ s — re-expressed as the classic event-sweep: every interval
+    * contributes a +1 at its start date and a −1 the day after its end,
+    * one groupBy collapses the deltas to the DATE DOMAIN (bounded by the
+    * calendar span of the dataset — ~2.4k days here and data-volume-
+    * independent, unlike row counts), and one global cumulative sum over
+    * that aggregated frame yields the open count. The only fact-scale
+    * work is the lineitem⋈orders equi-join; the partition-less window
+    * reads calendar-many rows (WindowLint-fenced). */
+  def qOrdersOpen(s: SparkSession, dir: String): DataFrame = {
+    // The synthetic fixture draws shipdate independently of orderdate, so
+    // ~half the rows "ship" before they are ordered — a negative-length
+    // interval that would silently corrupt the delta stream (a −1 BEFORE
+    // its +1). A sweep line is only sound over valid intervals; the
+    // filter is the data-quality gate every interval operator needs
+    // (caught by the brute-force spot check in RelationalSpec).
+    val iv = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .select(to_date(col("o_orderdate")).as("d0"),
+        date_add(to_date(col("l_shipdate")), 1).as("d1"))
+    val deltas = iv.select(explode(array(
+        struct(col("d0").as("d"), lit(1L).as("delta")),
+        struct(col("d1").as("d"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.d").as("d"), col("e.delta").as("delta"))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open_cnt", sum(col("delta")).over(w))
+      // dates travel as UTC-midnight timestamps (driver-compare constraint)
+      .select(col("d").cast("timestamp").as("d"), col("delta"), col("open_cnt"))
+      .orderBy("d")
+  }
+
   /** Broadcast-hash dimension join: lineitem ⋈ part, rolled up by brand. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
     val p = part(s, dir).select("p_partkey", "p_brand")
@@ -771,6 +880,9 @@ object Relational {
     "q2_min_cost" -> q2MinCost,
     "q18_big_orders" -> q18BigOrders,
     "q_ref_integrity" -> qRefIntegrity,
+    "q21_late_suppliers" -> q21LateSuppliers,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q_orders_open" -> qOrdersOpen,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
     "q_join_semi" -> joinSemi,
@@ -913,6 +1025,45 @@ object Relational {
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
         |ORDER BY fk_edge""".stripMargin,
+    "q21_late_suppliers" ->
+      """WITH j AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    (l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        |  FROM j GROUP BY 1),
+        |q AS (SELECT DISTINCT j.l_orderkey, j.l_suppkey
+        |  FROM j JOIN po ON j.l_orderkey = po.l_orderkey
+        |  WHERE j.late AND po.n_supp > 1 AND po.n_late_supp = 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q16_supplier_variety" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(r) AS r_tot, sum(n) AS n_tot FROM ps),
+        |excl AS (SELECT l_suppkey FROM ps, tot
+        |  WHERE CAST(r AS HUGEINT) * CAST(n_tot AS HUGEINT)
+        |      > CAST(r_tot AS HUGEINT) * CAST(n AS HUGEINT)),
+        |pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT l_suppkey FROM excl))
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT pairs.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part p ON pairs.l_partkey = p.p_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30""".stripMargin,
+    "q_orders_open" ->
+      """WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS d0,
+        |    CAST(l.l_shipdate AS DATE) + 1 AS d1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate >= o.o_orderdate),
+        |ev AS (SELECT d0 AS d, 1 AS delta FROM iv
+        |  UNION ALL SELECT d1 AS d, -1 AS delta FROM iv),
+        |g AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY d)
+        |SELECT d, delta, CAST(sum(delta) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_cnt
+        |FROM g ORDER BY d""".stripMargin,
     "q_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS c12

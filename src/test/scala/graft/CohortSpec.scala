@@ -134,4 +134,30 @@ class CohortSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(run == total)
   }
+
+  test("twap: bounded by the user's value range, holds weighted correctly") {
+    val got = Cohort.qTwapUser(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.foreach { case (uid, nHolds, totUs, twap) =>
+      val es = ev(uid).sortBy(e => (e._3, e._2))
+      assert(nHolds == es.length - 1, s"user $uid: one hold per gap")
+      val gaps = es.zip(es.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      assert(totUs == gaps.map(_._2).sum)
+      // exact recompute of the weighted mean
+      val wsum = gaps.map { case (vc, d) => BigInt(vc) * BigInt(d) }.sum
+      val exp = BigDecimal(wsum).toDouble / totUs.toDouble / 100.0
+      assert(twap == exp, s"user $uid: $twap vs $exp")
+      // bounded by the held-value range
+      val held = gaps.map(_._1)
+      assert(twap * 100.0 >= held.min.toDouble - 1e-9 &&
+        twap * 100.0 <= held.max.toDouble + 1e-9)
+    }
+  }
 }

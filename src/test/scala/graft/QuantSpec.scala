@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quant
+
+/** Semantic invariants of the quantitative-distribution family at
+  * sf0.001 (value-level correctness is the driver's DuckDB oracle gate). */
+class QuantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("gini: one row per nation, coefficient in [0, 1)") {
+    val rows = Quant.qGiniNation(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of range")
+    }
+  }
+
+  test("weighted median: splits the quantity mass within every nation") {
+    val med = Quant.qWeightedMedian(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Tables.lineitem(spark, TestSpark.sf0001)
+      .join(broadcast(Tables.supplier(spark, TestSpark.sf0001)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, TestSpark.sf0001)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        Tables.cents(col("l_extendedprice")).as("pc"),
+        round(col("l_quantity")).cast("bigint").as("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    med.foreach { case (nat, tot, m) =>
+      val items = rows.filter(_._1 == nat)
+      assert(items.map(_._3).sum == tot)
+      val below = items.filter(_._2 < m).map(_._3).sum
+      val upto = items.filter(_._2 <= m).map(_._3).sum
+      assert(2 * below < tot, s"$nat: too much mass strictly below the median")
+      assert(2 * upto >= tot, s"$nat: median does not reach half the mass")
+    }
+  }
+
+  test("cusum: 20 rows, ranked by |score| descending, scores sum shape") {
+    val rows = Quant.qCusumDaily(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    val mags = rows.map(r => math.abs(r._3))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b },
+      "not sorted by |cusum| desc")
+    assert(rows.map(_._1).distinct.length == 20, "duplicate days")
+  }
+}

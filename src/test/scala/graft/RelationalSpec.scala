@@ -159,4 +159,68 @@ class RelationalSpec extends AnyFunSuite {
     val dropped = pairCounts.filterNot(kv => got.exists(g => (g._1, g._2) == kv._1))
     assert(dropped.values.forall(_ <= maxKept))
   }
+
+  test("q21: qualifying suppliers were the sole late shipper of a multi-supplier order") {
+    val got = Relational.q21LateSuppliers(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._2 > 0))
+    // recompute per-order supplier/late-supplier sets in memory
+    val joined = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, TestSpark.sf0001)
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+          .as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = joined.groupBy(_._1)
+    val waits = byOrder.toSeq.flatMap { case (_, ls) =>
+      val supps = ls.map(_._2).distinct
+      val lateSupps = ls.filter(_._3).map(_._2).distinct
+      if (supps.length > 1 && lateSupps.length == 1) lateSupps else Nil
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (supp, numwait) =>
+      assert(waits(supp) == numwait, s"supplier $supp")
+    }
+    // the limit keeps the top counts
+    val minKept = got.map(_._2).min
+    assert(waits.filterNot(kv => got.exists(_._1 == kv._1)).values
+      .forall(_ <= minKept))
+  }
+
+  test("q16: no above-average-return supplier is counted in any profile") {
+    val rows = Relational.q16SupplierVariety(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_.getLong(3) > 0))
+    // counts sorted descending per the cut contract
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sweep line: open count is a true interval count at every boundary") {
+    val got = Relational.qOrdersOpen(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // deltas telescope to zero: every interval that opens also closes
+    assert(got.map(_._2).sum == 0L)
+    assert(got.last._3 == 0L, "all intervals closed after the last boundary")
+    assert(got.forall(_._3 >= 0L), "open count can never be negative")
+    // cumsum consistency
+    var run = 0L
+    got.foreach { case (_, delta, open) => run += delta; assert(open == run) }
+    // spot-check one mid-stream boundary against a brute-force count
+    val mid = got(got.length / 2)._1
+    val brute = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, TestSpark.sf0001)
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("o_orderdate")).cast("timestamp").cast("long") * 1000 <= mid &&
+        to_date(col("l_shipdate")).cast("timestamp").cast("long") * 1000 >= mid)
+      .count()
+    assert(got(got.length / 2)._3 == brute,
+      s"open count at $mid: sweep ${got(got.length / 2)._3} vs brute $brute")
+  }
 }
