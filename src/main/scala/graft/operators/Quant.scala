@@ -25,15 +25,37 @@ import graft.Tables._
   */
 object Quant {
 
+  /** Value-bucketed per-group rank/prefix machinery: `row_number()` (and
+    * weighted cumulative sums) ordered by an integer VALUE column within
+    * each group, computed WITHOUT a per-group window over raw rows — a
+    * nation-keyed `Window.partitionBy(n_name)` has only ~25 partitions,
+    * so at 100 TB each task would sort millions of rows. Instead the
+    * value axis splits into ≤256 ORDER-PRESERVING buckets
+    * (`(v − lo) >> shift`; lo/hi from a one-row aggregate collect, the
+    * bounded-driver pattern of qPackSequences), ranks run within
+    * (group, bucket) — 256× the parallelism — and per-bucket totals
+    * (≤ groups×256 tiny rows) prefix-sum per group and broadcast back.
+    * Equal values land in equal buckets, so bucket order + in-bucket
+    * order IS the global value order; ranks are bit-identical to the
+    * naive window, which is exactly what the plain-SQL oracles check. */
+  private def valueBucket(df: DataFrame, v: String): DataFrame = {
+    val r = df.agg(min(col(v)), max(col(v))).first()
+    val (lo, hi) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(hi - lo, 1L)) - 8)
+    df.withColumn("__bkt", shiftright(col(v) - lit(lo), shift))
+  }
+
   /** Gini coefficient of customer revenue inside each nation — the
     * inequality audit ("do 20% of customers carry 80% of revenue?").
     * Computed from the rank form G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) over
     * revenue ranked ascending within the nation: ONE fact-scale join
     * (lineitem⋈orders on orderkey) feeds a custkey aggregate; the rank
-    * window is partitioned by nation (never global), ties broken by
-    * custkey so both engines rank identically; Σi·xᵢ accumulates in
-    * decimal because rank(10⁷)×cents(10⁹) rows overflow bigint long
-    * before 100 TB. Customer/nation attach by broadcast. */
+    * is the [[valueBucket]] two-level form (never a 25-partition
+    * nation window); ties broken by custkey so both engines rank
+    * identically; Σi·xᵢ accumulates in decimal because
+    * rank(10⁷)×cents(10⁹) rows overflow bigint long before 100 TB.
+    * Customer/nation attach by broadcast. */
   def qGiniNation(s: SparkSession, dir: String): DataFrame = {
     val rev = lineitem(s, dir)
       .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
@@ -42,11 +64,20 @@ object Quant {
       .groupBy(col("o_custkey")).agg(sum(col("pc")).as("rev"))
     val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    val ranked = rev
+    val b = valueBucket(rev
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(col("n_name")).orderBy(col("rev"), col("o_custkey"))))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey")), "rev")
+    val withinW = Window.partitionBy(col("n_name"), col("__bkt"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val offW = Window.partitionBy(col("n_name")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("n_name"), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(col("n_name"), col("__bkt"), col("__off"))
+    val ranked = b
+      .join(broadcast(offsets), Seq("n_name", "__bkt"))
+      .withColumn("i", col("__off") + row_number().over(withinW).cast("long"))
     val g = ranked.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev").cast("decimal(38,0)")).as("sx"),
@@ -62,27 +93,37 @@ object Quant {
 
   /** Weighted median unit price per supplier nation, weighted by
     * quantity: the order statistic that "half the shipped VOLUME cost
-    * less than this". Classic prefix-sum selection: cumulative weight
-    * within a nation-partitioned window ordered by (price, orderkey,
-    * linenumber) — fully deterministic — and the median is the first
-    * value whose doubled cumulative weight reaches the nation total.
-    * Everything is exact integers end to end; the nation totals frame
-    * (≤25 rows) broadcasts back. Supplier→nation attach by broadcast, so
-    * the fact table is shuffled exactly once (the nation hash for the
-    * window sort). */
+    * less than this". Classic prefix-sum selection — cumulative weight in
+    * (price, orderkey, linenumber) order, the median being the first
+    * value whose doubled cumulative weight reaches the nation total —
+    * with the cumulative sum in the [[valueBucket]] two-level form: the
+    * within-(nation, bucket) weight prefix plus the broadcast prefix of
+    * whole-bucket weight totals, so no 25-partition nation window ever
+    * sees raw rows. Everything is exact integers end to end.
+    * Supplier→nation attach by broadcast, so the fact table is shuffled
+    * exactly once (the (nation, bucket) hash for the window sort). */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val sup = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
     val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    val rows = lineitem(s, dir)
+    val rows = valueBucket(lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         cents(col("l_extendedprice")).as("price_cents"),
         round(col("l_quantity")).cast("bigint").as("wt"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-    val cumw = rows.withColumn("cumw", sum(col("wt")).over(
-      Window.partitionBy(col("n_name"))
-        .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey")),
+      "price_cents")
+    val withinW = Window.partitionBy(col("n_name"), col("__bkt"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col("n_name")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy(col("n_name"), col("__bkt"))
+      .agg(sum(col("wt")).as("__w"))
+      .withColumn("__off", coalesce(sum(col("__w")).over(offW), lit(0L)))
+      .select(col("n_name"), col("__bkt"), col("__off"))
+    val cumw = rows
+      .join(broadcast(offsets), Seq("n_name", "__bkt"))
+      .withColumn("cumw", col("__off") + sum(col("wt")).over(withinW))
     val tot = rows.groupBy(col("n_name")).agg(sum(col("wt")).as("tot_wt"))
     cumw.join(broadcast(tot), "n_name")
       .filter(col("cumw") * 2 >= col("tot_wt"))

@@ -348,15 +348,17 @@ object Relational {
     * multi-supplier order ("late" = shipped >75 days after the order
     * date — this fixture has no commit/receipt dates). The textbook
     * formulation is EXISTS + NOT-EXISTS correlated self-joins on
-    * lineitem (three scans, three shuffles); here the per-order facts the
-    * two subqueries ask for — supplier count and LATE supplier count —
-    * come from ONE groupBy on the already-joined frame, and the join
-    * back to flag the qualifying (order, supplier) rows reuses the same
-    * orderkey hash partitioning, so Catalyst plans a single exchange of
-    * the fact table (ReusedExchange for the aggregate and the join-back).
-    * The closing supplier rollup shuffles one row per qualifying pair —
-    * tiny at any scale. Output ordering (numwait desc, s_name) is unique
-    * because supplier names are. */
+    * lineitem (three scans, three shuffles); a groupBy-then-join-back
+    * still plans TWO lineitem scans (the aggregate and the probe subtree
+    * diverge, so Catalyst cannot reuse the exchange). Here the per-order
+    * facts the two subqueries ask for — supplier set and LATE supplier
+    * set — ride a window over the SAME orderkey partition the rows
+    * already sit in: one scan, one exchange, and the qualifying-pair
+    * distinct reuses that partitioning (orderkey ⊆ its grouping keys).
+    * The per-order sets are bounded by lines-per-order (~7), not data
+    * volume. The closing supplier rollup shuffles one row per qualifying
+    * pair — tiny at any scale. Output ordering (numwait desc, s_name) is
+    * unique because supplier names are. */
   def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
@@ -364,12 +366,12 @@ object Relational {
     val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
-    val perOrder = joined.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-    joined.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    joined
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(byOrder)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(byOrder)))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
