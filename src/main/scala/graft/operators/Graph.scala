@@ -116,10 +116,84 @@ object Graph {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Connected components by plan-unrolled min-label propagation over a
+    * deterministic chain graph: doc i links to i+1 except at break
+    * points (i ≡ 6 mod 7 or i ≡ 10 mod 11), giving components of varied
+    * size 1–7 and diameter ≤6 — so SIX fixed iterations converge
+    * EXACTLY, which is what makes an iterative fixpoint oracle-checkable
+    * (both engines unroll the same k; no convergence test, no
+    * nondeterministic stopping). Each iteration is one shuffle-join of
+    * labels against the bidirectional edge list plus one min-groupBy —
+    * the Pregel floor, same as [[pagerank]]. Component label = min
+    * doc_id reached; output one row per component with its size and
+    * span. At 100 TB the same unrolled plan runs with label frames
+    * partitioned on id; nothing collects to the driver. */
+  def qGraphComponents(s: SparkSession, dir: String): DataFrame = {
+    val nodes = documents(s, dir).select(col("doc_id").as("id"))
+    val fwd = nodes
+      .filter(col("id") % 7 =!= 6 && col("id") % 11 =!= 10)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .join(nodes.select(col("id").as("dst")), "dst") // keep dst in range
+    val e = fwd.select("src", "dst")
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var lab = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to 6) {
+      val nb = e.join(lab.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      lab = lab.union(nb).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+    }
+    lab.groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_id"))
+      .orderBy("component")
+  }
+
+  /** Degree assortativity of the link graph: the Pearson correlation of
+    * endpoint degrees over all (symmetrically oriented) edges — "do
+    * hubs link to hubs?". With both orientations counted, the x and y
+    * marginals coincide, so r reduces to the fully RATIONAL form
+    * (2m·Σdₐd_b − (Σdₐ)²)/(2m·Σdₐ² − (Σdₐ)²): integer power sums
+    * (decimal-accumulated — degree products × edge count pass 2⁶³ at
+    * scale), one double division, no sqrt — bit-exact across engines.
+    * Cost: the und-edge distinct, one degree groupBy, two node-keyed
+    * joins of degrees onto edge endpoints, a 1-row aggregate. */
+  def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = parts(s, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val sym = und.select(col("a").as("u"), col("b").as("w"))
+      .union(und.select(col("b").as("u"), col("a").as("w")))
+    val pairs = sym
+      .join(deg.select(col("v").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+    val g = pairs.agg(count(lit(1)).as("m2"),
+      sum(col("du").cast("decimal(38,0)")).as("sx"),
+      sum((col("du") * col("dw")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("du") * col("du")).cast("decimal(38,0)")).as("sx2"))
+    g.select(col("m2"),
+        ((col("m2").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sx"))
+          .cast("double") /
+         (col("m2").cast("decimal(38,0)") * col("sx2") - col("sx") * col("sx"))
+          .cast("double")).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_pagerank" -> qLinkPagerank,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_components" -> qGraphComponents,
+    "q_graph_assortativity" -> qGraphAssortativity,
   )
+
+  private def ccIterSql(prev: String, cur: String): String =
+    s"""l$cur AS (SELECT id, min(lab) AS lab FROM (
+       |  SELECT id, lab FROM l$prev
+       |  UNION ALL
+       |  SELECT e.dst AS id, l$prev.lab FROM e JOIN l$prev ON e.src = l$prev.id)
+       |  GROUP BY id)""".stripMargin
 
   private def iterSql(prev: String, cur: String): String =
     s"""c$cur AS (SELECT dst AS id, CAST(SUM((rank*17)//60) AS BIGINT) AS s
@@ -158,5 +232,43 @@ object Graph {
         |  (SELECT count(*) FROM und) AS n_edges,
         |  (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) FROM deg) AS n_wedges,
         |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
+    "q_graph_components" ->
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |fwd AS (SELECT n.id AS src, n.id + 1 AS dst FROM nodes n
+         |  JOIN nodes m ON m.id = n.id + 1
+         |  WHERE n.id % 7 <> 6 AND n.id % 11 <> 10),
+         |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |l0 AS (SELECT id, id AS lab FROM nodes),
+         |${ccIterSql("0", "1")},
+         |${ccIterSql("1", "2")},
+         |${ccIterSql("2", "3")},
+         |${ccIterSql("3", "4")},
+         |${ccIterSql("4", "5")},
+         |${ccIterSql("5", "6")}
+         |SELECT lab AS component, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  max(id) AS max_id
+         |FROM l6 GROUP BY 1 ORDER BY component""".stripMargin,
+    "q_graph_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |edges AS (SELECT id AS src, (id*id + 7*k) % nn.n AS dst
+        |  FROM nodes, nn, (VALUES (1),(2),(3)) t(k)),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |sym AS (SELECT a AS u, b AS w FROM und UNION ALL SELECT b, a FROM und),
+        |pairs AS (SELECT du.d AS du, dw.d AS dw FROM sym
+        |  JOIN deg du ON sym.u = du.v JOIN deg dw ON sym.w = dw.v),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    sum(CAST(du AS HUGEINT)) AS sx,
+        |    sum(CAST(du AS HUGEINT) * CAST(dw AS HUGEINT)) AS sxy,
+        |    sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS sx2
+        |  FROM pairs)
+        |SELECT m2,
+        |  CAST(CAST(CAST(m2 AS HUGEINT) * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(m2 AS HUGEINT) * sx2 - sx * sx AS VARCHAR) AS DOUBLE)
+        |    AS assortativity
+        |FROM g""".stripMargin,
   )
 }

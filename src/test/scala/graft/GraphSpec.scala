@@ -60,6 +60,45 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connected components == naive union-find on the chain graph") {
+    val got = Graph.qGraphComponents(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, TestSpark.sf001).count().toInt
+    // Naive: walk the chain, splitting at the break points.
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- 0 until n - 1 if i % 7 != 6 && i % 11 != 10) {
+      val (a, b) = (find(i), find(i + 1)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val comps = (0 until n).groupBy(find)
+    val exp = comps.toSeq.map { case (lab, ms) =>
+      (lab.toLong, ms.size.toLong, ms.max.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == exp)
+    // six unrolled iterations really are enough: max component diameter ≤ 6
+    assert(comps.values.map(_.size).max <= 7)
+  }
+
+  test("assortativity == naive Pearson over endpoint degrees") {
+    val r = Graph.qGraphAssortativity(spark, TestSpark.sf001).collect()(0)
+    val n = Tables.documents(spark, TestSpark.sf001).count().toInt
+    val und = (for {
+      i <- 0 until n; k <- 1 to 3
+      j = ((i.toLong * i + k * 7) % n).toInt; if i != j
+    } yield (math.min(i, j), math.max(i, j))).toSet
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val pairs = und.toSeq.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = pairs.size.toLong
+    val sx = pairs.map(_._1).map(BigInt(_)).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val sx2 = pairs.map(p => BigInt(p._1) * p._1).sum
+    val expected = (BigInt(m2) * sxy - sx * sx).toDouble / (BigInt(m2) * sx2 - sx * sx).toDouble
+    assert(r.getLong(0) == m2)
+    assert(r.getDouble(1) == expected, s"got ${r.getDouble(1)} expected $expected")
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
   test("rank mass: teleport floor holds, total mass bounded by initial") {
     val ranks = Graph.qLinkPagerank(spark, TestSpark.sf001).collect()
       .map(_.getLong(1))
