@@ -16,7 +16,14 @@ object ProfileBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Same dev-only subset filter as graft.Verify (comma-separated names).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => graft.SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => graft.SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -134,13 +134,25 @@ object Graph {
       .filter(col("id") % 7 =!= 6 && col("id") % 11 =!= 10)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
       .join(nodes.select(col("id").as("dst")), "dst") // keep dst in range
+    // Bidirectional edges PLUS a self-loop per node: the self-loop folds
+    // "keep my own label" into the neighbor-min, so each iteration is ONE
+    // join + groupBy referencing `lab` once. The naive
+    // `lab.union(join(e, lab))` references lab twice per round — the plan
+    // DOUBLES per iteration (2^6 copies of the scan by round 6; measured
+    // 4.3 s of pure optimizer/replan time at sf0.1 vs 0.2 s for the
+    // 3-iteration pagerank, whose recurrence references ranks once).
+    // Cached: consumed by all 6 rounds. (No unpersist here — it would run
+    // at plan-CONSTRUCTION time, before any job, silently cancelling the
+    // cache; the harness clears the cache manager between queries, same
+    // as qGraphTriangles' und cache.)
     val e = fwd.select("src", "dst")
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .cache()
     var lab = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to 6) {
-      val nb = e.join(lab.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lab"))
-      lab = lab.union(nb).groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      lab = e.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lab")).as("lab"))
     }
     lab.groupBy(col("lab").as("component"))
       .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_id"))
@@ -189,11 +201,8 @@ object Graph {
   )
 
   private def ccIterSql(prev: String, cur: String): String =
-    s"""l$cur AS (SELECT id, min(lab) AS lab FROM (
-       |  SELECT id, lab FROM l$prev
-       |  UNION ALL
-       |  SELECT e.dst AS id, l$prev.lab FROM e JOIN l$prev ON e.src = l$prev.id)
-       |  GROUP BY id)""".stripMargin
+    s"""l$cur AS (SELECT e.dst AS id, min(lab) AS lab
+       |  FROM e JOIN l$prev ON e.src = l$prev.id GROUP BY 1)""".stripMargin
 
   private def iterSql(prev: String, cur: String): String =
     s"""c$cur AS (SELECT dst AS id, CAST(SUM((rank*17)//60) AS BIGINT) AS s
@@ -237,7 +246,8 @@ object Graph {
          |fwd AS (SELECT n.id AS src, n.id + 1 AS dst FROM nodes n
          |  JOIN nodes m ON m.id = n.id + 1
          |  WHERE n.id % 7 <> 6 AND n.id % 11 <> 10),
-         |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+         |  UNION ALL SELECT id, id FROM nodes),
          |l0 AS (SELECT id, id AS lab FROM nodes),
          |${ccIterSql("0", "1")},
          |${ccIterSql("1", "2")},
