@@ -228,7 +228,72 @@ object Cohort {
       .orderBy("user_id")
   }
 
+  /** RFM segmentation: every customer scored 1–5 on Recency (days since
+    * last order), Frequency (order count), and Monetary (lifetime spend),
+    * binned by the 20/40/60/80th percentiles of each metric; output one
+    * row per populated (r,f,m) cell. Value-threshold quintiles, NOT
+    * ntile: ntile needs a global rank (a single-partition window over
+    * every customer — the scale shape this engine fences), while the
+    * four thresholds come from ONE distributed percentile aggregate that
+    * broadcasts a single row; binning is then a map-side compare. Equal
+    * values land in the same bin on both engines by construction (no
+    * rank tie to break). Percentile interpolation over integer inputs is
+    * formula-identical to DuckDB's quantile_cont (the q_percentiles
+    * precedent); the compares consume those identical doubles. */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("o_totalprice"))).as("mon_cents"))
+    val globalMax = orders(s, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_day"))
+    val rfm = per.crossJoin(broadcast(globalMax))
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("bigint").as("rec_days"),
+        col("freq"), col("mon_cents"))
+    val thr = rfm.agg(
+      expr("percentile(rec_days, array(0.2, 0.4, 0.6, 0.8))").as("rt"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("ft"),
+      expr("percentile(mon_cents, array(0.2, 0.4, 0.6, 0.8))").as("mt"))
+    def bin(v: String, t: String) =
+      (lit(1) + (0 to 3).map(i => when(col(v) > expr(s"$t[$i]"), 1).otherwise(0))
+        .reduce(_ + _)).as(s"${v.take(1)}_bin")
+    rfm.crossJoin(broadcast(thr))
+      .select(bin("rec_days", "rt"), bin("freq", "ft"), bin("mon_cents", "mt"),
+        col("mon_cents"))
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("mon_cents")).cast("double") / 100).as("total_spend"))
+      .orderBy("r_bin", "f_bin", "m_bin")
+  }
+
+  /** Funnel conversion latency: per user, microseconds from first `view`
+    * to the first `purchase` at-or-after it; reported as the quartile +
+    * p90 profile over converting users. The per-user firsts are two
+    * min-aggregates on user_id (partial-agg'd, same key, one exchange
+    * chain); the distributed percentile aggregate collapses to one row —
+    * latencies stay exact integer µs until the interpolated percentile,
+    * whose operands (and therefore bits) match DuckDB's quantile_cont. */
+  def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(v, "user_id")
+      .filter(col("p_us") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("p_us") - col("v_us")).as("lat_us"))
+    p.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(lat_us, 0.25)").as("p25_us"),
+      expr("percentile(lat_us, 0.5)").as("p50_us"),
+      expr("percentile(lat_us, 0.75)").as("p75_us"),
+      expr("percentile(lat_us, 0.9)").as("p90_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> qRfmSegments,
+    "q_funnel_latency" -> qFunnelLatency,
     "q_twap_user" -> qTwapUser,
     "q_users_cumulative" -> qUsersCumulative,
     "q_event_transitions" -> qEventTransitions,
@@ -240,6 +305,47 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon_cents
+        |  FROM orders GROUP BY 1),
+        |gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+        |rfm AS (SELECT o_custkey, CAST(max_day - last_day AS BIGINT) AS rec_days,
+        |    freq, mon_cents FROM per, gm),
+        |thr AS (SELECT quantile_cont(rec_days, [0.2,0.4,0.6,0.8]) AS rt,
+        |    quantile_cont(freq, [0.2,0.4,0.6,0.8]) AS ft,
+        |    quantile_cont(mon_cents, [0.2,0.4,0.6,0.8]) AS mt FROM rfm),
+        |binned AS (SELECT mon_cents,
+        |    1 + (CASE WHEN rec_days > rt[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rec_days > rt[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rec_days > rt[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rec_days > rt[4] THEN 1 ELSE 0 END) AS r_bin,
+        |    1 + (CASE WHEN freq > ft[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > ft[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > ft[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq > ft[4] THEN 1 ELSE 0 END) AS f_bin,
+        |    1 + (CASE WHEN mon_cents > mt[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mon_cents > mt[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mon_cents > mt[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mon_cents > mt[4] THEN 1 ELSE 0 END) AS m_bin
+        |  FROM rfm, thr)
+        |SELECT CAST(r_bin AS INT) AS r_bin, CAST(f_bin AS INT) AS f_bin,
+        |  CAST(m_bin AS INT) AS m_bin, count(*) AS n_customers,
+        |  CAST(sum(mon_cents) AS DOUBLE)/100 AS total_spend
+        |FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, CAST(min(epoch_us(ts) - v_us) AS BIGINT) AS lat_us
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) >= v_us GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  quantile_cont(lat_us, 0.25) AS p25_us,
+        |  quantile_cont(lat_us, 0.5) AS p50_us,
+        |  quantile_cont(lat_us, 0.75) AS p75_us,
+        |  quantile_cont(lat_us, 0.9) AS p90_us
+        |FROM p""".stripMargin,
     "q_twap_user" ->
       """WITH e AS (SELECT user_id, event_id,
         |    epoch_us(ts) AS t_us,

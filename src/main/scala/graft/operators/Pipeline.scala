@@ -353,7 +353,39 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** Boilerplate-span detection (the line-dedup stage of C4/RefinedWeb-
+    * style cleaning, adapted to span granularity since the fixture docs
+    * are single-line): a sliding word-3-gram is boilerplate when it
+    * appears in ≥ 4 distinct documents; per document, report how much of
+    * it is boilerplate. The df-counting granularity is (gram, doc) — the
+    * first aggregate collapses within-doc repeats map-side, the second
+    * counts distinct docs per gram as a plain count over that already-
+    * deduped frame, and the join back to per-doc grain runs gram-to-gram
+    * co-partitioned with it. Nothing broadcasts at corpus scale and no
+    * frame is ever all-pairs; at 100 TB the grams would carry a 16-byte
+    * hash instead of the text (same plan shape). boiler_ratio is an
+    * int/int division — bit-exact across engines. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val grams = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> array_join(slice(w, i+1, 3), ' '))"))
+      .as("g"))
+    val perDocGram = grams.groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val df = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    perDocGram.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= 4, col("c")).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> qBoilerplate,
     "q_pack_efficiency" -> qPackEfficiency,
     "q_zorder_layout" -> qZorderLayout,
     "q_sample_hash" -> qSampleHash,
@@ -369,6 +401,19 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |ex AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |eg AS (SELECT g, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
+        |df AS (SELECT g, count(*) AS df FROM eg GROUP BY 1)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 4 THEN c ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN df >= 4 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS boiler_ratio
+        |FROM eg JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack_efficiency" ->
       """WITH t AS (SELECT
         |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n

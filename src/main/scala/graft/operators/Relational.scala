@@ -417,6 +417,106 @@ object Relational {
       .limit(30)
   }
 
+  /** TPC-H Q13-shaped: customer distribution by order count — how many
+    * customers placed exactly k orders in a window, INCLUDING the
+    * zero-order customers a plain groupBy would drop. Per-custkey counts
+    * are one partial-aggregated shuffle on custkey; the customer LEFT
+    * join runs custkey-to-custkey (co-partitioned, no broadcast needed
+    * at any scale since both sides shard on the same key); the final
+    * histogram is a tiny second aggregate (≤ max-orders-per-customer
+    * groups regardless of corpus size). */
+  def q13OrderCounts(s: SparkSession, dir: String): DataFrame = {
+    val counted = orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    customer(s, dir).select(col("c_custkey"))
+      .join(counted, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q17-shaped: small-quantity revenue — lineitems of one brand's
+    * parts whose quantity is below 20% of that part's average quantity.
+    * The correlated avg subquery decorrelates into a per-part aggregate
+    * joined back on partkey (both sides co-partitioned on partkey: one
+    * shuffle each, no broadcast of fact-scale data). The 0.2·avg compare
+    * is EXACT: avg = sum/cnt over integral quantities, so
+    * qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum in pure bigint — no float
+    * enters until the final cents→double division. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = part(s, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), round(col("l_quantity")).cast("bigint").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .withColumnRenamed("l_partkey", "agg_partkey")
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("price_cents")).cast("double") / 100).as("lost_revenue"))
+  }
+
+  /** TPC-H Q22-shaped: idle rich customers — above the positive-balance
+    * average with NO orders in the recent window, per nation. The scalar
+    * average rides as a 1-row broadcast; the compare is exact integer
+    * cross-multiplication (bal·n_pos > sum_pos in cents — no float
+    * threshold). The "no recent orders" test is a LEFT ANTI join on
+    * custkey against a date-pruned orders scan: at 100 TB the date
+    * filter reaches the parquet reader and the anti join shuffles only
+    * the surviving keys. */
+  def q22IdleRich(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+      cents(col("c_acctbal")).as("bal_cents"))
+    val posAvg = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_idle"),
+        (sum(col("bal_cents")).cast("double") / 100).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q7-shaped: bilateral shipping volume — revenue flowing between
+    * two nations (either direction) by ship year. Supplier-nation and
+    * customer-nation are both tiny dim chains folded into broadcasts
+    * BEFORE touching facts, and each is pre-filtered to the two nations
+    * of interest, so the fact joins carry only qualifying rows: lineitem
+    * joins suppliers map-side (broadcast), orders on orderkey, customers
+    * on custkey — the two fact shuffles the flow inherently needs. The
+    * cross-pair filter (supp ≠ cust nation) is a residual map-side
+    * predicate once both nation names are in flight. */
+  def q7NationFlows(s: SparkSession, dir: String): DataFrame = {
+    val twoNations = nation(s, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val sup = supplier(s, dir)
+      .join(broadcast(twoNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer(s, dir)
+      .join(broadcast(twoNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("ship_year"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .as("rev_e4"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** Open-interval counting by sweep line: how many lineitems were
     * "in flight" (ordered but not yet shipped) on each boundary date.
     * The naive plan is a dates × intervals range theta-join — the exact
@@ -884,6 +984,10 @@ object Relational {
     "q_ref_integrity" -> qRefIntegrity,
     "q21_late_suppliers" -> q21LateSuppliers,
     "q16_supplier_variety" -> q16SupplierVariety,
+    "q13_order_counts" -> q13OrderCounts,
+    "q17_small_qty" -> q17SmallQty,
+    "q22_idle_rich" -> q22IdleRich,
+    "q7_nation_flows" -> q7NationFlows,
     "q_orders_open" -> qOrdersOpen,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_anti" -> joinAnti,
@@ -1055,6 +1159,55 @@ object Relational {
         |FROM pairs JOIN part p ON pairs.l_partkey = p.p_partkey
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30""".stripMargin,
+    "q13_order_counts" ->
+      """WITH counted AS (SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN counted ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |pp AS (SELECT l_partkey AS agg_partkey,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(price_cents) AS DOUBLE)/100 AS lost_revenue
+        |FROM li JOIN pp ON l_partkey = agg_partkey
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+        |pa AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+        |    count(*) AS n_pos FROM c WHERE bal_cents > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT c_nationkey, count(*) AS n_idle,
+        |  CAST(sum(bal_cents) AS DOUBLE)/100 AS total_bal
+        |FROM c, pa
+        |WHERE CAST(bal_cents AS HUGEINT) * n_pos > sum_pos
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_nation_flows" ->
+      """WITH two AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN two ON s_nationkey = n_nationkey),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN two ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
+        |    AS revenue
+        |FROM lineitem
+        |JOIN sup ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cust ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_orders_open" ->
       """WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS d0,
         |    CAST(l.l_shipdate AS DATE) + 1 AS d1

@@ -249,7 +249,34 @@ object Selection {
       .orderBy("source")
   }
 
+  /** Length-curriculum interleave: order the corpus short-to-long (the
+    * classic "easy first" curriculum) while ROUND-ROBINING across
+    * sources so no source dominates any training window. The global
+    * position is pure arithmetic — (within_rank−1)·n_sources + src_idx —
+    * over a per-source length rank, so no partition-less window exists
+    * anywhere: the within-source rank is [[twoLevelRank]] keyed by
+    * (source, zero-padded-length bucket) — the zero-pad makes the string
+    * order the numeric order and its 2-char prefix a monotone bucket —
+    * and n_sources rides as a 1-row broadcast. Emits the first 400
+    * curriculum slots. */
+  def qCurriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      lpad(col("n_chars").cast("string"), 6, "0").as("lkey"),
+      substring(col("source"), 4, 10).cast("int").as("src_idx"))
+    val nSrc = base.agg(countDistinct(col("source")).as("n_src"))
+    twoLevelRank(base, "lkey", "doc_id", Seq("source"), "within_rank")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("slot",
+        (col("within_rank") - 1) * col("n_src") + col("src_idx"))
+      .filter(col("slot") < 400)
+      .select(col("slot"), col("doc_id"), col("source"), col("n_chars"),
+        col("within_rank"))
+      .orderBy("slot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum_pack" -> qCurriculumPack,
     "q_mix_kl" -> qMixKl,
     "q_sample_weighted" -> qSampleWeighted,
     "q_mix_weighted" -> qMixWeighted,
@@ -264,6 +291,18 @@ object Selection {
     .mkString("CASE ", " ", " ELSE '0' END")
 
   val oracles: Map[String, String] = Map(
+    "q_curriculum_pack" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |    CAST(substring(source, 4) AS INT) AS src_idx,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY lpad(CAST(n_chars AS VARCHAR), 6, '0'), doc_id) AS BIGINT)
+        |      AS within_rank
+        |  FROM documents),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src FROM documents)
+        |SELECT (within_rank - 1) * n_src + src_idx AS slot, doc_id, source,
+        |  n_chars, within_rank
+        |FROM b, ns WHERE (within_rank - 1) * n_src + src_idx < 400
+        |ORDER BY slot""".stripMargin,
     "q_mix_kl" ->
       """WITH t AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents),
         |tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),

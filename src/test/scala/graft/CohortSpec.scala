@@ -160,4 +160,48 @@ class CohortSpec extends AnyFunSuite {
         twap * 100.0 <= held.max.toDouble + 1e-9)
     }
   }
+
+  test("rfm: cells partition the customer base, bins bounded 1..5") {
+    val rows = Cohort.qRfmSegments(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val nCust = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust, "every customer lands in exactly one cell")
+    rows.foreach { case (r, f, m, n, spend) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(n > 0 && spend > 0)
+    }
+    // thresholds really split: no single bin owns everything on any axis
+    assert(rows.map(_._1).distinct.length > 1)
+    assert(rows.map(_._3).distinct.length > 1)
+    // quintiles are ~balanced per axis: each m-bin holds 20% ± the tie slack
+    val byM = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    byM.values.foreach(v => assert(v >= nCust / 10 && v <= nCust * 3 / 10,
+      s"m-bin sizes $byM"))
+  }
+
+  test("funnel latency: quantile profile is ordered and matches a naive recompute") {
+    val r = Cohort.qFunnelLatency(spark, TestSpark.sf0001).collect()(0)
+    val (n, p25, p50, p75, p90) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n > 0)
+    assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    assert(p25 >= 0, "a purchase at-or-after the first view cannot precede it")
+    // naive recompute of the per-user latency set and its median
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lats = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) =>
+        firstView.get(u).filter(t >= _).map(v => (u, t - v)) }
+      .groupBy(_._1).map(_._2.map(_._2).min).toSeq.sorted
+    assert(n == lats.length.toLong)
+    val rank = 0.5 * (lats.length - 1)
+    val (lo, g) = (rank.toInt, rank - rank.toInt)
+    val expMedian = lats(lo) + g * (lats(math.min(lo + 1, lats.length - 1)) - lats(lo))
+    assert(p50 == expMedian, s"$p50 vs $expMedian")
+  }
 }

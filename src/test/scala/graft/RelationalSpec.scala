@@ -223,4 +223,70 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(got.length / 2)._3 == brute,
       s"open count at $mid: sweep ${got(got.length / 2)._3} vs brute $brute")
   }
+
+  test("q13: histogram covers every customer exactly once, zero bucket included") {
+    val rows = Relational.q13OrderCounts(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, TestSpark.sf0001).count()
+    assert(rows.map(_._2).sum == nCust)
+    val perCust = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").count().collect().map(_.getLong(1))
+    val hist = perCust.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val zero = nCust - perCust.length
+    rows.foreach { case (c, d) =>
+      if (c == 0L) assert(d == zero, "zero-order bucket")
+      else assert(hist(c) == d, s"bucket $c")
+    }
+  }
+
+  test("q17: decorrelated filter equals the brute-force 20%-of-mean rule") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .join(Tables.part(spark, TestSpark.sf0001)
+        .filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(li.nonEmpty)
+    val stats = li.groupBy(_._1).map { case (k, xs) => k -> (xs.map(_._2).sum, xs.size) }
+    val small = li.filter { case (k, q, _) =>
+      val (s, n) = stats(k); q * 5 * n < s
+    }
+    val row = Relational.q17SmallQty(spark, TestSpark.sf0001).collect()(0)
+    assert(row.getLong(0) == small.size.toLong)
+    assert(row.getDouble(1) ==
+      small.map(x => math.round(x._3 * 100)).sum / 100.0)
+  }
+
+  test("q22: every reported idle-rich customer is above average with no recent order") {
+    val total = Relational.q22IdleRich(spark, TestSpark.sf001).collect()
+    assert(total.nonEmpty)
+    val c = Tables.customer(spark, TestSpark.sf001)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pos = c.map(_._3).filter(_ > 0)
+    val recent = Tables.orders(spark, TestSpark.sf001)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val idle = c.filter(x => BigInt(x._3) * pos.length > BigInt(pos.sum) &&
+      !recent.contains(x._1))
+    val expected = idle.groupBy(_._2).map { case (n, xs) =>
+      (n, xs.size.toLong, xs.map(_._3).sum / 100.0)
+    }.toSeq.sortBy(_._1)
+    assert(total.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      == expected)
+  }
+
+  test("q7: bilateral flows cover both directions and revenue is positive") {
+    val rows = Relational.q7NationFlows(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r._1, r._2)).distinct.toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    assert(rows.forall(_._4 > 0))
+    // (pair, year) keys are unique — the groupBy really is the output grain
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length)
+  }
 }
