@@ -122,38 +122,33 @@ object Dedup {
     * Candidate pairs are generated inside each posting list by the codegen
     * kernel [[graft.plans.SortedPairsExpr]] (≤ df²/2 structs; the
     * higher-order-function formulation evaluated interpreted) instead of a
-    * 2-sided self-join shuffle; per-doc sizes re-derive from the cached
-    * posting lists and broadcast into the final jaccard computation. */
+    * 2-sided self-join shuffle; per-doc sizes re-derive from the posting
+    * lists (exchange-reused) and broadcast into the final jaccard
+    * computation. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("d1", "d2")
 
-  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    ngramPairsScoped(s, dir)._1
-
   /** The pair pipeline without the presentation sort — cluster assignment
     * consumes pairs in any order, so [[qDedupClusters]] skips the global
-    * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds.
-    * Returns the pair frame plus the cached posting-list frame so an
-    * eager consumer ([[qDedupClusters]]) can unpersist it the moment the
-    * pairs are consumed, instead of leaking storage memory into the rest
-    * of the session. */
-  private[graft] def ngramPairsScoped(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (sized, byGram) = ngramInterScoped(s, dir)
-    val result = sized
+    * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds. */
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    ngramInter(s, dir)
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    (result, byGram)
-  }
 
   /** The shared sized-intersection frame (d1, d2, n_inter, s1, s2) that
     * every n-gram set-similarity measure derives from — jaccard
-    * ([[qDedupNgram]]), containment ([[qDedupContainment]]) — plus the
-    * cached posting-list frame for eager consumers to unpersist. */
-  private[graft] def ngramInterScoped(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * ([[qDedupNgram]]), containment ([[qDedupContainment]]). The posting
+    * lists are deliberately NOT cached: their two consumers (the sizes
+    * broadcast and the pair generator) share the aggregate's shuffle via
+    * exchange reuse, A/B timing at sf0.1 puts cache and no-cache within
+    * run noise of each other, and skipping the cache means no
+    * array-heavy storage lingers in the session (the r6 audit's leak
+    * concern) and nothing spills when the posting lists outgrow memory
+    * at corpus scale. */
+  private[graft] def ngramInter(s: SparkSession, dir: String): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -163,7 +158,6 @@ object Dedup {
     val byGram = g.groupBy("gram")
       .agg(cappedListMaxDf(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 1) // empty = overflowed past maxDf
-      .cache() // feeds pair generation + per-doc sizes
     val sizes = byGram.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val pairs = byGram.select(explode(
@@ -175,7 +169,7 @@ object Dedup {
         .withColumnRenamed("n_grams", "s1")), "d1")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
         .withColumnRenamed("n_grams", "s2")), "d2")
-    (sized, byGram)
+    sized
   }
 
   /** Asymmetric containment dedup: pairs where the smaller shingle set is
@@ -186,7 +180,7 @@ object Dedup {
     * pipeline and the same single wide shuffle as [[qDedupNgram]];
     * only the final score differs. */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    ngramInterScoped(s, dir)._1
+    ngramInter(s, dir)
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           least(col("s1"), col("s2"))).as("containment"))
@@ -198,16 +192,8 @@ object Dedup {
     * components — every document labeled with the smallest doc_id
     * reachable through near-dup pairs, one canonical id per duplicate
     * cluster. Execution strategy in [[clustersOf]]. */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, postingLists) = ngramPairsScoped(s, dir)
-    // clustersOf consumes the pairs EAGERLY (driver collect on the small
-    // path, localCheckpoint'ed labels on the distributed one), so the
-    // posting-list cache is dead weight by the time it returns — drop it
-    // here rather than leave it pinned for the rest of the session.
-    val out = clustersOf(s, pairs.select(col("d1"), col("d2")))
-    postingLists.unpersist(false)
-    out
-  }
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(s, ngramPairs(s, dir).select(col("d1"), col("d2")))
 
   /** Components of an undirected pair graph as (doc_id, cluster_id =
     * smallest member). The pair set is already the REDUCED output of
@@ -221,17 +207,20 @@ object Dedup {
     * identical labels (DedupSpec asserts it). */
   private[graft] def clustersOf(s: SparkSession, pairsDF: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
-    // Size probe and fetch in ONE action: collect at most threshold+1
-    // rows. If the result fits under the threshold it already IS the full
-    // pair set, so the common small-graph case pays a single execution of
-    // the pair pipeline instead of three (cache materialize + count +
-    // collect). Only an over-threshold graph re-executes, down the
-    // distributed path, where the pipeline is then cached.
+    // Size probe via cache + count, NOT limit(cap+1).collect(): a limit
+    // over this aggregate executes as executeTake's incremental partition
+    // batches (1, 4, 16, … sequential jobs), serializing the reduce side
+    // onto a handful of cores — measured 2.9× the pair pipeline's own
+    // cost at sf0.1. cache+count materializes the pairs in ONE fully
+    // parallel job; the small-graph collect then reads the cache (no
+    // re-execution), and the distributed path consumes the same cache.
+    // Driver memory stays bounded: collect only runs when count ≤ cap.
     val cap = math.min(driverThreshold, Int.MaxValue - 2L).toInt
-    val probe = pairsDF.limit(cap + 1).collect()
+    val cached = pairsDF.cache()
+    val n = cached.count()
     val out =
-      if (probe.length <= cap) {
-        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+      if (n <= cap) {
+        val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -246,12 +235,12 @@ object Dedup {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val labels = parent.keys.toSeq.map(v => (v, find(v)))
+        cached.unpersist(false)
         import s.implicits._
         labels.toDF("doc_id", "cluster_id")
       } else {
-        val pairs = pairsDF.cache()
-        val edges = pairs
-          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        val edges = cached
+          .union(cached.select(col("d2").as("d1"), col("d1").as("d2")))
           .select(col("d1").as("src"), col("d2").as("dst")).cache()
         var labels = edges.select(col("src").as("v")).distinct()
           .withColumn("lbl", col("v")).localCheckpoint(true)
@@ -272,7 +261,7 @@ object Dedup {
           iter += 1
         }
         edges.unpersist()
-        pairs.unpersist()
+        cached.unpersist()
         labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       }
     out.orderBy("doc_id")
