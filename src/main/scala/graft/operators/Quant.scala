@@ -96,12 +96,18 @@ object Quant {
     * less than this". Classic prefix-sum selection — cumulative weight in
     * (price, orderkey, linenumber) order, the median being the first
     * value whose doubled cumulative weight reaches the nation total —
-    * with the cumulative sum in the [[valueBucket]] two-level form: the
-    * within-(nation, bucket) weight prefix plus the broadcast prefix of
-    * whole-bucket weight totals, so no 25-partition nation window ever
-    * sees raw rows. Everything is exact integers end to end.
-    * Supplier→nation attach by broadcast, so the fact table is shuffled
-    * exactly once (the (nation, bucket) hash for the window sort). */
+    * with the cumulative sum in the [[valueBucket]] two-level form, plus
+    * a TARGET-BUCKET refinement: the per-(nation, bucket) weight totals
+    * (a tiny aggregate) already locate the single bucket per nation
+    * whose cumulative range straddles half the total — prior cum <
+    * tot/2 ≤ cum-through-bucket — so only THAT bucket's raw rows flow
+    * through the ordered window (~1/256 of the data; the rest is
+    * filtered map-side by the broadcast target join). Everything is
+    * exact integers end to end, and the result is identical to the
+    * full prefix scan because the median row is in the straddling
+    * bucket by definition. Supplier→nation attach by broadcast, so the
+    * fact table is shuffled exactly once (the bucket totals aggregate;
+    * the window sees only the surviving sliver). */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val sup = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
     val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
@@ -117,15 +123,19 @@ object Quant {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offW = Window.partitionBy(col("n_name")).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = rows.groupBy(col("n_name"), col("__bkt"))
+    val bucketAgg = rows.groupBy(col("n_name"), col("__bkt"))
       .agg(sum(col("wt")).as("__w"))
+    val offsets = bucketAgg
       .withColumn("__off", coalesce(sum(col("__w")).over(offW), lit(0L)))
-      .select(col("n_name"), col("__bkt"), col("__off"))
-    val cumw = rows
-      .join(broadcast(offsets), Seq("n_name", "__bkt"))
+    // Total weight per nation derives from the same bucket aggregate
+    // (exchange-reused), not a third scan of the fact table.
+    val tot = bucketAgg.groupBy(col("n_name")).agg(sum(col("__w")).as("tot_wt"))
+    val target = offsets.join(tot, "n_name")
+      .filter(col("__off") * 2 < col("tot_wt") &&
+        (col("__off") + col("__w")) * 2 >= col("tot_wt"))
+      .select(col("n_name"), col("__bkt"), col("__off"), col("tot_wt"))
+    rows.join(broadcast(target), Seq("n_name", "__bkt"))
       .withColumn("cumw", col("__off") + sum(col("wt")).over(withinW))
-    val tot = rows.groupBy(col("n_name")).agg(sum(col("wt")).as("tot_wt"))
-    cumw.join(broadcast(tot), "n_name")
       .filter(col("cumw") * 2 >= col("tot_wt"))
       .groupBy(col("n_name"), col("tot_wt"))
       .agg(min(col("price_cents")).as("wmedian_cents"))
