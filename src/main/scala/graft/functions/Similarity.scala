@@ -374,7 +374,32 @@ object Similarity {
       .orderBy("la", "lb")
   }
 
+  /** Duplicate-cluster assignment over the embedding near-dup pair graph:
+    * the step a corpus pipeline actually consumes after pair detection —
+    * every vector labeled with the smallest id reachable through
+    * cosine-≥0.9 pairs, one canonical id per near-dup cluster. Composes
+    * [[qSimNeardup]]'s broadcast pair generation (the fact side is never
+    * shuffled for pair-finding) with the dedup stack's
+    * [[graft.operators.Dedup.clustersOf]] size-adaptive components
+    * (bounded driver union-find below the pair threshold, distributed
+    * min-label propagation above it — identical labels either way, spec-
+    * asserted). The oracle closes the same pair set with a recursive CTE,
+    * so the transitive closure itself is hash-checked, not just pairs. */
+  def qEmbClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val variants = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("var_id"),
+        transform(col("emb"), x => x * 0.95 + 0.001).as("var_emb"))
+    val pairs = e.join(broadcast(variants))
+      .filter(cosine(col("emb"), col("var_emb")) >= 0.9)
+      .select(col("vec_id").as("d1"), col("var_id").as("d2"))
+    graft.operators.Dedup.clustersOf(s, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_clusters" -> qEmbClusters,
     "q_emb_inertia" -> qEmbInertia,
     "q_emb_separation" -> qEmbSeparation,
     "q_sim_topk" -> qSimTopk,
@@ -401,6 +426,19 @@ object Similarity {
       |  list_transform(ss, x -> x / CAST(n AS DOUBLE)) AS cvec FROM l)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_emb_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |vv AS (SELECT vec_id + 100000 AS var_id,
+        |    [x * 0.95 + 0.001 FOR x IN emb] AS var_emb FROM e WHERE vec_id < 20),
+        |prs AS (SELECT e.vec_id AS d1, vv.var_id AS d2 FROM e, vv
+        |  WHERE list_cosine_similarity(e.emb, vv.var_emb) >= 0.9),
+        |und AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2, d1 FROM prs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT d1, d1 FROM und
+        |  UNION
+        |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.node)
+        |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     "q_emb_inertia" ->
       (centroidCte + """
         |SELECT label, n,

@@ -549,7 +549,74 @@ object Stats {
       .orderBy("day")
   }
 
+  /** Population Stability Index between the first and second half of the
+    * event stream — the standard "has the input distribution drifted?"
+    * gate run before retraining on fresh data. `value` buckets into 16
+    * fixed 250-cent cells (map-side arithmetic, no quantile pass needed);
+    * per-bucket counts for the two halves come from ONE partial-agg'd
+    * shuffle of 16×2 counters, and the PSI contribution per bucket uses
+    * Laplace-smoothed shares (cᵢ+1)/(n+16) so empty cells stay finite.
+    * All counts are exact integers; the share divisions are identical
+    * correctly-rounded doubles on both engines; `ln` is the one
+    * engine-dependent op, so the contribution rounds to 6 dp (the
+    * established ln-query convention). */
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"),
+      least(floor(floor(col("value") * 100) / 250.0), lit(15.0))
+        .cast("bigint").as("bucket"))
+    val c = e.groupBy(col("bucket")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val t = c.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val p = (d(col("n_ref")) + 1.0) / (d(col("t_ref")) + 16.0)
+    val q = (d(col("n_cur")) + 1.0) / (d(col("t_cur")) + 16.0)
+    c.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_part"))
+      .orderBy("bucket")
+  }
+
+  /** Covariance matrix over lineitem's numeric measures (quantity,
+    * price, discount — all integral after cents scaling), unpivoted to
+    * one row per (var_i, var_j) pair with i ≤ j. One partial-aggregated
+    * pass accumulates the 3 first-order and 6 second-order power sums in
+    * decimal(38,0) — ΣpriceΒ² alone passes 2^63 at sf0.1 — so the merge
+    * order cannot change a bit; the covariance n·Σxy − Σx·Σy stays in
+    * decimal until a single exact-parse cast to double, divided by n²
+    * computed in double on both engines (the q_stats_autocorr /
+    * HUGEINT-via-VARCHAR oracle pattern). */
+  def qStatsCov(s: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(s, dir).select(
+      round(col("l_quantity")).cast("decimal(19,0)").as("x"),
+      cents(col("l_extendedprice")).cast("decimal(19,0)").as("y"),
+      cents(col("l_discount")).cast("decimal(19,0)").as("z"))
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("y")).as("syy"),
+      sum(col("y") * col("z")).as("syz"), sum(col("z") * col("z")).as("szz"))
+    def cov(sab: String, sa: String, sb: String): Column =
+      (col("n").cast("decimal(38,0)") * col(sab) - col(sa) * col(sb))
+        .cast("double") / (d(col("n")) * d(col("n")))
+    g.select(col("n"),
+        cov("sxx", "sx", "sx").as("c_qty_qty"),
+        cov("sxy", "sx", "sy").as("c_qty_price"),
+        cov("sxz", "sx", "sz").as("c_qty_disc"),
+        cov("syy", "sy", "sy").as("c_price_price"),
+        cov("syz", "sy", "sz").as("c_price_disc"),
+        cov("szz", "sz", "sz").as("c_disc_disc"))
+      .selectExpr("stack(6, " +
+        "'qty','qty',c_qty_qty, 'qty','price',c_qty_price, " +
+        "'qty','disc',c_qty_disc, 'price','price',c_price_price, " +
+        "'price','disc',c_price_disc, 'disc','disc',c_disc_disc) " +
+        "AS (var_a, var_b, cov)", "n")
+      .selectExpr("var_a", "var_b", "cov", "n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_psi" -> qDriftPsi,
+    "q_stats_cov" -> qStatsCov,
     "q_stats_ewma" -> qStatsEwma,
     "q_stats_mwu" -> qStatsMwu,
     "q_stats_autocorr" -> qStatsAutocorr,
@@ -577,6 +644,39 @@ object Stats {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_drift_psi" ->
+      """WITH e AS (SELECT ts < TIMESTAMP '2024-01-16' AS is_ref,
+        |    CAST(least(floor(floor(value*100)/250.0), 15.0) AS BIGINT) AS bucket
+        |  FROM events),
+        |c AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(((CAST(n_ref AS DOUBLE)+1.0)/(CAST(t_ref AS DOUBLE)+16.0)
+        |      - (CAST(n_cur AS DOUBLE)+1.0)/(CAST(t_cur AS DOUBLE)+16.0))
+        |    * ln(((CAST(n_ref AS DOUBLE)+1.0)/(CAST(t_ref AS DOUBLE)+16.0))
+        |      / ((CAST(n_cur AS DOUBLE)+1.0)/(CAST(t_cur AS DOUBLE)+16.0))), 6)
+        |    AS psi_part
+        |FROM c, t ORDER BY bucket""".stripMargin,
+    "q_stats_cov" ->
+      """WITH b AS (SELECT CAST(round(l_quantity) AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS HUGEINT) AS y,
+        |    CAST(round(l_discount*100) AS HUGEINT) AS z FROM lineitem),
+        |g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(x*z) AS sxz,
+        |    sum(y*y) AS syy, sum(y*z) AS syz, sum(z*z) AS szz FROM b)
+        |SELECT var_a, var_b,
+        |  CAST(CAST(CAST(n AS HUGEINT)*sab - sa*sb AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov,
+        |  CAST(n AS BIGINT) AS n
+        |FROM g, LATERAL (VALUES
+        |  ('qty','qty', sxx, sx, sx), ('qty','price', sxy, sx, sy),
+        |  ('qty','disc', sxz, sx, sz), ('price','price', syy, sy, sy),
+        |  ('price','disc', syz, sy, sz), ('disc','disc', szz, sz, sz))
+        |  AS v(var_a, var_b, sab, sa, sb)""".stripMargin,
     "q_stats_mwu" ->
       """WITH f AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS cents
         |  FROM events WHERE event_type IN ('view','click')),

@@ -131,4 +131,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(d >= 0.0)
     }
   }
+
+  test("emb clusters: labels equal an in-memory union-find over the same pairs") {
+    val got = Similarity.qEmbClusters(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val pairs = Similarity.qSimNeardup(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = parent.keys.map(v => (v, find(v))).toMap
+    assert(got.length == exp.size, "every endpoint of a pair is labeled once")
+    got.foreach { case (v, c) => assert(exp(v) == c, s"vec $v") }
+    // every variant id (>=100000) clusters below itself: its source wins
+    got.filter(_._1 >= 100000).foreach { case (v, c) => assert(c < v) }
+  }
 }

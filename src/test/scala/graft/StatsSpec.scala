@@ -319,4 +319,61 @@ class StatsSpec extends AnyFunSuite {
     // first observation: ewma equals the revenue itself
     assert(math.abs(rows.head._3 - rows.head._2) < 1e-6)
   }
+
+  test("psi: counts partition the stream, contributions match a scalar recompute") {
+    val rows = graft.operators.Stats.qDriftPsi(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val ev = Tables.events(spark, TestSpark.sf001)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1)))
+    assert(rows.map(r => r._2 + r._3).sum == ev.length.toLong,
+      "every event lands in exactly one (bucket, half) cell")
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val byB = ev.groupBy { case (_, v) =>
+      math.min(math.floor(math.floor(v * 100) / 250.0), 15.0).toLong }
+    val tRef = ev.count(_._1.before(split)).toDouble
+    val tCur = ev.length - tRef
+    rows.foreach { case (b, nRef, nCur, part) =>
+      val cell = byB.getOrElse(b, Array.empty[(java.sql.Timestamp, Double)])
+      assert(nRef == cell.count(_._1.before(split)).toLong, s"bucket $b ref")
+      assert(nCur == cell.length - nRef, s"bucket $b cur")
+      val pp = (nRef + 1.0) / (tRef + 16.0)
+      val qq = (nCur + 1.0) / (tCur + 16.0)
+      val exp = BigDecimal((pp - qq) * math.log(pp / qq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(part - exp) < 1e-9, s"bucket $b: $part vs $exp")
+    }
+  }
+
+  test("cov: matches an exact BigInt power-sum recompute, symmetry by construction") {
+    val rows = graft.operators.Stats.qStatsCov(spark, TestSpark.sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    assert(rows.size == 6)
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = li.length
+    def covOf(fa: ((Long, Long, Long)) => Long,
+        fb: ((Long, Long, Long)) => Long): Double = {
+      val sab = li.map(t => BigInt(fa(t)) * BigInt(fb(t))).sum
+      val sa = li.map(t => BigInt(fa(t))).sum
+      val sb = li.map(t => BigInt(fb(t))).sum
+      (BigInt(n) * sab - sa * sb).toDouble / (n.toDouble * n.toDouble)
+    }
+    val fs = Map("qty" -> ((t: (Long, Long, Long)) => t._1),
+      "price" -> ((t: (Long, Long, Long)) => t._2),
+      "disc" -> ((t: (Long, Long, Long)) => t._3))
+    rows.foreach { case ((a, b), (got, nGot)) =>
+      assert(nGot == n.toLong)
+      val exp = covOf(fs(a), fs(b))
+      assert(math.abs(got - exp) <= math.abs(exp) * 1e-12 + 1e-12,
+        s"cov($a,$b): $got vs $exp")
+    }
+    // variances are non-negative; price variance dominates (cents scale)
+    assert(rows(("qty", "qty"))._1 >= 0 && rows(("price", "price"))._1 >= 0)
+    assert(rows(("price", "price"))._1 > rows(("qty", "qty"))._1)
+  }
 }
