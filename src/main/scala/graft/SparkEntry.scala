@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Stats.queries ++ operators.Quant.queries ++
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
-      streaming.StreamDedup.queries ++ streaming.StreamJoin.queries
+      streaming.StreamDedup.queries ++ streaming.StreamJoin.queries ++
+      operators.Capstone.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Stats.oracles ++ operators.Quant.oracles ++
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
-      streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles
+      streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles ++
+      operators.Capstone.oracles
 }

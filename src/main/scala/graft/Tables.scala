@@ -23,20 +23,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for (TimestampType is µs). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions) the column arrives as LongType nanos; convert by integer
-    * division → µs truncation, matching how DuckDB reads the same file.
+  /** Schema-drift-proof event-time normalization. Upstream fixture
+    * regeneration has already shipped `ts` in three encodings across
+    * rounds — parquet TIMESTAMP(NANOS) (arriving as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arriving as TIMESTAMP_NTZ), and plain
+    * TIMESTAMP — so every events read funnels through here, converting at
+    * the boundary the way the reference does (`db.rs:83-84`,
+    * `s3.rs:114-115`). Accepted inputs, all normalized to TimestampType:
+    *
+    *  - TimestampType: pass through.
+    *  - TimestampNTZType: reinterpret the naive local datetime as a UTC
+    *    instant (sessions here run with session tz UTC, so `cast` keeps
+    *    the wall-clock field values — the same instant DuckDB assigns when
+    *    it reads the naive column).
+    *  - LongType: epoch integer, nanos or µs decided PER ROW by magnitude
+    *    (`|v| ≥ 1e17`: as µs that is year 5138+, as nanos it is 1973+ —
+    *    unambiguous for any real event feed). Nanos truncate toward zero
+    *    (`div 1000`), matching DuckDB's read of the same file. The
+    *    magnitude test is a codegen'd `when`, so drift detection costs no
+    *    extra pass and no plan-time action.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = t(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case LongType =>
+        df.withColumn(c, timestamp_micros(
+          when(abs(col(c)) >= lit(100000000000000000L), expr(s"$c div 1000"))
+            .otherwise(col(c))))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for column '$c': $other")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

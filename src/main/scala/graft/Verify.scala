@@ -24,11 +24,20 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // A crashed query must be impossible to read as "absent, probably
+    // fine": write a per-query error marker file AND an aggregate
+    // _failed.json manifest, so the round's correctness artifact can
+    // carry an explicit err row instead of silence (r7 shipped 7
+    // analysis-time crashes with no trace in CORRECTNESS_r07).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        failed(name) = msg
+        System.err.println(s"[verify] FAILED $name: $msg")
+        Files.writeString(Paths.get(s"$outDir/$name.__err.txt"), msg + "\n")
       }
       // Queries that cache() at fan-out points (LSH/IVF index frames)
       // would otherwise pin storage memory for the rest of the run.
@@ -49,6 +58,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
+    // Exit 0 even on per-query failure so the driver's DuckDB compare
+    // still grades the queries that DID produce output; the markers +
+    // manifest are the machine-readable failure record.
   }
 }

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Mime
+
+/** Capstone composites: end-to-end pipelines that chain many of the
+  * engine's operators into one plan, proving they compose without
+  * driver-side bottlenecks — each is a single declarative DataFrame
+  * program (Catalyst sees the WHOLE pipeline, so filters still push into
+  * the scan and co-partitioned stages share exchanges), oracle-checked
+  * against the identical DuckDB SQL.
+  *
+  *  - [[qCapstoneCorpus]]: the full LLM-corpus build — quality gate →
+  *    exact dedup → eval-contamination scan → tokenize → quality-ordered
+  *    token-budget selection.
+  *  - [[qCapstoneSessions]]: the behavioral stack — sessionize →
+  *    per-session conversion → signup-cohort rollup.
+  *  - [[qCapstoneScrape]]: the reference's whole scan cycle
+  *    (upsert-classify + deletions + seen-set, `db.rs:48-124`) folded
+  *    into one audit frame.
+  */
+object Capstone {
+
+  /** Token budget for [[qCapstoneCorpus]] — a real selection pressure at
+    * every sf (≈ half the sf0.001 corpus survives). */
+  val tokenBudget = 20000L
+
+  /** The full training-corpus build as ONE plan:
+    *
+    *  1. quality gate (composite score ≥ 0.5 — per-row codegen, pushes to
+    *     the scan),
+    *  2. exact dedup (min doc_id per md5(text) — one shuffle on the
+    *     content hash),
+    *  3. contamination scan: drop training docs sharing text with the
+    *     held-out eval set (doc_id % 97 = 0, UNGATED — benchmark data is
+    *     never quality-filtered). The anti-join key IS the dedup
+    *     window's partition key, so the big side arrives co-partitioned
+    *     — no extra shuffle, and nothing broadcasts (at 100 TB the eval
+    *     set is itself corpus-scale),
+    *  4. tokenize + the same two-level prefix sum as
+    *     [[Selection.qSelectBudget]] (segment key monotone in the sort
+    *     key → global running total without a single-partition window),
+    *  5. admit docs whose cumulative tokens START inside the budget.
+    */
+  def qCapstoneCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis.{qualityScore, tokens}
+    val docs = documents(s, dir)
+    val evalHashes = docs.filter(col("doc_id") % 97 === 0)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val dedupW = Window.partitionBy(md5(col("text").cast("binary")))
+    val scored = docs
+      .withColumn("score", qualityScore(col("text")))
+      .filter(col("score") >= 0.5)
+      .withColumn("canon", min(col("doc_id")).over(dedupW))
+      .filter(col("doc_id") === col("canon"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(evalHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("seg", floor((lit(1.0) - col("score")) * 32).cast("int"))
+      .cache() // fan-out: ranked side + segment offsets; 5 scalar cols
+    val withinW = Window.partitionBy(col("seg"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segW = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy(col("seg"))
+      .agg(sum(col("n_tokens")).as("seg_sum"))
+      .withColumn("seg_off", coalesce(sum(col("seg_sum")).over(segW), lit(0L)))
+      .select(col("seg"), col("seg_off"))
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(withinW))
+      .join(broadcast(offsets), "seg")
+      .withColumn("cum_tokens", (col("seg_off") + col("cum")).cast("bigint"))
+      .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("cum_tokens"), round(col("score"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** The behavioral stack end-to-end: 10-minute-gap sessionization (one
+    * shuffle on user_id; the session id is a running sum of gap breaks
+    * inside that partition), per-session conversion flags, then a
+    * signup-cohort rollup keyed by each user's FIRST session date. The
+    * per-user window and the session groupBy reuse the sessionization's
+    * user_id partitioning; only the closing cohort aggregate (one row per
+    * date) exchanges again. Counts are integers; the one rate rounds to
+    * 6 dp — the established oracle convention. */
+  def qCapstoneSessions(s: SparkSession, dir: String): DataFrame = {
+    val orderW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runW = orderW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(orderW)
+    val sessions = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > 600000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(runW))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("has_purchase"))
+    sessions
+      .withColumn("cohort_date",
+        to_date(min(col("s_start")).over(Window.partitionBy(col("user_id")))))
+      .withColumn("cohort_date", col("cohort_date").cast("timestamp"))
+      .groupBy(col("cohort_date"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        sum(col("has_purchase")).cast("bigint").as("n_purchase_sessions"),
+        countDistinct(when(col("has_purchase") === 1, col("user_id")))
+          .as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_users").cast("double"), 6))
+      .orderBy("cohort_date")
+  }
+
+  /** The reference's whole scan cycle as one audit frame: merge-classify
+    * counts per action, the mime-preservation count (hand-corrected
+    * types surviving a rescan — THE reference behavior, `db.rs:88-90`),
+    * the tombstone count, and the seen-set size. The classify join runs
+    * once; its 3-row aggregate is cached and the audit rows are unions
+    * of 1-row aggregates — nothing driver-side. */
+  def qCapstoneScrape(s: SparkSession, dir: String): DataFrame = {
+    val cur = Scrape.filesCurrent(s, dir)
+    val scan = Scrape.filesScan(s, dir)
+    val ua = Scrape.upsertClassify(cur, scan)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!(col("mime_type") <=> Mime.mimeOf(col("filename"))), 1L)
+          .otherwise(0L)).as("n_mime"))
+      .cache() // 3 rows
+    val actions = ua.select(col("action").as("metric"), col("n"))
+    val preserved = ua.filter(col("action") === "unchanged")
+      .select(lit("mime_preserved").as("metric"), col("n_mime").as("n"))
+    val deleted = Scrape.deletions(cur, scan,
+        lit("2026-01-15 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("deleted").as("metric"), col("n"))
+    val seen = Scrape.seenKeys(cur, scan)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("seen").as("metric"), col("n"))
+    actions.unionAll(preserved).unionAll(deleted).unionAll(seen)
+      .orderBy("metric")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capstone_corpus" -> qCapstoneCorpus,
+    "q_capstone_sessions" -> qCapstoneSessions,
+    "q_capstone_scrape" -> qCapstoneScrape,
+  )
+
+  private def toksSql = "list_filter(string_split(text,' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_capstone_corpus" ->
+      (s"""WITH t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, source, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ${graft.functions.TextAnalysis.qualityScoreSql("toks", "text")} AS score
+        |  FROM t),
+        |d AS (SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        |    FROM q WHERE score >= 0.5)
+        |  WHERE doc_id = canon),
+        |tr AS (SELECT * FROM d WHERE doc_id % 97 <> 0
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)),
+        |c AS (SELECT doc_id, lang, source, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM tr)
+        |SELECT doc_id, lang, source, n_tokens, cum_tokens,
+        |  round(score, 6) AS quality
+        |FROM c WHERE cum_tokens - n_tokens < $tokenBudget
+        |ORDER BY doc_id""".stripMargin),
+    "q_capstone_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, sid, min(ts) AS s_start, count(*) AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM x GROUP BY user_id, sid),
+        |c AS (SELECT *, CAST(min(s_start) OVER (PARTITION BY user_id) AS DATE)
+        |    AS cohort_date FROM sess)
+        |SELECT cohort_date,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(has_purchase) AS BIGINT) AS n_purchase_sessions,
+        |  count(DISTINCT CASE WHEN has_purchase = 1 THEN user_id END) AS n_converted,
+        |  round(CAST(count(DISTINCT CASE WHEN has_purchase = 1 THEN user_id END) AS DOUBLE)
+        |    / CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS conv_rate
+        |FROM c GROUP BY cohort_date ORDER BY cohort_date""".stripMargin,
+    "q_capstone_scrape" -> (Scrape.cte +
+      """,u AS (SELECT
+        |    CASE WHEN c.filename IS NULL THEN 'insert'
+        |         WHEN (n.created IS DISTINCT FROM c.created
+        |            OR n.modified IS DISTINCT FROM c.modified
+        |            OR n.size IS DISTINCT FROM c.size) THEN 'update'
+        |         ELSE 'unchanged' END AS action,
+        |    CASE WHEN c.filename IS NOT NULL
+        |          AND NOT (n.created IS DISTINCT FROM c.created
+        |                OR n.modified IS DISTINCT FROM c.modified
+        |                OR n.size IS DISTINCT FROM c.size)
+        |         THEN c.mime_type ELSE n.mime_type END AS mime_type,
+        |    n.mime_type AS guessed
+        |  FROM scan n LEFT JOIN cur c
+        |    ON n.external_source = c.external_source AND n.path = c.path
+        |   AND n.filename = c.filename)
+        |SELECT metric, n FROM (
+        |  SELECT action AS metric, count(*) AS n FROM u GROUP BY action
+        |  UNION ALL
+        |  SELECT 'mime_preserved' AS metric, count(*) AS n FROM u
+        |    WHERE action = 'unchanged' AND mime_type IS DISTINCT FROM guessed
+        |  UNION ALL
+        |  SELECT 'deleted' AS metric, count(*) AS n FROM cur c
+        |    WHERE NOT EXISTS (SELECT 1 FROM scan n
+        |      WHERE n.external_source = c.external_source AND n.path = c.path
+        |        AND n.filename = c.filename)
+        |  UNION ALL
+        |  SELECT 'seen' AS metric, count(*) AS n FROM (
+        |    SELECT DISTINCT c.uuid_external_file, n.path, n.filename
+        |    FROM scan n LEFT JOIN cur c
+        |      ON n.external_source = c.external_source AND n.path = c.path
+        |     AND n.filename = c.filename
+        |    WHERE c.filename IS NULL
+        |       OR (n.created IS DISTINCT FROM c.created
+        |        OR n.modified IS DISTINCT FROM c.modified
+        |        OR n.size IS DISTINCT FROM c.size)
+        |       OR (c.filename IS NOT NULL AND n.size IS NOT DISTINCT FROM c.size)))
+        |ORDER BY metric""".stripMargin),
+  )
+}

@@ -311,29 +311,40 @@ object Relational {
 
   /** Market-basket co-occurrence with lift: the top-30 part pairs bought
     * together in the same order, scored by lift = N·c₁₂/(c₁·c₂) — the
-    * association-rule primitive. One shuffle on orderkey builds the
-    * per-order basket; the codegen [[graft.plans.SortedPairsExpr]] kernel
-    * (shared with n-gram dedup) emits canonical pairs IN-ARRAY, so the
-    * pair blowup is bounded by basket size (≤7 lineitems per TPC-H order)
-    * and never crosses the wire unpaired. Part frequencies derive from
-    * the SAME basket frame (no second fact scan), the top-30 cut runs
-    * BEFORE the frequency joins (30 rows through two broadcast lookups),
-    * and lift is one correctly-rounded division of exact-integer doubles.
-    * The c₁₂-desc, (p1,p2)-asc order makes the cut deterministic. */
+    * association-rule primitive. ONE pass over the fact: the per-order
+    * basket (one shuffle on orderkey; the codegen
+    * [[graft.plans.SortedPairsExpr]] kernel, shared with n-gram dedup,
+    * emits canonical pairs IN-ARRAY so the blowup is bounded by basket
+    * size, ≤7 lineitems per TPC-H order) explodes pairs, singleton
+    * part keys, and a one-per-order sentinel TOGETHER — (d1,d2),
+    * (d,-1), (-1,-1); partkeys are positive so -1 is free — and a
+    * single count aggregation (second shuffle) yields pair counts, part
+    * frequencies, AND the order count in one frame. Only that
+    * aggregated frame is cached (|distinct pairs|+|parts|+1 rows — no
+    * raw-basket cache materialization, the r7 cost), the top-30 cut
+    * runs BEFORE the frequency joins (30 rows through two broadcast
+    * lookups), and lift is one correctly-rounded division of
+    * exact-integer doubles. The c₁₂-desc, (p1,p2)-asc order makes the
+    * cut deterministic. */
   def qBasketLift(s: SparkSession, dir: String): DataFrame = {
-    val baskets = lineitem(s, dir)
+    val counts = lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("docs"))
-      .cache() // feeds pairs + frequencies + the order count
-    val pairs = baskets.select(explode(
-        graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
-      .groupBy(col("p.d1").as("p1"), col("p.d2").as("p2"))
-      .agg(count(lit(1)).as("c12"))
+      .select(explode(concat(
+        graft.plans.GraftExpressions.sorted_pairs(col("docs")),
+        expr("transform(docs, d -> struct(d AS d1, -1L AS d2))"),
+        expr("array(struct(-1L AS d1, -1L AS d2))"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // small: one row per distinct pair/part + 1 sentinel
+    val pairs = counts.filter(col("d2") >= 0)
+      .select(col("d1").as("p1"), col("d2").as("p2"), col("c").as("c12"))
       .orderBy(desc("c12"), asc("p1"), asc("p2"))
       .limit(30)
-    val freq = baskets.select(explode(col("docs")).as("pk"))
-      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val freq = counts.filter(col("d2") === -1 && col("d1") >= 0)
+      .select(col("d1").as("pk"), col("c"))
+    val nOrders = counts.filter(col("d1") === -1)
+      .select(col("c").as("n_orders"))
     pairs
       .join(broadcast(freq.select(col("pk").as("p1"), col("c").as("c1"))), "p1")
       .join(broadcast(freq.select(col("pk").as("p2"), col("c").as("c2"))), "p2")

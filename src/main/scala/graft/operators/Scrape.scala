@@ -83,25 +83,24 @@ object Scrape {
     * inserts carry null until the sink assigns a key) unioned DISTINCT with
     * the J1 re-find (key + null-safe size match).
     *
-    * Both branches derive from ONE left join (the J1 inner join is the
-    * subset of matched rows whose size agrees), so the merge shuffle runs
-    * once instead of twice. */
+    * The union collapses into ONE join + or-filter: the merge join's
+    * equality on (path, filename) means a matched row's current-side key
+    * equals its scan-side key, so whenever BOTH branches fire they emit
+    * the identical (uuid, path, filename) tuple — the r7 two-branch
+    * union computed the join subtree twice only to have distinct remove
+    * the overlap. One scan, one merge shuffle, one filter; the closing
+    * `distinct` (the reference's set semantics — a real scan can list
+    * the same file twice, `db.rs:120-123`) exchanges only the final
+    * bounded key set. */
   def seenKeys(current: DataFrame, scan: DataFrame): DataFrame = {
     val c = current.as("c")
     val n = scan.as("n")
     val joinCond = keyCols.map(k => n(k) === c(k)).reduce(_ && _)
-    val joined = n.join(c, joinCond, "left")
-      .select(
-        c("uuid_external_file"), n("path"), n("filename"),
-        (c("filename").isNull || changed(n, c)).as("upserted"),
-        (c("filename").isNotNull && (n("size") <=> c("size"))).as("j1_match"),
-        c("path").as("c_path"), c("filename").as("c_filename"))
-    val upserted = joined.filter(col("upserted"))
-      .select(col("uuid_external_file"), col("path"), col("filename"))
-    val existing = joined.filter(col("j1_match"))
-      .select(col("uuid_external_file"), col("c_path").as("path"),
-        col("c_filename").as("filename"))
-    upserted.union(existing).distinct()
+    n.join(c, joinCond, "left")
+      .filter((c("filename").isNull || changed(n, c)) ||
+        (c("filename").isNotNull && (n("size") <=> c("size"))))
+      .select(c("uuid_external_file"), n("path"), n("filename"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------------
@@ -186,8 +185,9 @@ object Scrape {
   )
 
   /** Shared CTE text for the DuckDB oracles — must mirror
-    * filesCurrent/filesScan exactly. */
-  private val cte =
+    * filesCurrent/filesScan exactly (also reused by
+    * [[Capstone.qCapstoneScrape]]'s oracle). */
+  private[operators] val cte =
     """WITH base AS (
       |  SELECT o_orderkey AS k, 'demo' AS external_source,
       |    concat('/bucket/', o_orderstatus) AS path,

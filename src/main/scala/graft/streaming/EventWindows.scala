@@ -58,17 +58,16 @@ object EventWindows {
   /** `events` as a bounded stream: one parquet file per trigger — the
     * count-or-time micro-batch analog of `chunks_timeout(200, 1s)`. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // raw parquet schema (ts = long nanos under nanosAsLong), NOT the
-    // converted Tables.events schema — the stream re-applies the conversion
+    // raw parquet schema (long nanos, TIMESTAMP_NTZ, or timestamp — the
+    // fixture has shipped all three), NOT the converted Tables.events
+    // schema — the stream re-applies the same boundary normalization.
     val schema = t(s, dir, "events").schema
     val raw = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir) // FileStreamSource requires a directory, hence the glob
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Streaming tumbling aggregation with a watermark: late events beyond
