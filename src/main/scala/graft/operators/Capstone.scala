@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.Mime
 
 /** Capstone composites: end-to-end pipelines that chain many of the
   * engine's operators into one plan, proving they compose without
@@ -124,31 +123,12 @@ object Capstone {
   /** The reference's whole scan cycle as one audit frame: merge-classify
     * counts per action, the mime-preservation count (hand-corrected
     * types surviving a rescan — THE reference behavior, `db.rs:88-90`),
-    * the tombstone count, and the seen-set size. The classify join runs
-    * once; its 3-row aggregate is cached and the audit rows are unions
-    * of 1-row aggregates — nothing driver-side. */
-  def qCapstoneScrape(s: SparkSession, dir: String): DataFrame = {
-    val cur = Scrape.filesCurrent(s, dir)
-    val scan = Scrape.filesScan(s, dir)
-    val ua = Scrape.upsertClassify(cur, scan)
-      .groupBy(col("action"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(!(col("mime_type") <=> Mime.mimeOf(col("filename"))), 1L)
-          .otherwise(0L)).as("n_mime"))
-      .cache() // 3 rows
-    val actions = ua.select(col("action").as("metric"), col("n"))
-    val preserved = ua.filter(col("action") === "unchanged")
-      .select(lit("mime_preserved").as("metric"), col("n_mime").as("n"))
-    val deleted = Scrape.deletions(cur, scan,
-        lit("2026-01-15 00:00:00").cast("timestamp"))
-      .agg(count(lit(1)).as("n"))
-      .select(lit("deleted").as("metric"), col("n"))
-    val seen = Scrape.seenKeys(cur, scan)
-      .agg(count(lit(1)).as("n"))
-      .select(lit("seen").as("metric"), col("n"))
-    actions.unionAll(preserved).unionAll(deleted).unionAll(seen)
-      .orderBy("metric")
-  }
+    * the tombstone count, and the seen-set size — all from ONE
+    * full-outer merge join + one aggregate ([[Scrape.scanCycleAudit]];
+    * the separate-operator formulation costs three joins over the same
+    * keys). */
+  def qCapstoneScrape(s: SparkSession, dir: String): DataFrame =
+    Scrape.scanCycleAudit(Scrape.filesCurrent(s, dir), Scrape.filesScan(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capstone_corpus" -> qCapstoneCorpus,

@@ -103,6 +103,51 @@ object Scrape {
       .distinct()
   }
 
+  /** The WHOLE scan cycle — upsert classification (J3), mime
+    * preservation, deletion detection (J2), and the seen-set size
+    * (J1+J4) — from ONE full-outer merge join: scan-only rows are
+    * inserts, both-sides rows classify update/unchanged, current-only
+    * rows are the tombstone set. Running the reference's entire
+    * transaction (`db.rs:48-124`) as separate operators costs three
+    * joins over the same keys; the audit needs one join + one aggregate
+    * (the distinct seen-count rides the same aggregate via a null-gated
+    * struct). Emits (metric, n) rows via `stack`. */
+  def scanCycleAudit(current: DataFrame, scan: DataFrame): DataFrame = {
+    val c = current.as("c")
+    val n = scan.as("n")
+    val joinCond = keyCols.map(k => n(k) === c(k)).reduce(_ && _)
+    val scanHit = n("filename").isNotNull
+    val curHit = c("filename").isNotNull
+    n.join(c, joinCond, "full_outer")
+      .select(
+        when(!scanHit, "deleted")
+          .when(!curHit, "insert")
+          .when(changed(n, c), "update")
+          .otherwise("unchanged").as("action"),
+        // For unchanged rows the resolved mime is the current one; it
+        // "preserved a correction" when it differs from the fresh guess.
+        (!(c("mime_type") <=> n("mime_type"))).as("mime_differs"),
+        (scanHit && (!curHit || changed(n, c) || (n("size") <=> c("size"))))
+          .as("seen_hit"),
+        c("uuid_external_file"), n("path"), n("filename"))
+      .agg(
+        sum(when(col("action") === "insert", 1L).otherwise(0L)).as("n_insert"),
+        sum(when(col("action") === "update", 1L).otherwise(0L)).as("n_update"),
+        sum(when(col("action") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("action") === "unchanged" && col("mime_differs"), 1L)
+          .otherwise(0L)).as("n_mime"),
+        sum(when(col("action") === "deleted", 1L).otherwise(0L)).as("n_deleted"),
+        countDistinct(when(col("seen_hit"),
+          struct(col("uuid_external_file"), col("path"), col("filename"))))
+          .as("n_seen"))
+      .select(expr(
+        """stack(6,
+          |  'insert', n_insert, 'update', n_update, 'unchanged', n_unchanged,
+          |  'mime_preserved', n_mime, 'deleted', n_deleted, 'seen', n_seen)
+          |AS (metric, n)""".stripMargin))
+      .orderBy("metric")
+  }
+
   // ---------------------------------------------------------------------
   // Oracle-checkable fixture derivation: a deterministic files_current /
   // files_scan pair computed from `orders` identically in Spark and DuckDB

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Capstone, Scrape}
+
+/** Semantic invariants of the capstone composites — properties the
+  * DuckDB hash-compare cannot express (it proves equality with the
+  * oracle SQL; these prove the PIPELINE means what it claims).
+  */
+class CapstoneSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("corpus build: selection is the greedy quality prefix under the budget") {
+    val sel = Capstone.qCapstoneCorpus(spark, dir).collect()
+    assert(sel.nonEmpty)
+    // Every admitted doc STARTS inside the budget.
+    val starts = sel.map(r => r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens"))
+    assert(starts.forall(_ < Capstone.tokenBudget))
+    // No eval-set doc leaks into the training selection.
+    assert(sel.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    // Greedy prefix: the worst admitted quality is >= the best quality
+    // among eligible-but-excluded docs (modulo the doc_id tiebreak).
+    val admitted = sel.map(_.getAs[Double]("quality")).min
+    val admittedIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    import graft.functions.TextAnalysis.qualityScore
+    val excludedBest = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("score", qualityScore(col("text")))
+      .filter(col("score") >= 0.5)
+      .filter(!col("doc_id").isInCollection(admittedIds))
+      .agg(max(round(col("score"), 6))).collect()(0)
+    if (!excludedBest.isNullAt(0))
+      assert(excludedBest.getDouble(0) <= admitted + 1e-9)
+    // cum_tokens is consistent: max cum equals the sum of admitted tokens.
+    assert(sel.map(_.getAs[Long]("cum_tokens")).max ==
+      sel.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
+  test("session cohorts: user conservation and conversion bounds") {
+    val rows = Capstone.qCapstoneSessions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("n_sessions") >= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("n_purchase_sessions") <= r.getAs[Long]("n_sessions"))
+    }
+    // Every user lands in exactly one cohort.
+    val totalUsers = Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == totalUsers)
+  }
+
+  test("scrape audit: metrics reconcile with the standalone operators") {
+    val m = Capstone.qCapstoneScrape(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(m.keySet == Set("insert", "update", "unchanged",
+      "mime_preserved", "deleted", "seen"))
+    val scanN = Scrape.filesScan(spark, dir).count()
+    assert(m("insert") + m("update") + m("unchanged") == scanN)
+    assert(m("deleted") ==
+      Scrape.deletions(Scrape.filesCurrent(spark, dir),
+        Scrape.filesScan(spark, dir),
+        lit("2026-01-15 00:00:00").cast("timestamp")).count())
+    assert(m("seen") ==
+      Scrape.seenKeys(Scrape.filesCurrent(spark, dir),
+        Scrape.filesScan(spark, dir)).count())
+    assert(m("mime_preserved") <= m("unchanged"))
+  }
+}
