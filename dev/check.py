@@ -40,7 +40,13 @@ fails = 0
 for name, sql in sorted(oracles.items()):
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output")
+        # Verify writes <name>.__err.txt when the query itself threw —
+        # surface the actual error instead of a bare "no output".
+        try:
+            err = open(f"{OUT}/{name}.__err.txt").read().strip()
+            print(f"FAIL {name}: query crashed: {err}")
+        except OSError:
+            print(f"FAIL {name}: no spark output")
         fails += 1
         continue
     got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))

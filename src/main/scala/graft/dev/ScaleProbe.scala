@@ -259,6 +259,20 @@ object ScaleProbe {
             col("embedding").cast("array<double>"), cents, 1), 1).as("cell"))
           .groupBy("cell").count().count()
       }
+      time(s"capstone_corpus x$n") {
+        // the full composite (gate → dedup → contamination → budget
+        // select) end-to-end: amplified copies multiply every stage's
+        // input but each stage's exchanges stay key-hashed and the
+        // offsets window stays ≤33 rows — growth must track the scan
+        val d = graft.Tables.documents(spark, sfDir)
+        val amp = (0 until n).map(i => d.select(
+            (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+          .reduce(_ union _)
+        val out = graft.operators.Capstone.corpusBuild(amp).count()
+        spark.sharedState.cacheManager.clearCache()
+        out
+      }
     }
     spark.stop()
   }

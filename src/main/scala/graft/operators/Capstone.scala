@@ -35,18 +35,23 @@ object Capstone {
     *     content hash),
     *  3. contamination scan: drop training docs sharing text with the
     *     held-out eval set (doc_id % 97 = 0, UNGATED — benchmark data is
-    *     never quality-filtered). The anti-join key IS the dedup
-    *     window's partition key, so the big side arrives co-partitioned
-    *     — no extra shuffle, and nothing broadcasts (at 100 TB the eval
-    *     set is itself corpus-scale),
+    *     never quality-filtered). While the eval hash set fits a
+    *     broadcast, the anti-join is a map-side probe (the sf0.01 plan);
+    *     when it outgrows one, the join key IS the dedup window's
+    *     partition key, so the corpus side arrives co-partitioned — no
+    *     extra wide shuffle either way,
     *  4. tokenize + the same two-level prefix sum as
     *     [[Selection.qSelectBudget]] (segment key monotone in the sort
     *     key → global running total without a single-partition window),
     *  5. admit docs whose cumulative tokens START inside the budget.
     */
-  def qCapstoneCorpus(s: SparkSession, dir: String): DataFrame = {
+  def qCapstoneCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusBuild(documents(s, dir))
+
+  /** Frame-level form of the corpus build (the registered query binds it
+    * to the fixture; `dev.ScaleProbe` amplifies it 10×). */
+  def corpusBuild(docs: DataFrame): DataFrame = {
     import graft.functions.TextAnalysis.{qualityScore, tokens}
-    val docs = documents(s, dir)
     val evalHashes = docs.filter(col("doc_id") % 97 === 0)
       .select(md5(col("text").cast("binary")).as("h")).distinct()
     val dedupW = Window.partitionBy(md5(col("text").cast("binary")))
