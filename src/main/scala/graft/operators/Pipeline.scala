@@ -276,6 +276,42 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Corpus data card — the per-(source, lang) datasheet every corpus
+    * release ships: document/token/char volumes, the exact-duplicate
+    * rate, short-document share, and mean quality, all in ONE grouped
+    * pass over the corpus. Scale shape: a single shuffle on the
+    * (source, lang) grain (the distinct content-hash count expands to a
+    * two-phase aggregate on the same keys); per-doc scoring and
+    * tokenization are map-side codegen. Float discipline: quality is
+    * quantized to an integer 1e-6 grid BEFORE summation (double sums
+    * are merge-order-dependent; integer sums are exact in any order),
+    * then divided once — the established oracle-exactness pattern. */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis.{qualityScore, tokens}
+    documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        floor(qualityScore(col("text")) * 1000000).cast("bigint").as("q6"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(when(col("n_tokens") < 50, 1L).otherwise(0L)).as("n_short"),
+        sum(col("q6")).as("sum_q6"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("n_short").cast("double") / col("n_docs").cast("double"), 6)
+          .as("short_share"),
+        round(col("sum_q6").cast("double") / lit(1000000.0) / col("n_docs").cast("double"), 6)
+          .as("mean_quality"))
+      .orderBy("source", "lang")
+  }
+
   /** Bit-interleave spread of a 16-bit value to even bit positions (the
     * classic Morton magic-constant chain) — pure codegen'd bit arithmetic,
     * identical `&`/`|`/`<<` semantics in every engine. */
@@ -397,6 +433,7 @@ object Pipeline {
     "q_contamination" -> qContamination,
     "q_emb_quantize" -> qEmbQuantize,
     "q_corpus_curate" -> qCorpusCurate,
+    "q_corpus_report" -> qCorpusReport,
     "q_pack_sequences" -> qPackSequences,
   )
 
@@ -527,6 +564,23 @@ object Pipeline {
          |  WHERE doc_id = canon AND md5('cur' || CAST(doc_id AS VARCHAR)) < '8')
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_corpus_report" ->
+      s"""WITH w AS (SELECT source, lang, n_chars, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |t AS (SELECT source, lang, n_chars, md5(text) AS h,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(floor((${graft.functions.TextAnalysis.qualityScoreSql("toks", "text")}) * 1000000) AS BIGINT) AS q6
+         |  FROM w)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  count(DISTINCT h) AS n_unique,
+         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+         |  round(CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS short_share,
+         |  round(CAST(CAST(sum(q6) AS VARCHAR) AS DOUBLE) / 1000000.0
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+         |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
