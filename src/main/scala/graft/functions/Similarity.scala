@@ -30,9 +30,16 @@ object Similarity {
     graft.plans.GraftExpressions.cosine_sim(a, b)
 
   /** The same cosine as a built-in higher-order-function fold (reference
-    * formulation; kept for the bit-parity spec). */
-  def cosineFold(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    * formulation; kept for the bit-parity spec): dot/(‖a‖·‖b‖) clamped
+    * to [-1, 1] — the exact DuckDB list_cosine_similarity op tree; see
+    * the kernel comment in [[graft.plans.Kernels.cosine]]. The clamp
+    * uses `when` (not least/greatest — Spark orders NaN above every
+    * double, so least() would silently convert a zero-norm NaN to 1.0
+    * where the kernel and DuckDB both propagate NaN). */
+  def cosineFold(a: Column, b: Column): Column = {
+    val c = dot(a, b) / (norm(a) * norm(b))
+    when(c > 1.0, 1.0).when(c < -1.0, -1.0).otherwise(c)
+  }
 
   /** Left-to-right dot product (the order DuckDB folds in). */
   def dot(a: Column, b: Column): Column =
@@ -72,6 +79,37 @@ object Similarity {
         cosine(col("emb"), col("var_emb")).as("cos"))
       .filter(col("cos") >= 0.9)
       .orderBy("vec_id", "var_id")
+  }
+
+  /** MaxSim late-interaction scoring (the ColBERT retrieval primitive):
+    * each "document" is a BAG of vectors (here: an embedding label
+    * group), each query a small set of token vectors (vec_id < 4);
+    * score(doc) = Σ_q max_{v∈doc} cos(q, v). Unlike whole-vector cosine
+    * (one vector per doc), late interaction lets each query token match
+    * its own best doc vector — the multi-vector retrieval model.
+    *
+    * Scale shape: the query token set is tiny by construction, so it
+    * broadcasts; per-row cosines are map-side codegen; the ONLY shuffle
+    * is the (label) max-aggregate, whose grain is docs — never
+    * (docs × corpus). Float discipline: per-token maxima are bit-exact
+    * (max over identical cosine values, no summation), and the final
+    * score sums the 4 per-token columns in one fixed-order expression,
+    * identical in both engines — no rounding needed, the q_sim_topk
+    * convention. */
+  def qSimMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), embDouble(col("embedding")).as("emb"))
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def m(i: Int): Column =
+      max(when(col("qid") === i, col("cos"))).as(s"m$i")
+    e.join(broadcast(qs))
+      .select(col("label"), col("qid"), cosine(col("qemb"), col("emb")).as("cos"))
+      .groupBy(col("label"))
+      .agg(m(0), m(1), m(2), m(3))
+      .select(col("label"), col("m0"), col("m1"), col("m2"), col("m3"),
+        (col("m0") + col("m1") + col("m2") + col("m3")).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("label"))
   }
 
   /** Two-stage quantized retrieval (the SQ8 serving pattern): stage 1
@@ -403,6 +441,7 @@ object Similarity {
     "q_emb_inertia" -> qEmbInertia,
     "q_emb_separation" -> qEmbSeparation,
     "q_sim_topk" -> qSimTopk,
+    "q_sim_maxsim" -> qSimMaxsim,
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
     "q_sim_ivf" -> qSimIvf,
@@ -460,6 +499,19 @@ object Similarity {
         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sum_sq,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sim_maxsim" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 4),
+        |s AS (SELECT e.label, q.qid, list_cosine_similarity(q.qemb, e.emb) AS cos
+        |  FROM e, q),
+        |m AS (SELECT label,
+        |    max(CASE WHEN qid = 0 THEN cos END) AS m0,
+        |    max(CASE WHEN qid = 1 THEN cos END) AS m1,
+        |    max(CASE WHEN qid = 2 THEN cos END) AS m2,
+        |    max(CASE WHEN qid = 3 THEN cos END) AS m3
+        |  FROM s GROUP BY label)
+        |SELECT label, m0, m1, m2, m3, m0 + m1 + m2 + m3 AS maxsim
+        |FROM m ORDER BY maxsim DESC, label""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id % 50 = 0),

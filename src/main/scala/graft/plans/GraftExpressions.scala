@@ -242,7 +242,11 @@ object Kernels {
       // yield NaN and leave cell assignment to NaN ordering inside sortBy;
       // score them -2.0 (below the cosine range) so they rank last by rule.
       scores(c) = if (na == 0.0 || nb == 0.0) -2.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
+        else {
+          // same op tree + clamp as Kernels.cosine
+          val s = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (s > 1.0) 1.0 else if (s < -1.0) -1.0 else s
+        }
       c += 1
     }
     val top = (0 until k).sortBy(i => (-scores(i), i)).take(math.min(n, k))
@@ -263,7 +267,17 @@ object Kernels {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // The EXACT DuckDB list_cosine_similarity op tree, determined
+    // empirically against all 4990 probe pairs of the sf0.001 fixture:
+    // dot / (sqrt(na)·sqrt(nb)), then CLAMP to [-1, 1]. The clamp is
+    // load-bearing: sqrt(s)² can exceed s by an ulp, so cos(v, v)
+    // evaluates to 1.0000000000000002 unclamped — caught by
+    // q_sim_maxsim, whose label groups contain the query vector itself
+    // (dot/sqrt(na·nb) fixes self-pairs but breaks 1735/4990 non-self
+    // pairs by an ulp — measured, not guessed). NaN (zero-norm input)
+    // passes through the clamp unchanged, as in DuckDB.
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (c > 1.0) 1.0 else if (c < -1.0) -1.0 else c
   }
 }
 
