@@ -48,16 +48,43 @@ object Capstone {
   def qCapstoneCorpus(s: SparkSession, dir: String): DataFrame =
     corpusBuild(documents(s, dir))
 
+  /** [[corpusBuild]] with in-flight accounting via `Dataset.observe`:
+    * the returned Observation yields the quality-gate survivor count and
+    * their token mass after the terminal action completes — collected BY
+    * the pipeline's own pass, zero extra jobs. At 100 TB a separate
+    * `count()` for the run report is a second full corpus scan; observe
+    * metrics ride the task results for free (the accumulator mechanism),
+    * which is how a production pipeline reports its funnel. */
+  def corpusBuildObserved(docs: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("corpus_build")
+    import graft.functions.TextAnalysis.{qualityScore, tokens}
+    val gated = docs
+      .withColumn("score", qualityScore(col("text")))
+      .filter(col("score") >= 0.5)
+      .observe(obs, count(lit(1)).as("n_gated"),
+        sum(size(tokens(col("text"))).cast("bigint")).as("gated_tokens"))
+    (corpusBuildFrom(gated, docs), obs)
+  }
+
   /** Frame-level form of the corpus build (the registered query binds it
     * to the fixture; `dev.ScaleProbe` amplifies it 10×). */
   def corpusBuild(docs: DataFrame): DataFrame = {
-    import graft.functions.TextAnalysis.{qualityScore, tokens}
-    val evalHashes = docs.filter(col("doc_id") % 97 === 0)
+    import graft.functions.TextAnalysis.qualityScore
+    corpusBuildFrom(docs
+      .withColumn("score", qualityScore(col("text")))
+      .filter(col("score") >= 0.5), docs)
+  }
+
+  /** Stages downstream of the quality gate. `gated` carries
+    * doc_id/text/lang/source/score with the gate already applied; `all`
+    * is the UNGATED corpus (the eval contamination set is never
+    * quality-filtered). */
+  private def corpusBuildFrom(gated: DataFrame, all: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    val evalHashes = all.filter(col("doc_id") % 97 === 0)
       .select(md5(col("text").cast("binary")).as("h")).distinct()
     val dedupW = Window.partitionBy(md5(col("text").cast("binary")))
-    val scored = docs
-      .withColumn("score", qualityScore(col("text")))
-      .filter(col("score") >= 0.5)
+    val scored = gated
       .withColumn("canon", min(col("doc_id")).over(dedupW))
       .filter(col("doc_id") === col("canon"))
       .filter(col("doc_id") % 97 =!= 0)

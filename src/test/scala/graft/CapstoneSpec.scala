@@ -38,6 +38,24 @@ class CapstoneSpec extends AnyFunSuite {
       sel.map(_.getAs[Long]("n_tokens")).sum)
   }
 
+  test("observed corpus build: funnel metrics ride the pipeline's own pass") {
+    import graft.functions.TextAnalysis.{qualityScore, tokens}
+    val (df, obs) = Capstone.corpusBuildObserved(Tables.documents(spark, dir))
+    val out = df.collect()
+    val metrics = obs.get
+    // Recompute the gate independently; the observed numbers must match.
+    val expect = Tables.documents(spark, dir)
+      .filter(qualityScore(col("text")) >= 0.5)
+      .agg(count(lit(1)), sum(size(tokens(col("text"))).cast("bigint")))
+      .collect()(0)
+    assert(metrics("n_gated") == expect.getLong(0))
+    assert(metrics("gated_tokens") == expect.getLong(1))
+    // The observed result is the same selection as the plain build.
+    val plain = Capstone.qCapstoneCorpus(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      plain.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
   test("session cohorts: user conservation and conversion bounds") {
     val rows = Capstone.qCapstoneSessions(spark, dir).collect()
     assert(rows.nonEmpty)
