@@ -849,6 +849,52 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join (the pandas merge_asof direction=nearest shape,
+    * completing the backward [[joinAsOf]]): for each purchase, the
+    * signup of the same user CLOSEST in time, either direction, ties to
+    * the earlier one. Same single-shuffle union trick — both direction
+    * windows share the ONE (user_id, ts, side) sort, so the whole
+    * bidirectional lookup is one exchange + one within-partition pass
+    * (`last ignoreNulls` backward, `first ignoreNulls` forward; an
+    * equal-ts signup sorts before the purchase, so it is found by the
+    * backward window at distance 0 — which wins any tie anyway). */
+  def joinAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("signup_ts"),
+        lit(1).as("side"), col("event_id"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    signups.unionByName(purchases)
+      .withColumn("prev_ts", last(col("signup_ts"), ignoreNulls = true).over(back))
+      .withColumn("next_ts", first(col("signup_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("side") === 1)
+      .withColumn("d_prev", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .withColumn("d_next", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .withColumn("nearest_signup_ts",
+        when(col("prev_ts").isNull && col("next_ts").isNull,
+          lit(null).cast("timestamp"))
+          .when(col("next_ts").isNull ||
+            (col("prev_ts").isNotNull && col("d_prev") <= col("d_next")),
+            col("prev_ts"))
+          .otherwise(col("next_ts")))
+      .withColumn("direction",
+        when(col("nearest_signup_ts").isNull, lit(null).cast("string"))
+          .when(col("nearest_signup_ts") <=> col("prev_ts"), lit("backward"))
+          .otherwise(lit("forward")))
+      .withColumn("delta_us",
+        when(col("direction") === "backward", col("d_prev"))
+          .when(col("direction") === "forward", col("d_next")))
+      .select("event_id", "user_id", "ts", "nearest_signup_ts",
+        "direction", "delta_us")
+      .orderBy("event_id")
+  }
+
   /** Range join: returned lineitems shipped within ±2 days of an urgent
     * order's date. Bucketized: both sides are keyed to a day bucket (the
     * probe side exploded to the 5 candidate buckets), equi-joined on the
@@ -1016,6 +1062,7 @@ object Relational {
     "q_set_intersect" -> setIntersect,
     "q_set_except" -> setExcept,
     "q_join_asof" -> joinAsOf,
+    "q_join_asof_nearest" -> joinAsOfNearest,
     "q_join_range" -> joinRange,
     "q_join_interval" -> joinInterval,
     "q_join_outer" -> joinOuter,
@@ -1378,6 +1425,30 @@ object Relational {
         |SELECT p.event_id, p.user_id, p.ts,
         |  (SELECT max(s.ts) FROM s WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS last_signup_ts
         |FROM p ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |x AS (SELECT p.event_id, p.user_id, p.ts,
+        |    (SELECT max(s.ts) FROM s WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS prev_ts,
+        |    (SELECT min(s.ts) FROM s WHERE s.user_id = p.user_id AND s.ts > p.ts) AS next_ts
+        |  FROM p),
+        |y AS (SELECT *,
+        |    epoch_us(ts) - epoch_us(prev_ts) AS d_prev,
+        |    epoch_us(next_ts) - epoch_us(ts) AS d_next,
+        |    CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        |         WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+        |           AND epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+        |           THEN prev_ts
+        |         ELSE next_ts END AS nearest_signup_ts
+        |  FROM x)
+        |SELECT event_id, user_id, ts, nearest_signup_ts,
+        |  CASE WHEN nearest_signup_ts IS NULL THEN NULL
+        |       WHEN nearest_signup_ts IS NOT DISTINCT FROM prev_ts THEN 'backward'
+        |       ELSE 'forward' END AS direction,
+        |  CASE WHEN nearest_signup_ts IS NULL THEN NULL
+        |       WHEN nearest_signup_ts IS NOT DISTINCT FROM prev_ts THEN d_prev
+        |       ELSE d_next END AS delta_us
+        |FROM y ORDER BY event_id""".stripMargin,
     "q_join_range" ->
       """SELECT o_orderkey, count(*) AS n_near_shipments
         |FROM orders JOIN lineitem

@@ -577,6 +577,47 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** Deterministic Poisson bootstrap of the mean event value — the
+    * distributed uncertainty-estimation pattern: B=32 resamples in ONE
+    * corpus pass, each row carrying a per-(resample, row) Poisson(1)
+    * WEIGHT instead of being copied (the classic out-of-core bootstrap;
+    * a multinomial resample would need the corpus materialized B
+    * times). The weight is the inverse-CDF of a deterministic
+    * md5-uniform (the A-ES 13-hex-digit construction — 52 bits, exact
+    * in a double) against fixed Poisson(1) cumulative thresholds
+    * written as full-precision literals, so both engines derive the
+    * identical weight for every (b, event) pair. Per resample: exact
+    * integer Σw·cents / Σw and ONE correctly-rounded division — no
+    * float summation anywhere, no rounding needed. The explode ships
+    * corpus×32 rows into a map-side partial aggregate that collapses
+    * them to 32 rows per partition before the (tiny) shuffle. The 32
+    * per-resample means ARE the bootstrap distribution; SE/CI are a
+    * trivial driver-side fold over 32 numbers. */
+  def qStatsBootstrap(s: SparkSession, dir: String): DataFrame = {
+    // P(Poisson(1) <= k) for k = 0..6; weight 7 beyond (P ~ 1 - 8e-5).
+    val cum = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119)
+    val u = (conv(substring(md5(concat(lit("boot"), col("b").cast("string"),
+        lit("_"), col("event_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(16.0, 13)))
+    val w = cum.zipWithIndex.foldRight(lit(7): Column) {
+      case ((threshold, k), rest) => when(u < threshold, k).otherwise(rest)
+    }
+    events(s, dir)
+      .select(col("event_id"), cents(col("value")).as("cents"))
+      .select(col("event_id"), col("cents"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("b"), (w.cast("bigint") * col("cents")).as("wc"),
+        w.cast("bigint").as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("wc")).as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        (col("sum_cents").cast("double") / col("n_eff").cast("double") / 100.0)
+          .as("mean_value"))
+      .orderBy("b")
+  }
+
   /** Covariance matrix over lineitem's numeric measures (quantity,
     * price, discount — all integral after cents scaling), unpivoted to
     * one row per (var_i, var_j) pair with i ≤ j. One partial-aggregated
@@ -616,6 +657,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> qDriftPsi,
+    "q_stats_bootstrap" -> qStatsBootstrap,
     "q_stats_cov" -> qStatsCov,
     "q_stats_ewma" -> qStatsEwma,
     "q_stats_mwu" -> qStatsMwu,
@@ -661,6 +703,27 @@ object Stats {
         |      / ((CAST(n_cur AS DOUBLE)+1.0)/(CAST(t_cur AS DOUBLE)+16.0))), 6)
         |    AS psi_part
         |FROM c, t ORDER BY bucket""".stripMargin,
+    "q_stats_bootstrap" ->
+      """WITH bs AS (SELECT unnest(range(0, 32)) AS b),
+        |x AS (SELECT b, event_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    CAST(CAST('0x' || substring(md5('boot' || CAST(b AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+        |      / power(16.0, 13) AS u
+        |  FROM events, bs),
+        |wtd AS (SELECT b, cents,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         ELSE 7 END AS w
+        |  FROM x)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  CAST(CAST(sum(w * cents) AS VARCHAR) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) / 100.0 AS mean_value
+        |FROM wtd GROUP BY b ORDER BY b""".stripMargin,
     "q_stats_cov" ->
       """WITH b AS (SELECT CAST(round(l_quantity) AS HUGEINT) AS x,
         |    CAST(round(l_extendedprice*100) AS HUGEINT) AS y,

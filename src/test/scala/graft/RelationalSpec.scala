@@ -10,6 +10,40 @@ import graft.operators.Relational
 class RelationalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("nearest as-of join: matches an in-memory brute-force nearest") {
+    val out = Relational.joinAsOfNearest(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.toString),
+        Option(r.get(4)).map(_.toString),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val e = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getTimestamp(4)))
+    val signupsByUser = e.filter(_._3 == "signup").groupBy(_._2)
+    val expected = e.filter(_._3 == "purchase").sortBy(_._1).map {
+      case (eid, uid, _, pus, _) =>
+        val cands = signupsByUser.getOrElse(uid, Array.empty)
+        if (cands.isEmpty) (eid, None, None, None)
+        else {
+          // ties to the earlier (backward) signup: strictly smaller
+          // forward distance required to win
+          val best = cands.minBy { c =>
+            val d = math.abs(c._4 - pus)
+            (d, if (c._4 <= pus) 0 else 1)
+          }
+          val dir = if (best._4 <= pus) "backward" else "forward"
+          (eid, Some(best._5.toString), Some(dir),
+            Some(math.abs(best._4 - pus)))
+        }
+    }
+    assert(out.length == expected.length)
+    out.sortBy(_._1).zip(expected).foreach { case (got, want) =>
+      assert(got == want, s"purchase ${want._1}")
+    }
+  }
+
   test("q1_agg: 3x2 flag/status groups, counts sum to table size") {
     val rows = Relational.q1Agg(spark, TestSpark.sf0001).collect()
     assert(rows.length == 6)
