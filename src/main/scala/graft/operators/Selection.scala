@@ -138,6 +138,45 @@ object Selection {
       .orderBy("doc_id", "epoch")
   }
 
+  /** One step of multiplicative-weights domain reweighting (the
+    * DoReMi-style mixing update): sources whose loss proxy exceeds the
+    * corpus mean gain weight, w₁(s) ∝ w₀(s)·exp(η·(loss(s) − loss̄)),
+    * starting from natural token-count-free weights w₀ = n_docs/N. The
+    * loss proxy is the mean quality DEFICIT on the 1e-6 integer grid,
+    * so loss(s) and loss̄ are exact-integer ratios — bit-identical
+    * operands into the one engine-dependent op (`exp`), whose ulp noise
+    * the 6-dp output rounding absorbs (the established ln-convention).
+    * The normalizer Σe is an ORDERED full-frame window over the
+    * ~|sources| rows (float summation order pinned on both engines —
+    * the mirrored-prefix-sum trick at trivial size). One corpus pass
+    * for the per-source aggregate; everything after runs on a
+    * sources-row frame. */
+  def qMixReweight(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis.qualityScore
+    val eta = 4.0
+    val g = documents(s, dir)
+      .select(col("source"),
+        floor(qualityScore(col("text")) * 1000000).cast("bigint").as("q6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q6")).as("sum_q6"))
+    val tot = g.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sum_q6")).as("tot_q6"))
+    val zW = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.crossJoin(broadcast(tot))
+      .withColumn("loss",
+        lit(1.0) - col("sum_q6").cast("double") / 1000000.0 / col("n_docs").cast("double"))
+      .withColumn("mean_loss",
+        lit(1.0) - col("tot_q6").cast("double") / 1000000.0 / col("n_total").cast("double"))
+      .withColumn("w0", col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("ew", col("w0") * exp(lit(eta) * (col("loss") - col("mean_loss"))))
+      .withColumn("z", sum(col("ew")).over(zW))
+      .select(col("source"), col("n_docs"), round(col("loss"), 6).as("loss"),
+        round(col("w0"), 6).as("w0"),
+        round(col("ew") / col("z"), 6).as("w1"))
+      .orderBy("source")
+  }
+
   /** Token budget for [[qSelectBudget]]: ~half the sf0.001 corpus, a few
     * percent of sf0.1 — the selection pressure is real at every sf. */
   val tokenBudget = 15000L
@@ -280,6 +319,7 @@ object Selection {
     "q_mix_kl" -> qMixKl,
     "q_sample_weighted" -> qSampleWeighted,
     "q_mix_weighted" -> qMixWeighted,
+    "q_mix_reweight" -> qMixReweight,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_epochs" -> qMixEpochs,
     "q_shuffle_global" -> qShuffleGlobal,
@@ -336,6 +376,28 @@ object Selection {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1) < $langRateSql
          |ORDER BY doc_id""".stripMargin,
+    "q_mix_reweight" ->
+      s"""WITH t AS (SELECT source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks, text
+         |  FROM documents),
+         |q AS (SELECT source,
+         |    CAST(floor((${graft.functions.TextAnalysis.qualityScoreSql("toks", "text")}) * 1000000) AS BIGINT) AS q6
+         |  FROM t),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(q6) AS BIGINT) AS sum_q6 FROM q GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |    CAST(sum(sum_q6) AS BIGINT) AS tot_q6 FROM g),
+         |x AS (SELECT source, n_docs,
+         |    1.0 - CAST(sum_q6 AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE) AS loss,
+         |    1.0 - CAST(tot_q6 AS DOUBLE) / 1000000.0 / CAST(n_total AS DOUBLE) AS mean_loss,
+         |    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS w0
+         |  FROM g, tot),
+         |e AS (SELECT *, w0 * exp(4.0 * (loss - mean_loss)) AS ew FROM x),
+         |z AS (SELECT *, sum(ew) OVER (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS zz FROM e)
+         |SELECT source, n_docs, round(loss, 6) AS loss, round(w0, 6) AS w0,
+         |  round(ew / zz, 6) AS w1
+         |FROM z ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       """WITH t AS (SELECT lang, least(count(*),
         |    CAST(floor(8 * sqrt(count(*))) AS BIGINT)) AS target

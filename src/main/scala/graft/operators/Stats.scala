@@ -577,6 +577,37 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** Day-of-week seasonal decomposition of daily revenue (the seasonal-
+    * naive baseline every anomaly/forecast pipeline starts from): daily
+    * exact-cents totals → per-weekday mean → per-day seasonal residual.
+    * The weekday index is pure integer arithmetic (days since a fixed
+    * Monday, mod 7) — never an engine's locale-dependent dayofweek().
+    * Two aggregates over the date-bounded daily frame (tiny at any
+    * corpus size; the daily rollup itself is the only corpus-scale
+    * shuffle, partially aggregated map-side). The per-dow mean is one
+    * exact-integer division; the residual subtracts two identically-
+    * rounded doubles — bit-exact, no rounding anywhere. */
+  def qSeasonalDow(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7))
+          .cast("int"))
+    val dowMeans = daily.groupBy(col("dow"))
+      .agg(sum(col("rev_cents")).as("dow_cents"), count(lit(1)).as("n_days"))
+      .withColumn("dow_mean",
+        col("dow_cents").cast("double") / 100.0 / col("n_days").cast("double"))
+      .select(col("dow"), col("dow_mean"))
+    daily
+      .join(broadcast(dowMeans), "dow")
+      .select(col("day").cast("timestamp").as("day"), col("dow"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        col("dow_mean"),
+        (col("rev_cents").cast("double") / 100.0 - col("dow_mean")).as("residual"))
+      .orderBy("day")
+  }
+
   /** Deterministic Poisson bootstrap of the mean event value — the
     * distributed uncertainty-estimation pattern: B=32 resamples in ONE
     * corpus pass, each row carrying a per-(resample, row) Poisson(1)
@@ -658,6 +689,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> qDriftPsi,
     "q_stats_bootstrap" -> qStatsBootstrap,
+    "q_seasonal_dow" -> qSeasonalDow,
     "q_stats_cov" -> qStatsCov,
     "q_stats_ewma" -> qStatsEwma,
     "q_stats_mwu" -> qStatsMwu,
@@ -703,6 +735,20 @@ object Stats {
         |      / ((CAST(n_cur AS DOUBLE)+1.0)/(CAST(t_cur AS DOUBLE)+16.0))), 6)
         |    AS psi_part
         |FROM c, t ORDER BY bucket""".stripMargin,
+    "q_seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS INT) AS dow
+        |  FROM daily),
+        |m AS (SELECT dow,
+        |    CAST(sum(rev_cents) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS dow_mean
+        |  FROM d GROUP BY dow)
+        |SELECT CAST(day AS TIMESTAMP) AS day, dow,
+        |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue, dow_mean,
+        |  CAST(rev_cents AS DOUBLE) / 100.0 - dow_mean AS residual
+        |FROM d JOIN m USING (dow) ORDER BY day""".stripMargin,
     "q_stats_bootstrap" ->
       """WITH bs AS (SELECT unnest(range(0, 32)) AS b),
         |x AS (SELECT b, event_id, CAST(round(value*100) AS BIGINT) AS cents,

@@ -11,6 +11,22 @@ import graft.operators.{Dedup, Selection}
 class SelectionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("mix reweight: weights renormalize and move WITH excess loss") {
+    val rows = Selection.qMixReweight(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("loss"),
+        r.getAs[Double]("w0"), r.getAs[Double]("w1")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    val meanLoss = rows.map(r => r._2 * r._3).sum // w0-weighted corpus loss
+    rows.foreach { case (src, loss, w0, w1) =>
+      if (loss > meanLoss + 1e-6)
+        assert(w1 > w0, s"$src: above-mean loss must gain weight")
+      else if (loss < meanLoss - 1e-6)
+        assert(w1 < w0, s"$src: below-mean loss must lose weight")
+    }
+  }
+
   test("A-ES weighted sample: exact scalar recompute, weight monotonicity") {
     val got = Selection.qSampleWeighted(spark, TestSpark.sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -274,6 +274,38 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r1 - cov / math.sqrt(vx * vy)) < 1e-9)
   }
 
+  test("seasonal dow: residuals are mean-zero within every weekday") {
+    val rows = graft.operators.Stats.qSeasonalDow(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (dow, rs) =>
+      val meanResidual = rs.map(_._4).sum / rs.length
+      assert(math.abs(meanResidual) < 1e-6, s"dow $dow residual mean")
+      rs.foreach { case (_, rev, dowMean, resid) =>
+        assert(math.abs(rev - dowMean - resid) < 1e-9)
+      }
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0 to 6))
+  }
+
+  test("bootstrap: resample means bracket the plain mean, weights conserve") {
+    val rows = graft.operators.Stats.qStatsBootstrap(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 32)
+    val plainMean = Tables.events(spark, TestSpark.sf0001)
+      .agg(avg(floor(col("value") * 100 + 0.5) / 100.0)).collect()(0).getDouble(0)
+    val means = rows.map(_._4)
+    // Poisson(1) weights: every resample's effective n is near the corpus
+    // size and the bootstrap distribution straddles the plain mean.
+    val n = Tables.events(spark, TestSpark.sf0001).count()
+    rows.foreach { case (_, nEff, _, _) =>
+      assert(math.abs(nEff - n) < n * 0.2, s"n_eff $nEff vs $n")
+    }
+    assert(means.min < plainMean && plainMean < means.max)
+  }
+
   test("winsorize: exact discrete 5/95 bounds and the clamped mean") {
     val got = Stats.qStatsWinsorize(spark, TestSpark.sf001).collect()
     assert(got.nonEmpty)
