@@ -291,7 +291,53 @@ object Cohort {
       expr("percentile(lat_us, 0.9)").as("p90_us"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes — THE churn
+    * estimator: lifetime = days between a user's first and last event;
+    * a user whose last activity precedes the corpus horizon by >14 days
+    * is an observed death, otherwise right-censored. Per lifetime day t:
+    * n_risk (users whose lifetime reaches t), deaths, censored, and
+    * S(t) = Π_{t'≤t, deaths} (1 − d/n_risk).
+    *
+    * Scale shape: ONE user-keyed corpus shuffle (the per-user min/max);
+    * the KM table itself is bounded by the day-domain (hundreds of
+    * rows), so its windows — the suffix-count for n_risk and the
+    * product — run on a tiny frame. The product is an ordered-window
+    * ln-sum (summation order pinned on both engines) exponentiated
+    * once; ln/exp are the engine-dependent ops, so survival rounds to
+    * 6 dp (the ln convention). d/n_risk is an exact-integer ratio —
+    * identical operand bits into ln. */
+  def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val horizon = e.agg(max(unix_micros(col("ts"))).as("h_us"))
+    val dayUs = 86400000000L
+    val byT = e.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .crossJoin(broadcast(horizon))
+      .select(expr(s"(last_us - first_us) div $dayUs").as("t"),
+        (col("last_us") < col("h_us") - lit(14L * dayUs)).as("death"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("death"), 1L).otherwise(0L)).as("n_deaths"),
+        sum(when(col("death"), 0L).otherwise(1L)).as("n_censored"))
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byT.agg(sum(col("n_deaths") + col("n_censored")).as("n_total"))
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_deaths") + col("n_censored")).over(before), lit(0L)))
+      .withColumn("ln_term", when(col("n_deaths") > 0,
+        log(lit(1.0) - col("n_deaths").cast("double") / col("n_risk").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("survival", round(exp(sum(col("ln_term")).over(upTo)), 6))
+      .select(col("t").as("t_days"), col("n_risk"), col("n_deaths"),
+        col("n_censored"), col("survival"))
+      .orderBy("t_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival_km" -> qSurvivalKm,
     "q_rfm_segments" -> qRfmSegments,
     "q_funnel_latency" -> qFunnelLatency,
     "q_twap_user" -> qTwapUser,
@@ -305,6 +351,31 @@ object Cohort {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_survival_km" ->
+      """WITH h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        |u AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id),
+        |per AS (SELECT (last_us - first_us) // 86400000000 AS t,
+        |    last_us < h_us - 14 * 86400000000 AS death
+        |  FROM u, h),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths,
+        |    CAST(sum(CASE WHEN death THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM per GROUP BY t),
+        |tot AS (SELECT CAST(sum(n_deaths + n_censored) AS BIGINT) AS n_total FROM byt),
+        |r AS (SELECT *,
+        |    n_total - CAST(coalesce(sum(n_deaths + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM byt, tot),
+        |k AS (SELECT *,
+        |    CASE WHEN n_deaths > 0
+        |      THEN ln(1.0 - CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS ln_term
+        |  FROM r)
+        |SELECT t AS t_days, n_risk, n_deaths, n_censored,
+        |  round(exp(sum(ln_term) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM k ORDER BY t_days""".stripMargin,
     "q_rfm_segments" ->
       """WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
         |    count(*) AS freq,

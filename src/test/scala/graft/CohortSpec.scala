@@ -10,6 +10,27 @@ import graft.operators.Cohort
 class CohortSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("survival KM: monotone curve, risk-set conservation") {
+    val rows = Cohort.qSurvivalKm(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val totalUsers = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.head._2 == totalUsers, "first risk set is every user")
+    assert(rows.map(r => r._3 + r._4).sum == totalUsers,
+      "every user dies or is censored exactly once")
+    rows.sliding(2).foreach {
+      case Array((_, n1, d1, c1, s1), (_, n2, _, _, s2)) =>
+        assert(n2 == n1 - d1 - c1, "risk set shrinks by exits")
+        assert(s2 <= s1 + 1e-9, "survival never increases")
+      case _ =>
+    }
+    rows.foreach { case (_, n, d, _, s) =>
+      assert(d <= n); assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("debounce: survivors keep >5s gaps vs the raw predecessor") {
     val out = Cohort.qEventsDebounce(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
