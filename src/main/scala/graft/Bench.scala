@@ -68,11 +68,16 @@ object Bench {
     def round3(v: Double): BigDecimal = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def fmt(v: Double): String = round3(v).toString
-    // "value" totals ALL queries (rounded per-query then summed); the
-    // PRINTED line elides sub-threshold queries, so its own "queries" map
-    // sums to less than "value" — only bench_out.json's full map has the
-    // sum-equals-value property.
-    val total = results.values.map(round3).sum.toDouble
+    // A crashed query's wall time is the crash duration, not a run time —
+    // excluding it from the timing rows and the total keeps both honest
+    // (ADVICE r8: a ~0 s crash is indistinguishable from a fast success in
+    // the per-query map). Failed names surface ONLY via errors/n_errors.
+    val timed = results.filterNot { case (k, _) => errors.contains(k) }
+    // "value" totals all SUCCESSFUL queries (rounded per-query then
+    // summed); the PRINTED line elides sub-threshold queries, so its own
+    // "queries" map sums to less than "value" — only bench_out.json's
+    // full map has the sum-equals-value property.
+    val total = timed.values.map(round3).sum.toDouble
     def jsonFor(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -83,7 +88,7 @@ object Bench {
     // ~1600-byte budget (slowest-first — the ones worth reading) plus
     // how many sub-threshold queries were elided; the FULL per-query map
     // goes to bench_out.json.
-    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val slowestFirst = timed.toSeq.sortBy(-_._2)
     val budget = 1600
     var kept = 0
     var used = 0

@@ -30,13 +30,25 @@ object Verify {
     // carry an explicit err row instead of silence (r7 shipped 7
     // analysis-time crashes with no trace in CORRECTNESS_r07).
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Stale-artifact hygiene on a reused outDir (ADVICE r8): a failure must
+    // also REMOVE any previous run's parquet for that query (otherwise the
+    // checker grades the stale output and never reads the fresh error
+    // marker — the masked-crash mode the markers exist to kill), and a
+    // success must remove any previous run's error marker.
+    def rmRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.__err.txt"))
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         failed(name) = msg
         System.err.println(s"[verify] FAILED $name: $msg")
+        rmRec(Paths.get(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/$name.__err.txt"), msg + "\n")
       }
       // Queries that cache() at fan-out points (LSH/IVF index frames)

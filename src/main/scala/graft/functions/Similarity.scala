@@ -33,12 +33,16 @@ object Similarity {
     * formulation; kept for the bit-parity spec): dot/(‖a‖·‖b‖) clamped
     * to [-1, 1] — the exact DuckDB list_cosine_similarity op tree; see
     * the kernel comment in [[graft.plans.Kernels.cosine]]. The clamp
-    * uses `when` (not least/greatest — Spark orders NaN above every
-    * double, so least() would silently convert a zero-norm NaN to 1.0
-    * where the kernel and DuckDB both propagate NaN). */
+    * handles zero-norm vectors explicitly (ADVICE r8): ANSI mode makes
+    * the raw divide THROW on a 0.0 divisor, and even with a NaN produced,
+    * Spark's comparison semantics order NaN above every double (in `when`
+    * predicates too, not just least/greatest), so an unguarded
+    * `when(c > 1.0, 1.0)` would convert NaN to 1.0. The kernel (JVM `if`,
+    * IEEE 0/0) and DuckDB both yield NaN — so must the fold. */
   def cosineFold(a: Column, b: Column): Column = {
-    val c = dot(a, b) / (norm(a) * norm(b))
-    when(c > 1.0, 1.0).when(c < -1.0, -1.0).otherwise(c)
+    val np = norm(a) * norm(b)
+    val c = when(np === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / np)
+    when(isnan(c), c).when(c > 1.0, 1.0).when(c < -1.0, -1.0).otherwise(c)
   }
 
   /** Left-to-right dot product (the order DuckDB folds in). */

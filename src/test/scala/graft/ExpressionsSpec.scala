@@ -22,6 +22,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(both.filter(col("kernel") =!= col("fold")).count() == 0)
   }
 
+  test("cosine kernel and fold both propagate NaN on zero-norm vectors") {
+    val sp = spark
+    import sp.implicits._
+    // 0/0 inside the cosine: Spark orders NaN above every double, so an
+    // unguarded clamp `when(c > 1.0, 1.0)` silently turns NaN into 1.0
+    // (ADVICE r8); both formulations must keep NaN, like DuckDB.
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)),
+        (Seq(0.0, 0.0), Seq(0.0, 0.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("kernel"),
+        Similarity.cosineFold(col("a"), col("b")).as("fold"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(0).isNaN && r.getDouble(1).isNaN))
+  }
+
   test("MinHashSignatureExpr matches the aggregate-fold arithmetic") {
     import graft.plans.GraftExpressions
     val a = Array(3L, 7L)
