@@ -56,7 +56,13 @@ object Similarity {
 
   /** Brute-force top-5 cosine neighbors for probe vectors (vec_id%50==0).
     * Probe side broadcast; corpus scanned once. */
-  def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+  def qSimTopk(s: SparkSession, dir: String): DataFrame =
+    bruteRanked(s, dir).filter(col("rank") <= 5).orderBy("probe_id", "rank")
+
+  /** The brute-force ranked frame (probe_id, neighbor_id, cos, rank) —
+    * consumed by [[qSimTopk]] (top-5) and as the exact reference side of
+    * the ANN recall companions (top-3). */
+  private[graft] def bruteRanked(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("emb").as("probe_emb"))
@@ -66,8 +72,6 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy("probe_id", "rank")
   }
 
   /** Embedding near-dup: deterministic perturbed variants (ids+100000 of
@@ -197,7 +201,12 @@ object Similarity {
 
   /** ANN top-3 via sign-LSH: bucket each vector per table, candidates are
     * bucket-mates of the probe in any table, ranked by exact cosine. */
-  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+  def qSimLsh(s: SparkSession, dir: String): DataFrame =
+    lshTop3(s, dir).orderBy("probe_id", "rank")
+
+  /** The LSH ANN answer (top-3 per probe) without the presentation sort —
+    * consumed by [[qSimLsh]] and the recall companion. */
+  private[graft] def lshTop3(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val e = embeddings(s, dir).select(col("vec_id"), embDouble(col("embedding")).as("emb"))
     // Plane count sized from parquet footer metadata (driver-side KBs, no
@@ -235,7 +244,6 @@ object Similarity {
     cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .orderBy("probe_id", "rank")
   }
 
   // --- IVF-partitioned ANN (rows-only; recall checked in SimilaritySpec) ---
@@ -294,7 +302,12 @@ object Similarity {
     * ever shuffle. A (probe, neighbor) pair can match at most once because
     * a neighbor lives in exactly one cell, so no dedup step is needed
     * (unlike multi-table LSH). */
-  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+  def qSimIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTop3(s, dir).orderBy("probe_id", "rank")
+
+  /** The IVF ANN answer (top-3 per probe) without the presentation sort —
+    * consumed by [[qSimIvf]] and the recall companion. */
+  private[graft] def ivfTop3(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val n = graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
     val cents = ivfCentroids(dim, ivfCellsFor(n))
@@ -319,8 +332,48 @@ object Similarity {
       .orderBy(desc("cos"), asc("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .orderBy("probe_id", "rank")
   }
+
+  /** Shared shape of the two ANN recall companions (VERDICT r8 #1):
+    * join the ANN top-3 against the exact brute-force top-3 (the oracled
+    * reference — [[bruteRanked]] is the same frame q_sim_topk
+    * hash-checks), and emit `n_probes`/`n_truth` (oracle re-derives both
+    * from the raw table) plus a thresholded `recall_ok` the oracle
+    * asserts as literal TRUE. The threshold is intentionally below
+    * measured recall: the fixture's embeddings are near-isotropic
+    * gaussians — the hardest case for space-partitioned ANN — and
+    * regenerate across rounds, so the gate proves "the index finds
+    * real neighbors far above chance" without riding the noise floor. */
+  private def annRecall(found: DataFrame, truth: DataFrame,
+      minRecallPct: Int): DataFrame = {
+    val hit = found.join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_probes"), col("n_truth"),
+        (col("n_hit") * 100 >= col("n_truth") * minRecallPct).as("recall_ok"))
+  }
+
+  /** Grading companion for [[qSimLsh]]: recall@3 vs exact top-3, gated
+    * at 30%. Measured (graft.dev.RecallProbe): 0.70 at sf0.001, 0.80 at
+    * sf0.01, 0.42 at sf0.1 — sign-LSH recall falls with corpus size on
+    * isotropic gaussians (more planes → thinner buckets), so the gate
+    * sits below the worst measured SF; chance recall is ~0.5%. */
+  def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(
+      lshTop3(s, dir).select("probe_id", "neighbor_id"),
+      bruteRanked(s, dir).filter(col("rank") <= 3)
+        .select("probe_id", "neighbor_id"),
+      30)
+
+  /** Grading companion for [[qSimIvf]]: recall@3 vs exact top-3, gated
+    * at 25% (nprobe=4; measured 0.60-0.67 across all three SFs). */
+  def qSimIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(
+      ivfTop3(s, dir).select("probe_id", "neighbor_id"),
+      bruteRanked(s, dir).filter(col("rank") <= 3)
+        .select("probe_id", "neighbor_id"),
+      25)
 
   /** Brute-force top-5 via the typed [[TopK]] aggregator instead of a
     * window: partial top-k reduces map-side, so the shuffle carries at
@@ -449,6 +502,8 @@ object Similarity {
     "q_sim_neardup" -> qSimNeardup,
     "q_sim_lsh" -> qSimLsh,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_lsh_recall" -> qSimLshRecall,
+    "q_sim_ivf_recall" -> qSimIvfRecall,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_quantized" -> qSimQuantized,
     "q_array_math" -> qArrayMath,
@@ -468,7 +523,18 @@ object Similarity {
       |c AS (SELECT label, n, qtot,
       |  list_transform(ss, x -> x / CAST(n AS DOUBLE)) AS cvec FROM l)""".stripMargin
 
+  // The ANN recall oracles re-derive the probe/truth cardinalities from
+  // the raw table (every probe has ≥ 3 neighbors at all grading scales,
+  // so exact top-3 is exactly 3 rows per probe) and assert the recall
+  // gate as a literal — Spark flipping it turns the row red.
+  private val annRecallOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+      |  CAST(3 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sim_lsh_recall" -> annRecallOracle,
+    "q_sim_ivf_recall" -> annRecallOracle,
     "q_emb_clusters" ->
       """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |vv AS (SELECT vec_id + 100000 AS var_id,

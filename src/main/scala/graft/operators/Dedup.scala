@@ -110,6 +110,15 @@ object Dedup {
     * invocation. */
   private lazy val cappedListMaxDf = graft.functions.CappedCollect.cappedList(maxDf)
 
+  /** Reference-side df cap for the recall companions: loose enough to be
+    * EXACT at every grading scale (max observed shingle df is 50 at sf0.1
+    * — the injected copy count bounds it), tight enough that the
+    * ground-truth pipeline keeps the bounded-reducer property (≤ 512²/2
+    * candidate structs per gram) instead of reintroducing the unbounded
+    * hot-key blowup the production cap exists to prevent. */
+  private[graft] val truthDf = 512
+  private lazy val cappedListTruthDf = graft.functions.CappedCollect.cappedList(truthDf)
+
   /** N-gram Jaccard near-dup pairs over df-filtered shingle sets.
     *
     * Inverted-index shape with ONE wide shuffle: explode (doc, gram) and
@@ -148,7 +157,14 @@ object Dedup {
     * array-heavy storage lingers in the session (the r6 audit's leak
     * concern) and nothing spills when the posting lists outgrow memory
     * at corpus scale. */
-  private[graft] def ngramInter(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramInter(s: SparkSession, dir: String): DataFrame =
+    interOver(s, dir, cappedListMaxDf)
+
+  /** [[ngramInter]] parameterized by the posting-list aggregator, so the
+    * recall companions can run the same pipeline with the loose
+    * [[truthDf]] cap as the ground-truth side. */
+  private def interOver(s: SparkSession, dir: String,
+      postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -156,8 +172,8 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram_s"))
       .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
     val byGram = g.groupBy("gram")
-      .agg(cappedListMaxDf(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) >= 1) // empty = overflowed past maxDf
+      .agg(postingAgg(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
     val sizes = byGram.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val pairs = byGram.select(explode(
@@ -346,7 +362,12 @@ object Dedup {
     * The shingle sets are cached: they feed band hashing AND both sides of
     * the verification join, and without the cache Catalyst re-derives the
     * whole shingling pipeline for each consumer. */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("d1", "d2")
+
+  /** The LSH pair pipeline without the presentation sort (consumed by
+    * [[qDedupMinhash]] and the recall companion, which aggregates). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val sigs = c.select(col("doc_id"), shingles(col("text")).as("grams"))
       .filter(size(col("grams")) > 0)
@@ -389,7 +410,6 @@ object Dedup {
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("d1", "d2")
   }
 
   // --- SimHash (rows-only) ------------------------------------------
@@ -402,7 +422,12 @@ object Dedup {
 
   /** Near-dup pairs with Hamming distance ≤ 3, found by pigeonhole
     * blocking on the four 16-bit chunks (d ≤ 3 ⇒ ≥1 chunk equal). */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir).orderBy("d1", "d2")
+
+  /** The pigeonhole pair pipeline without the presentation sort (consumed
+    * by [[qDedupSimhash]] and the recall companion, which aggregates). */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
       .cache() // fingerprint feeds both sides of the pigeonhole join
     val chunked = fp.select(col("doc_id"), col("fp"),
@@ -416,7 +441,6 @@ object Dedup {
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("d1", "d2")
   }
 
   /** Fuzzy (edit-distance-1) vocabulary join via SymSpell-style
@@ -510,7 +534,88 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  // --- Oracle-graded quality companions for the rows-only kernels ----
+  //
+  // Pattern (VERDICT r8 #1, the q_dedup_fuzzy argument): the sketch
+  // kernel itself is not SQL-expressible, but its QUALITY METRIC is data
+  // — compute the ground truth with an independent, oracle-checkable
+  // pipeline, join the kernel's output against it, and emit the exact
+  // count (hash-checked against DuckDB's brute force) plus thresholded
+  // pass/fail booleans the oracle asserts as literals. A kernel
+  // regression flips a boolean → hash mismatch → red CORRECTNESS row.
+  // Thresholds sit well below measured recall (margin for fixture
+  // regeneration: the borderline pairs are probabilistic in the DATA,
+  // not the fixed-seed kernels).
+
+  /** Grading companion for [[qDedupMinhash]]: LSH pairs vs the exact
+    * Jaccard-≥0.5 pair set from the [[truthDf]]-capped posting pipeline
+    * (exact at grading scales — max df 50). Emits one row:
+    * `n_exact` (oracle brute-forces the same number), `precision_ok`
+    * (every LSH pair is a true pair — deterministic: the LSH pipeline
+    * verifies candidates with the same exact-Jaccard predicate), and
+    * `recall_ok` (≥ 90% of true pairs found; measured 100% at all three
+    * SFs, 138-366 pairs — fixture pairs have j ≥ 0.72, detection
+    * ≥ 99.3% per pair at 16×4 banding). */
+  def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = interOver(s, dir, cappedListTruthDf)
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("s1") + col("s2") - col("n_inter"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("d1", "d2")
+      .cache() // feeds the exact count and the hit join
+    val found = minhashPairs(s, dir).select("d1", "d2")
+      .cache() // feeds the found count and the hit join
+    val hit = found.join(exact, Seq("d1", "d2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"),
+        (col("n_found") === col("n_hit")).as("precision_ok"),
+        (col("n_hit") * 10 >= col("n_exact") * 9).as("recall_ok"))
+  }
+
+  /** Grading companion for [[qDedupSimhash]], two hard rows:
+    *
+    *  - `exact_copy`: the injected byte-identical pairs (Hamming 0 by
+    *    construction) must ALL be found; the oracle recomputes the tier
+    *    count from the raw table. (The injected NEAR copies — 3 tokens
+    *    appended, ~5% of the token set — land at Hamming 4-8 and are
+    *    OUT of the ≤3 design radius; radius-3 64-bit SimHash targets
+    *    near-exact duplication. They are minhash/ngram territory and
+    *    carry no claim here — measured 4/50 inside radius at sf0.01.)
+    *  - `radius3_complete`: pigeonhole completeness, the kernel's core
+    *    guarantee (Hamming ≤ 3 over 4 chunks ⇒ some chunk equal) —
+    *    the blocked pair set must EQUAL the brute-force all-pairs
+    *    Hamming-≤3 set. Blocked ⊆ brute holds by the post-filter, so
+    *    count equality is set equality. The brute-force side is
+    *    grading-only (quadratic by definition — that's what makes it
+    *    ground truth); `n_ref` is the corpus size, which the oracle
+    *    re-derives. */
+  def qDedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val exactTruth = d.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("d1"), (col("doc_id") + 100000).as("d2"))
+    val found = simhashPairs(s, dir).select("d1", "d2").cache()
+    val exactHit = exactTruth.join(found, Seq("d1", "d2"), "left_semi")
+    val exactRow = exactTruth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(exactHit.agg(count(lit(1)).as("n_hit")))
+      .select(lit("exact_copy").as("tier"), col("n_truth").as("n_ref"),
+        (col("n_hit") === col("n_truth")).as("ok"))
+    val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
+    val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 3)
+    val blockRow = corpus(s, dir).agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
+      .crossJoin(found.agg(count(lit(1)).as("n_blocked")))
+      .select(lit("radius3_complete").as("tier"), col("n_corpus").as("n_ref"),
+        (col("n_brute") === col("n_blocked")).as("ok"))
+    exactRow.union(blockRow).orderBy("tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_recall" -> qDedupMinhashRecall,
+    "q_dedup_simhash_recall" -> qDedupSimhashRecall,
     "q_dedup_snm" -> qDedupSnm,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_exact" -> qDedupExact,
@@ -537,6 +642,31 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The exact side re-derived independently (uncapped up to truthDf;
+    // max df at grading scales is 50, so this IS the exact pair set);
+    // the quality booleans are literal TRUE — Spark flipping either
+    // turns the row red.
+    "q_dedup_minhash_recall" -> (corpusCte +
+      s""", toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
+         |shing AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)]) AS g FROM toks WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM shing),
+         |rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= $truthDf),
+         |kept AS (SELECT doc_id, gram FROM ex JOIN rare USING (gram)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+         |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT count(*) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok
+         |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         |WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5""".stripMargin),
+    "q_dedup_simhash_recall" -> (corpusCte +
+      """SELECT 'exact_copy' AS tier,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_ref,
+        |  TRUE AS ok
+        |UNION ALL
+        |SELECT 'radius3_complete' AS tier,
+        |  (SELECT count(*) FROM corpus) AS n_ref, TRUE AS ok
+        |ORDER BY tier""".stripMargin),
     "q_dedup_snm" -> (corpusCte +
       """, keyed AS (SELECT doc_id, text, substring(text,1,20) AS bkey FROM corpus),
         |kr AS (SELECT bkey, CAST(row_number() OVER (ORDER BY bkey) AS BIGINT) AS kr

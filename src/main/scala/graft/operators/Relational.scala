@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -105,6 +105,46 @@ object Relational {
         .as("approx_parts"))
       .select(lit("ALL").as("l_returnflag"), col("approx_parts"))
     per.union(global).orderBy("l_returnflag")
+  }
+
+  /** Grading companion for [[aggApprox]] (VERDICT r8 #1): the HLL
+    * estimate is engine-specific, but its ERROR BOUND is data — emit the
+    * exact distinct count (hash-checked against DuckDB) plus a
+    * `within_tol` boolean the oracle asserts as literal TRUE. Gate: 5%
+    * relative error = 2.5× the requested rsd (0.02) — the sketch is
+    * deterministic for fixed data, and the slack absorbs fixture
+    * regeneration. Integer arithmetic only (err·20 ≤ exact ⟺ err ≤ 5%),
+    * so the boolean cannot drift by float rounding. */
+  def aggApproxCheck(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("est"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact")).as("within_tol"))
+      .orderBy("l_returnflag")
+
+  /** Grading companion for [[aggHllPartial]]: checks BOTH sketch layers —
+    * the per-group estimates AND the merged (`hll_union_agg`) global
+    * estimate — against exact distinct counts. The global exact count
+    * needs its own aggregate (per-group exacts don't compose: part keys
+    * overlap across flags), which is precisely why the mergeable-sketch
+    * pattern exists at 100 TB. lgK=14 → rsd ≈ 0.8%; gated at 5%. */
+  def aggHllCheck(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    val per = perFlag.select(col("l_returnflag"), col("n_exact"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val global = perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
+      .select(lit("ALL").as("l_returnflag"), col("n_exact"), col("est"))
+    per.union(global)
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact")).as("within_tol"))
+      .orderBy("l_returnflag")
   }
 
   /** Explicit GROUPING SETS: status-only and priority-only rollups in one
@@ -993,6 +1033,32 @@ object Relational {
           .as("p90_cents_approx"))
       .orderBy("o_orderstatus")
 
+  /** Grading companion for [[percentilesApprox]]: `percentile_approx`
+    * (accuracy 10000) guarantees its result is an element whose RANK is
+    * within n/10000 of the target — a property checkable with exact
+    * integer counting, no engine-specific sketch values. Per group:
+    * count of values strictly below / at-or-below the approx result must
+    * bracket the target rank within n/1000 (10× the guarantee, margin
+    * for fixture regen). One broadcast join of the 3-row sketch frame
+    * back onto orders + one counting aggregate. */
+  def percentilesCheck(s: SparkSession, dir: String): DataFrame = {
+    val appr = percentilesApprox(s, dir)
+    val v = cents(col("o_totalprice"))
+    def rankOk(lt: Column, le: Column, n: Column, pPermille: Int): Column =
+      (lt * 1000 <= n * pPermille + n) && (le * 1000 >= n * pPermille - n)
+    orders(s, dir).join(broadcast(appr), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("median_cents_approx"), 1L).otherwise(0L)).as("lt_med"),
+        sum(when(v <= col("median_cents_approx"), 1L).otherwise(0L)).as("le_med"),
+        sum(when(v < col("p90_cents_approx"), 1L).otherwise(0L)).as("lt_p90"),
+        sum(when(v <= col("p90_cents_approx"), 1L).otherwise(0L)).as("le_p90"))
+      .select(col("o_orderstatus"), col("n"),
+        rankOk(col("lt_med"), col("le_med"), col("n"), 500).as("median_rank_ok"),
+        rankOk(col("lt_p90"), col("le_p90"), col("n"), 900).as("p90_rank_ok"))
+      .orderBy("o_orderstatus")
+  }
+
   /** String scalar-function family: case, replace, padding, substring,
     * edit distance. */
   def stringFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -1031,6 +1097,9 @@ object Relational {
     "q_agg_groupingsets" -> aggGroupingSets,
     "q_agg_approx" -> aggApprox,
     "q_agg_hll_partial" -> aggHllPartial,
+    "q_agg_approx_check" -> aggApproxCheck,
+    "q_agg_hll_check" -> aggHllCheck,
+    "q_percentiles_check" -> percentilesCheck,
     "q_agg_distinct" -> aggDistinct,
     "q3_shipping" -> q3Shipping,
     "q5_local_volume" -> q5LocalVolume,
@@ -1130,6 +1199,23 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Sketch companions: exact side re-derived, tolerance booleans are
+    // literal TRUE (Spark flipping one = red row).
+    "q_agg_approx_check" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_hll_check" ->
+      """SELECT l_returnflag, n_exact, within_tol FROM (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |    TRUE AS within_tol FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles_check" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  TRUE AS median_rank_ok, TRUE AS p90_rank_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue

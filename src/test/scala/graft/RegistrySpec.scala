@@ -22,6 +22,30 @@ class RegistrySpec extends AnyFunSuite {
     "q_agg_approx", "q_agg_hll_partial", "q_percentiles_approx",
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf")
 
+  /** Every rows-only kernel carries an ORACLE-GRADED quality companion
+    * (r9): the exact/ground-truth side is hash-checked against DuckDB and
+    * the kernel's quality metric rides as thresholded booleans the oracle
+    * asserts as literals — so kernel regressions turn a CORRECTNESS row
+    * red even though the sketch values themselves aren't SQL-expressible. */
+  private val companions = Map(
+    "q_agg_approx" -> "q_agg_approx_check",
+    "q_agg_hll_partial" -> "q_agg_hll_check",
+    "q_percentiles_approx" -> "q_percentiles_check",
+    "q_dedup_minhash" -> "q_dedup_minhash_recall",
+    "q_dedup_simhash" -> "q_dedup_simhash_recall",
+    "q_sim_lsh" -> "q_sim_lsh_recall",
+    "q_sim_ivf" -> "q_sim_ivf_recall")
+
+  test("every rows-only kernel has an oracle-graded companion") {
+    assert(companions.keySet == rowsOnly)
+    companions.foreach { case (kernel, comp) =>
+      assert(SparkEntry.queries.contains(comp),
+        s"$kernel lacks registered companion $comp")
+      assert(SparkEntry.oracleSql.contains(comp),
+        s"companion $comp for $kernel has no oracle")
+    }
+  }
+
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
