@@ -137,6 +137,74 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("scrape merge against a bucketed current side shuffles ONLY the scan") {
+    // Scrape.scala's scale note claims the `current` side arrives
+    // pre-partitioned (previous scan's output / bucketed storage) so a
+    // rescan shuffles only the new listing. Prove it (VERDICT r8 #2):
+    // store filesCurrent bucketed on the natural key and assert each
+    // merge operator's plan drops EXACTLY ONE shuffle vs the unbucketed
+    // run — the current side's — while producing identical results.
+    // At 100 TB that is the difference between one and two full-corpus
+    // exchanges per rescan cycle.
+    import graft.operators.Scrape
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    try {
+      // Bucket on (path, filename): the fixture's external_source is a
+      // single constant, so Catalyst folds its equality into per-side
+      // filters and the JOIN keys that survive optimization are
+      // (path, filename) — a bucket spec including the constant column
+      // wouldn't satisfy the folded distribution. (A multi-source
+      // production table buckets on all three; same mechanism.)
+      Scrape.filesCurrent(spark, TestSpark.sf0001)
+        .write.mode("overwrite")
+        .bucketBy(8, "path", "filename")
+        .sortBy("path", "filename")
+        .saveAsTable("files_current_bucketed")
+      val bucketed = spark.table("files_current_bucketed")
+      val plain = Scrape.filesCurrent(spark, TestSpark.sf0001)
+      val scan = Scrape.filesScan(spark, TestSpark.sf0001)
+      // Force SMJ: at toy scale the current side broadcasts and the
+      // exchange this test exists to count never plans at all.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      def runBoth(name: String,
+          op: (org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+          sortCols: Seq[String]): Unit = {
+        val b = op(bucketed, scan)
+        val u = op(plain, scan)
+        // executedPlan, not sparkPlan: exchanges are inserted by
+        // EnsureRequirements during preparation (nothing executes here —
+        // the AQE wrapper still holds its initial plan).
+        val (nb, nu) = (shuffles(b.queryExecution.executedPlan),
+          shuffles(u.queryExecution.executedPlan))
+        assert(nb == nu - 1,
+          s"$name: bucketed=$nb unbucketed=$nu — current side still shuffles\n" +
+            b.queryExecution.executedPlan.toString)
+        val sb = b.orderBy(sortCols.map(col): _*).collect().toSeq
+        val su = u.orderBy(sortCols.map(col): _*).collect().toSeq
+        assert(sb == su, s"$name: bucketed result differs")
+      }
+      runBoth("upsert", Scrape.upsertClassify, Seq("path", "filename"))
+      runBoth("seen", Scrape.seenKeys, Seq("path", "filename"))
+      runBoth("deletions",
+        (c, n) => Scrape.deletions(c, n,
+          lit("2026-01-15 00:00:00").cast("timestamp")),
+        Seq("path", "filename"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS files_current_bucketed")
+    }
+  }
+
   test("bloom join reduction returns exactly the plain join's aggregate") {
     // false positives die in the real join, so the bloom probe is pure
     // shuffle reduction -- the result must be bit-identical to no-bloom
