@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // In-process JDBC database so the PgMerge staging-write + transactional
+  // epilogue executes LIVE in tests (no Postgres server exists offline);
+  // resolves from the same pre-warmed coursier cache as the frameworks.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

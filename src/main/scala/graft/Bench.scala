@@ -83,13 +83,37 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$extra"queries":$qs,"sf":"$sfDir"}"""
     }
+    // Streaming micro-bench (VERDICT r8 #4): the batch loop above cannot
+    // see the streaming family's perf at all, so replay a deterministic
+    // 200k-event synthetic stream (4h span, 500 users, 8 micro-batches)
+    // through each stateful op and report rows/s plus the state store's
+    // final rows/bytes straight from StreamingQueryProgress. Keys are
+    // compact for the driver's capture window: rps = processed rows/sec,
+    // sr = state rows, skb = state KiB, b = micro-batches. State
+    // boundedness per scale axis is proven separately (green tests in
+    // StreamStateBoundSpec); these are the measured magnitudes.
+    val streamJson: String =
+      if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "" else {
+        try {
+          val stats = streaming.StreamBench.run(spark)
+          val body = stats.map { case (name, st) =>
+            s""""$name":{"rps":${st.rowsPerSec.toLong},"sr":${st.stateRows},"skb":${st.stateBytes / 1024},"b":${st.batches}}"""
+          }.mkString(",")
+          val totalSec = fmt(stats.map(_._2.secs).sum)
+          s""""streaming":{"rows":200000,"total_sec":$totalSec,$body},"""
+        } catch { case e: Throwable =>
+          errors("streaming_bench") = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          ""
+        }
+      }
     // The registry has outgrown the driver's capture window (106 queries
     // ≈ 2.5KB), so the PRINTED line lists the slowest queries that fit a
-    // ~1600-byte budget (slowest-first — the ones worth reading) plus
-    // how many sub-threshold queries were elided; the FULL per-query map
-    // goes to bench_out.json.
+    // ~1250-byte budget (slowest-first — the ones worth reading; trimmed
+    // from 1600 to make room for the streaming section) plus how many
+    // sub-threshold queries were elided; the FULL per-query map goes to
+    // bench_out.json.
     val slowestFirst = timed.toSeq.sortBy(-_._2)
-    val budget = 1600
+    val budget = 1250
     var kept = 0
     var used = 0
     var full = false
@@ -101,7 +125,7 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString }
-    val health = s""""warmup_sec":${fmt(warmupSec)},"n_errors":${errors.size},"""
+    val health = s""""warmup_sec":${fmt(warmupSec)},"n_errors":${errors.size},""" + streamJson
     val printed = jsonFor(slowestFirst.take(kept),
       health + s""""n_queries":${results.size},"listed":$kept,""")
     println(printed)

@@ -13,6 +13,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
+    // optional kernel filter: remaining args are name prefixes; empty =
+    // run everything (e.g. `sf0.1 100 ngram_pairs gini` probes two
+    // kernels at ×100 without paying for the rest of the suite).
+    val only: Seq[String] = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,24 +26,32 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def amplifyDocs(n: Int): DataFrame = {
-      val d = graft.Tables.documents(spark, sfDir)
-      (0 until n).map(i =>
-        d.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-        .reduce(_ union _)
-    }
-    def amplifyLineitem(n: Int): DataFrame = {
-      val li = graft.Tables.lineitem(spark, sfDir)
-      (0 until n).map(i =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
-        .reduce(_ union _)
-    }
+    // Amplification is a broadcast cross join with range(n), NOT n unions:
+    // at ×100 a union tower is a 100-branch plan (analysis/codegen cost
+    // scales with the multiplier — the probe would time the planner, not
+    // the kernel), while the cross join keeps plan size CONSTANT in n and
+    // scan cost linear. Ids offset per copy so keys stay distinct.
+    def amp(df: DataFrame, n: Int, idCols: Seq[String], offset: Long): DataFrame =
+      if (n == 1) df
+      else {
+        val copies = broadcast(spark.range(n).select(col("id").as("__copy")))
+        val crossed = df.crossJoin(copies)
+        idCols.foldLeft(crossed)((d, c) =>
+          d.withColumn(c, col(c) + col("__copy") * lit(offset)))
+          .drop("__copy")
+      }
+    def amplifyDocs(n: Int): DataFrame =
+      amp(graft.Tables.documents(spark, sfDir).select("doc_id", "text"),
+        n, Seq("doc_id"), 1000000L)
+    def amplifyLineitem(n: Int): DataFrame =
+      amp(graft.Tables.lineitem(spark, sfDir), n, Seq("l_orderkey"), 10000000L)
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(p => name.startsWith(p))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+      }
 
     for (n <- Seq(1, mult)) {
       println(s"--- amplification x$n ---")
@@ -79,6 +91,44 @@ object ScaleProbe {
           .filter(size(col("docs")) >= 1)
           .select(explode(graft.plans.GraftExpressions.sorted_pairs(col("docs"))))
           .count()
+      }
+      time(s"ngram_containment x$n") {
+        // the SHIPPED containment core (shares the posting-list pipeline
+        // with ngram_pairs; only the closing score differs)
+        graft.operators.Dedup.containmentOf(docs).count()
+      }
+      time(s"dedup_clusters x$n") {
+        // shipped pair pipeline → shipped connected components. Amplified
+        // copies push shingle df past the cap, so the PAIR set shrinks as
+        // n grows (the anti-quadratic property); the probe times the
+        // whole composite the production query runs.
+        graft.operators.Dedup.clustersOf(spark,
+          graft.operators.Dedup.pairsOf(docs).select(col("d1"), col("d2")))
+          .count()
+      }
+      time(s"basket_lift x$n") {
+        // baskets duplicate ×n (orderkey offset): pair ROWS grow linearly
+        // but distinct pairs/parts stay fixed, so the count-agg state and
+        // the cached frame must stay constant-size while only the
+        // exchange volume scales
+        graft.operators.Relational.basketLiftOf(amplifyLineitem(n)).count()
+      }
+      time(s"gini_nation x$n") {
+        // the shipped two-level ranked gini over an n×-amplified
+        // customer-revenue frame (custkey offset per copy, synthetic
+        // 25-way nation label): the ordered-window input must stay
+        // ~1/256 of rows at every n
+        val baseRev = graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"),
+            graft.Tables.cents(col("l_extendedprice")).as("pc"))
+          .join(graft.Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey")).agg(sum(col("pc")).as("rev"))
+          .withColumn("n_name",
+            concat(lit("N"), (col("o_custkey") % 25).cast("string")))
+        graft.operators.Quant.giniOf(
+          amp(baseRev, n, Seq("o_custkey"), 100000000L)).count()
       }
       time(s"contamination x$n") {
         // bench-gram set stays fixed-size while the corpus amplifies: the

@@ -141,11 +141,26 @@ object Dedup {
     * consumes pairs in any order, so [[qDedupClusters]] skips the global
     * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds. */
   private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    ngramInter(s, dir)
+    pairsOf(corpus(s, dir))
+
+  /** [[ngramPairs]] over an arbitrary (doc_id, text) corpus — the
+    * DataFrame-level core, also driven directly by the ×100 scale probe
+    * so the probe measures the SHIPPED pipeline, not a copy. */
+  private[graft] def pairsOf(docs: DataFrame): DataFrame =
+    interOfCorpus(docs, cappedListMaxDf)
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+
+  /** Containment score over an arbitrary corpus (core of
+    * [[qDedupContainment]]). */
+  private[graft] def containmentOf(docs: DataFrame): DataFrame =
+    interOfCorpus(docs, cappedListMaxDf)
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          least(col("s1"), col("s2"))).as("containment"))
+      .filter(col("containment") >= 0.8)
 
   /** The shared sized-intersection frame (d1, d2, n_inter, s1, s2) that
     * every n-gram set-similarity measure derives from — jaccard
@@ -158,17 +173,18 @@ object Dedup {
     * concern) and nothing spills when the posting lists outgrow memory
     * at corpus scale. */
   private[graft] def ngramInter(s: SparkSession, dir: String): DataFrame =
-    interOver(s, dir, cappedListMaxDf)
+    interOfCorpus(corpus(s, dir), cappedListMaxDf)
 
-  /** [[ngramInter]] parameterized by the posting-list aggregator, so the
-    * recall companions can run the same pipeline with the loose
-    * [[truthDf]] cap as the ground-truth side. */
-  private def interOver(s: SparkSession, dir: String,
+  /** [[ngramInter]] parameterized by the corpus frame and the posting-list
+    * aggregator, so the recall companions can run the same pipeline with
+    * the loose [[truthDf]] cap as the ground-truth side and the scale
+    * probe can amplify the corpus. */
+  private def interOfCorpus(docs: DataFrame,
       postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
-    val g = corpus(s, dir)
+    val g = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram_s"))
       .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
     val byGram = g.groupBy("gram")
@@ -196,12 +212,7 @@ object Dedup {
     * pipeline and the same single wide shuffle as [[qDedupNgram]];
     * only the final score differs. */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    ngramInter(s, dir)
-      .select(col("d1"), col("d2"),
-        (col("n_inter").cast("double") /
-          least(col("s1"), col("s2"))).as("containment"))
-      .filter(col("containment") >= 0.8)
-      .orderBy("d1", "d2")
+    containmentOf(corpus(s, dir)).orderBy("d1", "d2")
 
   /** Cluster assignment over the near-dup pair graph (the step after
     * pair-finding that a dedup pipeline actually consumes): connected
@@ -557,7 +568,7 @@ object Dedup {
     * SFs, 138-366 pairs — fixture pairs have j ≥ 0.72, detection
     * ≥ 99.3% per pair at 16×4 banding). */
   def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = interOver(s, dir, cappedListTruthDf)
+    val exact = interOfCorpus(corpus(s, dir), cappedListTruthDf)
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("j"))

@@ -366,8 +366,13 @@ object Relational {
     * lookups), and lift is one correctly-rounded division of
     * exact-integer doubles. The c₁₂-desc, (p1,p2)-asc order makes the
     * cut deterministic. */
-  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
-    val counts = lineitem(s, dir)
+  def qBasketLift(s: SparkSession, dir: String): DataFrame =
+    basketLiftOf(lineitem(s, dir))
+
+  /** [[qBasketLift]] over an arbitrary lineitem frame — the core the
+    * ×100 scale probe drives directly. */
+  private[graft] def basketLiftOf(li: DataFrame): DataFrame = {
+    val counts = li
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("docs"))
       .select(explode(concat(

@@ -25,13 +25,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * Connection budget: `numPartitions` on the staging write caps parallel
   * connections (the reference pools 2, `db.rs:28`); the epilogue uses one.
   *
-  * No Postgres exists in this harness — the SQL generation is unit-tested
-  * and the execution path is exercised only when `jdbcUrl` is reachable.
+  * No Postgres server exists in this harness; the WHOLE execution path —
+  * Spark's batched JDBC staging write, the single-connection
+  * transactional epilogue, rollback on failure — runs live in tests
+  * against an in-process DuckDB over JDBC (PgMergeSpec), with the
+  * conflict-target spelling as the one documented dialect seam.
   */
 object PgMerge {
 
   val table = "external_file"
   val constraint = "external_file_unique_constraint"
+
+  /** Default conflict target: the reference names the constraint
+    * (`db.rs:105`). Engines without named-constraint conflict targets
+    * (the in-process DuckDB the test harness runs the epilogue against —
+    * no Postgres server exists offline) pass the equivalent column set,
+    * `(external_source, path, filename)`; everything else in the
+    * statement runs verbatim on both. */
+  val pgConflictTarget: String = s"ON CONSTRAINT $constraint"
+
+  val pgDriver = "org.postgresql.Driver"
 
   def scratchName(scanId: String): String =
     "graft_scan_" + scanId.replaceAll("[^A-Za-z0-9_]", "_")
@@ -44,12 +57,12 @@ object PgMerge {
     * and resurrects reappeared files (`deleted = NULL` — the reference
     * leaves stale tombstones on reappearing keys).
     */
-  def upsertSql(scratch: String): String =
+  def upsertSql(scratch: String, conflictTarget: String = pgConflictTarget): String =
     s"""INSERT INTO $table
        |  (external_source, filename, path, mime_type, created, modified, size, deleted)
        |SELECT external_source, filename, path, mime_type, created, modified, size, NULL
        |FROM $scratch
-       |ON CONFLICT ON CONSTRAINT $constraint DO UPDATE SET
+       |ON CONFLICT $conflictTarget DO UPDATE SET
        |  mime_type = EXCLUDED.mime_type,
        |  created = EXCLUDED.created,
        |  modified = EXCLUDED.modified,
@@ -82,11 +95,12 @@ object PgMerge {
       jdbcUrl: String,
       user: String,
       password: String,
-      externalSource: String): DataFrame = {
+      externalSource: String,
+      driverClass: String = pgDriver): DataFrame = {
     val props = new Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
-    props.setProperty("driver", "org.postgresql.Driver")
+    props.setProperty("driver", driverClass)
     spark.read.jdbc(jdbcUrl, table, props)
       .filter(org.apache.spark.sql.functions.col("external_source") === externalSource)
   }
@@ -100,19 +114,25 @@ object PgMerge {
       user: String,
       password: String,
       externalSource: String,
-      maxConnections: Int = 2): Unit = {
+      maxConnections: Int = 2,
+      driverClass: String = pgDriver,
+      conflictTarget: String = pgConflictTarget): Unit = {
     val scratch = scratchName(java.util.UUID.randomUUID().toString)
     val props = new Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
-    props.setProperty("driver", "org.postgresql.Driver")
+    props.setProperty("driver", driverClass)
 
-    scan
+    val staged = scan
       .coalesce(maxConnections)
       .write
       .mode(SaveMode.Append)
       .option("batchsize", 1000)
-      .option("reWriteBatchedInserts", "true")
+    // reWriteBatchedInserts is a Postgres driver property (collapses a
+    // JDBC batch into one multi-row INSERT); other engines reject unknown
+    // connection properties, and their executeBatch is already batched.
+    (if (driverClass == pgDriver) staged.option("reWriteBatchedInserts", "true")
+     else staged)
       .jdbc(jdbcUrl, scratch, props)
 
     var conn: Connection = null
@@ -120,7 +140,7 @@ object PgMerge {
       conn = DriverManager.getConnection(jdbcUrl, user, password)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.execute(upsertSql(scratch))
+      st.execute(upsertSql(scratch, conflictTarget))
       val del = conn.prepareStatement(markDeletedSql(scratch))
       del.setString(1, externalSource)
       del.executeUpdate()

@@ -1,12 +1,30 @@
 package graft
 
+import java.sql.DriverManager
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sinks.PgMerge
 
-/** No Postgres in the harness — validate the generated SQL's semantics
-  * markers (the execution path is plain JDBC). */
+/** The merge sink, two layers:
+  *
+  *  1. SQL-marker tests of the generated statements (shape parity with
+  *     the reference's `db.rs:92-124`).
+  *  2. LIVE execution of the whole publish path — Spark's batched JDBC
+  *     staging write (K3/B2), the single-connection transactional
+  *     epilogue (K2), rollback atomicity — against an in-process DuckDB
+  *     over JDBC. No Postgres server exists offline; the one dialect seam
+  *     is the conflict-target spelling (named constraint vs column set —
+  *     same key set), injected via `conflictTarget`. Every scenario
+  *     mirrors the reference semantics: untouched rows keep corrected
+  *     mime_types (`db.rs:88-90`), changed rows update, tombstoned rows
+  *     resurrect, NULL metadata compares null-safely, vanished rows
+  *     tombstone, other sources stay untouched.
+  */
 class PgMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
 
   test("upsert SQL: conflict target, conditional update, resurrect") {
     val sql = PgMerge.upsertSql("scratch_t")
@@ -27,5 +45,147 @@ class PgMergeSpec extends AnyFunSuite {
   test("scratch names are sanitized SQL identifiers") {
     val n = PgMerge.scratchName("ab-12; DROP TABLE x--")
     assert(n.matches("[A-Za-z0-9_]+"))
+  }
+
+  // --- live JDBC execution ------------------------------------------
+
+  private val duckDriver = "org.duckdb.DuckDBDriver"
+  private val keyTarget = "(external_source, path, filename)"
+
+  /** Spark's generic JDBC dialect rethrows from tableExists unless the
+    * dialect classifies the error as object-not-found, and DuckDB's
+    * SQLExceptions carry no SQLState — so the staging write needs this
+    * one-method dialect. Registration is idempotent. */
+  private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:duckdb:")
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      e.getMessage != null && e.getMessage.contains("does not exist")
+  }
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+  private val T1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private val T2 = java.sql.Timestamp.valueOf("2026-02-02 00:00:00")
+
+  private def freshDb(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg").toString
+    s"jdbc:duckdb:$dir/merge.db"
+  }
+
+  /** Seed the reference's six-row starting state (pgmerge_check.py rows). */
+  private def seed(url: String): Unit = {
+    Class.forName(duckDriver)
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute(
+        s"""CREATE TABLE ${PgMerge.table} (
+           |  external_source TEXT, path TEXT, filename TEXT, mime_type TEXT,
+           |  created TIMESTAMP, modified TIMESTAMP, size BIGINT,
+           |  deleted TIMESTAMP, UNIQUE $keyTarget)""".stripMargin)
+      val ins = c.prepareStatement(
+        s"INSERT INTO ${PgMerge.table} VALUES (?,?,?,?,?,?,?,?)")
+      val rows = Seq(
+        ("A", "/d", "same.txt", "text/corrected", T1, T1, 10L, null),
+        ("A", "/d", "changed.txt", "text/plain", T1, T1, 10L, null),
+        ("A", "/d", "undead.txt", "text/plain", T1, T1, 10L, T1),
+        ("A", "/d", "nullc.txt", "text/hand", null, T1, 10L, null),
+        ("A", "/d", "gone.txt", "text/plain", T1, T1, 10L, null),
+        ("B", "/d", "gone.txt", "text/plain", T1, T1, 10L, null))
+      rows.foreach { case (src, p, f, m, cr, mo, sz, del) =>
+        ins.setString(1, src); ins.setString(2, p); ins.setString(3, f)
+        ins.setString(4, m)
+        ins.setTimestamp(5, cr.asInstanceOf[java.sql.Timestamp])
+        ins.setTimestamp(6, mo.asInstanceOf[java.sql.Timestamp])
+        ins.setLong(7, sz)
+        ins.setTimestamp(8, del.asInstanceOf[java.sql.Timestamp])
+        ins.executeUpdate()
+      }
+    } finally c.close()
+  }
+
+  private val scanSchema = StructType(Seq(
+    StructField("external_source", StringType), StructField("path", StringType),
+    StructField("filename", StringType), StructField("mime_type", StringType),
+    StructField("created", TimestampType), StructField("modified", TimestampType),
+    StructField("size", LongType)))
+
+  /** Source A's rescan: same/undead/nullc identical, changed.txt grew,
+    * new.txt appeared, gone.txt vanished. */
+  private def scanDf() = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row("A", "/d", "same.txt", "text/plain", T1, T1, 10L),
+      Row("A", "/d", "changed.txt", "text/plain", T1, T2, 20L),
+      Row("A", "/d", "undead.txt", "text/plain", T1, T1, 10L),
+      Row("A", "/d", "nullc.txt", "text/plain", null, T1, 10L),
+      Row("A", "/d", "new.txt", "text/markdown", T2, T2, 30L)),
+    scanSchema)
+
+  private def state(url: String): Map[String, (String, Long, Boolean)] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT external_source, filename, mime_type, size,
+           |  deleted IS NULL AS live FROM ${PgMerge.table}""".stripMargin)
+      val b = Map.newBuilder[String, (String, Long, Boolean)]
+      while (rs.next()) b += (rs.getString(1) + "/" + rs.getString(2)) ->
+        ((rs.getString(3), rs.getLong(4), rs.getBoolean(5)))
+      b.result()
+    } finally c.close()
+  }
+
+  test("live publish: stage, upsert, tombstone, commit against a real JDBC database") {
+    val url = freshDb()
+    seed(url)
+    PgMerge.publishScan(scanDf(), url, "", "", externalSource = "A",
+      maxConnections = 2, driverClass = duckDriver, conflictTarget = keyTarget)
+    val st = state(url)
+    assert(st.size == 7, s"expected 7 rows, got $st")
+    // untouched identical row keeps its hand-corrected mime (db.rs:88-90)
+    assert(st("A/same.txt") == (("text/corrected", 10L, true)))
+    // changed row updated in place
+    assert(st("A/changed.txt") == (("text/plain", 20L, true)))
+    // tombstoned row that reappeared is resurrected
+    assert(st("A/undead.txt") == (("text/plain", 10L, true)))
+    // NULL created rescanned identically: IS DISTINCT FROM says unchanged,
+    // so the hand-set mime survives (row-value <> would have updated it)
+    assert(st("A/nullc.txt") == (("text/hand", 10L, true)))
+    // vanished from disk -> tombstoned
+    assert(st("A/gone.txt")._3 === false)
+    // same filename under another source: out of scope for A's scan
+    assert(st("B/gone.txt") == (("text/plain", 10L, true)))
+    // brand-new file inserted
+    assert(st("A/new.txt") == (("text/markdown", 30L, true)))
+    // the per-scan scratch table was dropped inside the transaction
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT count(*) FROM information_schema.tables " +
+          "WHERE table_name LIKE 'graft_scan_%'")
+      rs.next()
+      assert(rs.getInt(1) == 0, "scratch table leaked past commit")
+    } finally c.close()
+  }
+
+  test("live publish is atomic: a failing epilogue rolls back, table unchanged") {
+    val url = freshDb()
+    seed(url)
+    val before = state(url)
+    // sabotage the merge AFTER staging: a conflict target that matches no
+    // unique index makes the upsert statement fail inside the transaction
+    val e = intercept[Throwable] {
+      PgMerge.publishScan(scanDf(), url, "", "", externalSource = "A",
+        maxConnections = 2, driverClass = duckDriver,
+        conflictTarget = "(no_such_column)")
+    }
+    assert(e != null)
+    assert(state(url) == before, "failed publish must leave the table untouched")
+  }
+
+  test("live readCurrent: source slice arrives through the JDBC source") {
+    val url = freshDb()
+    seed(url)
+    val rows = PgMerge.readCurrent(spark, url, "", "", "A", duckDriver)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("external_source") == "A"))
   }
 }
