@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FileListing
+import graft.sources.v2.FilesSource
+
+/** The DataSource V2 connector (`graft-files`) against a real temp tree:
+  * row parity with [[FileListing]], filter pushdown (plan + semantics +
+  * shard pruning), and `created`-column pruning (the stat-syscall
+  * elision), observed via the test counter. */
+class FilesSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 20 top-level subdirs (→ ≥ 4×parallelism shards under local[4], so
+    * the BFS stops at depth 1 and each subdir is its own partition),
+    * nested files below some of them, plus root-level files that become
+    * the early-rows partition. */
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft_dsv2")
+    Files.writeString(r.resolve("rootfile.txt"), "at the root")
+    Files.writeString(r.resolve("noext"), "no extension")
+    (0 until 20).foreach { i =>
+      val d = Files.createDirectories(r.resolve(f"sub$i%02d"))
+      Files.writeString(d.resolve(f"doc$i%02d.txt"), "x" * (i + 1))
+      Files.writeString(d.resolve(f"data$i%02d.json"), "{}" * (i + 1))
+    }
+    val deep = Files.createDirectories(r.resolve("sub05/deeper/more"))
+    Files.writeString(deep.resolve("leaf.csv"), "a,b,c")
+    r
+  }
+
+  private def readV2 = spark.read.format("graft-files")
+    .option("path", root.toString).option("identifier", "srcv2").load()
+
+  test("row parity with FileListing over the same tree") {
+    val v2 = readV2.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), Option(r.getString(3)),
+        Option(r.getTimestamp(4)), r.getTimestamp(5), r.getLong(6))).toSet
+    val v1 = FileListing.list(spark, root.toString, Some("srcv2")).collect()
+      .map(f => (f.external_source, f.path, f.filename, f.mime_type,
+        f.created, f.modified, f.size.get)).toSet
+    assert(v2 == v1)
+    assert(v2.size == 43) // 2 root + 40 subdir + 1 deep
+  }
+
+  test("pushed filters are consumed exactly and show in the scan") {
+    val df = readV2.filter(col("filename").endsWith(".txt") && col("size") >= 5L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StringEndsWith(filename,.txt)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(size,5)"), plan)
+    val got = df.select("filename").collect().map(_.getString(0)).toSet
+    val exp = FileListing.list(spark, root.toString, Some("srcv2")).collect()
+      .filter(f => f.filename.endsWith(".txt") && f.size.get >= 5L)
+      .map(_.filename).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("path-prefix pushdown prunes shards before listing") {
+    val all = readV2
+    val prefix = root.toString + "/sub05"
+    val pruned = readV2.filter(col("path").startsWith(prefix))
+    // shard pruning is visible as fewer input partitions: only the
+    // sub05 subtree (plus the early-rows partition) survives planning
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions)
+    val got = pruned.select("filename").collect().map(_.getString(0)).toSet
+    assert(got == Set("doc05.txt", "data05.json", "leaf.csv"))
+  }
+
+  test("created-column pruning elides the per-file stat syscall") {
+    FilesSource.createdStatCalls.set(0L)
+    readV2.select("path", "filename", "size", "modified").collect()
+    assert(FilesSource.createdStatCalls.get() == 0L)
+    val withCreated = readV2.select("filename", "created").collect()
+    // every shard row stats exactly once; early rows were captured at
+    // planning time and never re-stat
+    assert(FilesSource.createdStatCalls.get() == 41L)
+    assert(withCreated.forall(_.getTimestamp(1) != null))
+  }
+
+  test("pushed filters also gate the stat: only survivors pay it") {
+    FilesSource.createdStatCalls.set(0L)
+    val rows = readV2.filter(col("filename").endsWith(".csv"))
+      .select("filename", "created").collect()
+    assert(rows.length == 1)
+    assert(FilesSource.createdStatCalls.get() == 1L)
+    // and count() prunes even `created` away — zero stats for a bare count
+    FilesSource.createdStatCalls.set(0L)
+    assert(readV2.count() == 43L)
+    assert(FilesSource.createdStatCalls.get() == 0L)
+  }
+}
