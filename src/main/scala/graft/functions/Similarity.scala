@@ -493,7 +493,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * cluster the embedding space, then prune near-duplicates WITHIN each
+    * cluster only — all-pairs cosine becomes Σ|cell|² instead of N²,
+    * the property that makes embedding dedup feasible at corpus scale.
+    * A vector is a duplicate iff some lower-id vector in the SAME cell
+    * has cosine ≥ 0.9 with it; `dup_of` is the smallest such id (the
+    * kept representative), so the output is deterministic.
+    *
+    * Clustering here is hyperplane octants of the first five components
+    * (32 cells) — a fixed space partition both engines express exactly,
+    * standing in for the offline-trained k-means assignment
+    * ([[kmeansRefine]] is that trainer; [[graft.plans.IvfCellsExpr]] the
+    * assignment kernel) with the identical plan shape: cell id is a
+    * map-side codegen expression, and the ONLY shuffle is the self-join's
+    * hash partitioning on the cell key. At 100 TB, k grows ∝ N (SemDeDup
+    * uses N/‾cluster-size‾ clusters) so per-cell pair work stays
+    * constant; skewed cells split under AQE like any hot join key.
+    *
+    * Float discipline: injected variants (x→0.95x+0.001, ids+100000 of
+    * vec_id<40) score ≥0.9999 against their originals while unrelated
+    * 64-dim pairs score ≈0 — nothing sits near the 0.9 predicate
+    * boundary, and both engines fold the identical cosine op tree, so
+    * the boolean is bit-stable. Octant membership compares the same
+    * doubles (`x·0.95+0.001 > 0`) in both engines — a variant whose
+    * near-zero component flips sign lands in a different cell and is
+    * (by SemDeDup design) not matched; the oracle reproduces exactly
+    * that. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), embDouble(col("embedding")).as("emb"))
+    val variants = e.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("emb"), x => x * 0.95 + 0.001).as("emb"))
+    val octant = (0 until 5)
+      .map(i => when(element_at(col("emb"), i + 1) > 0.0, lit(1 << (4 - i)))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+    val cells = e.unionByName(variants)
+      .select(col("vec_id"), col("emb"), octant.cast("int").as("cell"))
+    val l = cells.select(col("cell"), col("vec_id").as("id1"), col("emb").as("emb1"))
+    val r = cells.select(col("cell"), col("vec_id").as("id2"), col("emb").as("emb2"))
+    l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2") &&
+        cosine(col("emb1"), col("emb2")) >= 0.9)
+      .groupBy(col("cell"), col("id2"))
+      .agg(min(col("id1")).as("dup_of"))
+      .select(col("cell"), col("id2").as("vec_id"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> qDedupSemantic,
     "q_emb_clusters" -> qEmbClusters,
     "q_emb_inertia" -> qEmbInertia,
     "q_emb_separation" -> qEmbSeparation,
@@ -533,6 +584,23 @@ object Similarity {
       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |a AS MATERIALIZED (
+        |  SELECT vec_id, emb FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 100000, [x * 0.95 + 0.001 FOR x IN emb] FROM e WHERE vec_id < 40),
+        |c AS (SELECT vec_id, emb,
+        |    (CASE WHEN emb[1] > 0.0 THEN 16 ELSE 0 END
+        |     + CASE WHEN emb[2] > 0.0 THEN 8 ELSE 0 END
+        |     + CASE WHEN emb[3] > 0.0 THEN 4 ELSE 0 END
+        |     + CASE WHEN emb[4] > 0.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN emb[5] > 0.0 THEN 1 ELSE 0 END)::INT AS cell FROM a)
+        |SELECT l.cell AS cell, r.vec_id AS vec_id, CAST(min(l.vec_id) AS BIGINT) AS dup_of
+        |FROM c l JOIN c r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(l.emb, r.emb) >= 0.9
+        |GROUP BY l.cell, r.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q_sim_lsh_recall" -> annRecallOracle,
     "q_sim_ivf_recall" -> annRecallOracle,
     "q_emb_clusters" ->

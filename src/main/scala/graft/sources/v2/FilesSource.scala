@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,7 +93,8 @@ private[v2] class FilesTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-files:$root"
   override def schema(): StructType = FilesSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     // env-derived AWS client config first; explicit hadoop.* options win
@@ -148,6 +150,8 @@ private[v2] class FilesScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FilesMicroBatchStream(this)
   override def description(): String =
     s"graft-files root=$root PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadSchema=[${required.fieldNames.mkString(",")}]"
@@ -184,6 +188,52 @@ private[v2] class FilesScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FilesReaderFactory(source, required, pushed)
+}
+
+/** Scan-generation offset: each micro-batch of the streaming form is
+  * one complete rescan of the tree, numbered monotonically. */
+private[v2] case class GenOffset(gen: Long) extends Offset {
+  override def json(): String = gen.toString
+}
+
+/** The reference's polling main loop (`main.rs:64-96`: list → merge →
+  * sleep → repeat) as a Structured Streaming source: every trigger
+  * emits ONE complete rescan of the tree (the same distributed,
+  * pushdown-pruned listing as the batch scan), so
+  * `readStream.format("graft-files") … .trigger(ProcessingTime(i))
+  * .foreachBatch(ScrapeStream.mergeBatch …)` IS the reference's scrape
+  * daemon — rescan cadence from the trigger, per-batch complete-scan
+  * semantics exactly matching the tombstone contract ("vanished keys
+  * delete per scan").
+  *
+  * Offsets are scan generations, not data positions: listing reads
+  * CURRENT filesystem state, so a gap between committed and latest
+  * generations collapses into one rescan (re-listing N times would
+  * yield the same snapshot N times — the merge is idempotent on equal
+  * scans, so catch-up replays are harmless and cheap).
+  *
+  * Generations are wall-clock millis (the rate source's convention),
+  * NOT a session counter: on restart the engine compares a fresh
+  * `latestOffset()` against the checkpointed offset BEFORE any
+  * `deserializeOffset` call, so a counter restarting at 0 would
+  * read as "no new data" and the recovered query would never rescan.
+  * The clock is monotonic across restarts; two triggers inside one
+  * millisecond coalesce into a single rescan (harmless — the listing
+  * is current-state). */
+private[v2] class FilesMicroBatchStream(scan: FilesScan)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = GenOffset(System.currentTimeMillis())
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toLong)
+  /** One full rescan regardless of how many generations (start, end]
+    * spans — the listing is current-state, not a log. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    scan.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One recursively-listed subtree; Hadoop conf rebuilt executor-side

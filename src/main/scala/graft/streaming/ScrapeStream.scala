@@ -171,6 +171,30 @@ object ScrapeStream {
         fs.delete(st.getPath, true)
   }
 
+  /** The reference's scrape daemon, self-contained: each micro-batch of
+    * the [[graft.sources.v2.FilesSource graft-files]] streaming source
+    * is one complete distributed rescan of `rootUri`, merged into the
+    * partitioned state exactly like [[runAvailable]]'s file-fed batches
+    * (upsert classify → tombstone vanished keys → partition-swap
+    * publish). `Trigger.AvailableNow` = one rescan cycle then stop (the
+    * test/cron form); a `ProcessingTime` trigger = the reference's
+    * poll-sleep loop (`main.rs:64-96`) with the interval as trigger
+    * cadence. Because every batch is a complete scan of its source, the
+    * per-batch deletion contract holds identically for live listings
+    * and replayed scan files. */
+  def runLiveListing(spark: SparkSession, rootUri: String, stateDir: String,
+      identifier: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val reader = spark.readStream.format("graft-files").option("path", rootUri)
+    val stream = identifier.fold(reader)(id => reader.option("identifier", id)).load()
+    val q = stream.writeStream
+      .foreachBatch(mergeBatch(spark, stateDir) _)
+      .trigger(trigger)
+      .option("checkpointLocation", stateDir + ".listing-checkpoint")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental scrape over every scan file currently in
     * `watchDir`, one micro-batch per file, then stop. */
   def runAvailable(spark: SparkSession, watchDir: String, stateDir: String): Unit = {

@@ -154,4 +154,24 @@ class SimilaritySpec extends AnyFunSuite {
     // every variant id (>=100000) clusters below itself: its source wins
     got.filter(_._1 >= 100000).foreach { case (v, c) => assert(c < v) }
   }
+
+  test("semantic dedup: exactly the same-octant variants, dup_of = source") {
+    val got = Similarity.qDedupSemantic(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // in-memory expectation: a variant is caught iff its octant (sign of
+    // the first five components) survives the x→0.95x+0.001 perturbation
+    val embs = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def octant(e: Seq[Double]): Int =
+      (0 until 5).map(i => if (e(i) > 0.0) 1 << (4 - i) else 0).sum
+    val expected = embs.filter(_._1 < 40).flatMap { case (id, e) =>
+      val v = e.map(x => x * 0.95 + 0.001)
+      if (octant(v) == octant(e)) Some((octant(v), id + 100000L, id)) else None
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.nonEmpty)
+    // no false positives from the raw corpus: only injected variants dup
+    assert(got.forall(_._2 >= 100000L))
+  }
 }
