@@ -962,6 +962,29 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** [[joinRange]]'s semantics written the way a naive user would — a
+    * pure theta join (`l_shipdate BETWEEN o_orderdate ± 2 days`), which
+    * Spark would plan as an O(N·M) BroadcastNestedLoopJoin — then
+    * bucketized AUTOMATICALLY by [[graft.plans.RangeJoinRewrite]]
+    * (applied eagerly, so the shared session's conf stays untouched).
+    * `applied` throws if the rule fails to fire, making this
+    * CORRECTNESS row a hard end-to-end proof that the optimizer rule
+    * both rewrites and preserves semantics: its oracle is the identical
+    * DuckDB SQL as hand-bucketized [[joinRange]]. */
+  def joinRangeAuto(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val naive = li.join(o,
+        col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_near_shipments"))
+      .orderBy("o_orderkey")
+    graft.plans.RangeJoinRewrite.applied(s, naive, width = 86400.0)
+  }
+
   /** Interval join (point-in-interval): events against a small table of
     * overlapping campaign windows (derived from `nation` — 3-day windows
     * staggered by a day, so one event can land in several). The window
@@ -1138,6 +1161,7 @@ object Relational {
     "q_join_asof" -> joinAsOf,
     "q_join_asof_nearest" -> joinAsOfNearest,
     "q_join_range" -> joinRange,
+    "q_join_range_auto" -> joinRangeAuto,
     "q_join_interval" -> joinInterval,
     "q_join_outer" -> joinOuter,
   )
@@ -1544,6 +1568,15 @@ object Relational {
       """SELECT o_orderkey, count(*) AS n_near_shipments
         |FROM orders JOIN lineitem
         |  ON abs(date_diff('second', o_orderdate, l_shipdate)) <= 172800
+        |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    // identical semantics to q_join_range — the Spark side differs only
+    // in HOW the plan is produced (optimizer rule vs hand bucketization)
+    "q_join_range_auto" ->
+      """SELECT o_orderkey, count(*) AS n_near_shipments
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate - INTERVAL 2 DAY
+        | AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
         |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_join_interval" ->

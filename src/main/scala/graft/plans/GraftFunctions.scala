@@ -79,5 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // plan lint: no-op unless spark.graft.maxLiteralBytes > 0
     e.injectOptimizerRule(BigLiteralGuard)
+    // range-join bucketization: no-op unless
+    // spark.graft.rangeJoin.bucketWidth > 0
+    e.injectOptimizerRule(RangeJoinRewrite.apply)
   }
 }

@@ -14,6 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Wrap an already-analyzed logical plan as a DataFrame — the bridge
+    * that lets [[graft.plans.RangeJoinRewrite.applied]] rewrite ONE
+    * query's plan eagerly instead of flipping session-global optimizer
+    * conf under a shared session. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   def nonFoldableArgumentError(funcName: String, paramName: String,
       paramType: org.apache.spark.sql.types.DataType): Throwable =
     org.apache.spark.sql.errors.QueryCompilationErrors

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RangeJoinRewrite
+
+/** [[graft.plans.RangeJoinRewrite]]: the optimizer rule that turns a
+  * naive theta range join (Spark's BroadcastNestedLoopJoin — the worst
+  * scale cliff a user query can hit) into the bucketized equi-join of
+  * [[graft.operators.Relational.joinRange]]. Semantics are pinned by
+  * exhaustive equality against the un-rewritten join on inputs covering
+  * variable interval widths, the long-interval fallback branch, strict
+  * bounds, inverted (lo > hi) intervals, and null bounds; plan shape is
+  * pinned by physical-plan inspection on both the eager `applied` path
+  * and the `extraOptimizations` session wiring. */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hasBNLJ(p: SparkPlan): Boolean = nestedLoops(p) > 0
+
+  /** Count of nested-loop-family physical joins (BNLJ or cartesian).
+    * The rewritten plan legitimately keeps ONE — the cap-guarded
+    * long-interval fallback branch, empty for well-behaved inputs —
+    * so rewritten-plan tests assert `equiBucketJoins >= 1` and
+    * `nestedLoops <= 1` instead of zero. */
+  private def nestedLoops(p: SparkPlan): Int = {
+    def walk(n: SparkPlan): Int = {
+      val self = n match {
+        case _: BroadcastNestedLoopJoinExec => 1
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+        case _ => 0
+      }
+      self + (n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case other => other.children.map(walk).sum
+      })
+    }
+    walk(p)
+  }
+
+  /** The rewrite's signature in the optimized logical plan: an Inner
+    * equi join on the synthesized `__graft_pbucket` column. */
+  private def equiBucketJoins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(
+            _.name == "__graft_pbucket")) => j
+    }.size
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Variable-width numeric intervals: widths 0..95 so a width-10 bucket
+    * with cap 5 exercises BOTH branches (short exploded / long theta);
+    * every 7th interval inverted (lo > hi → matches nothing), every
+    * 11th with a null bound (inner join drops it). */
+  private def numericFixture: (DataFrame, DataFrame) = {
+    val points = spark.range(0, 1000).select(
+      col("id").as("pid"), (col("id") % 600).cast("long").as("x"))
+    val intervals = spark.range(0, 200).select(
+      col("id").as("iid"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .when(col("id") % 7 === 0, (col("id") * 3 % 500) + 1000)
+        .otherwise(col("id") * 3 % 500).as("lo"),
+      (col("id") * 3 % 500 + (col("id") % 20) * 5).cast("long").as("hi"))
+    (points, intervals)
+  }
+
+  test("q_join_range_auto matches hand-bucketized q_join_range exactly") {
+    val auto = SparkEntry.queries("q_join_range_auto")(spark, TestSpark.sf0001)
+    val hand = SparkEntry.queries("q_join_range")(spark, TestSpark.sf0001)
+    assert(sortedRows(auto) == sortedRows(hand))
+    assert(equiBucketJoins(auto) == 1,
+      "rewritten plan must equi-join on the synthesized bucket")
+    assert(nestedLoops(auto.queryExecution.executedPlan) <= 1,
+      "only the cap-guarded fallback branch may nested-loop")
+  }
+
+  test("the naive plan it replaces really is a nested-loop join") {
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val naive = li.join(o,
+      col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+    assert(hasBNLJ(naive.queryExecution.executedPlan))
+  }
+
+  test("numeric domain: rewrite equals naive across widths, inversions, nulls") {
+    val (points, intervals) = numericFixture
+    val cond = col("x") >= col("lo") && col("x") <= col("hi")
+    val naive = points.join(intervals, cond)
+    // cap 5 < max 20 buckets: some intervals take the exploded branch,
+    // some the theta fallback — assert both populated via the inputs
+    val widths = intervals.filter(col("lo").isNotNull).select(
+      (floor(col("hi") / 10) - floor(col("lo") / 10) + 1).as("w")).as[Long]
+      .collect().toSeq
+    assert(widths.exists(_ <= 5) && widths.exists(_ > 5),
+      "fixture must exercise both short and long branches")
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 10.0, cap = 5L)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+    assert(rewritten.count() > 0)
+  }
+
+  test("strict bounds (<, >) rewrite and preserve exclusivity") {
+    val (points, intervals) = numericFixture
+    val naive = points.join(intervals, col("x") > col("lo") && col("x") < col("hi"))
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 25.0)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
+  test("point side on the right rewrites too") {
+    val (points, intervals) = numericFixture
+    val naive = intervals.join(points, col("x") >= col("lo") && col("x") <= col("hi"))
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 10.0)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
+  test("an existing cross-side equi predicate disables the rewrite") {
+    val (points, intervals) = numericFixture
+    val naive = points.join(intervals,
+      col("pid") % 200 === col("iid") &&
+        col("x") >= col("lo") && col("x") <= col("hi"))
+    val before = naive.queryExecution.analyzed
+    val after = RangeJoinRewrite.rewritePlan(before, 10.0, 4096L, "UTC")
+    assert(after.fastEquals(before), "equi-join plan must not be rewritten")
+  }
+
+  test("a non-deterministic side disables the rewrite") {
+    val (points, intervals) = numericFixture
+    val naive = points.withColumn("r", rand(7)).join(intervals,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+    val before = naive.queryExecution.analyzed
+    val after = RangeJoinRewrite.rewritePlan(before, 10.0, 4096L, "UTC")
+    assert(after.fastEquals(before))
+  }
+
+  test("extraOptimizations wiring: lazy rewrite in a dedicated session") {
+    val ns = spark.newSession()
+    ns.experimental.extraOptimizations =
+      ns.experimental.extraOptimizations :+ RangeJoinRewrite(ns)
+    ns.conf.set(RangeJoinRewrite.widthKey, "86400")
+    try {
+      val o = Tables.orders(ns, TestSpark.sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(ns, TestSpark.sf0001)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val naive = li.join(o,
+        col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_near_shipments"))
+      assert(equiBucketJoins(naive) == 1,
+        "session-injected rule should have bucketized the range join")
+      assert(nestedLoops(naive.queryExecution.executedPlan) <= 1,
+        "only the cap-guarded fallback branch may nested-loop")
+      val hand = SparkEntry.queries("q_join_range")(spark, TestSpark.sf0001)
+      assert(sortedRows(naive.orderBy("o_orderkey")) == sortedRows(hand))
+    } finally ns.conf.unset(RangeJoinRewrite.widthKey)
+  }
+}
