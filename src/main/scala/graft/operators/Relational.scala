@@ -985,6 +985,32 @@ object Relational {
     graft.plans.RangeJoinRewrite.applied(s, naive, width = 86400.0)
   }
 
+  /** Two-sided interval-OVERLAP join, the general shape
+    * [[graft.plans.RangeJoinRewrite]] bucketizes: each returned-lineitem
+    * "shipment window" `[l_shipdate, +2 days]` against each urgent
+    * order's "fulfillment window" `[o_orderdate, +3 days]`, counted per
+    * order. Written as the naive theta join (O(N·M) nested loop without
+    * the rule), then rewritten: BOTH sides explode to their overlapped
+    * buckets, equi-join on the bucket, and the pair is kept only in its
+    * FIRST shared bucket (`bucket == greatest(bucket(aLo), bucket(bLo))`)
+    * so each qualifying pair survives exactly once with no dedup
+    * shuffle. DuckDB plans the same SQL as IEJoin, so this row is graded
+    * against the comparator's good plan. */
+  def joinOverlap(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val naive = li.join(o,
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 3 DAYS") &&
+          col("o_orderdate") <= col("l_shipdate") + expr("INTERVAL 2 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("o_orderkey")
+    graft.plans.RangeJoinRewrite.applied(s, naive, width = 4 * 86400.0)
+  }
+
   /** Interval join (point-in-interval): events against a small table of
     * overlapping campaign windows (derived from `nation` — 3-day windows
     * staggered by a day, so one event can land in several). The window
@@ -1162,6 +1188,7 @@ object Relational {
     "q_join_asof_nearest" -> joinAsOfNearest,
     "q_join_range" -> joinRange,
     "q_join_range_auto" -> joinRangeAuto,
+    "q_join_overlap" -> joinOverlap,
     "q_join_interval" -> joinInterval,
     "q_join_outer" -> joinOuter,
   )
@@ -1578,6 +1605,14 @@ object Relational {
         |  ON l_shipdate >= o_orderdate - INTERVAL 2 DAY
         | AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
         |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_join_overlap" ->
+      """SELECT o_orderkey, count(*) AS n_overlap
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate <= o_orderdate + INTERVAL 3 DAY
+        | AND o_orderdate <= l_shipdate + INTERVAL 2 DAY
+        |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+        |  AND l_quantity <= 2
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_join_interval" ->
       """WITH camp AS (SELECT n_nationkey AS campaign_id,

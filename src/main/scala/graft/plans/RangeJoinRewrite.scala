@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-/** Optimizer rewrite: a pure range join (`x >= lo AND x <= hi` between
-  * two relations, no equi predicate) into the bucketized equi-join that
+/** Optimizer rewrite: a pure interval join — point-in-interval
+  * (`x BETWEEN lo AND hi`) or interval-overlap
+  * (`aHi >= bLo AND bHi >= aLo`) between two relations with no equi
+  * predicate — into a bucketized equi-join, the form
   * [[graft.operators.Relational.joinRange]] hand-writes.
   *
   * Why: Spark plans a join whose only cross-side predicates are
@@ -18,39 +20,55 @@ import org.apache.spark.sql.types._
   * sf0.1; at 100 TB it simply never finishes). The reference engine
   * never hits this because it only joins on scraped keys
   * (`/root/reference/src/db.rs:48-66`), but a user porting ad-hoc SQL
-  * to this library will. The rewrite makes the safe plan automatic:
+  * to this library will. The rewrite makes the safe plan automatic.
   *
-  *  - point side P (the side `x` comes from) gains `bucket(x)`,
-  *  - interval side I explodes to every bucket its `[lo, hi]` overlaps
-  *    (`sequence(bucket(lo), bucket(hi))`),
+  * Both shapes are ONE pattern: each side carries an interval
+  * `[lo, hi]` on the shared axis, joined on overlap — a "point" is the
+  * degenerate interval whose bounds are the same expression
+  * (`x BETWEEN lo AND hi` ⇔ `[x,x]` overlaps `[lo,hi]`). Per side:
+  *
+  *  - a point side gains one projected column `bucket(x)`;
+  *  - an interval side explodes to every bucket its `[lo, hi]` overlaps
+  *    (`sequence(bucket(lo), bucket(hi))`);
   *  - equi-join on the bucket, then the ORIGINAL predicate re-filters —
   *    so bucket-edge effects cannot change results, only work.
   *
   * `bucket(v) = floor(seconds(v) / width)` is monotone non-decreasing
   * (IEEE division by a positive constant and floor both are), so
-  * `lo <= x <= hi` implies `bucket(lo) <= bucket(x) <= bucket(hi)` and
-  * every qualifying pair meets in exactly one bucket: the one `x` is in.
-  * No dedup step is needed.
+  * overlapping value intervals always share at least one bucket. With a
+  * point side a qualifying pair meets exactly once (in the point's
+  * bucket). With two exploded sides it meets once per shared bucket, so
+  * the join filters to the FIRST shared bucket —
+  * `bucket == greatest(bucket(aLo), bucket(bLo))` — restoring
+  * exactly-once without any dedup shuffle.
+  *
+  * Bound values are projected once per ROW on their own side and the
+  * attribute substituted into the re-filter, so the predicate that runs
+  * once per candidate PAIR is primitive compares — recomputing e.g.
+  * `o_orderdate + INTERVAL 2 DAYS` per pair measured 3.4× the
+  * hand-bucketized query's wall-clock at sf0.1.
   *
   * Intervals wider than `maxBucketsPerInterval` buckets (pathological —
   * a row that would explode into thousands of copies) are split off and
-  * joined with the original theta shape; that residue is typically
-  * empty, keeps `sequence()` bounded, and is emitted as a Cross-typed
-  * join so this rule cannot re-match it inside the fixed-point
-  * optimizer batch (the rule only matches Inner). Honest cost of the
-  * fallback branch: each input is scanned once more (filter-pruned at
-  * the source) even when the residue is empty — an O(N) read traded
-  * for removing O(N·M) compute, and the branch's nested loop runs over
-  * only the cap-exceeding interval rows. Tests therefore assert "one
-  * equi bucket join + at most one guarded nested loop", not zero.
+  * joined with the original theta shape: `[A-long × B-all]` and
+  * `[A-short × B-long]` branches union with the bucketized
+  * `[A-short × B-short]` — a disjoint partition of all pairs. The
+  * residues are typically empty; the split keeps `sequence()` bounded
+  * and is emitted as Cross-typed joins so this rule cannot re-match
+  * them inside the fixed-point optimizer batch (the matcher takes Inner
+  * only). Honest cost: each input is scanned once more per fallback
+  * branch (filter-pruned at the source) even when the residue is
+  * empty — an O(N) read traded for removing O(N·M) compute. Tests
+  * therefore assert "one equi bucket join + at most the guarded nested
+  * loops", not zero.
   *
   * Correctness guards: Inner joins only; both children fully
-  * deterministic (the rewrite duplicates each side into the short/long
-  * branches); `x`/`lo`/`hi` deterministic, single-sided, and of a
-  * numeric/date/timestamp type; no cross-side equi predicate (if one
-  * exists the join is already shuffle-plannable and bucketing would
-  * only add work). Nulls in `x`/`lo`/`hi` drop on both paths exactly as
-  * the inner theta join drops them (null comparison → no match; null
+  * deterministic (the rewrite duplicates each side across branches);
+  * all four bound expressions deterministic, single-sided, of one
+  * common numeric/date/timestamp type; no cross-side equi predicate (if
+  * one exists the join is already shuffle-plannable and bucketing would
+  * only add work). Nulls in any bound drop on both paths exactly as the
+  * inner theta join drops them (null comparison → no match; null
   * bucket/sequence → no row).
   *
   * Wiring: `spark.sql.extensions=graft.plans.GraftExtensions` injects
@@ -58,7 +76,7 @@ import org.apache.spark.sql.types._
   * `spark.graft.rangeJoin.bucketWidth` (seconds for temporal keys,
   * domain units for numeric) is set > 0. Width tuning trades bucket
   * fan-out against per-bucket pair volume; a good default is the
-  * typical interval length, giving ≤2× row expansion on the interval
+  * typical interval length, giving ≤2× row expansion per exploded
   * side. [[RangeJoinRewrite.applied]] applies it eagerly to one
   * DataFrame without touching session conf.
   */
@@ -83,16 +101,17 @@ object RangeJoinRewrite extends PredicateHelper {
   val capKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
 
   /** Eager, conf-free application to a single DataFrame: rewrite its
-    * analyzed plan directly and rewrap. Used by `q_join_range_auto` so
-    * the rewrite is scoped to that one query instead of flipping a
-    * session-global conf under the shared Verify/Bench session. */
+    * analyzed plan directly and rewrap. Used by `q_join_range_auto` /
+    * `q_join_overlap` so the rewrite is scoped to one query instead of
+    * flipping a session-global conf under the shared Verify/Bench
+    * session. */
   def applied(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
       width: Double, cap: Long = 4096L): org.apache.spark.sql.DataFrame = {
     val before = df.queryExecution.analyzed
     val after =
       rewritePlan(before, width, cap, spark.sessionState.conf.sessionLocalTimeZone)
     require(!after.fastEquals(before),
-      "RangeJoinRewrite.applied: no pure range join found to rewrite")
+      "RangeJoinRewrite.applied: no pure range/overlap join found to rewrite")
     org.apache.spark.sql.graftshim.ColumnShim.dataFrame(spark, after)
   }
 
@@ -109,14 +128,13 @@ object RangeJoinRewrite extends PredicateHelper {
   }
 
   /** Monotone bucket id: floor(value-as-double / width), LongType. Date
-    * goes through timestamp (session tz — monotone regardless of zone);
+    * and NTZ go through timestamp (session tz — NTZ→LTZ in a fixed zone
+    * is monotone non-decreasing: DST gaps skip, overlaps collapse,
+    * order never inverts, which is the only property bucketing needs);
     * every cast carries an explicit timeZoneId because this runs after
     * the analyzer's ResolveTimeZone pass. */
   private def toBucket(e: Expression, width: Double, tz: String): Expression = {
     val asDouble = e.dataType match {
-      // NTZ→LTZ in a fixed zone is monotone non-decreasing (DST gaps
-      // skip, overlaps collapse — order is never inverted), which is
-      // the only property bucketing needs
       case DateType | TimestampNTZType =>
         Cast(Cast(e, TimestampType, Some(tz)), DoubleType, Some(tz))
       case DoubleType => e
@@ -125,11 +143,56 @@ object RangeJoinRewrite extends PredicateHelper {
     Floor(Divide(asDouble, Literal(width)))
   }
 
+  /** One join side as an interval `[lo, hi]` on the shared axis.
+    * `shortEx` carries `bucketAttr` (projected for a point, exploded
+    * for an interval); `shortPlain`/`long` feed the theta fallback
+    * branches. */
+  private case class Side(proj: LogicalPlan, loAttr: Attribute,
+      hiAttr: Attribute, shortEx: LogicalPlan, bucketAttr: Attribute,
+      shortPlain: LogicalPlan, long: Option[LogicalPlan], isPoint: Boolean)
+
+  private def buildSide(p: LogicalPlan, lo: Expression, hi: Expression,
+      tag: String, width: Double, cap: Long, tz: String): Side = {
+    if (lo.semanticEquals(hi)) {
+      val xAl = Alias(lo, s"__graft_${tag}_x")()
+      // bucket from the original expr, not the sibling alias (a Project
+      // cannot reference its own output) — once per row either way
+      val bAl = Alias(toBucket(lo, width, tz), s"__graft_${tag}_bucket")()
+      val proj = Project(p.output :+ xAl :+ bAl, p)
+      Side(proj, xAl.toAttribute, xAl.toAttribute, proj, bAl.toAttribute,
+        proj, None, isPoint = true)
+    } else {
+      val loAl = Alias(lo, s"__graft_${tag}_lo")()
+      val hiAl = Alias(hi, s"__graft_${tag}_hi")()
+      val proj = Project(p.output :+ loAl :+ hiAl, p)
+      val blo = toBucket(loAl.toAttribute, width, tz)
+      val bhi = toBucket(hiAl.toAttribute, width, tz)
+      val nBuckets = Add(Subtract(bhi, blo), Literal(1L))
+      // bound BOTH directions: an inverted interval (lo > hi — possible
+      // with arbitrary bound expressions, and in the general overlap
+      // shape it can still produce matches) makes sequence() descend,
+      // whose length nb <= cap alone would not bound
+      val shortPlain = Filter(And(
+        LessThanOrEqual(nBuckets, Literal(cap)),
+        GreaterThanOrEqual(nBuckets, Literal(-cap))), proj)
+      val bAttr =
+        AttributeReference(s"__graft_${tag}_bucket", LongType, nullable = false)()
+      val gen = Generate(Explode(new Sequence(blo, bhi, None, Some(tz))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(bAttr), child = shortPlain)
+      Side(proj, loAl.toAttribute, hiAl.toAttribute, gen, bAttr,
+        shortPlain, Some(Filter(Or(
+          GreaterThan(nBuckets, Literal(cap)),
+          LessThan(nBuckets, Literal(-cap))), proj)),
+        isPoint = false)
+    }
+  }
+
   private def rewriteJoin(j: Join, width: Double, cap: Long,
       tz: String): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), _) = j
-    // duplicating a side into the short/long branches is only sound if
-    // re-evaluating it yields the same rows
+    // duplicating a side across branches is only sound if re-evaluating
+    // it yields the same rows
     val deterministic = j.children.forall(
       _.find(_.expressions.exists(!_.deterministic)).isEmpty)
     if (!deterministic) return None
@@ -152,79 +215,62 @@ object RangeJoinRewrite extends PredicateHelper {
     }
     if (hasEqui) return None
 
-    // Normalize every cross-side inequality `big >= small` into its two
-    // readings: lower bound of `big`, upper bound of `small`. Strictness
-    // is irrelevant for bucket containment.
-    def readings(big: Expression, small: Expression): Seq[(Expression, Expression, Boolean)] =
+    // Normalize every usable cross-side inequality to `big >= small`
+    // (strictness is irrelevant for bucket containment).
+    def norm(big: Expression, small: Expression): Seq[(Expression, Expression)] =
       if (Set(sideOf(big), sideOf(small)) == Set(1, 2) &&
         bucketable(big.dataType) && bucketable(small.dataType))
-        Seq((big, small, true), (small, big, false))
-      else Nil
-    val cands = conjs.flatMap {
-      case GreaterThanOrEqual(a, b) => readings(a, b)
-      case GreaterThan(a, b) => readings(a, b)
-      case LessThanOrEqual(a, b) => readings(b, a)
-      case LessThan(a, b) => readings(b, a)
+        Seq((big, small)) else Nil
+    val ineqs = conjs.flatMap {
+      case GreaterThanOrEqual(a, b) => norm(a, b)
+      case GreaterThan(a, b) => norm(a, b)
+      case LessThanOrEqual(a, b) => norm(b, a)
+      case LessThan(a, b) => norm(b, a)
       case _ => Nil
     }
-    val lowers = cands.filter(_._3)
-    val uppers = cands.filterNot(_._3)
-    val pair = lowers.flatMap { case (x, lo, _) =>
-      uppers.collectFirst {
-        case (x2, hi, _) if x.semanticEquals(x2) && sideOf(lo) == sideOf(hi) =>
-          (x, lo, hi)
-      }
-    }.headOption
+    // Opposite-orientation pair `(u >= v, s >= t)` with u,t on side A
+    // and v,s on side B reads as intervals A=[t,u], B=[v,s] joined on
+    // overlap: u>=v ⇔ aHi>=bLo, s>=t ⇔ bHi>=aLo. A BETWEEN is the
+    // special case t ≡ u (or v ≡ s): prefer it — a point side needs no
+    // explode, no dedup filter, and no fallback branch of its own.
+    val found = for {
+      (u, v) <- ineqs
+      (s, t) <- ineqs
+      if sideOf(t) == sideOf(u) && sideOf(s) == sideOf(v)
+      if u.dataType == s.dataType // per-comparison equality ⇒ all four equal
+    } yield (t, u, v, s)
+    val pair = found.find { case (alo, ahi, blo, bhi) =>
+      alo.semanticEquals(ahi) || blo.semanticEquals(bhi)
+    }.orElse(found.headOption)
 
-    pair.map { case (x, lo, hi) =>
-      val pointIsLeft = sideOf(x) == 1
-      val (point, interval) = if (pointIsLeft) (left, right) else (right, left)
-
-      // Project x/lo/hi ONCE PER ROW on their own sides and substitute
-      // the attributes into the re-filter condition: the post-join
-      // predicate runs once per candidate PAIR, and recomputing e.g.
-      // `o_orderdate + INTERVAL 2 DAYS` there was measured at 3.4× the
-      // hand-bucketized query's wall-clock at sf0.1 — with the
-      // substitution the per-pair work is two primitive compares.
-      val xAl = Alias(x, "__graft_x")()
-      val loAl = Alias(lo, "__graft_lo")()
-      val hiAl = Alias(hi, "__graft_hi")()
-      val pB = Alias(toBucket(x, width, tz), "__graft_pbucket")()
-      val pointProj = Project(point.output :+ xAl :+ pB, point)
-      val intervalProj = Project(interval.output :+ loAl :+ hiAl, interval)
+    pair.map { case (alo, ahi, blo, bhi) =>
+      val (aPlan, bPlan) = if (sideOf(ahi) == 1) (left, right) else (right, left)
+      val a = buildSide(aPlan, alo, ahi, "a", width, cap, tz)
+      val b = buildSide(bPlan, blo, bhi, "b", width, cap, tz)
+      // per-pair predicate over pre-projected attributes only
       val newCond = cond.transformUp {
-        case e if e.semanticEquals(x) => xAl.toAttribute
-        case e if e.semanticEquals(lo) => loAl.toAttribute
-        case e if e.semanticEquals(hi) => hiAl.toAttribute
+        case e if e.semanticEquals(alo) => a.loAttr
+        case e if e.semanticEquals(ahi) => a.hiAttr
+        case e if e.semanticEquals(blo) => b.loAttr
+        case e if e.semanticEquals(bhi) => b.hiAttr
       }
 
-      val blo = toBucket(loAl.toAttribute, width, tz)
-      val bhi = toBucket(hiAl.toAttribute, width, tz)
-      val nBuckets = Add(Subtract(bhi, blo), Literal(1L))
-
-      // short intervals: explode to each overlapped bucket, equi-join
-      val ibAttr = AttributeReference("__graft_ibucket", LongType, nullable = false)()
-      val shortI = Filter(LessThanOrEqual(nBuckets, Literal(cap)), intervalProj)
-      val gen = Generate(Explode(new Sequence(blo, bhi, None, Some(tz))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(ibAttr), child = shortI)
-      val eq = EqualTo(pB.toAttribute, ibAttr)
-      val (sl, sr) =
-        if (pointIsLeft) (pointProj: LogicalPlan, gen: LogicalPlan)
-        else (gen: LogicalPlan, pointProj: LogicalPlan)
-      val branchShort =
-        Project(j.output, Filter(newCond, Join(sl, sr, Inner, Some(eq), JoinHint.NONE)))
-
-      // pathological wide intervals: original theta shape on the (almost
-      // always empty) residue; Cross-typed so the rule cannot re-match it
-      val longI = Filter(GreaterThan(nBuckets, Literal(cap)), intervalProj)
-      val (ll, lr) =
-        if (pointIsLeft) (pointProj: LogicalPlan, longI: LogicalPlan)
-        else (longI: LogicalPlan, pointProj: LogicalPlan)
-      val branchLong =
-        Project(j.output, Filter(newCond, Join(ll, lr, Cross, None, JoinHint.NONE)))
-
-      Union(branchShort, branchLong)
+      val eq = EqualTo(a.bucketAttr, b.bucketAttr)
+      // two exploded sides meet once per shared bucket: keep only the
+      // first shared bucket; with a point side pairs already meet once
+      val pairCond =
+        if (a.isPoint || b.isPoint) newCond
+        else And(newCond, EqualTo(b.bucketAttr, Greatest(Seq(
+          toBucket(a.loAttr, width, tz), toBucket(b.loAttr, width, tz)))))
+      val branchShort = Project(j.output,
+        Filter(pairCond, Join(a.shortEx, b.shortEx, Inner, Some(eq), JoinHint.NONE)))
+      // disjoint fallback partition: [A-long × B-all] ∪ [A-short × B-long]
+      val branchALong = a.long.map(l => Project(j.output,
+        Filter(newCond, Join(l, b.proj, Cross, None, JoinHint.NONE))))
+      val branchBLong = b.long.map(l => Project(j.output,
+        Filter(newCond, Join(a.shortPlain, l, Cross, None, JoinHint.NONE))))
+      (Seq(branchShort) ++ branchALong ++ branchBLong)
+        .reduceLeft[LogicalPlan](Union(_, _))
     }
   }
 }

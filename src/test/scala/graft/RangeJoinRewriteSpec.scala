@@ -45,12 +45,12 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
   }
 
   /** The rewrite's signature in the optimized logical plan: an Inner
-    * equi join on the synthesized `__graft_pbucket` column. */
+    * equi join on the synthesized `__graft_*_bucket` columns. */
   private def equiBucketJoins(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.condition.exists(_.references.exists(
-            _.name == "__graft_pbucket")) => j
+          if j.condition.exists(_.references.exists(a =>
+            a.name.startsWith("__graft_") && a.name.endsWith("_bucket"))) => j
     }.size
 
   private def sortedRows(df: DataFrame): Seq[String] =
@@ -123,6 +123,43 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     val naive = intervals.join(points, col("x") >= col("lo") && col("x") <= col("hi"))
     val rewritten = RangeJoinRewrite.applied(spark, naive, width = 10.0)
     assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
+  test("two-sided overlap: rewrite equals naive across widths, inversions, nulls") {
+    val a = spark.range(0, 300).selectExpr("id AS aid",
+      "CASE WHEN id % 13 = 0 THEN id * 7 % 400 + 25 ELSE id * 7 % 400 END AS alo",
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE id * 7 % 400 + (id % 15) * 4 END AS ahi")
+    val b = spark.range(0, 250).selectExpr("id AS bid",
+      "id * 11 % 400 AS blo",
+      "CASE WHEN id % 17 = 0 THEN id * 11 % 400 - 30 ELSE id * 11 % 400 + (id % 12) * 5 END AS bhi")
+    val cond = col("ahi") >= col("blo") && col("bhi") >= col("alo")
+    val naive = a.join(b, cond)
+    // cap 3 with widths up to ~6 buckets: both sides exercise the
+    // exploded AND the theta-fallback branches; inverted intervals (the
+    // %13 / %17 rows) can still match in the overlap shape
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 10.0, cap = 3L)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+    assert(equiBucketJoins(rewritten) == 1)
+    assert(nestedLoops(rewritten.queryExecution.executedPlan) <= 2,
+      "only the two cap-guarded fallback branches may nested-loop")
+    assert(rewritten.count() > 0)
+  }
+
+  test("q_join_overlap matches its naive theta form at sf0.001") {
+    val auto = SparkEntry.queries("q_join_overlap")(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val naive = li.join(o,
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 3 DAYS") &&
+          col("o_orderdate") <= col("l_shipdate") + expr("INTERVAL 2 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("o_orderkey")
+    assert(sortedRows(auto) == sortedRows(naive))
   }
 
   test("an existing cross-side equi predicate disables the rewrite") {
