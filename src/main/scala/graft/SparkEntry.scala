@@ -28,7 +28,7 @@ object SparkEntry {
       functions.TextAnalysis.queries ++
       functions.Similarity.queries ++ streaming.EventWindows.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamJoin.queries ++
-      operators.Capstone.queries
+      operators.Capstone.queries ++ operators.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +43,5 @@ object SparkEntry {
       functions.TextAnalysis.oracles ++
       functions.Similarity.oracles ++ streaming.EventWindows.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamJoin.oracles ++
-      operators.Capstone.oracles
+      operators.Capstone.oracles ++ operators.Privacy.oracles
 }
