@@ -143,6 +143,66 @@ object RangeJoinRewrite extends PredicateHelper {
     Floor(Divide(asDouble, Literal(width)))
   }
 
+  /** Decompose `e` as `(base, constantOffset)` in the axis units
+    * toBucket divides by (seconds for temporal, raw value for numeric).
+    * Identity casts and RuntimeReplaceable wrappers (`DatetimeSub` in an
+    * analyzed plan) are transparent. Anything unrecognized is its own
+    * base with offset 0 — always sound, just unproven. */
+  private def baseOffset(e: Expression): (Expression, Double) = {
+    def num(x: Expression): Option[Double] =
+      if (!x.foldable) None
+      else x.eval() match {
+        case n: Number => Some(n.doubleValue)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+    e match {
+      case c: Cast if c.dataType == c.child.dataType => baseOffset(c.child)
+      case r: RuntimeReplaceable => baseOffset(r.replacement)
+      case TimestampAddInterval(b, i, _)
+          if i.dataType.isInstanceOf[DayTimeIntervalType] =>
+        num(i).map { micros =>
+          val (bb, o) = baseOffset(b); (bb, o + micros / 1e6)
+        }.getOrElse((e, 0.0))
+      case DateAdd(b, d) =>
+        num(d).map { days =>
+          val (bb, o) = baseOffset(b); (bb, o + days * 86400.0)
+        }.getOrElse((e, 0.0))
+      case Add(b, r, _) if r.dataType.isInstanceOf[NumericType] =>
+        num(r).map { v => val (bb, o) = baseOffset(b); (bb, o + v) }
+          .getOrElse((e, 0.0))
+      case Add(l, b, _) if l.dataType.isInstanceOf[NumericType] && l.foldable =>
+        num(l).map { v => val (bb, o) = baseOffset(b); (bb, o + v) }
+          .getOrElse((e, 0.0))
+      case Subtract(b, r, _) if r.dataType.isInstanceOf[NumericType] =>
+        num(r).map { v => val (bb, o) = baseOffset(b); (bb, o - v) }
+          .getOrElse((e, 0.0))
+      case other => (other, 0.0)
+    }
+  }
+
+  /** Statically proven max bucket-span of `[lo, hi]`: when both bounds
+    * are `base ± constant` over the SAME base (the common shape — e.g.
+    * `o_orderdate ± 2 days`), the value width is a plan-time constant
+    * and the span is at most `floor((|Δ| + slack) / width) + 2`
+    * (alignment margin; 4 h slack covers a DST-zone NTZ→LTZ conversion
+    * shifting the two bounds by different offsets). A proven-short side
+    * needs NO cap filter and NO theta fallback branch — which is what
+    * deletes the extra input scans from the plan. */
+  private def staticMaxBuckets(lo: Expression, hi: Expression,
+      width: Double): Option[Long] = {
+    val (bl, ol) = baseOffset(lo)
+    val (bh, oh) = baseOffset(hi)
+    if (!bl.semanticEquals(bh)) None
+    else {
+      val slack = lo.dataType match {
+        case DateType | TimestampType | TimestampNTZType => 14400.0
+        case _ => 0.0
+      }
+      Some(((math.abs(oh - ol) + slack) / width).toLong + 2L)
+    }
+  }
+
   /** One join side as an interval `[lo, hi]` on the shared axis.
     * `shortEx` carries `bucketAttr` (projected for a point, exploded
     * for an interval); `shortPlain`/`long` feed the theta fallback
@@ -153,6 +213,7 @@ object RangeJoinRewrite extends PredicateHelper {
 
   private def buildSide(p: LogicalPlan, lo: Expression, hi: Expression,
       tag: String, width: Double, cap: Long, tz: String): Side = {
+    val provenShort = staticMaxBuckets(lo, hi, width).exists(_ <= cap)
     if (lo.semanticEquals(hi)) {
       val xAl = Alias(lo, s"__graft_${tag}_x")()
       // bucket from the original expr, not the sibling alias (a Project
@@ -171,17 +232,23 @@ object RangeJoinRewrite extends PredicateHelper {
       // bound BOTH directions: an inverted interval (lo > hi — possible
       // with arbitrary bound expressions, and in the general overlap
       // shape it can still produce matches) makes sequence() descend,
-      // whose length nb <= cap alone would not bound
-      val shortPlain = Filter(And(
-        LessThanOrEqual(nBuckets, Literal(cap)),
-        GreaterThanOrEqual(nBuckets, Literal(-cap))), proj)
+      // whose length nb <= cap alone would not bound. A statically
+      // proven-short side skips the runtime cap filter AND the theta
+      // fallback branch: no extra scan of either input survives in the
+      // common `base ± constant` shape.
+      val shortPlain = if (provenShort) proj
+        else Filter(And(
+          LessThanOrEqual(nBuckets, Literal(cap)),
+          GreaterThanOrEqual(nBuckets, Literal(-cap))), proj)
       val bAttr =
         AttributeReference(s"__graft_${tag}_bucket", LongType, nullable = false)()
       val gen = Generate(Explode(new Sequence(blo, bhi, None, Some(tz))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(bAttr), child = shortPlain)
       Side(proj, loAl.toAttribute, hiAl.toAttribute, gen, bAttr,
-        shortPlain, Some(Filter(Or(
+        shortPlain,
+        if (provenShort) None
+        else Some(Filter(Or(
           GreaterThan(nBuckets, Literal(cap)),
           LessThan(nBuckets, Literal(-cap))), proj)),
         isPoint = false)

@@ -78,8 +78,10 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(sortedRows(auto) == sortedRows(hand))
     assert(equiBucketJoins(auto) == 1,
       "rewritten plan must equi-join on the synthesized bucket")
-    assert(nestedLoops(auto.queryExecution.executedPlan) <= 1,
-      "only the cap-guarded fallback branch may nested-loop")
+    // `o_orderdate ± 2 days` is the statically-proven-short shape: no
+    // cap filter, no theta fallback, no nested loop anywhere
+    assert(nestedLoops(auto.queryExecution.executedPlan) == 0,
+      "statically bounded intervals must not leave a fallback branch")
   }
 
   test("the naive plan it replaces really is a nested-loop join") {
@@ -160,6 +162,8 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy("o_orderkey")
     assert(sortedRows(auto) == sortedRows(naive))
+    // both sides are `base ± constant`: proven short, zero fallbacks
+    assert(nestedLoops(auto.queryExecution.executedPlan) == 0)
   }
 
   test("an existing cross-side equi predicate disables the rewrite") {
