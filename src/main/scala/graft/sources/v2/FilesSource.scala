@@ -121,6 +121,8 @@ private[v2] class FilesScanBuilder(
     * Catalyst's exact semantics; those are consumed (no residual). */
   private def pushable(f: Filter): Boolean = f match {
     case StringStartsWith("path", _) => true
+    case In("path", vs) => vs.forall(_.isInstanceOf[String])
+    case EqualTo("path", _: String) => true
     case StringStartsWith("filename", _) | StringEndsWith("filename", _) |
         EqualTo("filename", _: String) => true
     case EqualTo("size", _: Long) | GreaterThan("size", _: Long) |
@@ -146,7 +148,36 @@ private[v2] class FilesScanBuilder(
 private[v2] class FilesScan(
     root: String, source: String, confMap: Map[String, String],
     required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime filters received from dynamic pruning (a join whose other
+    * side resolved small at execution): exact `path` predicates that
+    * arrive AFTER planning but BEFORE partition planning, so they prune
+    * whole listing shards — the "rescan only the directories this batch
+    * names" accelerator. Correctness never depends on them (the join
+    * re-applies its condition); they only cut list/stat API calls. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("path"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case In("path", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo("path", _: String) => true
+      case _ => false
+    }
+
+  /** Exact-dir values (from static `isin`/`=` pushdown or runtime
+    * filters) a shard rooted at `dp` could still emit: some value must
+    * be `dp` itself or lie inside its subtree. */
+  private def dirSets(fs: Array[Filter]): Seq[Set[String]] =
+    fs.collect {
+      case In("path", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo("path", v: String) => Set(v)
+    }.toSeq
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -169,25 +200,34 @@ private[v2] class FilesScan(
 
     // Shard pruning from path-prefix pushdown: a shard rooted at d only
     // ever produces rows with path ∈ {d, d/...}, so it can satisfy
-    // StartsWith(path, p) only if d extends p or p extends d. Pruned
-    // shards are never listed — the pushdown saves the list/stat API
-    // calls themselves, not just the rows.
+    // StartsWith(path, p) only if d extends p or p extends d, and an
+    // exact-dir predicate (static isin/= pushdown or a runtime filter)
+    // only if some named dir is d or inside d's subtree. Pruned shards
+    // are never listed — the pushdown saves the list/stat API calls
+    // themselves, not just the rows.
     val prefixes = pushed.collect { case StringStartsWith("path", p) => p }
-    def shardAlive(dir: String): Boolean = prefixes.forall { p =>
+    val exactSets = dirSets(pushed ++ runtime)
+    def shardAlive(dir: String): Boolean = {
       val dp = new Path(dir).toUri.getPath
-      dp.startsWith(p) || p.startsWith(dp)
+      prefixes.forall(p => dp.startsWith(p) || p.startsWith(dp)) &&
+        exactSets.forall(_.exists(v => v == dp || v.startsWith(dp + "/")))
     }
     val alive = shards.filter(shardAlive)
 
+    // early rows carry their final `path` values already — exact-dir
+    // predicates prune them row-by-row at planning time
+    val keptEarly = earlyFiles.filter(r =>
+      exactSets.forall(_.contains(r.dir)) &&
+        prefixes.forall(r.dir.startsWith))
     val early: Array[InputPartition] =
-      if (earlyFiles.isEmpty) Array.empty
-      else Array(EarlyFilesPartition(earlyFiles.map(r =>
+      if (keptEarly.isEmpty) Array.empty
+      else Array(EarlyFilesPartition(keptEarly.map(r =>
         (r.dir, r.name, r.modified, r.size, r.created))))
     early ++ alive.map(d => ShardPartition(d, confMap)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FilesReaderFactory(source, required, pushed)
+    new FilesReaderFactory(source, required, pushed ++ runtime)
 }
 
 /** Scan-generation offset: each micro-batch of the streaming form is
@@ -303,6 +343,8 @@ private[v2] class FilesPartitionReader(
   private def keep(e: RawEntry): Boolean =
     pushed.forall {
       case StringStartsWith("path", p) => e.dir.startsWith(p)
+      case In("path", vs) => vs.contains(e.dir)
+      case EqualTo("path", v: String) => e.dir == v
       case StringStartsWith("filename", p) => e.name.startsWith(p)
       case StringEndsWith("filename", s) => e.name.endsWith(s)
       case EqualTo("filename", v: String) => e.name == v

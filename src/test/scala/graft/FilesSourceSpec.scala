@@ -70,6 +70,55 @@ class FilesSourceSpec extends AnyFunSuite {
     assert(got == Set("doc05.txt", "data05.json", "leaf.csv"))
   }
 
+  test("exact-dir isin pushdown prunes shards, early rows, and stat calls") {
+    val d5 = root.toString + "/sub05"
+    val d7 = root.toString + "/sub07"
+    val pruned = readV2.filter(col("path").isin(d5, d7))
+    assert(pruned.rdd.getNumPartitions < readV2.rdd.getNumPartitions)
+    val got = pruned.select("filename").collect().map(_.getString(0)).toSet
+    // exact dirs match their OWN files only — sub05's deeper subtree has
+    // a different path value and is filtered inside the shard
+    assert(got == Set("doc05.txt", "data05.json", "doc07.txt", "data07.json"))
+    // the early-rows partition (root files) matches no named dir, and
+    // non-matching rows are dropped BEFORE the created stat
+    FilesSource.createdStatCalls.set(0L)
+    readV2.filter(col("path").isin(d5)).select("created").collect()
+    assert(FilesSource.createdStatCalls.get() == 2L)
+  }
+
+  test("SupportsRuntimeFiltering: a runtime path filter prunes shards") {
+    import org.apache.spark.sql.connector.read.{Batch, SupportsRuntimeFiltering}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.sources.In
+    val batch = readV2.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    val scan = batch.scan
+    assert(scan.isInstanceOf[SupportsRuntimeFiltering])
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("path"))
+    val before = scan.asInstanceOf[Batch].planInputPartitions().length
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("path", Array(root.toString + "/sub03"))))
+    val after = scan.asInstanceOf[Batch].planInputPartitions().length
+    assert(after < before && after == 1,
+      s"runtime dir filter should leave one shard, had $before now $after")
+  }
+
+  test("dynamic pruning join: only the joined dirs are listed") {
+    import spark.implicits._
+    // the "rescan only the directories this batch names" shape: a small
+    // changed-dirs frame joined against the listing on `path`
+    val changed = Seq(root.toString + "/sub04", root.toString + "/sub09")
+      .toDF("dir")
+    val joined = readV2.join(changed, col("path") === col("dir"))
+    val got = joined.select("filename").collect().map(_.getString(0)).toSet
+    assert(got == Set("doc04.txt", "data04.json", "doc09.txt", "data09.json"))
+    // whether Spark injected the runtime filter is environment-dependent
+    // (DPP heuristics); the CONTRACT is covered by the test above — here
+    // we only require correctness of the join result either way
+  }
+
   test("created-column pruning elides the per-file stat syscall") {
     FilesSource.createdStatCalls.set(0L)
     readV2.select("path", "filename", "size", "modified").collect()
