@@ -162,15 +162,121 @@ object Capstone {
   def qCapstoneScrape(s: SparkSession, dir: String): DataFrame =
     Scrape.scanCycleAudit(Scrape.filesCurrent(s, dir), Scrape.filesScan(s, dir))
 
+  /** The data-RELEASE gate as one plan: the compliance pipeline a corpus
+    * passes through on its way out the door, per source —
+    *
+    *  1. deterministic duplicate + PII injection (the fixture corpus is
+    *     clean, so both hazards are synthesized the q_text_redact way:
+    *     every 11th doc re-enters as a copy under a shifted id, every
+    *     7th gains a contact line),
+    *  2. quality gate (n_chars ≥ 100),
+    *  3. exact dedup on RAW content (min doc_id per md5(text) — catches
+    *     the copies even though their injected PII differs),
+    *  4. PII detection on the released set (the regex pair of
+    *     [[Pipeline.qTextRedact]] — these docs get redacted, not
+    *     dropped, so they are COUNTED),
+    *  5. k-anonymity over QI = (lang, 100-char length bucket) within
+    *     each source's released docs,
+    *  6. a DP-noised public count (the [[Privacy.qPrivacyDp]]
+    *     mechanism, seeded per source).
+    *
+    * Scale shape: one narrow union, ONE content-hash exchange (the
+    * dedup window), one (source, lang, bucket) aggregate that collapses
+    * to per-source, and a broadcast join against the tiny pre-gate
+    * counts — the noise is a map-side expression. Catalyst sees the
+    * whole pipeline, so the n_chars gate pushes into both union
+    * branches' scans. */
+  def qCapstoneRelease(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val corpus0 = d.select(cols: _*).unionByName(
+      d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val pii = corpus0.withColumn("ptext",
+      when(col("doc_id") % 7 === 0, concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    val gated = pii.filter(col("n_chars") >= 100)
+    val released = gated
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .withColumn("pf",
+        when((size(regexp_extract_all(col("ptext"), lit(Pipeline.emailRe), lit(0))) +
+          size(regexp_extract_all(col("ptext"), lit(Pipeline.numRe), lit(0)))) > 0,
+          1L).otherwise(0L))
+    val grouped = released
+      .groupBy(col("source"), col("lang"),
+        floor(col("n_chars") / 100).cast("long").as("qb"))
+      .agg(count(lit(1)).as("n"), sum(col("pf")).as("np"))
+    val audit = grouped.groupBy(col("source")).agg(
+      sum(col("n")).as("n_released"),
+      sum(col("np")).as("n_pii_docs"),
+      min(col("n")).as("min_k"),
+      sum(when(col("n") < 3, 1L).otherwise(0L)).as("n_small_groups"))
+    val raw = corpus0.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val u = conv(substring(md5(concat(lit("rel"), col("source"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(16.0, 13))
+    audit.join(broadcast(raw), Seq("source"))
+      .select(col("source"), col("n_raw"), col("n_released"),
+        col("n_pii_docs"), col("min_k"), col("n_small_groups"),
+        round(col("n_released") + lit(-10.0) * signum(u - 0.5) *
+          log(greatest(lit(1.0) - lit(2.0) * abs(u - 0.5), lit(1e-12))), 6)
+          .as("n_public"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capstone_corpus" -> qCapstoneCorpus,
     "q_capstone_sessions" -> qCapstoneSessions,
     "q_capstone_scrape" -> qCapstoneScrape,
+    "q_capstone_release" -> qCapstoneRelease,
   )
 
   private def toksSql = "list_filter(string_split(text,' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_capstone_release" ->
+      """WITH c0 AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT *, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.com or call 555' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS ptext
+        |  FROM c0 WHERE n_chars >= 100),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rk FROM p),
+        |rel AS (SELECT *, CASE WHEN
+        |      len(regexp_extract_all(ptext, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+'))
+        |      + len(regexp_extract_all(ptext, '[0-9]{5,}')) > 0
+        |    THEN 1 ELSE 0 END AS pf
+        |  FROM dd WHERE rk = 1),
+        |g AS (SELECT source, lang, CAST(floor(n_chars / 100) AS BIGINT) AS qb,
+        |    count(*) AS n, sum(pf) AS np
+        |  FROM rel GROUP BY 1, 2, 3),
+        |aud AS (SELECT source,
+        |    CAST(sum(n) AS BIGINT) AS n_released,
+        |    CAST(sum(np) AS BIGINT) AS n_pii_docs,
+        |    CAST(min(n) AS BIGINT) AS min_k,
+        |    CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups
+        |  FROM g GROUP BY 1),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM c0 GROUP BY 1),
+        |j AS (SELECT a.*, r.n_raw,
+        |    CAST(CAST('0x' || substring(md5('rel' || a.source), 1, 13) AS BIGINT)
+        |      AS DOUBLE) / power(16.0, 13) AS u
+        |  FROM aud a JOIN raw r USING (source))
+        |SELECT source, n_raw, n_released, n_pii_docs, min_k, n_small_groups,
+        |  round(n_released + (-10.0) * sign(u - 0.5)
+        |    * ln(greatest(1 - 2 * abs(u - 0.5), 1e-12)), 6) AS n_public
+        |FROM j ORDER BY source""".stripMargin,
     "q_capstone_corpus" ->
       (s"""WITH t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM documents),
         |q AS (SELECT doc_id, lang, source, text,

@@ -113,8 +113,8 @@ object Pipeline {
         count_distinct(col("path")).as("n_paths"))
       .orderBy("host")
 
-  private val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
-  private val numRe = "[0-9]{5,}"
+  private[operators] val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+  private[operators] val numRe = "[0-9]{5,}"
 
   /** PII-style redaction: synthetic contact lines (email + long digit
     * run) are appended to each document, then both are replaced with

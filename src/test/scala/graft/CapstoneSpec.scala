@@ -86,4 +86,33 @@ class CapstoneSpec extends AnyFunSuite {
         Scrape.filesScan(spark, dir)).count())
     assert(m("mime_preserved") <= m("unchanged"))
   }
+
+  test("release gate: dedup removes exactly the gated copies, PII count matches") {
+    val rows = Capstone.qCapstoneRelease(spark, dir).collect()
+    assert(rows.length == 20)
+    // Independent dedup formulation (groupBy-join winners vs the
+    // pipeline's window rank), robust to natural cross-source dups: a
+    // copy's n_chars equals its original's, so the gate treats pairs
+    // consistently, and the min-doc_id winner per text is released.
+    val d = Tables.documents(spark, dir)
+    val corpus0 = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+      .filter(col("n_chars") >= 100)
+    val winners = corpus0.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(corpus0.withColumn("h", md5(col("text"))), Seq("h", "doc_id"))
+    val gatedOrig = winners.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expPii = winners.filter(col("doc_id") % 7 === 0).groupBy("source")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_released") == gatedOrig(src))
+      assert(r.getAs[Long]("n_raw") >= gatedOrig(src))
+      assert(r.getAs[Long]("n_pii_docs") == expPii.getOrElse(src, 0L))
+      assert(r.getAs[Long]("min_k") >= 1)
+      assert(math.abs(r.getAs[Double]("n_public") -
+        r.getAs[Long]("n_released")) <= 361.0)
+    }
+  }
 }
