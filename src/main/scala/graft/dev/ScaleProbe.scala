@@ -323,6 +323,49 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         out
       }
+      time(s"overlap_rewrite x$n") {
+        // the RangeJoinRewrite plan on an n×-amplified point side: pair
+        // volume grows n× (the interval side is fixed), so growth must
+        // track the exchange volume, never the n×|intervals| product
+        val li = amplifyLineitem(n)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val o = graft.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val naive = li.join(o,
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 3 DAYS") &&
+            col("o_orderdate") <= col("l_shipdate") + expr("INTERVAL 2 DAYS"))
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_overlap"))
+        graft.plans.RangeJoinRewrite.applied(spark, naive, 4 * 86400.0).count()
+      }
+      time(s"release_gate x$n") {
+        // the release capstone's spine (union → content-hash dedup
+        // window → two-level k-anon aggregate) on n× docs: one hash
+        // exchange scales with rows, the QI combination space does not
+        val d = graft.Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        // text salted per copy: amplified docs must be DISTINCT content
+        // (otherwise the dedup collapses the amplification and the probe
+        // times nothing)
+        val amp = if (n == 1) d
+          else d.crossJoin(broadcast(spark.range(n).select(col("id").as("__copy"))))
+            .withColumn("doc_id", col("doc_id") + col("__copy") * lit(10000000L))
+            .withColumn("text", concat(col("text"), lit(" zz"), col("__copy")))
+            .drop("__copy")
+        val c0 = amp.unionByName(amp.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .filter(col("n_chars") >= 100)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        c0.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy(col("source"), col("lang"),
+            floor(col("n_chars") / 100).cast("long").as("qb"))
+          .agg(count(lit(1)).as("nn"))
+          .groupBy("source")
+          .agg(sum("nn").as("n_released"), min("nn").as("min_k"))
+          .count()
+      }
     }
     spark.stop()
   }
