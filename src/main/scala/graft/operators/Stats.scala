@@ -686,7 +686,44 @@ object Stats {
       .selectExpr("var_a", "var_b", "cov", "n")
   }
 
+  /** Cohen's kappa between two independent quality heuristics ("raters")
+    * per language — the labeling-QA statistic: how much better than
+    * chance do a length-based gate (n_chars ≥ 300) and a token-count
+    * gate (≥ 50 whitespace tokens) agree on which documents are
+    * train-worthy? κ = (pₒ − pₑ)/(1 − pₑ) from the 2×2 agreement
+    * counts. All inputs are integer counts; every float op
+    * (division, product, subtraction) is correctly-rounded IEEE on
+    * identical operands in both engines, so κ ships at FULL precision —
+    * no rounding, per the established convention. NULLIF guards the
+    * degenerate 1 − pₑ = 0 case identically on both sides.
+    *
+    * Scale shape: one aggregation with map-side partials; the flag
+    * expressions are per-row codegen on the scan. */
+  def qAgreeKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val a = (col("n_chars") >= 300).cast("long")
+    val b = ((length(col("text")) -
+      length(expr("replace(text, ' ', '')")) + 1) >= 50).cast("long")
+    val g = d.select(col("lang"), a.as("ra"), b.as("rb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n_both"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n_neither"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n_only_a"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n_only_b"))
+    val nD = col("n").cast("double")
+    val po = (col("n_both") + col("n_neither")).cast("double") / nD
+    val pa = (col("n_both") + col("n_only_a")).cast("double") / nD
+    val pb = (col("n_both") + col("n_only_b")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    g.select(col("lang"), col("n"), col("n_both"), col("n_neither"),
+        col("n_only_a"), col("n_only_b"),
+        ((po - pe) / nullif(lit(1.0) - pe, lit(0.0))).as("kappa"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agree_kappa" -> qAgreeKappa,
     "q_drift_psi" -> qDriftPsi,
     "q_stats_bootstrap" -> qStatsBootstrap,
     "q_seasonal_dow" -> qSeasonalDow,
@@ -718,6 +755,30 @@ object Stats {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_agree_kappa" ->
+      """WITH f AS (SELECT lang,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 50
+        |         THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n,
+        |    CAST(sum(ra * rb) AS BIGINT) AS n_both,
+        |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n_neither,
+        |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS n_only_a,
+        |    CAST(sum((1 - ra) * rb) AS BIGINT) AS n_only_b
+        |  FROM f GROUP BY lang)
+        |SELECT lang, n, n_both, n_neither, n_only_a, n_only_b,
+        |  ((CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE))
+        |   - (CAST(n_both + n_only_a AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + (1 - CAST(n_both + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1 - CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  / NULLIF(1 - (CAST(n_both + n_only_a AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + (1 - CAST(n_both + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1 - CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))), 0)
+        |  AS kappa
+        |FROM g ORDER BY lang""".stripMargin,
     "q_drift_psi" ->
       """WITH e AS (SELECT ts < TIMESTAMP '2024-01-16' AS is_ref,
         |    CAST(least(floor(floor(value*100)/250.0), 15.0) AS BIGINT) AS bucket

@@ -408,4 +408,28 @@ class StatsSpec extends AnyFunSuite {
     assert(rows(("qty", "qty"))._1 >= 0 && rows(("price", "price"))._1 >= 0)
     assert(rows(("price", "price"))._1 > rows(("qty", "qty"))._1)
   }
+
+  test("Cohen's kappa: bounds, degenerate guard, and a hand-checked 2x2") {
+    val rows = graft.operators.Stats.qAgreeKappa(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_neither") +
+        r.getAs[Long]("n_only_a") + r.getAs[Long]("n_only_b") == n)
+      if (!r.isNullAt(r.fieldIndex("kappa"))) {
+        val k = r.getAs[Double]("kappa")
+        assert(k >= -1.0 - 1e-12 && k <= 1.0 + 1e-12, s"kappa out of range: $k")
+        // hand-computed from the emitted counts
+        val (nb, nn, na, no) = (r.getAs[Long]("n_both").toDouble,
+          r.getAs[Long]("n_neither").toDouble,
+          r.getAs[Long]("n_only_a").toDouble, r.getAs[Long]("n_only_b").toDouble)
+        val po = (nb + nn) / n
+        val pa = (nb + na) / n
+        val pb = (nb + no) / n
+        val pe = pa * pb + (1 - pa) * (1 - pb)
+        assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-9)
+      }
+    }
+  }
 }
