@@ -314,6 +314,75 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 6).as("bm25"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010, truncated form, p = 0.9)
+    * between the BM25 and the plain tf·idf top-20 rankings for the same
+    * probe terms — the retrieval-evaluation statistic for "how much do
+    * two scorers agree, weighted toward the top of the list". Emits one
+    * row per depth d: the agreement count X_d = |A_d ∩ B_d| and the
+    * running RBO prefix (1−p)·Σ_{e≤d} p^{e−1}·X_e/e, whose d = 20 row
+    * is RBO@20.
+    *
+    * Determinism: both scores round to 6 dp BEFORE ranking (floats that
+    * ORDER rows must be rounded — the established rule), ties break on
+    * doc_id, per-term contributions add in a FIXED order (the max-CASE
+    * chain, not an unordered float sum), and both rankings take top-20
+    * via orderBy+limit (a bounded TakeOrderedAndProject — no
+    * partition-less window over the corpus; the row_number windows run
+    * over the 20-row frames). `power` differs by ulps across engines,
+    * so the running RBO rounds to 6 dp — the established ln/pow
+    * convention.
+    *
+    * Scale shape: term filter before the (doc, term) count, constants
+    * broadcast, the only wide exchange carries matching-term rows; all
+    * depth arithmetic happens on ≤20-row frames. */
+  def qRankRbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "spark", "window")
+    val d = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val consts = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+      .select(col("nd").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(dfx), "tok").crossJoin(broadcast(consts))
+      .withColumn("cb", log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
+      .withColumn("ct",
+        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
+    def tc(c: String, t: String): Column =
+      coalesce(max(when(col("tok") === t, col(c))), lit(0.0))
+    val scores = joined.groupBy("doc_id").agg(
+      round(tc("cb", "hash") + tc("cb", "spark") + tc("cb", "window"), 6).as("sa"),
+      round(tc("ct", "hash") + tc("ct", "spark") + tc("ct", "window"), 6).as("sb"))
+    val topA = scores.select("doc_id", "sa")
+      .orderBy(col("sa").desc, col("doc_id")).limit(20)
+      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("doc_id"))))
+    val topB = scores.select("doc_id", "sb")
+      .orderBy(col("sb").desc, col("doc_id")).limit(20)
+      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
+    val mdc = topA.join(topB, "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("md"))
+      .groupBy("md").agg(count(lit(1)).as("c"))
+    val x = s.range(1, 21).select(col("id").as("d"))
+      .join(broadcast(mdc), col("md") <= col("d"), "left")
+      .groupBy("d").agg(coalesce(sum(col("c")), lit(0L)).as("x_d"))
+    val term = lit(0.1) * pow(lit(0.9), col("d").cast("double") - lit(1.0)) *
+      col("x_d").cast("double") / col("d").cast("double")
+    x.withColumn("rbo", round(sum(term).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select(col("d"), col("x_d"), col("rbo"))
+      .orderBy("d")
+  }
+
   /** Adjacent-token-pair counts (the first iteration of BPE-style merge
     * mining): top-30 bigrams corpus-wide. The pair explode is linear in
     * token count; the groupBy partial-aggregates map-side so the exchange
@@ -608,6 +677,7 @@ object TextAnalysis {
     "q_vocab_overlap" -> qVocabOverlap,
     "q_text_bigrams" -> qTextBigrams,
     "q_text_bm25" -> qTextBm25,
+    "q_rank_rbo" -> qRankRbo,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_chunk" -> qTextChunk,
@@ -786,6 +856,41 @@ object TextAnalysis {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, round(score, 6) AS bm25 FROM g
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rank_rbo" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM t),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d)
+        |  WHERE tok IN ('hash','spark','window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))) AS cb,
+        |  CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) AS ct
+        |  FROM tf JOIN df USING (tok), c),
+        |g AS (SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN cb END), 0.0), 6) AS sa,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN ct END), 0.0), 6) AS sb
+        |  FROM sc GROUP BY doc_id),
+        |ta AS (SELECT doc_id, sa FROM g ORDER BY sa DESC, doc_id LIMIT 20),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) AS ra FROM ta),
+        |tb AS (SELECT doc_id, sb FROM g ORDER BY sb DESC, doc_id LIMIT 20),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS rb FROM tb),
+        |j AS (SELECT greatest(ra.ra, rb.rb) AS md FROM ra JOIN rb USING (doc_id)),
+        |dd AS (SELECT unnest(range(1, 21)) AS d),
+        |x AS (SELECT dd.d, CAST(count(j.md) AS BIGINT) AS x_d
+        |  FROM dd LEFT JOIN j ON j.md <= dd.d GROUP BY dd.d)
+        |SELECT d, x_d,
+        |  round(sum(0.1 * power(0.9, d - 1) * CAST(x_d AS DOUBLE) / d)
+        |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo
+        |FROM x ORDER BY d""".stripMargin,
     "q_vocab_topk" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c

@@ -399,4 +399,21 @@ class PipelineSpec extends AnyFunSuite {
     // pad always completes to a context multiple
     got.foreach { case (_, (_, tot, _, pad)) => assert((tot + pad) % 2048 == 0 || pad >= 0) }
   }
+
+  test("RBO: depth curve is monotone, bounded, and consistent with its counts") {
+    val rows = graft.functions.TextAnalysis.qRankRbo(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("x_d"), r.getAs[Double]("rbo")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    // agreement counts: nondecreasing, never exceed the depth
+    rows.foreach { case (d, x, _) => assert(x >= 0 && x <= d) }
+    assert(rows.toSeq.sliding(2).forall { case Seq((_, x1, r1), (_, x2, r2)) =>
+      x2 >= x1 && r2 >= r1 - 1e-9
+    case _ => true })
+    // truncated RBO@20 with p=0.9 lies in [0, 1 - 0.9^20-ish prefix mass]
+    val rbo20 = rows.last._3
+    assert(rbo20 >= 0.0 && rbo20 <= 1.0)
+    // the two scorers genuinely differ AND genuinely overlap at sf0.001
+    assert(rows.last._2 > 0 && rbo20 < 1.0 - 1e-9)
+  }
 }
