@@ -543,7 +543,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Clustering-quality evaluation: adjusted Rand index and purity of
+    * the hyperplane-octant cell assignment (the same 32-cell geometric
+    * partition [[qDedupSemantic]] clusters by) against the ground-truth
+    * `label` column — the "did the unsupervised partition recover the
+    * classes" scorecard a curation pipeline reads before trusting a
+    * cluster-level dedup or mixing decision.
+    *
+    * ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½(Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)) − E) with
+    * E = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2)/C(n,2): every C(·,2) is exact integer
+    * arithmetic (`DIV 2` of an even product), and the three final float
+    * ops are correctly-rounded IEEE on identical operands — full
+    * precision, no rounding, NULLIF guarding the degenerate
+    * single-cluster case (the kappa convention).
+    *
+    * Scale shape: one (cell, label) contingency aggregation with
+    * map-side partials; everything after operates on ≤ cells×labels
+    * rows. */
+  def qClusterAri(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("label"), embDouble(col("embedding")).as("emb"))
+    val octant = (0 until 5)
+      .map(i => when(element_at(col("emb"), i + 1) > 0.0, lit(1 << (4 - i)))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+    val ct = e.select(col("label"), octant.cast("int").as("cell"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+    val comb = ct.agg(sum(expr("nij * (nij - 1) DIV 2")).as("sum_comb"))
+    val a = ct.groupBy("cell").agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+      .agg(sum(expr("ai * (ai - 1) DIV 2")).as("sum_a"),
+        count(lit(1)).as("n_cells"), sum(col("ai")).as("n"),
+        sum(col("mx")).as("sum_max"))
+    val b = ct.groupBy("label").agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) DIV 2")).as("sum_b"),
+        count(lit(1)).as("n_labels"))
+    val exp_ = col("sum_a").cast("double") * col("sum_b").cast("double") /
+      expr("n * (n - 1) DIV 2").cast("double")
+    val ari = (col("sum_comb").cast("double") - exp_) /
+      nullif((col("sum_a") + col("sum_b")).cast("double") / lit(2.0) - exp_,
+        lit(0.0))
+    comb.crossJoin(a).crossJoin(b)
+      .select(col("n"), col("n_cells"), col("n_labels"), col("sum_comb"),
+        col("sum_a"), col("sum_b"),
+        (col("sum_max").cast("double") / col("n").cast("double")).as("purity"),
+        ari.as("ari"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_ari" -> qClusterAri,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_emb_clusters" -> qEmbClusters,
     "q_emb_inertia" -> qEmbInertia,
@@ -584,6 +631,32 @@ object Similarity {
       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_ari" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT label,
+        |    (CASE WHEN emb[1] > 0.0 THEN 16 ELSE 0 END
+        |     + CASE WHEN emb[2] > 0.0 THEN 8 ELSE 0 END
+        |     + CASE WHEN emb[3] > 0.0 THEN 4 ELSE 0 END
+        |     + CASE WHEN emb[4] > 0.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN emb[5] > 0.0 THEN 1 ELSE 0 END)::INT AS cell FROM e),
+        |ct AS (SELECT cell, label, count(*) AS nij FROM c GROUP BY 1, 2),
+        |comb AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sum_comb FROM ct),
+        |a AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a,
+        |    CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(ai) AS BIGINT) AS n,
+        |    CAST(sum(mx) AS BIGINT) AS sum_max
+        |  FROM (SELECT cell, sum(nij) AS ai, max(nij) AS mx FROM ct GROUP BY cell)),
+        |b AS (SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b,
+        |    CAST(count(*) AS BIGINT) AS n_labels
+        |  FROM (SELECT label, sum(nij) AS bj FROM ct GROUP BY label))
+        |SELECT n, n_cells, n_labels, sum_comb, sum_a, sum_b,
+        |  CAST(sum_max AS DOUBLE) / CAST(n AS DOUBLE) AS purity,
+        |  (CAST(sum_comb AS DOUBLE)
+        |    - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+        |      / CAST((n * (n - 1)) // 2 AS DOUBLE))
+        |  / NULLIF(CAST(sum_a + sum_b AS DOUBLE) / 2.0
+        |    - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+        |      / CAST((n * (n - 1)) // 2 AS DOUBLE), 0) AS ari
+        |FROM comb, a, b""".stripMargin,
     "q_dedup_semantic" ->
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |a AS MATERIALIZED (

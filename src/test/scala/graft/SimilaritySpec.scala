@@ -174,4 +174,33 @@ class SimilaritySpec extends AnyFunSuite {
     // no false positives from the raw corpus: only injected variants dup
     assert(got.forall(_._2 >= 100000L))
   }
+
+  test("cluster ARI: matches an in-memory recompute from the contingency") {
+    val r = Similarity.qClusterAri(spark, TestSpark.sf0001).collect().head
+    val n = r.getAs[Long]("n")
+    // independent recompute: collect the (cell,label) contingency directly
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    val octant = (0 until 5)
+      .map(i => when(element_at(col("emb"), i + 1) > 0.0, lit(1 << (4 - i)))
+        .otherwise(lit(0))).reduce(_ + _)
+    val ct = e.select(octant.as("cell"), col("label")).collect()
+      .map(x => (x.getInt(0), x.getAs[Number](1).intValue))
+    assert(ct.length.toLong == n)
+    def c2(x: Long) = x * (x - 1) / 2
+    val nij = ct.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ai = ct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val bj = ct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sc2: Long = nij.values.map(c2).sum
+    val sa2: Long = ai.values.map(c2).sum
+    val sb2: Long = bj.values.map(c2).sum
+    val exp = sa2.toDouble * sb2.toDouble / c2(n)
+    val ariRef = (sc2 - exp) / ((sa2 + sb2) / 2.0 - exp)
+    assert(math.abs(r.getAs[Double]("ari") - ariRef) < 1e-12)
+    val purityRef = ct.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.length).max.toLong).sum.toDouble / n
+    assert(math.abs(r.getAs[Double]("purity") - purityRef) < 1e-12)
+    assert(r.getAs[Double]("ari") <= 1.0 + 1e-12)
+  }
 }
