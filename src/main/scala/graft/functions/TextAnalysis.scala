@@ -383,6 +383,123 @@ object TextAnalysis {
       .orderBy("d")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009, k = 60) of the BM25
+    * and tf·idf top-20 lists — the standard multi-retriever combiner in
+    * a RAG stack: fused(d) = Σ_lists 1/(k + rank_list(d)), docs ranked
+    * by fused score, top-10 kept. Ranks derive exactly as in
+    * [[qRankRbo]] (round-6-then-rank, doc_id tie-breaks, bounded
+    * orderBy+limit). The fused score is a sum of TWO correctly-rounded
+    * divisions added in a fixed order (coalesce(a,0)+coalesce(b,0)), so
+    * it ships at full precision; equal-score ties (same rank pair)
+    * break on doc_id. */
+  def qRankRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "spark", "window")
+    val d = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val consts = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+      .select(col("nd").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(dfx), "tok").crossJoin(broadcast(consts))
+      .withColumn("cb", log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
+      .withColumn("ct",
+        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
+    def tc(c: String, t: String): Column =
+      coalesce(max(when(col("tok") === t, col(c))), lit(0.0))
+    val scores = joined.groupBy("doc_id").agg(
+      round(tc("cb", "hash") + tc("cb", "spark") + tc("cb", "window"), 6).as("sa"),
+      round(tc("ct", "hash") + tc("ct", "spark") + tc("ct", "window"), 6).as("sb"))
+    val topA = scores.select("doc_id", "sa")
+      .orderBy(col("sa").desc, col("doc_id")).limit(20)
+      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("doc_id"))))
+      .select("doc_id", "ra")
+    val topB = scores.select("doc_id", "sb")
+      .orderBy(col("sb").desc, col("doc_id")).limit(20)
+      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
+      .select("doc_id", "rb")
+    topA.join(topB, Seq("doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("ra"), col("rb"), col("fused"))
+  }
+
+  /** nDCG@20 of the tf·idf ranking against BM25-graded relevance — the
+    * third retrieval-evaluation statistic beside [[qRankRbo]] and
+    * [[qRankRrf]]: treat the BM25 top-20 scores as graded relevance
+    * judgments and ask how well the cheaper tf·idf ranking orders them.
+    * DCG = Σ rel(d)/log₂(rank+1) over the evaluated ranking; IDCG is
+    * the same sum over the ideal (BM25) order; nDCG = DCG/IDCG.
+    *
+    * Determinism: ranks derive exactly as in qRankRbo; both log₂ sums
+    * accumulate as ordered prefix sums (window ORDER BY rank over the
+    * 20-row frames, max of a monotone cumulative) so both engines add
+    * in the same sequence, and the three outputs round to 6 dp for the
+    * log ulp — the established ln convention. */
+  def qRankNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "spark", "window")
+    val d = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val consts = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+      .select(col("nd").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val joined = tf.join(broadcast(dfx), "tok").crossJoin(broadcast(consts))
+      .withColumn("cb", log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
+      .withColumn("ct",
+        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
+    def tc(c: String, t: String): Column =
+      coalesce(max(when(col("tok") === t, col(c))), lit(0.0))
+    val scores = joined.groupBy("doc_id").agg(
+      round(tc("cb", "hash") + tc("cb", "spark") + tc("cb", "window"), 6).as("sa"),
+      round(tc("ct", "hash") + tc("ct", "spark") + tc("ct", "window"), 6).as("sb"))
+    val topA = scores.select("doc_id", "sa")
+      .orderBy(col("sa").desc, col("doc_id")).limit(20)
+      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("doc_id"))))
+    val topB = scores.select("doc_id", "sb")
+      .orderBy(col("sb").desc, col("doc_id")).limit(20)
+      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
+      .select("doc_id", "rb")
+    val wB = Window.orderBy(col("rb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcg = topB.join(topA.select("doc_id", "sa"), Seq("doc_id"), "left")
+      .select(col("rb"), coalesce(col("sa"), lit(0.0)).as("rel"))
+      .withColumn("cum", sum(col("rel") / log(2.0, col("rb") + 1)).over(wB))
+      .agg(max(col("cum")).as("dcg"))
+    val wA = Window.orderBy(col("ra"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idcg = topA
+      .withColumn("cum", sum(col("sa") / log(2.0, col("ra") + 1)).over(wA))
+      .agg(max(col("cum")).as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   /** Adjacent-token-pair counts (the first iteration of BPE-style merge
     * mining): top-30 bigrams corpus-wide. The pair explode is linear in
     * token count; the groupBy partial-aggregates map-side so the exchange
@@ -678,6 +795,8 @@ object TextAnalysis {
     "q_text_bigrams" -> qTextBigrams,
     "q_text_bm25" -> qTextBm25,
     "q_rank_rbo" -> qRankRbo,
+    "q_rank_rrf" -> qRankRrf,
+    "q_rank_ndcg" -> qRankNdcg,
     "q_vocab_topk" -> qVocabTopk,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_chunk" -> qTextChunk,
@@ -891,6 +1010,77 @@ object TextAnalysis {
         |  round(sum(0.1 * power(0.9, d - 1) * CAST(x_d AS DOUBLE) / d)
         |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo
         |FROM x ORDER BY d""".stripMargin,
+    "q_rank_rrf" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM t),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d)
+        |  WHERE tok IN ('hash','spark','window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))) AS cb,
+        |  CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) AS ct
+        |  FROM tf JOIN df USING (tok), c),
+        |g AS (SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN cb END), 0.0), 6) AS sa,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN ct END), 0.0), 6) AS sb
+        |  FROM sc GROUP BY doc_id),
+        |ta AS (SELECT doc_id, sa FROM g ORDER BY sa DESC, doc_id LIMIT 20),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) AS ra FROM ta),
+        |tb AS (SELECT doc_id, sb FROM g ORDER BY sb DESC, doc_id LIMIT 20),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS rb FROM tb)
+        |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |  CAST(ra.ra AS INT) AS ra, CAST(rb.rb AS INT) AS rb,
+        |  coalesce(1.0 / (60.0 + CAST(ra.ra AS DOUBLE)), 0.0)
+        |    + coalesce(1.0 / (60.0 + CAST(rb.rb AS DOUBLE)), 0.0) AS fused
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY fused DESC, coalesce(ra.doc_id, rb.doc_id) LIMIT 10""".stripMargin,
+    "q_rank_ndcg" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM t),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d)
+        |  WHERE tok IN ('hash','spark','window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))) AS cb,
+        |  CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) AS ct
+        |  FROM tf JOIN df USING (tok), c),
+        |g AS (SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN cb END), 0.0), 6) AS sa,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN ct END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN ct END), 0.0), 6) AS sb
+        |  FROM sc GROUP BY doc_id),
+        |ta AS (SELECT doc_id, sa FROM g ORDER BY sa DESC, doc_id LIMIT 20),
+        |ra AS (SELECT doc_id, sa, row_number() OVER (ORDER BY sa DESC, doc_id) AS ra FROM ta),
+        |tb AS (SELECT doc_id, sb FROM g ORDER BY sb DESC, doc_id LIMIT 20),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS rb FROM tb),
+        |dc AS (SELECT max(cum) AS dcg FROM (
+        |  SELECT sum(coalesce(ra.sa, 0.0) / log2(rb.rb + 1))
+        |    OVER (ORDER BY rb.rb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rb LEFT JOIN ra ON rb.doc_id = ra.doc_id)),
+        |ic AS (SELECT max(cum) AS idcg FROM (
+        |  SELECT sum(sa / log2(ra + 1))
+        |    OVER (ORDER BY ra ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ra))
+        |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  round(dcg / idcg, 6) AS ndcg
+        |FROM dc, ic""".stripMargin,
     "q_vocab_topk" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c

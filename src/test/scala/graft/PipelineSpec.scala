@@ -416,4 +416,28 @@ class PipelineSpec extends AnyFunSuite {
     // the two scorers genuinely differ AND genuinely overlap at sf0.001
     assert(rows.last._2 > 0 && rbo20 < 1.0 - 1e-9)
   }
+
+  test("RRF and nDCG: fusion ordering and normalization bounds hold") {
+    val rrf = graft.functions.TextAnalysis.qRankRrf(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[Integer]("ra")), Option(r.getAs[Integer]("rb")),
+        r.getAs[Double]("fused")))
+    assert(rrf.length == 10)
+    // fused scores descend and match the published formula exactly
+    assert(rrf.toSeq.sliding(2).forall {
+      case Seq((_, _, _, f1), (_, _, _, f2)) => f1 >= f2
+      case _ => true })
+    rrf.foreach { case (_, ra, rb, f) =>
+      val exp = ra.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(f == exp)
+      assert(ra.nonEmpty || rb.nonEmpty)
+    }
+    val nd = graft.functions.TextAnalysis.qRankNdcg(spark, TestSpark.sf0001)
+      .collect().head
+    val (dcg, idcg, ndcg) = (nd.getAs[Double]("dcg"), nd.getAs[Double]("idcg"),
+      nd.getAs[Double]("ndcg"))
+    assert(idcg > 0 && dcg > 0 && dcg <= idcg + 1e-9)
+    assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+  }
 }
