@@ -314,28 +314,19 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 6).as("bm25"))
   }
 
-  /** Rank-biased overlap (Webber et al. 2010, truncated form, p = 0.9)
-    * between the BM25 and the plain tf·idf top-20 rankings for the same
-    * probe terms — the retrieval-evaluation statistic for "how much do
-    * two scorers agree, weighted toward the top of the list". Emits one
-    * row per depth d: the agreement count X_d = |A_d ∩ B_d| and the
-    * running RBO prefix (1−p)·Σ_{e≤d} p^{e−1}·X_e/e, whose d = 20 row
-    * is RBO@20.
-    *
-    * Determinism: both scores round to 6 dp BEFORE ranking (floats that
-    * ORDER rows must be rounded — the established rule), ties break on
-    * doc_id, per-term contributions add in a FIXED order (the max-CASE
-    * chain, not an unordered float sum), and both rankings take top-20
-    * via orderBy+limit (a bounded TakeOrderedAndProject — no
-    * partition-less window over the corpus; the row_number windows run
-    * over the 20-row frames). `power` differs by ulps across engines,
-    * so the running RBO rounds to 6 dp — the established ln/pow
-    * convention.
+  /** Shared spine of the three ranking metrics ([[qRankRbo]] /
+    * [[qRankRrf]] / [[qRankNdcg]]): BM25 and plain tf·idf scores for the
+    * fixed probe terms, rounded to 6 dp BEFORE ranking (floats that
+    * ORDER rows must be rounded — the established rule), doc_id
+    * tie-breaks, top-20 per scorer via bounded orderBy+limit (a
+    * TakeOrderedAndProject, never a partition-less window over the
+    * corpus; the row_number windows run over the 20-row frames).
+    * Returns (bm25Top20 with rank `ra` and score `sa`, tfidfTop20 with
+    * rank `rb` and score `sb`).
     *
     * Scale shape: term filter before the (doc, term) count, constants
-    * broadcast, the only wide exchange carries matching-term rows; all
-    * depth arithmetic happens on ≤20-row frames. */
-  def qRankRbo(s: SparkSession, dir: String): DataFrame = {
+    * broadcast, the only wide exchange carries matching-term rows. */
+  private def rankedTop20(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val terms = Seq("hash", "spark", "window")
     val d = documents(s, dir)
@@ -369,6 +360,34 @@ object TextAnalysis {
     val topB = scores.select("doc_id", "sb")
       .orderBy(col("sb").desc, col("doc_id")).limit(20)
       .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
+    (topA, topB)
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010, truncated form, p = 0.9)
+    * between the BM25 and the plain tf·idf top-20 rankings for the same
+    * probe terms — the retrieval-evaluation statistic for "how much do
+    * two scorers agree, weighted toward the top of the list". Emits one
+    * row per depth d: the agreement count X_d = |A_d ∩ B_d| and the
+    * running RBO prefix (1−p)·Σ_{e≤d} p^{e−1}·X_e/e, whose d = 20 row
+    * is RBO@20.
+    *
+    * Determinism: both scores round to 6 dp BEFORE ranking (floats that
+    * ORDER rows must be rounded — the established rule), ties break on
+    * doc_id, per-term contributions add in a FIXED order (the max-CASE
+    * chain, not an unordered float sum), and both rankings take top-20
+    * via orderBy+limit (a bounded TakeOrderedAndProject — no
+    * partition-less window over the corpus; the row_number windows run
+    * over the 20-row frames). `power` differs by ulps across engines,
+    * so the running RBO rounds to 6 dp — the established ln/pow
+    * convention.
+    *
+    * Scale shape: term filter before the (doc, term) count, constants
+    * broadcast, the only wide exchange carries matching-term rows; all
+    * depth arithmetic happens on ≤20-row frames. */
+  def qRankRbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (topA, topB0) = rankedTop20(s, dir)
+    val topB = topB0
     val mdc = topA.join(topB, "doc_id")
       .select(greatest(col("ra"), col("rb")).as("md"))
       .groupBy("md").agg(count(lit(1)).as("c"))
@@ -394,40 +413,8 @@ object TextAnalysis {
     * break on doc_id. */
   def qRankRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = Seq("hash", "spark", "window")
-    val d = documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-    val consts = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
-      .select(col("nd").cast("double").as("n_docs"),
-        (col("sum_dl").cast("double") / col("nd").cast("double")).as("avgdl"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val joined = tf.join(broadcast(dfx), "tok").crossJoin(broadcast(consts))
-      .withColumn("cb", log(lit(1.0) +
-          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) *
-        ((col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
-      .withColumn("ct",
-        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
-    def tc(c: String, t: String): Column =
-      coalesce(max(when(col("tok") === t, col(c))), lit(0.0))
-    val scores = joined.groupBy("doc_id").agg(
-      round(tc("cb", "hash") + tc("cb", "spark") + tc("cb", "window"), 6).as("sa"),
-      round(tc("ct", "hash") + tc("ct", "spark") + tc("ct", "window"), 6).as("sb"))
-    val topA = scores.select("doc_id", "sa")
-      .orderBy(col("sa").desc, col("doc_id")).limit(20)
-      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("doc_id"))))
-      .select("doc_id", "ra")
-    val topB = scores.select("doc_id", "sb")
-      .orderBy(col("sb").desc, col("doc_id")).limit(20)
-      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
-      .select("doc_id", "rb")
+    val (topA, topB0) = rankedTop20(s, dir)
+    val topB = topB0.select("doc_id", "rb")
     topA.join(topB, Seq("doc_id"), "full_outer")
       .withColumn("fused",
         coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
@@ -451,39 +438,8 @@ object TextAnalysis {
     * log ulp — the established ln convention. */
   def qRankNdcg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = Seq("hash", "spark", "window")
-    val d = documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-    val consts = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
-      .select(col("nd").cast("double").as("n_docs"),
-        (col("sum_dl").cast("double") / col("nd").cast("double")).as("avgdl"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val joined = tf.join(broadcast(dfx), "tok").crossJoin(broadcast(consts))
-      .withColumn("cb", log(lit(1.0) +
-          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) *
-        ((col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
-      .withColumn("ct",
-        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
-    def tc(c: String, t: String): Column =
-      coalesce(max(when(col("tok") === t, col(c))), lit(0.0))
-    val scores = joined.groupBy("doc_id").agg(
-      round(tc("cb", "hash") + tc("cb", "spark") + tc("cb", "window"), 6).as("sa"),
-      round(tc("ct", "hash") + tc("ct", "spark") + tc("ct", "window"), 6).as("sb"))
-    val topA = scores.select("doc_id", "sa")
-      .orderBy(col("sa").desc, col("doc_id")).limit(20)
-      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("doc_id"))))
-    val topB = scores.select("doc_id", "sb")
-      .orderBy(col("sb").desc, col("doc_id")).limit(20)
-      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("doc_id"))))
-      .select("doc_id", "rb")
+    val (topA, topB0) = rankedTop20(s, dir)
+    val topB = topB0.select("doc_id", "rb")
     val wB = Window.orderBy(col("rb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dcg = topB.join(topA.select("doc_id", "sa"), Seq("doc_id"), "left")
