@@ -722,8 +722,40 @@ object Stats {
       .orderBy("lang")
   }
 
+  /** Benford first-digit conformity of order totals (in cents) — the
+    * classic fabricated-data / pipeline-corruption screen: per leading
+    * digit 1–9, the observed share vs Benford's log₁₀(1 + 1/d), with
+    * the absolute deviation (whose mean over digits is the standard
+    * MAD conformity statistic). The first digit comes from the exact
+    * integer's decimal string (no float log extraction — a power-of-ten
+    * boundary could round differently across engines); p_obs is an
+    * exact integer ratio; the Benford reference and deviation round to
+    * 6 dp for the log ulp. A synthetic-uniform fixture (like TPC-H
+    * prices) deviates strongly — the screen firing on synthetic data is
+    * the diagnostic working, same as the Zipf r² note.
+    *
+    * Scale shape: one row-level digit projection pushed to the scan,
+    * one 9-group aggregation with map-side partials, one broadcast of
+    * the single-row total. */
+  def qStatsBenford(s: SparkSession, dir: String): DataFrame = {
+    val g = orders(s, dir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = g.agg(sum(col("n_obs")).as("n"))
+    val pBen = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val pObs = col("n_obs").cast("double") / col("n").cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        pObs.as("p_obs"),
+        round(pBen, 6).as("p_benford"),
+        round(abs(pObs - pBen), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agree_kappa" -> qAgreeKappa,
+    "q_stats_benford" -> qStatsBenford,
     "q_drift_psi" -> qDriftPsi,
     "q_stats_bootstrap" -> qStatsBootstrap,
     "q_seasonal_dow" -> qSeasonalDow,
@@ -779,6 +811,18 @@ object Stats {
         |      * (1 - CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))), 0)
         |  AS kappa
         |FROM g ORDER BY lang""".stripMargin,
+    "q_stats_benford" ->
+      """WITH g AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford,
+        |  round(abs(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+        |FROM g, t ORDER BY digit""".stripMargin,
     "q_drift_psi" ->
       """WITH e AS (SELECT ts < TIMESTAMP '2024-01-16' AS is_ref,
         |    CAST(least(floor(floor(value*100)/250.0), 15.0) AS BIGINT) AS bucket

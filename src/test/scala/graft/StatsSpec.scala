@@ -432,4 +432,18 @@ class StatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Benford screen: digits partition the table, reference is a distribution") {
+    val rows = graft.operators.Stats.qStatsBenford(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val nOrders = Tables.orders(spark, TestSpark.sf0001).count()
+    assert(rows.map(_._2).sum == nOrders)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    // Benford reference shares sum to 1 and decrease with the digit
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    assert(rows.toSeq.sliding(2).forall {
+      case Seq((_, _, _, p1), (_, _, _, p2)) => p1 > p2
+      case _ => true })
+  }
 }
