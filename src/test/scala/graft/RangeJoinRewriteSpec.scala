@@ -166,6 +166,37 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(nestedLoops(auto.queryExecution.executedPlan) == 0)
   }
 
+  test("date-typed axis: rewrite equals naive (the DateType bucket path)") {
+    // the fixtures ship NTZ timestamps, so the DateType branch of
+    // toBucket/baseOffset needs its own inputs: cast both axes to DATE
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    val naive = li.join(o,
+        col("sd") >= date_sub(col("od"), 2) && col("sd") <= date_add(col("od"), 2))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 86400.0)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+    // date_add/date_sub of a literal is the statically-proven shape too
+    assert(nestedLoops(rewritten.queryExecution.executedPlan) == 0)
+  }
+
+  test("decimal-typed axis: rewrite equals naive (NumericType cast path)") {
+    import spark.implicits._
+    val pts = spark.range(0, 400).select(col("id").as("pid"),
+      (col("id") % 300).cast("decimal(12,2)").as("x"))
+    val iv = spark.range(0, 80).select(col("id").as("iid"),
+      (col("id") * 7 % 280).cast("decimal(12,2)").as("lo"),
+      (col("id") * 7 % 280 + col("id") % 25).cast("decimal(12,2)").as("hi"))
+    val naive = pts.join(iv, col("x") >= col("lo") && col("x") <= col("hi"))
+    val rewritten = RangeJoinRewrite.applied(spark, naive, width = 10.0, cap = 2L)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+    assert(rewritten.count() > 0)
+  }
+
   test("an existing cross-side equi predicate disables the rewrite") {
     val (points, intervals) = numericFixture
     val naive = points.join(intervals,
