@@ -326,7 +326,7 @@ object TextAnalysis {
     *
     * Scale shape: term filter before the (doc, term) count, constants
     * broadcast, the only wide exchange carries matching-term rows. */
-  private def rankedTop20(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def rankedTop20(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val terms = Seq("hash", "spark", "window")
     val d = documents(s, dir)

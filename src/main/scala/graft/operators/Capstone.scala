@@ -230,8 +230,50 @@ object Capstone {
       .orderBy("source")
   }
 
+  /** Hybrid retrieval as one plan — the RAG stack's standard recall
+    * path: a LEXICAL ranking (BM25 top-20 over the probe terms, the
+    * [[graft.functions.TextAnalysis]] ranking spine) and a DENSE
+    * ranking (cosine against a fixed probe embedding, vec_id 0 — the
+    * id-aligned embeddings table), fused by reciprocal rank (k = 60),
+    * top-10 kept with both ranks visible.
+    *
+    * Determinism: the dense side ranks on the raw cosine — the kernel
+    * carries DuckDB's exact operation tree (`Kernels.cosine` lockstep,
+    * the q_sim_topk precedent), so the boolean ordering is bit-stable —
+    * with vec_id tie-breaks; the lexical side is the round-6-then-rank
+    * spine; both top-20s are bounded orderBy+limit, and the fused score
+    * is two correctly-rounded divisions added in a fixed order.
+    *
+    * Scale shape: the probe vector broadcasts (one row); the dense scan
+    * is a map-side cosine + bounded top-k (TakeOrderedAndProject); the
+    * lexical side's only wide exchange carries matching-term rows; the
+    * fusion joins two 20-row frames. */
+  def qCapstoneHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lexTop, _) = graft.functions.TextAnalysis.rankedTop20(s, dir)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("probe_emb"))
+    val denseTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.functions.Similarity.cosine(col("probe_emb"), col("emb")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(20)
+      .withColumn("rd", row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("cos"), col("rd"))
+    lexTop.select("doc_id", "ra").join(denseTop, Seq("doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("ra").as("lex_rank"), col("rd").as("dense_rank"),
+        col("fused"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capstone_corpus" -> qCapstoneCorpus,
+    "q_capstone_hybrid" -> qCapstoneHybrid,
     "q_capstone_sessions" -> qCapstoneSessions,
     "q_capstone_scrape" -> qCapstoneScrape,
     "q_capstone_release" -> qCapstoneRelease,
@@ -240,6 +282,38 @@ object Capstone {
   private def toksSql = "list_filter(string_split(text,' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_capstone_hybrid" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM t),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM d)
+        |  WHERE tok IN ('hash','spark','window') GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok,
+        |  ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))) AS cb
+        |  FROM tf JOIN df USING (tok), c),
+        |g AS (SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN tok='hash' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='spark' THEN cb END), 0.0)
+        |   + coalesce(max(CASE WHEN tok='window' THEN cb END), 0.0), 6) AS sa
+        |  FROM sc GROUP BY doc_id),
+        |ta AS (SELECT doc_id, sa FROM g ORDER BY sa DESC, doc_id LIMIT 20),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) AS ra FROM ta),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT emb AS pe FROM e WHERE vec_id = 0),
+        |dt AS (SELECT vec_id, list_cosine_similarity(emb, pe) AS cos
+        |  FROM e, p WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 20),
+        |dr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rd FROM dt)
+        |SELECT coalesce(ra.doc_id, dr.doc_id) AS doc_id,
+        |  CAST(ra.ra AS INT) AS lex_rank, CAST(dr.rd AS INT) AS dense_rank,
+        |  coalesce(1.0 / (60.0 + CAST(ra.ra AS DOUBLE)), 0.0)
+        |    + coalesce(1.0 / (60.0 + CAST(dr.rd AS DOUBLE)), 0.0) AS fused
+        |FROM ra FULL OUTER JOIN dr ON ra.doc_id = dr.doc_id
+        |ORDER BY fused DESC, coalesce(ra.doc_id, dr.doc_id) LIMIT 10""".stripMargin,
     "q_capstone_release" ->
       """WITH c0 AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -115,4 +115,25 @@ class CapstoneSpec extends AnyFunSuite {
         r.getAs[Long]("n_released")) <= 361.0)
     }
   }
+
+  test("hybrid retrieval: fusion formula exact, both retrievers contribute") {
+    val rows = Capstone.qCapstoneHybrid(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[Integer]("lex_rank")),
+        Option(r.getAs[Integer]("dense_rank")), r.getAs[Double]("fused")))
+    assert(rows.length == 10)
+    rows.foreach { case (_, lr, dr, f) =>
+      val exp = lr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        dr.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(f == exp)
+      assert(lr.nonEmpty || dr.nonEmpty)
+    }
+    // scores descend; a doc found by BOTH retrievers outranks any
+    // found by one at comparable rank, so the fused head is dual-hit
+    // whenever any dual-hit exists
+    assert(rows.toSeq.sliding(2).forall {
+      case Seq((_, _, _, f1), (_, _, _, f2)) => f1 >= f2
+      case _ => true })
+    if (rows.exists(r => r._2.nonEmpty && r._3.nonEmpty))
+      assert(rows.head._2.nonEmpty || rows.head._3.nonEmpty)
+  }
 }

@@ -38,8 +38,15 @@ class ScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 
+    // a frame is admissible below a partition-less window if it is
+    // bounded by construction: an aggregate (group count is a data-size
+    // cap the empirical WindowLint sweep verifies) or a LIMIT (a literal
+    // constant — the top-k ranking pattern)
     def hasAggBelow(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
       case a: AdaptiveSparkPlanExec => hasAggBelow(a.executedPlan)
       case other => other.children.exists(hasAggBelow)
     }
