@@ -314,7 +314,50 @@ object Selection {
       .orderBy("slot")
   }
 
+  /** Neyman-allocation stratified sampling: a fixed budget of 100 docs
+    * split across language strata ∝ N_h·σ_h (the allocation minimizing
+    * the stratified mean's variance — more samples where the stratum is
+    * big AND internally diverse), then a deterministic md5-order draw
+    * of exactly that many docs per stratum. The classic two-pass
+    * distributed design: one stats pass (map-side power-sum partials),
+    * a 5-row allocation frame broadcast back, one partitioned rank.
+    *
+    * Float discipline: σ_h = sqrt(N·Σx² − (Σx)²)/N from exact integer
+    * power sums (identical correctly-rounded op tree both engines →
+    * bit-identical); the allocation denominator Σ N_h·σ_h accumulates
+    * as an ORDERED prefix sum over lang (unordered float aggregation
+    * would be order-nondeterministic), so `floor(budget·w_h/denom)` is
+    * bit-stable and the floor boundary cannot flip across engines. */
+  def qSampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100.0
+    val d = documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val stats = d.groupBy("lang").agg(
+      count(lit(1)).as("n_pop"),
+      sum(col("n_chars")).as("m1"),
+      sum(col("n_chars") * col("n_chars")).as("m2"))
+      .withColumn("sd",
+        sqrt((col("n_pop") * col("m2") - col("m1") * col("m1")).cast("double")) /
+          col("n_pop").cast("double"))
+      .withColumn("w", col("n_pop").cast("double") * col("sd"))
+    val denom = stats
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(max(col("cum")).as("denom"))
+    val alloc = stats.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_pop"),
+        floor(lit(budget) * col("w") / col("denom")).cast("int").as("alloc"))
+    val rk = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("ney"), col("doc_id").cast("string"))), col("doc_id")))
+    d.join(broadcast(alloc), "lang")
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("alloc"))
+      .select(col("lang"), col("doc_id"), col("rk"), col("alloc"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_neyman" -> qSampleNeyman,
     "q_curriculum_pack" -> qCurriculumPack,
     "q_mix_kl" -> qMixKl,
     "q_sample_weighted" -> qSampleWeighted,
@@ -331,6 +374,27 @@ object Selection {
     .mkString("CASE ", " ", " ELSE '0' END")
 
   val oracles: Map[String, String] = Map(
+    "q_sample_neyman" ->
+      """WITH st AS (SELECT lang, count(*) AS n_pop,
+        |    CAST(sum(n_chars) AS BIGINT) AS m1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS m2
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_pop,
+        |    CAST(n_pop AS DOUBLE)
+        |      * (sqrt(CAST(n_pop * m2 - m1 * m1 AS DOUBLE)) / CAST(n_pop AS DOUBLE))
+        |      AS w
+        |  FROM st),
+        |dn AS (SELECT max(cum) AS denom FROM (
+        |  SELECT sum(w) OVER (ORDER BY lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w)),
+        |al AS (SELECT lang, CAST(floor(100.0 * w / denom) AS INT) AS alloc
+        |  FROM w, dn),
+        |r AS (SELECT d.lang, d.doc_id, al.alloc,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5('ney' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d JOIN al ON d.lang = al.lang)
+        |SELECT lang, doc_id, CAST(rk AS INT) AS rk, alloc
+        |FROM r WHERE rk <= alloc ORDER BY lang, rk""".stripMargin,
     "q_curriculum_pack" ->
       """WITH b AS (SELECT doc_id, source, n_chars,
         |    CAST(substring(source, 4) AS INT) AS src_idx,

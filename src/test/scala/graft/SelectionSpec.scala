@@ -206,4 +206,32 @@ class SelectionSpec extends AnyFunSuite {
       assert(members.contains(r.getLong(1) - 100000))
     }
   }
+
+  test("Neyman allocation: budget respected, counts exact, monotone in N*sigma") {
+    val rows = graft.operators.Selection.qSampleNeyman(spark, TestSpark.sf001)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("doc_id"),
+        r.getInt(2), r.getInt(3)))
+    val perLang = rows.groupBy(_._1)
+    // every stratum fills its allocation exactly; floors keep the total
+    // within [budget - strata, budget]
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length == rs.head._4, s"$lang selected ${rs.length} of ${rs.head._4}")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    val total = perLang.values.map(_.head._4).sum
+    assert(total <= 100 && total >= 100 - perLang.size)
+    // allocation is monotone in the stratum weight N*sigma
+    import org.apache.spark.sql.functions._
+    val w = Tables.documents(spark, TestSpark.sf001)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("m1"),
+        sum(col("n_chars") * col("n_chars")).as("m2"))
+      .collect().map { r =>
+        val n = r.getLong(1); val m1 = r.getLong(2); val m2 = r.getLong(3)
+        r.getString(0) -> math.sqrt((n * m2 - m1 * m1).toDouble) // N*sigma*N/N = sqrt/1... proportional
+      }.toMap
+    val alloc = perLang.view.mapValues(_.head._4).toMap
+    for (a <- alloc.keys; b <- alloc.keys if w(a) > w(b))
+      assert(alloc(a) + 1 >= alloc(b), s"alloc($a)=${alloc(a)} < alloc($b)=${alloc(b)}")
+  }
 }
