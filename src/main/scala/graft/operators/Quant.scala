@@ -182,12 +182,55 @@ object Quant {
       .limit(20)
   }
 
+  /** Theil–Sen robust trend of daily revenue: the median of all
+    * pairwise slopes (cents/day) — the estimator that shrugs off the
+    * outlier days an OLS slope (q_stats_linreg) chases. The O(n²) pair
+    * set is over the DAILY AGGREGATE, whose size is bounded by the date
+    * domain, not the corpus (~2.4k days → ~3M pairs at any SF; the
+    * aggregate side broadcasts) — the only formulation of Theil–Sen
+    * that survives scale.
+    *
+    * Float discipline: each slope is one correctly-rounded division of
+    * exact integers (Δcents / Δdays), so the slope multiset is
+    * bit-identical across engines; the median interpolates two order
+    * statistics of identical doubles with the same a + 0.5·(b−a) form
+    * both sides — full precision, no rounding. */
+  def qQuantTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .select(datediff(col("d"), lit("1992-01-01").cast("date")).as("dn"),
+        col("rev"))
+    val a = daily.select(col("dn").as("dn1"), col("rev").as("rev1"))
+    val b = daily.select(col("dn").as("dn2"), col("rev").as("rev2"))
+    val pairs = b.join(broadcast(a), col("dn1") < col("dn2"))
+      .select(((col("rev2") - col("rev1")) /
+        (col("dn2") - col("dn1")).cast("double")).as("slope"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        percentile(col("slope"), lit(0.5)).as("sen_slope"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("sen_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quant_theilsen" -> qQuantTheilSen,
     "q_gini_nation" -> qGiniNation,
     "q_weighted_median" -> qWeightedMedian,
     "q_cusum_daily" -> qCusumDaily)
 
   val oracles: Map[String, String] = Map(
+    "q_quant_theilsen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT date_diff('day', DATE '1992-01-01', d) AS dn, rev FROM daily),
+        |p AS (SELECT (b.rev - a.rev) / CAST(b.dn - a.dn AS DOUBLE) AS slope
+        |  FROM n a JOIN n b ON a.dn < b.dn)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  median(slope) AS sen_slope
+        |FROM p""".stripMargin,
     "q_gini_nation" ->
       """WITH rev AS (SELECT o.o_custkey,
         |    CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev

@@ -50,4 +50,24 @@ class QuantSpec extends AnyFunSuite {
       "not sorted by |cusum| desc")
     assert(rows.map(_._1).distinct.length == 20, "duplicate days")
   }
+
+  test("Theil-Sen: matches an in-memory median of pairwise slopes") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Quant.qQuantTheilSen(spark, TestSpark.sf0001)
+      .collect().head
+    val daily = Tables.orders(spark, TestSpark.sf0001)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(Tables.cents(col("o_totalprice"))).as("rev"))
+      .select(datediff(col("d"), lit("1992-01-01").cast("date")), col("rev"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    val slopes = (for {
+      (d1, r1) <- daily; (d2, r2) <- daily if d1 < d2
+    } yield (r2 - r1).toDouble / (d2 - d1)).sorted
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(r.getAs[Long]("n_pairs") == daily.length.toLong * (daily.length - 1) / 2)
+    val m = slopes.length
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else slopes(m / 2 - 1) + 0.5 * (slopes(m / 2) - slopes(m / 2 - 1))
+    assert(math.abs(r.getAs[Double]("sen_slope") - med) < 1e-9)
+  }
 }
