@@ -48,6 +48,10 @@ object Main {
     }
     require(paths.nonEmpty, "at least one PATH required")
 
+    // only stop a session this run created — under a shared JVM (tests,
+    // notebooks) getOrCreate returns the caller's session, which must
+    // survive the scan
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-scan")
@@ -55,6 +59,7 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       if (verbosity >= 2) "INFO" else if (verbosity == 1) "WARN" else "ERROR")
@@ -66,7 +71,15 @@ object Main {
     val scans: Seq[Future[(String, DataFrame)]] = paths.toSeq.map { p =>
       Future {
         val src = FileListing.identifierFor(p, identifier)
-        (src, FileListing.listDF(spark, normalize(p), identifier).cache())
+        // scans go through the graft-files DataSource V2 table (not the
+        // RDD listing): the planner can push filename/path/size filters
+        // into the listing tasks, prune whole shards, skip the `created`
+        // stat when the column is unread, and broadcast a small listing
+        // from its reported statistics — none of which the RDD form gets
+        val reader = spark.read.format("graft-files")
+          .option("path", normalize(p))
+        val withId = identifier.fold(reader)(id => reader.option("identifier", id))
+        (src, withId.load().cache())
       }
     }
     val results = Await.result(Future.sequence(scans), Duration.Inf)
@@ -86,7 +99,7 @@ object Main {
         val n = spark.read.parquet(out).count()
         println(s"scan complete: $n rows in state at $out")
     }
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 
   /** `graft.Main query NAME SF_DIR [--out DIR | --explain]`: run one
@@ -115,6 +128,7 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = fn(spark, sfDir)

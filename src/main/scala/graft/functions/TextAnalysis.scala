@@ -434,8 +434,11 @@ object TextAnalysis {
     * Determinism: ranks derive exactly as in qRankRbo; both log₂ sums
     * accumulate as ordered prefix sums (window ORDER BY rank over the
     * 20-row frames, max of a monotone cumulative) so both engines add
-    * in the same sequence, and the three outputs round to 6 dp for the
-    * log ulp — the established ln convention. */
+    * in the same sequence. Each per-rank term rounds to 6 dp BEFORE the
+    * prefix sum (the established per-row ln convention): Spark computes
+    * log₂ as ln(x)/ln 2 while DuckDB has a native log2, and without the
+    * per-term rounding 20 accumulated ulp differences could straddle
+    * the final 6-dp boundary at an unverified scale factor. */
   def qRankNdcg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (topA, topB0) = rankedTop20(s, dir)
@@ -444,12 +447,14 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dcg = topB.join(topA.select("doc_id", "sa"), Seq("doc_id"), "left")
       .select(col("rb"), coalesce(col("sa"), lit(0.0)).as("rel"))
-      .withColumn("cum", sum(col("rel") / log(2.0, col("rb") + 1)).over(wB))
+      .withColumn("cum",
+        sum(round(col("rel") / log(2.0, col("rb") + 1), 6)).over(wB))
       .agg(max(col("cum")).as("dcg"))
     val wA = Window.orderBy(col("ra"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val idcg = topA
-      .withColumn("cum", sum(col("sa") / log(2.0, col("ra") + 1)).over(wA))
+      .withColumn("cum",
+        sum(round(col("sa") / log(2.0, col("ra") + 1), 6)).over(wA))
       .agg(max(col("cum")).as("idcg"))
     dcg.crossJoin(idcg)
       .select(round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
@@ -1027,11 +1032,11 @@ object TextAnalysis {
         |tb AS (SELECT doc_id, sb FROM g ORDER BY sb DESC, doc_id LIMIT 20),
         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS rb FROM tb),
         |dc AS (SELECT max(cum) AS dcg FROM (
-        |  SELECT sum(coalesce(ra.sa, 0.0) / log2(rb.rb + 1))
+        |  SELECT sum(round(coalesce(ra.sa, 0.0) / log2(rb.rb + 1), 6))
         |    OVER (ORDER BY rb.rb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM rb LEFT JOIN ra ON rb.doc_id = ra.doc_id)),
         |ic AS (SELECT max(cum) AS idcg FROM (
-        |  SELECT sum(sa / log2(ra + 1))
+        |  SELECT sum(round(sa / log2(ra + 1), 6))
         |    OVER (ORDER BY ra ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM ra))
         |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,

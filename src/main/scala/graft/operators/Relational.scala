@@ -982,7 +982,10 @@ object Relational {
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_near_shipments"))
       .orderBy("o_orderkey")
-    graft.plans.RangeJoinRewrite.applied(s, naive, width = 86400.0)
+    // no width passed: the rule derives it from the statically proven
+    // `o_orderdate ± 2 days` interval — the default-on path a naive
+    // user's un-configured session gets via GraftExtensions
+    graft.plans.RangeJoinRewrite.applied(s, naive)
   }
 
   /** Two-sided interval-OVERLAP join, the general shape
@@ -1008,7 +1011,9 @@ object Relational {
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy("o_orderkey")
-    graft.plans.RangeJoinRewrite.applied(s, naive, width = 4 * 86400.0)
+    // conf-free: both windows are `base + constant`, so the rule proves
+    // widths 2d/3d and buckets at the wider one on its own
+    graft.plans.RangeJoinRewrite.applied(s, naive)
   }
 
   /** Interval join (point-in-interval): events against a small table of

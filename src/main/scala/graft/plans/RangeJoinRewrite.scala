@@ -72,25 +72,35 @@ import org.apache.spark.sql.types._
   * bucket/sequence → no row).
   *
   * Wiring: `spark.sql.extensions=graft.plans.GraftExtensions` injects
-  * it cluster-wide; it is a no-op unless
-  * `spark.graft.rangeJoin.bucketWidth` (seconds for temporal keys,
-  * domain units for numeric) is set > 0. Width tuning trades bucket
-  * fan-out against per-bucket pair volume; a good default is the
-  * typical interval length, giving ≤2× row expansion per exploded
-  * side. [[RangeJoinRewrite.applied]] applies it eagerly to one
-  * DataFrame without touching session conf.
+  * it cluster-wide and it fires BY DEFAULT, no configuration needed:
+  * when both sides' interval widths are statically proven plan-time
+  * constants (the `base ± constant` shape — `provenWidth` via
+  * `baseOffset`), the bucket width defaults to the widest proven
+  * interval, which bounds explosion at ≤2 extra rows per side and
+  * needs no cap filter or fallback branch. Unproven shapes (widths
+  * that depend on row values) stay untouched unless the user opts in
+  * with `spark.graft.rangeJoin.bucketWidth` (seconds for temporal
+  * keys, domain units for numeric; > 0), which rewrites every matching
+  * join at that width with the cap-guarded fallback for long
+  * intervals. `spark.graft.rangeJoin.auto=false` disables the
+  * conf-free path. Malformed conf values are treated as unset — a bad
+  * string in one session-wide conf must not fail unrelated queries
+  * from inside the optimizer. [[RangeJoinRewrite.applied]] applies the
+  * rewrite eagerly to one DataFrame without touching session conf.
   */
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.conf.getOption(RangeJoinRewrite.widthKey)
-      .map(_.toDouble).getOrElse(0.0)
-    if (width <= 0) plan
+    val widthOpt = spark.conf.getOption(RangeJoinRewrite.widthKey)
+      .flatMap(_.toDoubleOption).filter(_ > 0)
+    val autoOn = spark.conf.getOption(RangeJoinRewrite.autoKey)
+      .flatMap(_.toBooleanOption).getOrElse(true)
+    if (widthOpt.isEmpty && !autoOn) plan
     else {
       val cap = spark.conf.getOption(RangeJoinRewrite.capKey)
-        .map(_.toLong).getOrElse(4096L)
+        .flatMap(_.toLongOption).getOrElse(4096L)
       RangeJoinRewrite.rewritePlan(
-        plan, width, cap, spark.sessionState.conf.sessionLocalTimeZone)
+        plan, widthOpt, cap, spark.sessionState.conf.sessionLocalTimeZone)
     }
   }
 }
@@ -99,27 +109,44 @@ object RangeJoinRewrite extends PredicateHelper {
 
   val widthKey = "spark.graft.rangeJoin.bucketWidth"
   val capKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
+  val autoKey = "spark.graft.rangeJoin.auto"
 
-  /** Eager, conf-free application to a single DataFrame: rewrite its
-    * analyzed plan directly and rewrap. Used by `q_join_range_auto` /
-    * `q_join_overlap` so the rewrite is scoped to one query instead of
-    * flipping a session-global conf under the shared Verify/Bench
-    * session. */
+  /** Eager application to a single DataFrame: rewrite its analyzed plan
+    * directly and rewrap. Used by `q_join_range_auto` / `q_join_overlap`
+    * so the rewrite is scoped to one query instead of flipping a
+    * session-global conf under the shared Verify/Bench session. Omitting
+    * `width` exercises the default-on path: the bucket width is derived
+    * from the statically proven interval width and the call fails fast
+    * if the shape cannot be proven. */
   def applied(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      width: Double, cap: Long = 4096L): org.apache.spark.sql.DataFrame = {
+      width: Double, cap: Long): org.apache.spark.sql.DataFrame =
+    appliedOpt(spark, df, Some(width), cap)
+  def applied(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      width: Double): org.apache.spark.sql.DataFrame =
+    appliedOpt(spark, df, Some(width), 4096L)
+  def applied(spark: SparkSession, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    appliedOpt(spark, df, None, 4096L)
+
+  private def appliedOpt(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      widthOpt: Option[Double], cap: Long): org.apache.spark.sql.DataFrame = {
     val before = df.queryExecution.analyzed
     val after =
-      rewritePlan(before, width, cap, spark.sessionState.conf.sessionLocalTimeZone)
+      rewritePlan(before, widthOpt, cap, spark.sessionState.conf.sessionLocalTimeZone)
     require(!after.fastEquals(before),
       "RangeJoinRewrite.applied: no pure range/overlap join found to rewrite")
     org.apache.spark.sql.graftshim.ColumnShim.dataFrame(spark, after)
   }
 
   def rewritePlan(plan: LogicalPlan, width: Double, cap: Long,
+      tz: String): LogicalPlan = rewritePlan(plan, Some(width), cap, tz)
+
+  def rewritePlan(plan: LogicalPlan, widthOpt: Option[Double], cap: Long,
       tz: String): LogicalPlan =
     plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) =>
-        rewriteJoin(j, width, cap, tz).getOrElse(j)
+        rewriteJoin(j, widthOpt, cap, tz).getOrElse(j)
     }
 
   private def bucketable(dt: DataType): Boolean = dt match {
@@ -203,6 +230,22 @@ object RangeJoinRewrite extends PredicateHelper {
     }
   }
 
+  /** Statically proven VALUE width of `[lo, hi]` in axis units (seconds
+    * for temporal, raw for numeric): 0 for a point, `|Δ|` when both
+    * bounds are `base ± constant` over the same base, None when the
+    * width depends on row values. This is what lets the rule fire with
+    * no configuration: a proven width is the textbook bucket width
+    * (explosion ≤ 2 extra rows per side regardless of data), so the
+    * default-on path derives `bucketWidth = max(side widths)` instead
+    * of demanding a conf. */
+  private def provenWidth(lo: Expression, hi: Expression): Option[Double] =
+    if (lo.semanticEquals(hi)) Some(0.0)
+    else {
+      val (bl, ol) = baseOffset(lo)
+      val (bh, oh) = baseOffset(hi)
+      if (bl.semanticEquals(bh)) Some(math.abs(oh - ol)) else None
+    }
+
   /** One join side as an interval `[lo, hi]` on the shared axis.
     * `shortEx` carries `bucketAttr` (projected for a point, exploded
     * for an interval); `shortPlain`/`long` feed the theta fallback
@@ -255,7 +298,7 @@ object RangeJoinRewrite extends PredicateHelper {
     }
   }
 
-  private def rewriteJoin(j: Join, width: Double, cap: Long,
+  private def rewriteJoin(j: Join, widthOpt: Option[Double], cap: Long,
       tz: String): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), _) = j
     // duplicating a side across branches is only sound if re-evaluating
@@ -310,7 +353,21 @@ object RangeJoinRewrite extends PredicateHelper {
       alo.semanticEquals(ahi) || blo.semanticEquals(bhi)
     }.orElse(found.headOption)
 
-    pair.map { case (alo, ahi, blo, bhi) =>
+    pair.flatMap { case (alo, ahi, blo, bhi) =>
+      // Explicit conf width rewrites every matching join (cap-guarded
+      // fallback handles unproven widths). The conf-free default only
+      // fires when BOTH sides' widths are plan-time constants — then
+      // the widest proven interval IS the right bucket width and the
+      // rewrite is guaranteed fallback-free, so auto mode can never
+      // make an unproven query worse.
+      val effWidth: Option[Double] = widthOpt.orElse {
+        (provenWidth(alo, ahi), provenWidth(blo, bhi)) match {
+          case (Some(wa), Some(wb)) if math.max(wa, wb) > 0 =>
+            Some(math.max(wa, wb))
+          case _ => None
+        }
+      }
+      effWidth.map { width =>
       val (aPlan, bPlan) = if (sideOf(ahi) == 1) (left, right) else (right, left)
       val a = buildSide(aPlan, alo, ahi, "a", width, cap, tz)
       val b = buildSide(bPlan, blo, bhi, "b", width, cap, tz)
@@ -338,6 +395,7 @@ object RangeJoinRewrite extends PredicateHelper {
         Filter(newCond, Join(a.shortPlain, l, Cross, None, JoinHint.NONE))))
       (Seq(branchShort) ++ branchALong ++ branchBLong)
         .reduceLeft[LogicalPlan](Union(_, _))
+      }
     }
   }
 }

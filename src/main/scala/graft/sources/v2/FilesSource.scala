@@ -105,12 +105,15 @@ private[v2] class FilesTable(options: CaseInsensitiveStringMap)
     }.toMap
     val confMap = FileListing.awsEnvToS3aConf(sys.env) ++ hadoopOpts
     val source = FileListing.identifierFor(root, Option(opts.get("identifier")))
-    new FilesScanBuilder(root, source, confMap)
+    val statsBudget = Option(opts.get("statsBudget"))
+      .flatMap(_.toLongOption).getOrElse(10000L)
+    new FilesScanBuilder(root, source, confMap, statsBudget)
   }
 }
 
 private[v2] class FilesScanBuilder(
-    root: String, source: String, confMap: Map[String, String])
+    root: String, source: String, confMap: Map[String, String],
+    statsBudget: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -142,14 +145,15 @@ private[v2] class FilesScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new FilesScan(root, source, confMap, required, pushed)
+    new FilesScan(root, source, confMap, required, pushed, statsBudget)
 }
 
 private[v2] class FilesScan(
     root: String, source: String, confMap: Map[String, String],
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], statsBudget: Long)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Runtime filters received from dynamic pruning (a join whose other
     * side resolved small at execution): exact `path` predicates that
@@ -159,9 +163,15 @@ private[v2] class FilesScan(
     * re-applies its condition); they only cut list/stat API calls. */
   @volatile private var runtime: Array[Filter] = Array.empty
 
+  /** Only advertise `path` while it SURVIVES column pruning: Spark's
+    * PartitionPruning resolves these names against the scan's read
+    * schema and throws (failing the whole query) on a pruned column —
+    * found by the stats spec's `select(filename, size)` join. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("path"))
+    if (required.fieldNames.contains("path"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("path"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter {
@@ -187,7 +197,21 @@ private[v2] class FilesScan(
     s"graft-files root=$root PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadSchema=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Driver-side shard BFS plus pushdown pruning, shared by partition
+    * planning and planning-time statistics (always re-run, never
+    * cached: the streaming form re-plans every micro-batch against
+    * CURRENT filesystem state).
+    *
+    * Shard pruning from path-prefix pushdown: a shard rooted at d only
+    * ever produces rows with path ∈ {d, d/...}, so it can satisfy
+    * StartsWith(path, p) only if d extends p or p extends d, and an
+    * exact-dir predicate (static isin/= pushdown or a runtime filter)
+    * only if some named dir is d or inside d's subtree. Pruned shards
+    * are never listed — the pushdown saves the list/stat API calls
+    * themselves, not just the rows. */
+  private def prunedListing(): (Seq[String],
+      Seq[graft.sources.FileListing.FileInfoRaw],
+      org.apache.hadoop.fs.FileSystem) = {
     val hconf = new Configuration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     confMap.foreach { case (k, v) => hconf.set(k, v) }
@@ -198,19 +222,24 @@ private[v2] class FilesScan(
     val (shards, earlyFiles) =
       FileListing.shardRoots(fs, rootPath, minShards)
 
-    // Shard pruning from path-prefix pushdown: a shard rooted at d only
-    // ever produces rows with path ∈ {d, d/...}, so it can satisfy
-    // StartsWith(path, p) only if d extends p or p extends d, and an
-    // exact-dir predicate (static isin/= pushdown or a runtime filter)
-    // only if some named dir is d or inside d's subtree. Pruned shards
-    // are never listed — the pushdown saves the list/stat API calls
-    // themselves, not just the rows.
     val prefixes = pushed.collect { case StringStartsWith("path", p) => p }
-    val exactSets = dirSets(pushed ++ runtime)
+    // Predicate values normalize through the SAME Path(..).toUri.getPath
+    // form as shard roots and emitted rows (collapses `//`, strips a
+    // trailing slash), so the prune test and the reader's row filter
+    // can't disagree about one directory spelled two ways. A value a
+    // row could never carry (e.g. non-normalized) prunes harmlessly —
+    // the reader's exact raw compare drops its rows anyway. `path=""`
+    // (root objects) stays as-is: Path("") is unconstructible.
+    def normDir(s: String): String =
+      if (s.isEmpty) s else new Path(s).toUri.getPath
+    val exactSets = dirSets(pushed ++ runtime).map(_.map(normDir))
     def shardAlive(dir: String): Boolean = {
       val dp = new Path(dir).toUri.getPath
+      // a shard rooted at the fs root must use prefix "/" — "//" would
+      // wrongly prune the whole tree
+      val sub = if (dp == "/") dp else dp + "/"
       prefixes.forall(p => dp.startsWith(p) || p.startsWith(dp)) &&
-        exactSets.forall(_.exists(v => v == dp || v.startsWith(dp + "/")))
+        exactSets.forall(_.exists(v => v == dp || v.startsWith(sub)))
     }
     val alive = shards.filter(shardAlive)
 
@@ -219,11 +248,79 @@ private[v2] class FilesScan(
     val keptEarly = earlyFiles.filter(r =>
       exactSets.forall(_.contains(r.dir)) &&
         prefixes.forall(r.dir.startsWith))
+    (alive, keptEarly, fs)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (alive, keptEarly, _) = prunedListing()
     val early: Array[InputPartition] =
       if (keptEarly.isEmpty) Array.empty
       else Array(EarlyFilesPartition(keptEarly.map(r =>
         (r.dir, r.name, r.modified, r.size, r.created))))
     early ++ alive.map(d => ShardPartition(d, confMap)).toArray
+  }
+
+  /** Planning-time statistics ([[SupportsReportStatistics]]): without
+    * them the planner assumes a V2 relation is huge
+    * (`spark.sql.defaultSizeInBytes`), so a join against even a tiny
+    * listing shuffles both sides — the RDD path's blind plan. The walk
+    * is budget-bounded and EXACT-or-absent: count rows surviving the
+    * pushed filters until `statsBudget` (option, default 10⁴) files,
+    * and if the tree is larger report UNKNOWN rather than extrapolate —
+    * an underestimated 10⁸-file listing broadcast into executor memory
+    * is the one failure mode statistics must never cause at 100 TB.
+    * Small listings (the overwhelmingly common join shape: "enrich this
+    * batch of scraped dirs") get exact counts and plan as the broadcast
+    * side with no hint. */
+  override def estimateStatistics(): Statistics = {
+    val (alive, keptEarly, fs) = prunedListing()
+    // per-row in-memory width: 8 bytes per required field plus the
+    // variable string payloads that survive pruning
+    val wantPath = required.fieldNames.contains("path")
+    val wantName = required.fieldNames.contains("filename")
+    val wantMime = required.fieldNames.contains("mime_type")
+    def rowBytes(dir: String, name: String): Long =
+      8L * required.size +
+        (if (wantPath) dir.length.toLong else 0L) +
+        (if (wantName) name.length.toLong else 0L) +
+        (if (wantMime) 12L else 0L)
+    var rows = 0L
+    var bytes = 0L
+    var walked = 0L
+    var complete = true
+    keptEarly.foreach { r =>
+      if (FilesFilters.keep(pushed, r.dir, r.name, r.size)) {
+        rows += 1; bytes += rowBytes(r.dir, r.name)
+      }
+    }
+    val shardIt = alive.iterator
+    while (complete && shardIt.hasNext) {
+      val files = fs.listFiles(new Path(shardIt.next()), true)
+      while (complete && files.hasNext) {
+        if (walked >= statsBudget) complete = false
+        else {
+          walked += 1
+          val st = files.next()
+          val fp = st.getPath
+          val dir = Option(fp.getParent).map(_.toUri.getPath).getOrElse("")
+          if (FilesFilters.keep(pushed, dir, fp.getName, st.getLen)) {
+            rows += 1; bytes += rowBytes(dir, fp.getName)
+          }
+        }
+      }
+    }
+    val (r, b) = (rows, bytes)
+    if (complete) new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    } else new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -274,6 +371,29 @@ private[v2] class FilesMicroBatchStream(scan: FilesScan)
     scan.createReaderFactory()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** The pushed-filter row test, shared by the partition reader and the
+  * planning-time statistics walk so both grade a row identically —
+  * exactly Catalyst's string/long semantics, which is what makes the
+  * pushed filters consumable (no residual Filter node). */
+private[v2] object FilesFilters {
+  def keep(pushed: Array[Filter], dir: String, name: String,
+      size: Long): Boolean =
+    pushed.forall {
+      case StringStartsWith("path", p) => dir.startsWith(p)
+      case In("path", vs) => vs.contains(dir)
+      case EqualTo("path", v: String) => dir == v
+      case StringStartsWith("filename", p) => name.startsWith(p)
+      case StringEndsWith("filename", s) => name.endsWith(s)
+      case EqualTo("filename", v: String) => name == v
+      case EqualTo("size", v: Long) => size == v
+      case GreaterThan("size", v: Long) => size > v
+      case GreaterThanOrEqual("size", v: Long) => size >= v
+      case LessThan("size", v: Long) => size < v
+      case LessThanOrEqual("size", v: Long) => size <= v
+      case _ => true
+    }
 }
 
 /** One recursively-listed subtree; Hadoop conf rebuilt executor-side
@@ -341,20 +461,7 @@ private[v2] class FilesPartitionReader(
   private var current: InternalRow = _
 
   private def keep(e: RawEntry): Boolean =
-    pushed.forall {
-      case StringStartsWith("path", p) => e.dir.startsWith(p)
-      case In("path", vs) => vs.contains(e.dir)
-      case EqualTo("path", v: String) => e.dir == v
-      case StringStartsWith("filename", p) => e.name.startsWith(p)
-      case StringEndsWith("filename", s) => e.name.endsWith(s)
-      case EqualTo("filename", v: String) => e.name == v
-      case EqualTo("size", v: Long) => e.size == v
-      case GreaterThan("size", v: Long) => e.size > v
-      case GreaterThanOrEqual("size", v: Long) => e.size >= v
-      case LessThan("size", v: Long) => e.size < v
-      case LessThanOrEqual("size", v: Long) => e.size <= v
-      case _ => true
-    }
+    FilesFilters.keep(pushed, e.dir, e.name, e.size)
 
   private def toRow(e: RawEntry): InternalRow = {
     val values = required.fieldNames.map {

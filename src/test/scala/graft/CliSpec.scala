@@ -32,6 +32,40 @@ class CliSpec extends AnyFunSuite {
     assert(ts.getTimestamp(0) != null)
   }
 
+  test("scan CLI merges a tree into parquet state through the V2 connector") {
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_scan")
+    Files.writeString(tree.resolve("a.txt"), "alpha")
+    Files.writeString(tree.resolve("b.json"), "{}")
+    val sub = Files.createDirectories(tree.resolve("nested"))
+    Files.writeString(sub.resolve("c.csv"), "1,2")
+    val out = Files.createTempDirectory("cli_scan_out").toString
+    Main.main(Array("-i", "cli-e2e", tree.toString, "--out", out))
+    val state = spark.read.parquet(out)
+    assert(state.count() == 3)
+    assert(state.select("external_source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("cli-e2e"))
+    assert(state.columns.toSet.contains("mime_type"))
+  }
+
+  test("the CLI's connector read prunes listing work under a filename filter") {
+    import org.apache.spark.sql.functions.col
+    val tree = Files.createTempDirectory("cli_prune")
+    (0 until 6).foreach(i => Files.writeString(tree.resolve(s"f$i.txt"), "x"))
+    (0 until 6).foreach(i => Files.writeString(tree.resolve(s"g$i.log"), "y"))
+    // exactly the read Main now issues, plus the filter a user would add:
+    // the filename predicate pushes into the listing task and the absent
+    // `created` column elides the per-file extra stat — zero counter hits
+    graft.sources.v2.FilesSource.createdStatCalls.set(0L)
+    val got = spark.read.format("graft-files").option("path", tree.toString)
+      .load()
+      .filter(col("filename").endsWith(".txt"))
+      .select("path", "filename", "size")
+      .collect()
+    assert(got.length == 6)
+    assert(graft.sources.v2.FilesSource.createdStatCalls.get() == 0L)
+  }
+
   test("query --explain prints the formatted plan without executing") {
     val _ = spark
     val outBuf = new java.io.ByteArrayOutputStream()

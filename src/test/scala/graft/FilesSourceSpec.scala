@@ -130,6 +130,49 @@ class FilesSourceSpec extends AnyFunSuite {
     assert(withCreated.forall(_.getTimestamp(1) != null))
   }
 
+  test("SupportsReportStatistics: exact row counts reach the optimizer") {
+    // unfiltered: all 43 files, exact (tree ≪ the 10⁴ stats budget)
+    val stats = readV2.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(43)), stats.toString)
+    // stats are computed AFTER pushdown, so a pushed filename filter
+    // shrinks the reported count to the surviving rows
+    val filtered = readV2.filter(col("filename").endsWith(".txt"))
+    assert(filtered.queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(21)))
+  }
+
+  /** A probe side whose OWN size estimate clears the broadcast
+    * threshold (3M rows × ~20 B ≫ 10 MB), so any planned broadcast can
+    * only come from the listing's reported statistics. */
+  private def bigProbe = spark.range(0, 3000000).selectExpr(
+    "concat('doc', lpad(cast(id % 100 as string), 2, '0'), '.txt') AS filename",
+    "id AS payload")
+
+  test("a small listing joins as broadcast WITHOUT a hint (reported stats)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val joined = bigProbe.join(readV2.select("filename", "size"), Seq("filename"))
+    val plan = joined.queryExecution.sparkPlan
+    assert(plan.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"reported stats should pick broadcast for the 43-row listing:\n$plan")
+    assert(plan.collectFirst { case s: SortMergeJoinExec => s }.isEmpty)
+  }
+
+  test("an over-budget listing reports UNKNOWN, never an underestimate") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // statsBudget=5 < 41 shard files: the walk aborts and the connector
+    // must refuse to guess — the planner falls back to the conservative
+    // default size, so no blind broadcast of a possibly-huge listing
+    val capped = spark.read.format("graft-files")
+      .option("path", root.toString).option("identifier", "srcv2")
+      .option("statsBudget", "5").load()
+    val stats = capped.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isEmpty, stats.toString)
+    val joined = bigProbe.join(capped.select("filename", "size"), Seq("filename"))
+    assert(joined.queryExecution.sparkPlan
+      .collectFirst { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "unknown stats must not plan a planning-time broadcast")
+  }
+
   test("pushed filters also gate the stat: only survivors pay it") {
     FilesSource.createdStatCalls.set(0L)
     val rows = readV2.filter(col("filename").endsWith(".csv"))

@@ -216,6 +216,87 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(after.fastEquals(before))
   }
 
+  test("default-on: naive ±2 days join plans zero nested loops with NO conf set") {
+    // a pristine session with only the rule injected — exactly what a
+    // user deploying spark.sql.extensions=GraftExtensions gets — must
+    // kill the BNLJ cliff without any spark.graft.* configuration
+    val ns = spark.newSession()
+    ns.experimental.extraOptimizations =
+      ns.experimental.extraOptimizations :+ RangeJoinRewrite(ns)
+    assert(ns.conf.getOption(RangeJoinRewrite.widthKey).isEmpty)
+    val o = Tables.orders(ns, TestSpark.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(ns, TestSpark.sf0001)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val naive = li.join(o,
+      col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_near_shipments"))
+    assert(equiBucketJoins(naive) == 1,
+      "default-on rule must bucketize the proven base±constant join")
+    assert(nestedLoops(naive.queryExecution.executedPlan) == 0,
+      "proven widths need no fallback branch: zero nested loops")
+    val hand = SparkEntry.queries("q_join_range")(spark, TestSpark.sf0001)
+    assert(sortedRows(naive.orderBy("o_orderkey")) == sortedRows(hand))
+  }
+
+  test("default-on stays off for unproven row-dependent widths") {
+    val (points, intervals) = numericFixture
+    val naive = points.join(intervals,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+    val before = naive.queryExecution.analyzed
+    // lo/hi widths depend on the row (id-derived), so no static proof
+    // exists: auto mode must leave the plan alone rather than guess
+    val after = RangeJoinRewrite.rewritePlan(before, None, 4096L, "UTC")
+    assert(after.fastEquals(before),
+      "unproven interval widths must not auto-rewrite")
+  }
+
+  test("malformed conf values disable the rule instead of throwing") {
+    val ns = spark.newSession()
+    ns.experimental.extraOptimizations =
+      ns.experimental.extraOptimizations :+ RangeJoinRewrite(ns)
+    ns.conf.set(RangeJoinRewrite.widthKey, "not-a-number")
+    ns.conf.set(RangeJoinRewrite.capKey, "NaNopes")
+    try {
+      // an unrelated query through the same optimizer must still run
+      val n = Tables.nation(ns, TestSpark.sf0001).count()
+      assert(n > 0)
+      // and the proven-shape auto path still fires despite the garbage
+      val o = Tables.orders(ns, TestSpark.sf0001)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(ns, TestSpark.sf0001)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val j = li.join(o,
+        col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+      assert(equiBucketJoins(j) == 1)
+    } finally {
+      ns.conf.unset(RangeJoinRewrite.widthKey)
+      ns.conf.unset(RangeJoinRewrite.capKey)
+    }
+  }
+
+  test("spark.graft.rangeJoin.auto=false disables the conf-free path") {
+    val ns = spark.newSession()
+    ns.experimental.extraOptimizations =
+      ns.experimental.extraOptimizations :+ RangeJoinRewrite(ns)
+    ns.conf.set(RangeJoinRewrite.autoKey, "false")
+    try {
+      val o = Tables.orders(ns, TestSpark.sf0001)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(ns, TestSpark.sf0001)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val j = li.join(o,
+        col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+      assert(equiBucketJoins(j) == 0, "auto=false must leave the plan alone")
+    } finally ns.conf.unset(RangeJoinRewrite.autoKey)
+  }
+
   test("extraOptimizations wiring: lazy rewrite in a dedicated session") {
     val ns = spark.newSession()
     ns.experimental.extraOptimizations =
