@@ -9,14 +9,17 @@ import graft.functions.Mime
   * payloads as opaque `binary` columns with typed metadata, and run
   * decode/feature-extraction as batched per-partition functions.
   *
-  * The container has no media codecs, so the decode step is a clearly
-  * marked deterministic fake ([[fakeDecode]]); everything around it — the
-  * binary column derivation, the typed `Dataset` boundary, partition-batched
-  * processing, and the output schema — is the real Spark plumbing a
-  * production decoder (JNI/FFmpeg per partition, or `mapInPandas` from
-  * PySpark) would slot into.
+  * The DECODE stage is a real codec: the JDK's `javax.imageio` PNG
+  * writer/reader ([[pngEncode]]/[[pngDecode]]) — genuine compressed
+  * image bytes flow through the binary column, and the decode
+  * `mapPartitions` parses them back to pixels (round-trip asserted
+  * per-row via content hash). The RESIZE and EMBED stages remain
+  * clearly-marked deterministic stubs ([[fakeResize]]/[[fakeEmbed]]) —
+  * no scaler/model libraries in this container — with the real Spark
+  * plumbing (typed `Dataset` boundary, partition-batched processing,
+  * output schema) a production implementation slots into.
   *
-  * Scale notes: decode is per-row CPU work with no shuffle —
+  * Scale notes: encode/decode are per-row CPU work with no shuffle —
   * embarrassingly parallel; `mapPartitions` amortizes any per-task decoder
   * initialization (model load, codec context) across the partition,
   * exactly why the batched form beats a per-row UDF at 100 TB.
@@ -26,16 +29,6 @@ object Multimodal {
   /** A binary payload row (fixture: utf-8 bytes of `documents.text`
     * standing in for media bytes). */
   case class MediaBlob(doc_id: Long, filename: String, content: Array[Byte])
-
-  /** Extracted features: fake "image" dims, 16-bucket byte histogram,
-    * stride-sampled "frames". */
-  case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Int,
-      width: Int,
-      height: Int,
-      histogram: Array[Long],
-      frame_samples: Array[Int])
 
   private def synthFilename = concat(lit("media_"), col("doc_id"),
     element_at(typedlit(Seq(".png", ".jpg", ".wav", ".mp4")),
@@ -53,41 +46,91 @@ object Multimodal {
         Mime.mimeOf(col("filename")).as("mime_type"))
       .orderBy("doc_id")
 
-  /** STUB decoder — deterministic stand-in for a real image/audio decode
-    * (no codec libraries in this container). Treats the payload as a
-    * 16-px-wide "image", builds a high-nibble byte histogram and samples
-    * one "frame" byte every 64 bytes. A real implementation replaces ONLY
-    * this function. */
-  def fakeDecode(blob: MediaBlob): MediaFeatures = {
-    val bytes = blob.content
-    val hist = new Array[Long](16)
-    bytes.foreach(b => hist((b & 0xFF) >> 4) += 1)
-    val frames = bytes.indices.by(64).take(8).map(i => bytes(i) & 0xFF).toArray
-    MediaFeatures(blob.doc_id, bytes.length, 16,
-      (bytes.length + 15) / 16, hist, frames)
+  /** A real compressed image payload: `png` holds genuine PNG bytes
+    * (signature, IHDR, zlib-deflated scanlines) produced by the JDK
+    * encoder; `src_md5` is the pre-encode pixel hash the decode stage
+    * verifies the round-trip against. */
+  case class PngBlob(doc_id: Long, n_bytes: Int, src_md5: String,
+      png: Array[Byte])
+
+  /** Decoded-image features: dimensions from the PNG header, nibble
+    * histogram and pixel sum over the DECODED samples, and the
+    * round-trip proof bit. */
+  case class PngFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, histogram: Array[Long], px_sum: Long,
+      roundtrip_ok: Boolean)
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xFF}%02x").mkString
+
+  /** REAL image encode (JDK `javax.imageio`): the payload bytes become
+    * the samples of a 16-px-wide 8-bit grayscale image (last row
+    * zero-padded; empty payloads produce a 16×1 black image) written
+    * through the PNG codec — deflate compression, filters, the works.
+    * Runs inside `mapPartitions`, one encoder context per task. */
+  def pngEncode(docId: Long, content: Array[Byte]): PngBlob = {
+    val w = 16
+    val h = math.max(1, (content.length + w - 1) / w)
+    val pixels = java.util.Arrays.copyOf(content, w * h)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    PngBlob(docId, content.length, md5hex(pixels), bos.toByteArray)
   }
 
-  /** Partition-batched decode over the typed Dataset boundary
-    * (oracle-checked; semantics also covered by MultimodalSpec).
+  /** REAL image decode: parses the PNG bytes (signature checked — this
+    * is not looking at the source text) back to dimensions and samples,
+    * builds the high-nibble histogram + pixel sum from the DECODED
+    * data, and proves the round-trip by hash. */
+  def pngDecode(b: PngBlob): PngFeatures = {
+    val magic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    require(b.png.length > 8 && b.png.take(4).sameElements(magic),
+      s"doc ${b.doc_id}: payload is not a PNG")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, pixels)
+    val hist = new Array[Long](16)
+    var sum = 0L
+    pixels.foreach { p =>
+      val v = p & 0xFF; hist(v >> 4) += 1; sum += v
+    }
+    PngFeatures(b.doc_id, b.n_bytes, w, h, hist, sum,
+      md5hex(pixels) == b.src_md5)
+  }
+
+  /** Two-stage REAL codec pipeline over the typed Dataset boundary
+    * (oracle-checked; semantics also covered by MultimodalSpec):
+    * encode the payload into genuine PNG bytes, then decode those bytes
+    * back in a second partition-batched stage and report what the
+    * DECODER saw. The oracle can grade it because the decoded
+    * dimensions/histogram/pixel-sum are recomputable from the source
+    * text (lossless codec), while `roundtrip_ok` pins the codec
+    * actually recovering every sample; the PNG byte stream itself is
+    * codec-version-dependent and deliberately not an output column.
     *
-    * The array-valued features are serialized to CSV strings at the output
-    * boundary: the driver's rows-check sorts/hashes every column and cannot
-    * handle raw array cells, and a scalar form is also what a downstream
-    * non-columnar consumer would want. The typed [[MediaFeatures]] Dataset
-    * remains the internal representation. */
+    * The array-valued histogram serializes to a CSV string at the
+    * output boundary: the driver's rows-check sorts/hashes every column
+    * and cannot handle raw array cells. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs: Dataset[MediaBlob] = documents(s, dir)
-      .select(col("doc_id"), synthFilename.as("filename"),
-        col("text").cast("binary").as("content"))
-      .as[MediaBlob]
-    blobs.mapPartitions { it =>
-      // per-partition init would go here (codec context, model load)
-      it.map(fakeDecode)
-    }.toDF()
+    val blobs = documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    val pngs: Dataset[PngBlob] = blobs.mapPartitions { it =>
+      // per-partition init would go here (codec context pooling)
+      it.map { case (id, content) => pngEncode(id, content) }
+    }
+    pngs.mapPartitions(_.map(pngDecode)).toDF()
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
         concat_ws(",", col("histogram").cast("array<string>")).as("histogram_csv"),
-        concat_ws(",", col("frame_samples").cast("array<string>")).as("frames_csv"))
+        col("px_sum"),
+        round(col("px_sum") / (col("width") * col("height")), 6).as("px_mean"),
+        col("roundtrip_ok"))
       .orderBy("doc_id")
   }
 
@@ -194,15 +237,18 @@ object Multimodal {
     "q_multimodal_embed" -> qMultimodalEmbed,
   )
 
-  // The stub decode/resize/embed kernels are deterministic integer (or
-  // exact-double) arithmetic over the payload bytes, and the fixture
-  // corpus is ASCII (SQL char positions = UTF-8 byte positions), so all
-  // three are reproducible in DuckDB: the nibble histogram / frame
-  // sampling / block-average as list comprehensions, and the embedding
-  // cosine via list_cosine_similarity (bit-parity with the codegen
-  // kernel already proven by q_sim_topk). A real codec would demote
-  // decode/resize/embed back to rows-only — the oracle checks the
-  // PLUMBING'S determinism, not the stub's realism.
+  // The decode pipeline runs a REAL codec (PNG via javax.imageio), yet
+  // stays oracle-checkable because PNG is lossless: the decoded
+  // dimensions, nibble histogram, and pixel sum equal what DuckDB
+  // recomputes from the source text (ASCII fixture corpus — SQL char
+  // positions = UTF-8 byte positions), with the zero-padding of the
+  // final 16-px row accounted into bucket 0, and `roundtrip_ok` is
+  // constant-true exactly when the codec recovered every sample. The
+  // stub resize/embed kernels are deterministic integer (or
+  // exact-double) arithmetic over the payload bytes, reproducible as
+  // DuckDB list comprehensions; the embedding cosine via
+  // list_cosine_similarity (bit-parity with the codegen kernel already
+  // proven by q_sim_topk).
   private val codesCte =
     """WITH c AS (
       |  SELECT doc_id, length(text) AS n,
@@ -221,16 +267,24 @@ object Multimodal {
         |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // graded against REAL PNG bytes: the engine encodes+decodes through
+    // javax.imageio; DuckDB recomputes the lossless-decode invariants
+    // from the source text (padding of the last 16-px row lands in
+    // nibble bucket 0; empty docs become a 16×1 black image)
     "q_multimodal_decode" ->
       (codesCte + """
         |SELECT doc_id,
         |  CAST(n AS INT) AS n_bytes,
         |  16 AS width,
-        |  CAST(h AS INT) AS height,
+        |  CAST(greatest(h, 1) AS INT) AS height,
         |  array_to_string(list_transform(range(0, 16),
-        |    k -> len(list_filter(codes, c -> c // 16 = k))), ',') AS histogram_csv,
-        |  array_to_string(list_transform(list_filter(range(0, 8), k -> k * 64 < n),
-        |    k -> codes[CAST(k * 64 + 1 AS INT)]), ',') AS frames_csv
+        |    k -> len(list_filter(codes, c -> c // 16 = k))
+        |         + CASE WHEN k = 0 THEN 16 * greatest(h, 1) - n ELSE 0 END), ',')
+        |    AS histogram_csv,
+        |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS px_sum,
+        |  round(CAST(coalesce(list_sum(codes), 0) AS DOUBLE)
+        |    / (16 * greatest(h, 1)), 6) AS px_mean,
+        |  TRUE AS roundtrip_ok
         |FROM c ORDER BY doc_id""".stripMargin),
     "q_multimodal_resize" ->
       (codesCte + """,

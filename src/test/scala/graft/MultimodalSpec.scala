@@ -3,19 +3,35 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaBlob, MediaFeatures}
+import graft.operators.Multimodal.MediaBlob
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("fakeDecode: deterministic, histogram accounts for every byte") {
-    val blob = MediaBlob(7L, "x.png", "hello world!".getBytes("UTF-8"))
-    val f1 = Multimodal.fakeDecode(blob)
-    val f2 = Multimodal.fakeDecode(blob)
-    assert(f1.histogram.toSeq == f2.histogram.toSeq)
-    assert(f1.histogram.sum == blob.content.length)
-    assert(f1.n_bytes == 12 && f1.width == 16 && f1.height == 1)
-    assert(f1.frame_samples.head == 'h'.toInt)
+  test("pngEncode emits genuine PNG bytes; pngDecode round-trips exactly") {
+    val content = "hello world! a real codec now".getBytes("UTF-8")
+    val blob = Multimodal.pngEncode(7L, content)
+    // the payload is a PNG stream, not the source bytes: signature,
+    // IHDR chunk, and (deflate making structured data smaller or at
+    // least different) no embedded plaintext run of the input
+    assert(blob.png.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    assert(new String(blob.png.slice(12, 16), "US-ASCII") == "IHDR")
+    assert(!blob.png.containsSlice(content),
+      "png must be an encoding, not a passthrough of the source bytes")
+    val f = Multimodal.pngDecode(blob)
+    assert(f.roundtrip_ok, "decode must recover every pixel")
+    assert(f.width == 16 && f.height == 2 && f.n_bytes == content.length)
+    assert(f.histogram.sum == 32L) // 29 content + 3 padding pixels
+    assert(f.px_sum == content.map(_ & 0xFF).map(_.toLong).sum)
+    // empty payload → 16×1 black image, still a valid PNG round-trip
+    val empty = Multimodal.pngDecode(Multimodal.pngEncode(1L, Array.empty))
+    assert(empty.width == 16 && empty.height == 1 && empty.px_sum == 0L)
+    assert(empty.roundtrip_ok)
+    // a non-PNG payload is rejected by the decoder, not silently read
+    intercept[IllegalArgumentException] {
+      Multimodal.pngDecode(blob.copy(png = content))
+    }
   }
 
   test("fakeResize: block averages computed exactly, empty blocks zero") {
@@ -82,15 +98,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("decode query: one feature row per document, bytes preserved") {
+  test("decode query: real PNG round-trip for every document") {
     val feats = Multimodal.qMultimodalDecode(spark, TestSpark.sf0001).collect()
     val meta = Multimodal.qMultimodalMeta(spark, TestSpark.sf0001).collect()
     assert(feats.length == meta.length)
     val metaBytes = meta.map(r => r.getLong(0) -> r.getInt(2)).toMap
     feats.foreach { r =>
-      assert(r.getInt(1) == metaBytes(r.getLong(0)))
-      // histogram_csv is the serialized 16-bucket histogram; buckets sum to n_bytes
-      assert(r.getString(4).split(",").map(_.toLong).sum == r.getInt(1).toLong)
+      val (nBytes, w, h) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(nBytes == metaBytes(r.getLong(0)))
+      assert(w == 16 && h == math.max(1, (nBytes + 15) / 16))
+      // the decoded histogram covers every pixel incl. final-row padding
+      assert(r.getString(4).split(",").map(_.toLong).sum == w.toLong * h)
+      // the codec really recovered the payload for every single row
+      assert(r.getBoolean(7), s"round-trip failed for doc ${r.getLong(0)}")
     }
   }
 }
