@@ -18,7 +18,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Scrape.queries ++
+    operators.Relational.queries ++ operators.TpchFull.queries ++
+      operators.Scrape.queries ++
       operators.Enrich.queries ++ operators.Dedup.queries ++
       operators.Incremental.queries ++
       operators.Multimodal.queries ++ operators.Pipeline.queries ++
@@ -33,7 +34,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Scrape.oracles ++
+    operators.Relational.oracles ++ operators.TpchFull.oracles ++
+      operators.Scrape.oracles ++
       operators.Enrich.oracles ++ operators.Dedup.oracles ++
       operators.Incremental.oracles ++
       operators.Multimodal.oracles ++ operators.Pipeline.oracles ++
