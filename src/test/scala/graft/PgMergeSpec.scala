@@ -57,7 +57,8 @@ class PgMergeSpec extends AnyFunSuite {
     * SQLExceptions carry no SQLState — so the staging write needs this
     * one-method dialect. Registration is idempotent. */
   private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
-    override def canHandle(url: String): Boolean = url.startsWith("jdbc:duckdb:")
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:duckdb:") || url.startsWith(CountingDriver.prefix)
     override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
       e.getMessage != null && e.getMessage.contains("does not exist")
   }
@@ -188,4 +189,89 @@ class PgMergeSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.forall(_.getAs[String]("external_source") == "A"))
   }
+
+  test("live K1: publishScan never exceeds the connection cap") {
+    val url = freshDb()
+    seed(url)
+    // a scan wide enough that, uncapped, local[4] would run 4 staging
+    // tasks (= 4 connections) at once; the coalesce(maxConnections)
+    // inside publishScan must hold the LIVE concurrent count at 2
+    import org.apache.spark.sql.functions._
+    val wide = spark.range(0, 400, 1, 8).select(
+      lit("A").as("external_source"), lit("/w").as("path"),
+      concat(lit("f"), col("id"), lit(".txt")).as("filename"),
+      lit("text/plain").as("mime_type"),
+      lit(T1).as("created"), lit(T1).as("modified"),
+      col("id").as("size"))
+    CountingDriver.reset()
+    PgMerge.publishScan(wide, CountingDriver.prefix + url.stripPrefix("jdbc:"),
+      "", "", externalSource = "A", maxConnections = 2,
+      driverClass = classOf[CountingDriver].getName,
+      conflictTarget = keyTarget)
+    // the counter really saw the whole flow: schema probes + 2 staging
+    // task connections + the single-connection epilogue
+    assert(CountingDriver.totalOpened.get() >= 3,
+      s"counting driver missed connections: ${CountingDriver.totalOpened.get()}")
+    // the cap: never more than maxConnections staging connections plus
+    // at most one driver-side connection concurrently
+    val peak = CountingDriver.peak.get()
+    assert(peak <= 3,
+      s"connection cap violated: peak $peak with maxConnections=2")
+    // and the publish itself worked through the wrapper
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT count(*) FROM ${PgMerge.table} WHERE path = '/w'")
+      rs.next(); assert(rs.getInt(1) == 400)
+    } finally c.close()
+  }
+}
+
+/** A delegating JDBC driver that counts live connections — the
+  * instrument for the K1 connection-cap test. URLs spelled
+  * `jdbc:counting:duckdb:<path>` forward to the DuckDB driver with the
+  * `counting:` infix stripped; every opened connection bumps
+  * current/peak/total and `close()` (intercepted through a dynamic
+  * proxy) decrements exactly once. Registered with DriverManager at
+  * class-load; Spark also Class.forName's it via the `driver` prop. */
+class CountingDriver extends java.sql.Driver {
+  import CountingDriver._
+  override def acceptsURL(url: String): Boolean = url.startsWith(prefix)
+  override def connect(url: String,
+      info: java.util.Properties): java.sql.Connection = {
+    if (!acceptsURL(url)) return null
+    val real = DriverManager.getConnection(
+      "jdbc:" + url.stripPrefix(prefix), info)
+    val n = current.incrementAndGet()
+    peak.getAndUpdate(p => math.max(p, n))
+    totalOpened.incrementAndGet()
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      (_, method, args) => {
+        if (method.getName == "close" && closed.compareAndSet(false, true))
+          current.decrementAndGet()
+        try method.invoke(real,
+          (if (args == null) Array.empty[Object] else args): _*)
+        catch {
+          case e: java.lang.reflect.InvocationTargetException =>
+            throw e.getCause
+        }
+      }).asInstanceOf[java.sql.Connection]
+  }
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException()
+}
+
+object CountingDriver {
+  val prefix = "jdbc:counting:"
+  val current = new java.util.concurrent.atomic.AtomicInteger(0)
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  val totalOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = { current.set(0); peak.set(0); totalOpened.set(0L) }
+  DriverManager.registerDriver(new CountingDriver)
 }
