@@ -134,6 +134,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A real audio container payload: `wav` holds genuine RIFF/WAVE
+    * bytes (header + 16-bit little-endian mono PCM) from the JDK's
+    * `javax.sound.sampled` writer. */
+  case class WavBlob(doc_id: Long, n_bytes: Int, src_md5: String,
+      wav: Array[Byte])
+
+  /** Decoded-audio features: format fields from the WAVE header,
+    * energy/peak/zero-crossing stats over the DECODED samples, and the
+    * round-trip proof bit. */
+  case class WavFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+      channels: Int, bits: Int, sum_sq: Long, peak: Int, zero_cross: Long,
+      roundtrip_ok: Boolean)
+
+  /** REAL audio encode (JDK `javax.sound.sampled`): each payload byte
+    * becomes one signed 16-bit PCM sample (`(b − 64) · 512`, spanning
+    * the sample range since the fixture corpus is 7-bit ASCII), written
+    * through the WAVE file writer — genuine RIFF header, fmt chunk,
+    * little-endian PCM data. 8 kHz mono. */
+  def wavEncode(docId: Long, content: Array[Byte]): WavBlob = {
+    val pcm = new Array[Byte](content.length * 2)
+    var i = 0
+    while (i < content.length) {
+      val s = ((content(i) & 0xFF) - 64) * 512
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, content.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    WavBlob(docId, content.length, md5hex(pcm), bos.toByteArray)
+  }
+
+  /** REAL audio decode: parses the WAVE bytes (RIFF signature checked)
+    * back to format + samples and derives the classic audio-analysis
+    * features — energy (Σs²), peak amplitude, zero crossings — from the
+    * DECODED stream, proving the round-trip by hash. */
+  def wavDecode(b: WavBlob): WavFeatures = {
+    require(b.wav.length >= 12 &&
+      new String(b.wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(b.wav.slice(8, 12), "US-ASCII") == "WAVE",
+      s"doc ${b.doc_id}: payload is not a WAVE file")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b.wav))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var sumSq = 0L
+    var peak = 0
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xFF)
+      sumSq += s.toLong * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    WavFeatures(b.doc_id, n, fmt.getSampleRate.toInt, fmt.getChannels,
+      fmt.getSampleSizeInBits, sumSq, peak, zc, md5hex(pcm) == b.src_md5)
+  }
+
+  /** The audio sibling of [[qMultimodalDecode]]: encode each payload
+    * into a genuine WAVE container, decode it back in a second
+    * partition-batched stage, and report header fields + decoded-sample
+    * statistics (RMS energy, peak, zero-crossing count — the standard
+    * audio-quality screens). PCM is lossless, so the oracle recomputes
+    * every output from the source text while `roundtrip_ok` pins the
+    * codec's recovery of each sample. */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    val wavs: Dataset[WavBlob] = blobs.mapPartitions { it =>
+      it.map { case (id, content) => wavEncode(id, content) }
+    }
+    wavs.mapPartitions(_.map(wavDecode)).toDF()
+      .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+        col("channels"), col("bits"), col("peak"), col("zero_cross"),
+        round(when(col("n_samples") === 0, 0.0).otherwise(
+          sqrt(col("sum_sq").cast("double") / col("n_samples"))), 6)
+          .as("rms"),
+        col("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** STUB resize — deterministic stand-in for an image downsample (the
     * sibling of [[fakeDecode]]): the payload is read as a 16-px-wide
     * "image" and block-averaged to a fixed `outW`×`outH` thumbnail.
@@ -233,6 +325,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_embed" -> qMultimodalEmbed,
   )
@@ -286,6 +379,27 @@ object Multimodal {
         |    / (16 * greatest(h, 1)), 6) AS px_mean,
         |  TRUE AS roundtrip_ok
         |FROM c ORDER BY doc_id""".stripMargin),
+    // graded against REAL WAVE bytes: the engine encodes+decodes PCM
+    // through javax.sound.sampled; DuckDB recomputes the lossless
+    // invariants (sample mapping (code-64)*512) from the source text
+    "q_multimodal_audio" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> (unicode(substr(text, CAST(i AS INT), 1)) - 64) * 512) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_samples,
+        |  8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS INT) AS peak,
+        |  CAST(coalesce(len(list_filter(range(1, n),
+        |    i -> s[CAST(i AS INT)] * s[CAST(i + 1 AS INT)] < 0)), 0) AS BIGINT)
+        |    AS zero_cross,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+        |    sqrt(CAST(list_sum(list_transform(s,
+        |      x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / n) END, 6) AS rms,
+        |  TRUE AS roundtrip_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_multimodal_resize" ->
       (codesCte + """,
         |v AS (

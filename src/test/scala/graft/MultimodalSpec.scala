@@ -34,6 +34,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavEncode emits genuine RIFF/WAVE bytes; wavDecode round-trips") {
+    val content = "audio codec test".getBytes("UTF-8")
+    val blob = Multimodal.wavEncode(9L, content)
+    assert(new String(blob.wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blob.wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.wavDecode(blob)
+    assert(f.roundtrip_ok && f.n_samples == content.length)
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16)
+    // hand-check the sample mapping on the first byte: 'a'=97 → 16896
+    assert(f.peak == content.map(b => math.abs(((b & 0xFF) - 64) * 512)).max)
+    val samples = content.map(b => ((b & 0xFF) - 64) * 512)
+    assert(f.sum_sq == samples.map(s => s.toLong * s).sum)
+    assert(f.zero_cross ==
+      samples.sliding(2).count(p => p(0).toLong * p(1) < 0))
+    // empty payload → header-only WAVE, zero samples, valid round-trip
+    val empty = Multimodal.wavDecode(Multimodal.wavEncode(1L, Array.empty))
+    assert(empty.n_samples == 0 && empty.roundtrip_ok)
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(blob.copy(wav = content))
+    }
+  }
+
   test("fakeResize: block averages computed exactly, empty blocks zero") {
     // 32 bytes = a 16-wide, 2-row "image"; 4×4 grid over 2 rows means the
     // y-blocks collapse pairwise onto the two source rows
