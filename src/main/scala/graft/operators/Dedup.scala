@@ -204,6 +204,49 @@ object Dedup {
     sized
   }
 
+  /** Winnowing fingerprint dedup (Schleimer, Wilkerson, Aiken 2003 —
+    * SIGMOD; the MOSS local fingerprinting algorithm): hash every
+    * k=5-token gram, slide a window of w=8 consecutive gram hashes, and
+    * keep each window's MINIMUM hash as a fingerprint. The winnowing
+    * guarantee: any token run of length ≥ w+k−1 = 12 shared verbatim by
+    * two documents shares at least one selected fingerprint, while only
+    * ~2/(w+1) ≈ 22% of grams are ever selected — position-unaligned
+    * substring-dedup signal (what the fixed-boundary [[qDedupPassage]]
+    * misses when a copied span straddles passage edges) at a fifth of
+    * the index size.
+    *
+    * Scale shape is the [[qDedupNgram]] inverted-index discipline: the
+    * per-doc winnow is a pure projection (no shuffle); fingerprints
+    * flow through ONE wide shuffle into df-capped posting lists
+    * ([[graft.functions.CappedListAgg]] — a fingerprint appearing in
+    * more than [[maxDf]] docs carries no dedup signal but df² pair
+    * cost, so it collapses during aggregation, map-side combine
+    * included); candidate pairs generate in-array via the
+    * [[graft.plans.SortedPairsExpr]] codegen kernel; pairs sharing ≥ 3
+    * fingerprints survive. The md5-hex gram hash is ordered
+    * identically in both engines (lexicographic on the hex string), so
+    * the selected fingerprint SET is oracle-exact. */
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = corpus(s, dir)
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 12) // below w+k-1 no window exists
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w) - 5), i -> md5(concat_ws(' ', slice(w, i + 1, 5))))")
+        .as("h"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(h) - 8), j -> array_min(slice(h, j + 1, 8))))"))
+        .as("fp"))
+    val byFp = fps.groupBy(col("fp"))
+      .agg(cappedListMaxDf(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
+    byFp.select(explode(
+        graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("d1", "d2")
+  }
+
   /** Asymmetric containment dedup: pairs where the smaller shingle set is
     * ≥80% contained in the other — catches quote/subset duplication
     * (a document embedded whole inside a longer one) that symmetric
@@ -636,6 +679,7 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_passage" -> qDedupPassage,
+    "q_dedup_winnow" -> qDedupWinnow,
     "q_dedup_canonical" -> qDedupCanonical,
   )
 
@@ -743,6 +787,19 @@ object Dedup {
         |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v)
         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    "q_dedup_winnow" -> (corpusCte +
+      s""", toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
+         |grams AS (SELECT doc_id, [md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, len(w) - 3)] AS h
+         |  FROM toks WHERE len(w) >= 12),
+         |fps AS (SELECT doc_id, list_distinct([list_min(h[j:j+7]) FOR j IN range(1, len(h) - 6)]) AS f FROM grams),
+         |e AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+         |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $maxDf),
+         |kept AS (SELECT doc_id, fp FROM e JOIN rare USING (fp)),
+         |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, n_shared FROM shared WHERE n_shared >= 3
+         |ORDER BY d1, d2""".stripMargin),
     "q_dedup_passage" -> (corpusCte +
       """, t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
         |c AS (SELECT doc_id, CAST(st/32 AS INT) AS passage_idx,

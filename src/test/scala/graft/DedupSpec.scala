@@ -124,6 +124,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: injected near-dups detected; exact copies share all prints") {
+    val pairs = Dedup.qDedupWinnow(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // the corpus's exact copies (doc_id + 100000) share EVERY fingerprint
+    // with their originals — the winnowing guarantee at its strongest.
+    // only docs with >= 12 tokens produce fingerprints at all
+    val docTokens = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(graft.functions.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val longDocs = docTokens.filter(_._2 >= 12).keySet
+    val found = pairs.collect {
+      case (d1, d2, _) if d2 == d1 + 100000 => d1
+    }.toSet
+    // every long-enough exact copy must surface (some may be df-capped
+    // away if the doc text recurs corpus-wide; require 80%+ recall)
+    assert(found.intersect(longDocs).size >= (longDocs.size * 8) / 10,
+      s"winnow missed too many exact copies: ${longDocs.size - found.size}")
+    // and the appended-suffix near-dups (doc_id + 200000) surface too:
+    // the shared prefix is hundreds of tokens, far over the w+k-1 bound
+    assert(pairs.exists { case (d1, d2, _) => d2 == d1 + 200000 })
+    // guarantee on a hand-built pair: two docs sharing an exact 12-token
+    // run (with different surroundings) MUST share >= 1 fingerprint
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val hand = Seq((1L, s"alpha beta gamma $run delta epsilon zeta eta theta iota kappa lambda"),
+      (2L, s"one two three four five $run six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val fps = hand
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w) - 5), i -> md5(concat_ws(' ', slice(w, i + 1, 5))))").as("h"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(h) - 8), j -> array_min(slice(h, j + 1, 8))))")).as("fp"))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "w+k-1 guarantee violated: a shared 12-token run produced no shared fingerprint")
+  }
+
   test("exact dedup: every injected copy collapses to its original") {
     val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
     val dups = rows.filter(_.getLong(2) > 1)
