@@ -247,6 +247,45 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS travel
+    * together. Splitting documents independently (the
+    * [[graft.operators.Pipeline.qSplitStratified]] convention) silently
+    * leaks training text into eval whenever near-dups straddle the
+    * boundary — the classic contamination the eval literature warns
+    * about; the fix is to hash the cluster REPRESENTATIVE, not the doc:
+    * every member of a component inherits its minimum-id label
+    * ([[clustersOf]]), singletons represent themselves, and the salted
+    * md5 of the representative picks the split at the 80/10/10
+    * boundaries ('cc'/'e6' — exactly the stratified-split convention).
+    * Output: per-split doc and cluster counts plus `leaky_clusters`,
+    * the count of clusters spanning >1 split — structurally zero, and
+    * the oracle recomputes it rather than trusting the construction.
+    * Scale: the split column is a map-side projection over the cluster
+    * frame; everything fact-scale is the pair pipeline already audited
+    * under [[qDedupNgram]]/[[qDedupClusters]]. */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(s, dir).select(col("doc_id"))
+    val clusters = clustersOf(s, ngramPairs(s, dir).select(col("d1"), col("d2")))
+    val rep = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val h = md5(concat(lit("spl"), col("rep").cast("string")))
+    val sp = rep.withColumn("split",
+      when(h < "cc", lit("train")).when(h < "e6", lit("val"))
+        .otherwise(lit("test")))
+    val leak = sp.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("leaky_clusters"))
+    sp.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("leaky_clusters"))
+      .orderBy("split")
+  }
+
   /** Asymmetric containment dedup: pairs where the smaller shingle set is
     * ≥80% contained in the other — catches quote/subset duplication
     * (a document embedded whole inside a longer one) that symmetric
@@ -680,6 +719,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_passage" -> qDedupPassage,
     "q_dedup_winnow" -> qDedupWinnow,
+    "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_canonical" -> qDedupCanonical,
   )
 
@@ -787,6 +827,32 @@ object Dedup {
         |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v)
         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    // the oracle re-derives the closure AND the leakage count instead of
+    // trusting the by-construction zero
+    "q_split_leakfree" -> (corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ngramPairsCtes +
+      """,
+        |prs AS (SELECT d1, d2
+        |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(n_inter AS DOUBLE)/(s1.n_grams + s2.n_grams - n_inter) >= 0.5),
+        |und AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2, d1 FROM prs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT d1, d1 FROM und
+        |  UNION
+        |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v),
+        |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        |rep AS (SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS rep
+        |  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id),
+        |sp AS (SELECT doc_id, rep,
+        |  CASE WHEN md5('spl' || CAST(rep AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5('spl' || CAST(rep AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split FROM rep),
+        |leak AS (SELECT count(*) AS leaky FROM (
+        |  SELECT rep FROM sp GROUP BY rep HAVING count(DISTINCT split) > 1))
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+        |  (SELECT CAST(leaky AS BIGINT) FROM leak) AS leaky_clusters
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin),
     "q_dedup_winnow" -> (corpusCte +
       s""", toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
          |grams AS (SELECT doc_id, [md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, len(w) - 3)] AS h

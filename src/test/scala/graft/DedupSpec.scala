@@ -163,6 +163,28 @@ class DedupSpec extends AnyFunSuite {
       "w+k-1 guarantee violated: a shared 12-token run produced no shared fingerprint")
   }
 
+  test("leak-free split: clusters co-travel; naive per-doc hashing leaks") {
+    val out = Dedup.qSplitLeakfree(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(3) == 0L),
+      "a near-dup cluster crossed a split boundary")
+    // non-vacuous: on the same corpus, splitting each DOC independently
+    // (the stratified convention) puts members of at least one near-dup
+    // cluster into different splits — the leak this operator kills
+    val clusters = Dedup.qDedupClusters(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def docSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(("spl" + id).getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val leakyPlain = clusters.groupBy(_._2)
+      .count { case (_, members) =>
+        members.map(m => docSplit(m._1)).toSet.size > 1 }
+    assert(leakyPlain > 0,
+      "fixture no longer demonstrates the per-doc-split leakage mode")
+  }
+
   test("exact dedup: every injected copy collapses to its original") {
     val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
     val dups = rows.filter(_.getLong(2) > 1)
