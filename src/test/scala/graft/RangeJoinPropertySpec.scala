@@ -52,6 +52,36 @@ class RangeJoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("auto mode equals naive for random proven base±constant offsets") {
+    import spark.implicits._
+    // the conf-free path: bounds are base ± random CONSTANTS, so the
+    // width proof fires and the rule picks its own bucket width. Fuzz
+    // the constants (incl. zero-width and asymmetric offsets) and the
+    // point-side position; every trial must match the naive join and
+    // plan zero fallback branches.
+    for (trial <- 0 until 8) {
+      val offL = sample(Gen.choose(0L, 90L), 1, 40L + trial).head
+      val offR = sample(Gen.choose(0L, 90L), 1, 60L + trial).head
+      if (offL + offR > 0) {
+        val pts = sample(Gen.choose(-350L, 350L), 80, 500L + trial)
+          .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+        val base = sample(Gen.choose(-300L, 300L), 50, 300L + trial)
+          .zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("iid", "b")
+        val naive = pts.join(base,
+          col("x") >= col("b") - lit(offL) && col("x") <= col("b") + lit(offR))
+        val rewritten = RangeJoinRewrite.applied(spark, naive) // NO width
+        val exp = naive.collect().map(_.toString).sorted.toSeq
+        val got = rewritten.collect().map(_.toString).sorted.toSeq
+        assert(got == exp, s"trial=$trial offL=$offL offR=$offR")
+        val nl = rewritten.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.size
+        assert(nl == 0, s"auto mode left a fallback branch: trial=$trial")
+      }
+    }
+  }
+
   test("point-in-interval equals naive for random tables, widths, caps") {
     import spark.implicits._
     for (trial <- 0 until 8) {
