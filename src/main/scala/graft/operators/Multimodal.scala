@@ -269,6 +269,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB frame sampler — deterministic stand-in for video keyframe
+    * extraction (no video codec exists in the JDK): the payload is read
+    * as a sequence of 64-byte "frames" (a 16×4 grid each), every 4th
+    * frame is sampled (stride sampling — the cheap keyframe policy),
+    * and each sampled frame reduces to its mean byte value. At most 8
+    * frames are kept per document, so the output is bounded per row
+    * regardless of payload size — the property a real keyframe sampler
+    * must also have at 100 TB. A real decoder replaces ONLY this
+    * function. */
+  def fakeFrameSample(blob: MediaBlob, frameBytes: Int = 64,
+      stride: Int = 4, maxFrames: Int = 8): Array[Int] = {
+    val bytes = blob.content
+    val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+    (0 until nFrames by stride).take(maxFrames).map { f =>
+      val start = f * frameBytes
+      val end = math.min(start + frameBytes, bytes.length)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += (bytes(i) & 0xFF); i += 1 }
+      (sum / (end - start)).toInt
+    }.toArray
+  }
+
+  /** Stride frame-sampling over the binary column (oracle-checked): one
+    * row per document with the sampled-frame mean sequence — the
+    * video-pipeline shape (decode → keyframe-sample → per-frame
+    * feature) with the sampler as the single swappable stub. Bounded
+    * output per row; pure map-side until the presentation sort. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs: Dataset[MediaBlob] = documents(s, dir)
+      .select(col("doc_id"), synthFilename.as("filename"),
+        col("text").cast("binary").as("content"))
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (demuxer/codec context)
+      it.map(b => (b.doc_id, b.content.length,
+        (b.content.length + 63) / 64, fakeFrameSample(b)))
+    }.toDF("doc_id", "n_bytes", "n_frames", "frames")
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        size(col("frames")).as("n_sampled"),
+        concat_ws(",", col("frames").cast("array<string>")).as("frame_means_csv"))
+      .orderBy("doc_id")
+  }
+
   /** STUB embedding extractor — deterministic stand-in for a media
     * encoder (CLIP-style image/audio embedding): the unit-normalized
     * high-nibble byte histogram as a 16-dim vector. A real implementation
@@ -326,6 +371,7 @@ object Multimodal {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
+    "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_embed" -> qMultimodalEmbed,
   )
@@ -400,6 +446,20 @@ object Multimodal {
         |      x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / n) END, 6) AS rms,
         |  TRUE AS roundtrip_ok
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      (codesCte + """,
+        |fr AS (
+        |  SELECT doc_id, n,
+        |    list_transform(
+        |      list_filter(range(0, (n + 63) // 64), f -> f % 4 = 0)[1:8],
+        |      f -> list_sum(codes[CAST(f * 64 + 1 AS INT):CAST(least(f * 64 + 64, n) AS INT)])
+        |           // (least(f * 64 + 64, n) - f * 64)) AS sampled
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  CAST((n + 63) // 64 AS INT) AS n_frames,
+        |  CAST(len(sampled) AS INT) AS n_sampled,
+        |  array_to_string(sampled, ',') AS frame_means_csv
+        |FROM fr ORDER BY doc_id""".stripMargin),
     "q_multimodal_resize" ->
       (codesCte + """,
         |v AS (

@@ -56,6 +56,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("fakeFrameSample: stride keyframes, bounded output, exact means") {
+    // 300 bytes = 5 frames (64,64,64,64,44); stride 4 samples frames 0, 4
+    val bytes = (0 until 300).map(i => (i % 250).toByte).toArray
+    val f = Multimodal.fakeFrameSample(MediaBlob(1L, "v.mp4", bytes))
+    assert(f.length == 2)
+    assert(f(0) == (0 until 64).map(i => i % 250).sum / 64)
+    assert(f(1) == (256 until 300).map(i => i % 250).sum / 44)
+    // bounded at 8 samples no matter how long the payload
+    val long = Array.fill(64 * 400)(7.toByte)
+    assert(Multimodal.fakeFrameSample(MediaBlob(2L, "v.mp4", long)).length == 8)
+    assert(Multimodal.fakeFrameSample(MediaBlob(3L, "v.mp4", Array.empty)).isEmpty)
+  }
+
   test("fakeResize: block averages computed exactly, empty blocks zero") {
     // 32 bytes = a 16-wide, 2-row "image"; 4×4 grid over 2 rows means the
     // y-blocks collapse pairwise onto the two source rows
