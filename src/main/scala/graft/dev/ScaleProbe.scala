@@ -106,6 +106,13 @@ object ScaleProbe {
           graft.operators.Dedup.pairsOf(docs).select(col("d1"), col("d2")))
           .count()
       }
+      time(s"winnow x$n") {
+        // shipped winnowing pipeline: fingerprint selection is a pure
+        // per-doc projection (scales with the scan), and amplified
+        // copies push fingerprint df past the cap so the PAIR set
+        // shrinks as n grows — same anti-quadratic property as ngram
+        graft.operators.Dedup.winnowPairsOf(docs).count()
+      }
       time(s"basket_lift x$n") {
         // baskets duplicate ×n (orderkey offset): pair ROWS grow linearly
         // but distinct pairs/parts stay fixed, so the count-agg state and

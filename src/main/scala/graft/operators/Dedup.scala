@@ -226,8 +226,14 @@ object Dedup {
     * fingerprints survive. The md5-hex gram hash is ordered
     * identically in both engines (lexicographic on the hex string), so
     * the selected fingerprint SET is oracle-exact. */
-  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
-    val fps = corpus(s, dir)
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(corpus(s, dir)).orderBy("d1", "d2")
+
+  /** [[qDedupWinnow]] over an arbitrary (doc_id, text) corpus without the
+    * presentation sort — also driven directly by the ×100 scale probe so
+    * the probe measures the SHIPPED pipeline. */
+  private[graft] def winnowPairsOf(docs: DataFrame): DataFrame = {
+    val fps = docs
       .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 12) // below w+k-1 no window exists
       .select(col("doc_id"), expr(
@@ -244,7 +250,6 @@ object Dedup {
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .orderBy("d1", "d2")
   }
 
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS travel
