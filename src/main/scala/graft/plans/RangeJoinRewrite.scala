@@ -357,13 +357,20 @@ object RangeJoinRewrite extends PredicateHelper {
       // Explicit conf width rewrites every matching join (cap-guarded
       // fallback handles unproven widths). The conf-free default only
       // fires when BOTH sides' widths are plan-time constants — then
-      // the widest proven interval IS the right bucket width and the
-      // rewrite is guaranteed fallback-free, so auto mode can never
-      // make an unproven query worse.
+      // the bucket width derives from the proof and the rewrite is
+      // guaranteed fallback-free, so auto mode can never make an
+      // unproven query worse. Width choice is MEASURED (dev/WidthProbe,
+      // sf0.1 best-of-3): with a point side, a finer bucket costs only
+      // ~W/width interval copies while shrinking each point's candidate
+      // window ∝ width — optimum ≈ W/4 (1.18 s vs 1.67 s at W); with
+      // two exploded interval sides both pay the copies, so the full
+      // proven width wins (0.70 s vs 1.02 s at W/8). Either choice
+      // stays statically proven-short (actual span ≈ 5 buckets).
       val effWidth: Option[Double] = widthOpt.orElse {
         (provenWidth(alo, ahi), provenWidth(blo, bhi)) match {
           case (Some(wa), Some(wb)) if math.max(wa, wb) > 0 =>
-            Some(math.max(wa, wb))
+            val w = math.max(wa, wb)
+            Some(if (math.min(wa, wb) == 0.0) w / 4 else w)
           case _ => None
         }
       }
