@@ -115,10 +115,19 @@ private[v2] class FilesScanBuilder(
     root: String, source: String, confMap: Map[String, String],
     statsBudget: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = FilesSource.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown (Spark re-applies the global limit): each
+    * listing task stops walking its subtree after `n` surviving rows,
+    * so `load().limit(10)` against a 10⁸-file bucket costs ~10 list
+    * pages per shard instead of a full namespace walk — the
+    * "peek at a huge bucket" query stops being a full scan. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
 
   /** A filter is pushable when the listing task can evaluate it with
     * Catalyst's exact semantics; those are consumed (no residual). */
@@ -145,12 +154,13 @@ private[v2] class FilesScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new FilesScan(root, source, confMap, required, pushed, statsBudget)
+    new FilesScan(root, source, confMap, required, pushed, statsBudget, limit)
 }
 
 private[v2] class FilesScan(
     root: String, source: String, confMap: Map[String, String],
-    required: StructType, pushed: Array[Filter], statsBudget: Long)
+    required: StructType, pushed: Array[Filter], statsBudget: Long,
+    limit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with SupportsReportStatistics {
@@ -324,7 +334,7 @@ private[v2] class FilesScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FilesReaderFactory(source, required, pushed ++ runtime)
+    new FilesReaderFactory(source, required, pushed ++ runtime, limit)
 }
 
 /** Scan-generation offset: each micro-batch of the streaming form is
@@ -418,13 +428,14 @@ private[v2] case class RawEntry(
     created: Either[Path, Option[Long]])
 
 private[v2] class FilesReaderFactory(
-    source: String, required: StructType, pushed: Array[Filter])
+    source: String, required: StructType, pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case ShardPartition(dir, confMap) =>
-        new FilesPartitionReader(source, required, pushed, {
+        new FilesPartitionReader(source, required, pushed, limit, {
           val c = new Configuration()
           confMap.foreach { case (k, v) => c.set(k, v) }
           val path = new Path(dir)
@@ -442,7 +453,7 @@ private[v2] class FilesReaderFactory(
           }
         })
       case EarlyFilesPartition(rows) =>
-        new FilesPartitionReader(source, required, pushed,
+        new FilesPartitionReader(source, required, pushed, limit,
           rows.iterator.map { case (dir, name, mod, size, created) =>
             RawEntry(dir, name, mod, size, Right(created))
           })
@@ -452,13 +463,17 @@ private[v2] class FilesReaderFactory(
 /** Streams raw listing entries → pruned, filtered InternalRows. Pushed
   * filters need no stat (they touch path/filename/size only), so the
   * `created` syscall happens only for SURVIVING rows, and only when the
-  * column survived pruning. */
+  * column survived pruning. A pushed (partial) limit stops the
+  * underlying listing iterator after `limit` surviving rows — on s3a
+  * the remaining ListObjectsV2 pages of the shard are simply never
+  * requested. */
 private[v2] class FilesPartitionReader(
     source: String, required: StructType, pushed: Array[Filter],
-    files: Iterator[RawEntry])
+    limit: Int, files: Iterator[RawEntry])
     extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
+  private var emitted: Int = 0
 
   private def keep(e: RawEntry): Boolean =
     FilesFilters.keep(pushed, e.dir, e.name, e.size)
@@ -487,9 +502,10 @@ private[v2] class FilesPartitionReader(
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (files.hasNext) {
       val e = files.next()
-      if (keep(e)) { current = toRow(e); return true }
+      if (keep(e)) { current = toRow(e); emitted += 1; return true }
     }
     false
   }

@@ -173,6 +173,22 @@ class FilesSourceSpec extends AnyFunSuite {
       "unknown stats must not plan a planning-time broadcast")
   }
 
+  test("limit pushdown stops listing work, not just row output") {
+    // one shard (prefix-pruned to sub05's subtree = 3 files) + limit 2:
+    // the reader must stop BEFORE statting the third file
+    FilesSource.createdStatCalls.set(0L)
+    val rows = readV2
+      .filter(col("path").startsWith(root.toString + "/sub05"))
+      .select("filename", "created")
+      .limit(2).collect()
+    assert(rows.length == 2)
+    assert(FilesSource.createdStatCalls.get() <= 2L,
+      s"limit should cap stat calls at 2, saw ${FilesSource.createdStatCalls.get()}")
+    // and the global-limit semantics stay exact across many shards
+    assert(readV2.limit(5).count() == 5L)
+    assert(readV2.limit(1000).count() == 43L)
+  }
+
   test("pushed filters also gate the stat: only survivors pay it") {
     FilesSource.createdStatCalls.set(0L)
     val rows = readV2.filter(col("filename").endsWith(".csv"))
