@@ -97,15 +97,23 @@ private[v2] class FilesTable(options: CaseInsensitiveStringMap)
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // a DDL-created table (`CREATE TABLE … USING graft-files OPTIONS …`)
+    // carries its options as TABLE properties while `opts` holds only
+    // scan-time reader options — merge both, scan-time winning, so
+    // `identifier`/`hadoop.*`/`statsBudget` work identically through
+    // spark.read and the SQL catalog surface
+    val merged = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala ++
+        opts.asCaseSensitiveMap().asScala).asJava)
     // env-derived AWS client config first; explicit hadoop.* options win
     // (same precedence as FileListing.list — the reference's env-var
     // client config, `s3.rs:24-49`).
-    val hadoopOpts = opts.asCaseSensitiveMap().asScala.collect {
+    val hadoopOpts = merged.asCaseSensitiveMap().asScala.collect {
       case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v
     }.toMap
     val confMap = FileListing.awsEnvToS3aConf(sys.env) ++ hadoopOpts
-    val source = FileListing.identifierFor(root, Option(opts.get("identifier")))
-    val statsBudget = Option(opts.get("statsBudget"))
+    val source = FileListing.identifierFor(root, Option(merged.get("identifier")))
+    val statsBudget = Option(merged.get("statsBudget"))
       .flatMap(_.toLongOption).getOrElse(10000L)
     new FilesScanBuilder(root, source, confMap, statsBudget)
   }

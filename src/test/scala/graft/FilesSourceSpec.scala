@@ -189,6 +189,25 @@ class FilesSourceSpec extends AnyFunSuite {
     assert(readV2.limit(1000).count() == 43L)
   }
 
+  test("pure-SQL surface: CREATE TABLE USING graft-files, pushdown intact") {
+    spark.sql("DROP TABLE IF EXISTS files_sql_t")
+    spark.sql(s"""CREATE TABLE files_sql_t USING `graft-files`
+      OPTIONS (path '${root.toString}', identifier 'sql-src')""")
+    try {
+      val df = spark.sql(
+        "SELECT path, filename, size FROM files_sql_t WHERE filename LIKE '%.txt'")
+      // Catalyst turns the leading-% LIKE into EndsWith, which the
+      // connector consumes — visible in the scan, absent as a residual
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("StringEndsWith(filename,.txt)"), plan)
+      assert(df.count() == 21)
+      assert(spark.sql("SELECT count(*) FROM files_sql_t").collect()(0).getLong(0) == 43)
+      val src = spark.sql("SELECT DISTINCT external_source FROM files_sql_t")
+        .collect().map(_.getString(0)).toSeq
+      assert(src == Seq("sql-src"))
+    } finally spark.sql("DROP TABLE IF EXISTS files_sql_t")
+  }
+
   test("pushed filters also gate the stat: only survivors pay it") {
     FilesSource.createdStatCalls.set(0L)
     val rows = readV2.filter(col("filename").endsWith(".csv"))
