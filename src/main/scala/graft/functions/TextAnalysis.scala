@@ -744,7 +744,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style rule-based filter with a per-rule attrition report
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A —
+    * the doc-level quality gates every pretraining pipeline reports
+    * before training): token-count bounds, mean-word-length bounds,
+    * symbol-ratio cap, stopword floor, and a repetition gate
+    * (distinct-token ratio), plus the combined `any_rule` row —
+    * attrition per rule is what you tune thresholds against.
+    *
+    * Every predicate is an exact INTEGER comparison (mean word length
+    * in [2,12] ⇔ 2·n ≤ chars ≤ 12·n cross-multiplied; symbol ratio
+    * < 0.3 ⇔ 10·punct < 3·chars), so there is no float boundary to
+    * disagree on. Scale: one map-side per-row projection feeding a
+    * single 6-row aggregate of boolean sums — zero joins, zero
+    * windows; the rate division is exact-integer-over-integer. */
+  def qTextGopher(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, dir).select(
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+        .cast("bigint").as("punct_chars"),
+      stopHits(toks, enStop).cast("bigint").as("stop_hits"))
+    val fLen = !(col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+    val fWordLen = !(col("tok_chars") >= col("n_tokens") * 2 &&
+      col("tok_chars") <= col("n_tokens") * 12)
+    val fSymbol = !(col("punct_chars") * 10 < col("n_chars") * 3)
+    val fStop = !(col("stop_hits") >= 2)
+    val fRep = !(col("n_distinct") * 10 >= col("n_tokens") * 3)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val agged = base.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(fLen).as("f_len"), cnt(fWordLen).as("f_wordlen"),
+      cnt(fSymbol).as("f_symbol"), cnt(fStop).as("f_stopword"),
+      cnt(fRep).as("f_repetition"),
+      cnt(fLen || fWordLen || fSymbol || fStop || fRep).as("f_any"))
+    agged.select(col("n_docs"), expr(
+      "stack(6, 'doc_length', f_len, 'mean_word_length', f_wordlen," +
+        " 'symbol_ratio', f_symbol, 'stopword_floor', f_stopword," +
+        " 'repetition', f_repetition, 'any_rule', f_any) AS (rule, n_failed)"))
+      .select(col("rule"), col("n_failed"), col("n_docs"),
+        (col("n_failed").cast("double") / col("n_docs").cast("double"))
+          .as("fail_rate"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_gopher" -> qTextGopher,
     "q_text_novelty" -> qTextNovelty,
     "q_text_hapax" -> qTextHapax,
     "q_text_perplexity" -> qTextPerplexity,
@@ -784,6 +833,34 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_text_gopher" ->
+      s"""WITH base AS (SELECT
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum([length(x) FOR x IN w]) AS BIGINT) AS tok_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |  CAST(len(list_filter(w, x -> list_contains(${sqlList(enStop)}, x))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT text, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents)),
+         |f AS (SELECT
+         |  NOT (n_tokens >= 10 AND n_tokens <= 1000) AS f_len,
+         |  NOT (tok_chars >= n_tokens * 2 AND tok_chars <= n_tokens * 12) AS f_wordlen,
+         |  NOT (punct_chars * 10 < n_chars * 3) AS f_symbol,
+         |  NOT (stop_hits >= 2) AS f_stopword,
+         |  NOT (n_distinct * 10 >= n_tokens * 3) AS f_repetition FROM base),
+         |a AS (SELECT count(*) AS n_docs,
+         |  sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS f_len,
+         |  sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS f_wordlen,
+         |  sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS f_symbol,
+         |  sum(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS f_stopword,
+         |  sum(CASE WHEN f_repetition THEN 1 ELSE 0 END) AS f_repetition,
+         |  sum(CASE WHEN f_len OR f_wordlen OR f_symbol OR f_stopword OR f_repetition THEN 1 ELSE 0 END) AS f_any
+         |  FROM f)
+         |SELECT rule, CAST(n_failed AS BIGINT) AS n_failed, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_failed AS DOUBLE)/CAST(n_docs AS DOUBLE) AS fail_rate
+         |FROM (SELECT n_docs, unnest(['doc_length','mean_word_length','symbol_ratio','stopword_floor','repetition','any_rule']) AS rule,
+         |  unnest([f_len, f_wordlen, f_symbol, f_stopword, f_repetition, f_any]) AS n_failed FROM a)
+         |ORDER BY rule""".stripMargin,
     "q_text_novelty" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |ex AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS gram

@@ -252,6 +252,59 @@ object Dedup {
       .filter(col("n_shared") >= 3)
   }
 
+  /** Exact repeated-SPAN detection (the suffix-array substring dedup of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): find every maximal token run
+    * that some OTHER document also contains verbatim, reported as
+    * (doc_id, span_start, span_tokens) — the spans a substring-dedup
+    * pass would excise, which pair-level dedup ([[qDedupNgram]],
+    * [[qDedupWinnow]]) cannot produce because it only says WHICH docs
+    * overlap, not WHERE.
+    *
+    * Relational formulation: hash every k=8-token gram with its
+    * position; a gram occurring in ≥2 distinct docs is "duplicated";
+    * per doc, runs of consecutive duplicated positions merge into
+    * maximal spans via gaps-and-islands (i − row_number), covering
+    * islandLen + k − 1 tokens. Equivalent to the suffix-array criterion
+    * for runs ≥ k: a shared run of length L ≥ k makes exactly its
+    * L−k+1 grams duplicated, and the island reconstructs L.
+    *
+    * Scale shape — STRICTLY LINEAR, unlike any pair pipeline: the gram
+    * df-aggregate partial-aggregates map-side on the 32-hex-char key;
+    * the hits join is position⋈gram (output ≤ positions, never df²),
+    * so a boilerplate gram in every document costs its row count, not
+    * a pair explosion — no df cap needed; the island window partitions
+    * by doc_id and is bounded by document length. Three keyed
+    * shuffles total regardless of duplication structure — this is the
+    * formulation that survives 100 TB where suffix-array construction
+    * (the paper's own, single-node) cannot. */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringSpansOf(corpus(s, dir)).orderBy("doc_id", "span_start")
+
+  /** [[qDedupSubstring]] over an arbitrary (doc_id, text) corpus without
+    * the presentation sort (scale-probe entry point). */
+  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+        .as(Seq("i", "g")))
+    val dup = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("g"))
+    val hits = pos.join(dup, Seq("g")).select(col("doc_id"), col("i"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    hits.withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).cast("bigint").as("span_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS travel
     * together. Splitting documents independently (the
     * [[graft.operators.Pipeline.qSplitStratified]] convention) silently
@@ -724,6 +777,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_passage" -> qDedupPassage,
     "q_dedup_winnow" -> qDedupWinnow,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_canonical" -> qDedupCanonical,
   )
@@ -871,6 +925,15 @@ object Dedup {
          |  GROUP BY 1, 2)
          |SELECT d1, d2, n_shared FROM shared WHERE n_shared >= 3
          |ORDER BY d1, d2""".stripMargin),
+    "q_dedup_substring" -> (corpusCte +
+      """, toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
+        |pos AS (SELECT doc_id, unnest([{'i': i - 1, 'g': md5(array_to_string(w[i:i+7], ' '))} FOR i IN range(1, len(w) - 6)], recursive := true)
+        |  FROM toks WHERE len(w) >= 8),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, i FROM pos JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM hits)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin),
     "q_dedup_passage" -> (corpusCte +
       """, t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
         |c AS (SELECT doc_id, CAST(st/32 AS INT) AS passage_idx,

@@ -193,7 +193,62 @@ object Graph {
           .cast("double")).as("assortativity"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) over the undirected link graph — the
+    * between-components-and-PageRank grouping signal (dense crawl
+    * neighborhoods → candidate boilerplate/mirror families) that
+    * min-label components cannot give (they only see connectivity, not
+    * density). Three PLAN-UNROLLED synchronous rounds with a fully
+    * deterministic update — each node adopts the most frequent label
+    * among its neighbors INCLUDING its own current label (the
+    * self-inclusion variant: damps the classic LPA oscillation AND lets
+    * the recurrence reference the label frame exactly once per round —
+    * the [[qGraphComponents]] self-loop trick, so the plan stays linear
+    * in rounds instead of doubling), ties broken toward the smaller
+    * label. Fixed rounds + deterministic tie-break is what makes an LPA
+    * fixpoint oracle-checkable at all.
+    *
+    * Scale shape: per round one shuffle-join of labels onto the
+    * symmetric edge list plus one (node, label) count aggregate and one
+    * node-partitioned top-1 window (bounded by a node's distinct
+    * neighbor labels ≤ degree) — the Pregel floor, nothing collected. */
+  def qGraphLpa(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = parts(s, dir)
+    lpa(nodes, edges)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy("community")
+  }
+
+  /** The LPA core over arbitrary `nodes(id)` / directed `edges(src,
+    * dst)` (symmetrized + deduped here): per-node final label after
+    * `rounds` synchronous self-inclusive updates. Shared with the spec
+    * so the tested recurrence IS the shipped one. */
+  def lpa(nodes: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .cache()
+    var lab = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val cnt = e.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("lab"))
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("lab"))
+    }
+    lab
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_lpa" -> qGraphLpa,
     "q_link_pagerank" -> qLinkPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_components" -> qGraphComponents,
@@ -210,7 +265,31 @@ object Graph {
        |r$cur AS (SELECT nodes.id, CAST(150000000000 + COALESCE(s, 0) AS BIGINT) AS rank
        |  FROM nodes LEFT JOIN c$cur USING (id))""".stripMargin
 
+  private def lpaIterSql(prev: String, cur: String): String =
+    s"""cn$cur AS (SELECT e.dst AS id, lab, count(*) AS c
+       |  FROM e JOIN l$prev ON e.src = l$prev.id GROUP BY 1, 2),
+       |l$cur AS (SELECT id, lab FROM (SELECT id, lab,
+       |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+       |  FROM cn$cur) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_lpa" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |edges AS (SELECT id AS src, (id*id + 7*k) % nn.n AS dst
+         |  FROM nodes, nn, (VALUES (1),(2),(3)) AS ks(k)),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |e AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und
+         |  UNION ALL SELECT id, id FROM nodes),
+         |l0 AS (SELECT id, id AS lab FROM nodes),
+         |${lpaIterSql("0", "1")},
+         |${lpaIterSql("1", "2")},
+         |${lpaIterSql("2", "3")}
+         |SELECT lab AS community, count(*) AS n_nodes,
+         |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+         |FROM l3 GROUP BY lab ORDER BY community""".stripMargin,
     "q_link_pagerank" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |nodes AS (SELECT doc_id AS id FROM documents),

@@ -213,13 +213,79 @@ object Quant {
       .select(col("n_days"), col("n_pairs"), col("sen_slope"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) of daily revenue
+    * — the classic short-horizon forecaster (Holt 1957) and the
+    * drift-aware sibling of the windowed [[graft.operators.Stats]] EWMA:
+    * per day, the one-step-ahead forecast fitted = l + b and the updated
+    * state l' = ½(y + l + b), b' = ½(b + l' − l) (α = β = ½).
+    *
+    * The recurrence is EXACT INTEGER: money is cents, halving is
+    * `shiftright(·,1)` — arithmetic shift = floor division in Spark,
+    * `>> 1` in DuckDB with identical floor semantics (verified on
+    * negatives) — so a sequential fixpoint over 2.4k days is
+    * oracle-checkable bit-for-bit with no float drift at any depth.
+    *
+    * Scale shape: the fact table collapses to the calendar-bounded
+    * daily frame in one partial-agg'd shuffle (~2.4k rows at ANY scale
+    * factor — the [[qQuantTheilSen]] date-domain argument); the
+    * inherently sequential smoothing pass then runs as a single
+    * `aggregate()` higher-order fold over that bounded array inside one
+    * codegen'd projection — never a partition-less window over raw
+    * rows, never a driver collect. */
+  def qForecastHolt(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val seq = daily
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("seq"))
+    val stepped = seq.select(explode(expr(
+      """aggregate(
+        |  seq,
+        |  struct(cast(0 as bigint) as l, cast(0 as bigint) as b, 0 as t,
+        |    cast(array() as array<struct<d:date,y:bigint,fitted:bigint,level:bigint,trend:bigint>>) as out),
+        |  (acc, x) -> named_struct(
+        |    'l', if(acc.t = 0, x.y, shiftright(x.y + acc.l + acc.b, 1)),
+        |    'b', if(acc.t = 0, cast(0 as bigint),
+        |      shiftright(acc.b + shiftright(x.y + acc.l + acc.b, 1) - acc.l, 1)),
+        |    't', acc.t + 1,
+        |    'out', concat(acc.out, array(named_struct(
+        |      'd', x.d, 'y', x.y,
+        |      'fitted', if(acc.t = 0, x.y, acc.l + acc.b),
+        |      'level', if(acc.t = 0, x.y, shiftright(x.y + acc.l + acc.b, 1)),
+        |      'trend', if(acc.t = 0, cast(0 as bigint),
+        |        shiftright(acc.b + shiftright(x.y + acc.l + acc.b, 1) - acc.l, 1)))))),
+        |  acc -> acc.out)""".stripMargin)).as("r"))
+    stepped.select(col("r.d").cast("timestamp").as("day"),
+      col("r.y").as("revenue_cents"), col("r.fitted").as("fitted_cents"),
+      (col("r.y") - col("r.fitted")).as("err_cents"),
+      col("r.level").as("level_cents"), col("r.trend").as("trend_cents"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_holt" -> qForecastHolt,
     "q_quant_theilsen" -> qQuantTheilSen,
     "q_gini_nation" -> qGiniNation,
     "q_weighted_median" -> qWeightedMedian,
     "q_cusum_daily" -> qCusumDaily)
 
   val oracles: Map[String, String] = Map(
+    "q_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, d, y FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS d,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |    FROM orders GROUP BY 1)),
+        |hw(t, d, y, fitted, l, b) AS (
+        |  SELECT t, d, y, y AS fitted, y AS l, CAST(0 AS BIGINT) AS b FROM daily WHERE t = 1
+        |  UNION ALL
+        |  SELECT dd.t, dd.d, dd.y, hw.l + hw.b,
+        |    (dd.y + hw.l + hw.b) >> 1,
+        |    (hw.b + ((dd.y + hw.l + hw.b) >> 1) - hw.l) >> 1
+        |  FROM daily dd JOIN hw ON dd.t = hw.t + 1)
+        |SELECT CAST(d AS TIMESTAMP) AS day, y AS revenue_cents, fitted AS fitted_cents,
+        |  y - fitted AS err_cents, l AS level_cents, b AS trend_cents
+        |FROM hw ORDER BY day""".stripMargin,
     "q_quant_theilsen" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev

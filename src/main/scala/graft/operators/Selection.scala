@@ -356,7 +356,56 @@ object Selection {
       .orderBy("lang", "rk")
   }
 
+  /** DSIR-style data selection via hashed-n-gram importance weights (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * hashed-unigram profile is under the TARGET distribution (here the
+    * English sub-corpus — the in-domain exemplar) than under the raw
+    * corpus, lw(d) = Σ_b c_d[b]·log2(p̂_t[b]/p̂_r[b]) with add-1
+    * smoothing over B=256 buckets (b = first two hex chars of
+    * md5(token) — both engines hash identically), and keep the top 200.
+    *
+    * Scale shape: the bucket language models are ONE 256-row aggregate
+    * (map-side partials collapse the token stream before the shuffle);
+    * they join back by broadcast, so the per-doc scoring pass is
+    * shuffle-free beyond its own (doc_id, bucket) aggregate (≤256 rows
+    * per doc regardless of length). The top-200 runs as
+    * TakeOrderedAndProject — per-partition bounded heaps, never a
+    * global sort. Determinism: per-doc terms accumulate as an ordered
+    * prefix sum (ORDER BY bucket), round(6) absorbs the log2 ulp, and
+    * the selection sorts on the ROUNDED score (ties → doc_id) so both
+    * engines cut the same 200. */
+  def qSelectDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val d = documents(s, dir)
+    val bucketed = d
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("b"))
+    val bstats = bucketed.groupBy(col("b")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val tot = bstats.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    val lm = broadcast(bstats.crossJoin(broadcast(tot)))
+    val perDoc = bucketed.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val ratio =
+      ((col("c_t") + 1).cast("double") / (col("n_t") + 256).cast("double")) /
+        ((col("c_r") + 1).cast("double") / (col("n_r") + 256).cast("double"))
+    val prefix = Window.partitionBy("doc_id").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(lm, Seq("b"))
+      .withColumn("term", col("c").cast("double") * log2(ratio))
+      .withColumn("cum", sum(col("term")).over(prefix))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(max_by(col("cum"), col("b")), 6).as("dsir_logratio"))
+      .orderBy(col("dsir_logratio").desc, col("doc_id"))
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_select_dsir" -> qSelectDsir,
     "q_sample_neyman" -> qSampleNeyman,
     "q_curriculum_pack" -> qCurriculumPack,
     "q_mix_kl" -> qMixKl,
@@ -374,6 +423,22 @@ object Selection {
     .mkString("CASE ", " ", " ELSE '0' END")
 
   val oracles: Map[String, String] = Map(
+    "q_select_dsir" ->
+      """WITH bk AS (SELECT doc_id, lang, substring(md5(tok), 1, 2) AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents)),
+        |bs AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t, count(*) AS c_r FROM bk GROUP BY b),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r FROM bs),
+        |pd AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+        |x AS (SELECT doc_id, b, c,
+        |  CAST(c AS DOUBLE) * log2(((CAST(c_t + 1 AS DOUBLE))/(CAST(n_t + 256 AS DOUBLE))) / ((CAST(c_r + 1 AS DOUBLE))/(CAST(n_r + 256 AS DOUBLE)))) AS term
+        |  FROM pd JOIN bs USING (b), tot),
+        |y AS (SELECT doc_id, b, sum(term) OVER (PARTITION BY doc_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY doc_id) AS n_tokens FROM x),
+        |z AS (SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(max_by(cum, b), 6) AS dsir_logratio FROM y GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dsir_logratio FROM z
+        |ORDER BY dsir_logratio DESC, doc_id LIMIT 200""".stripMargin,
     "q_sample_neyman" ->
       """WITH st AS (SELECT lang, count(*) AS n_pop,
         |    CAST(sum(n_chars) AS BIGINT) AS m1,

@@ -185,6 +185,35 @@ class DedupSpec extends AnyFunSuite {
       "fixture no longer demonstrates the per-doc-split leakage mode")
   }
 
+  test("substring spans: a shared 12-token run is localized in both docs; a 7-token run is invisible") {
+    val aToks = (1 to 30).map(i => s"a$i")
+    val a = aToks.mkString(" ")
+    // doc 2 embeds tokens a10..a21 (12 tokens) at positions 5..16
+    val b = ((1 to 5).map(i => s"b$i") ++ aToks.slice(9, 21) ++
+      (6 to 8).map(i => s"b$i")).mkString(" ")
+    // doc 3 shares only a 7-token run (below k=8) — must stay invisible
+    val d = (aToks.take(7) ++ (1 to 10).map(i => s"d$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, d)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpansOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 9L, 12L), (2L, 5L, 12L)), s"got $spans")
+  }
+
+  test("substring spans: exact copies produce whole-document spans at sf0.001") {
+    val spans = Dedup.qDedupSubstring(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nToks = Dedup.corpus(spark, TestSpark.sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (100000L until 100050L).filter(nToks(_) >= 8).foreach { id =>
+      val s = spans.getOrElse(id, Array.empty)
+      assert(s.exists(sp => sp._2 == 0L && sp._3 == nToks(id).toLong),
+        s"copy $id missing its whole-doc span (n=${nToks(id)}): ${s.toSeq}")
+    }
+  }
+
   test("exact dedup: every injected copy collapses to its original") {
     val rows = Dedup.qDedupExact(spark, TestSpark.sf0001).collect()
     val dups = rows.filter(_.getLong(2) > 1)

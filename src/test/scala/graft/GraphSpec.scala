@@ -99,6 +99,31 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) <= 1.0)
   }
 
+  test("lpa: two triangles with a bridge resolve to two communities") {
+    import spark.implicits._
+    // triangle {0,1,2}, triangle {10,11,12}, bridge 2-10
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val lab = graft.operators.Graph.lpa(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(0) == lab(1) && lab(1) == lab(2), s"left triangle split: $lab")
+    assert(lab(10) == lab(11) && lab(11) == lab(12), s"right triangle split: $lab")
+    assert(lab(0) != lab(10), s"bridge merged the triangles: $lab")
+  }
+
+  test("lpa: communities partition the node set; labels are members") {
+    val rows = graft.operators.Graph.qGraphLpa(spark, TestSpark.sf0001).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == 500L, s"partition lost nodes: $total")
+    rows.foreach { r =>
+      val (community, minId, maxId) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(community >= 0 && community < 500, s"label $community not a node id")
+      assert(minId <= maxId)
+    }
+    assert(rows.length > 1 && rows.length < 500)
+  }
+
   test("rank mass: teleport floor holds, total mass bounded by initial") {
     val ranks = Graph.qLinkPagerank(spark, TestSpark.sf001).collect()
       .map(_.getLong(1))

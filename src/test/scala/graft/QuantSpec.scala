@@ -70,4 +70,28 @@ class QuantSpec extends AnyFunSuite {
       else slopes(m / 2 - 1) + 0.5 * (slopes(m / 2) - slopes(m / 2 - 1))
     assert(math.abs(r.getAs[Double]("sen_slope") - med) < 1e-9)
   }
+
+  test("holt: the shipped fold matches an in-memory integer recurrence day for day") {
+    val daily = spark.read
+      .parquet(TestSpark.sf0001 + "/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    var l = 0L; var b = 0L
+    val expected = daily.zipWithIndex.map { case ((d, y), t) =>
+      val fitted = if (t == 0) y else l + b
+      val nl = if (t == 0) y else (y + l + b) >> 1
+      val nb = if (t == 0) 0L else (b + nl - l) >> 1
+      l = nl; b = nb
+      (d, y, fitted, y - fitted, nl, nb)
+    }.toSeq
+    val got = Quant.qForecastHolt(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // trend must actually move (a flat series would make this vacuous)
+    assert(got.map(_._6).distinct.length > 1)
+  }
 }

@@ -234,4 +234,19 @@ class SelectionSpec extends AnyFunSuite {
     for (a <- alloc.keys; b <- alloc.keys if w(a) > w(b))
       assert(alloc(a) + 1 >= alloc(b), s"alloc($a)=${alloc(a)} < alloc($b)=${alloc(b)}")
   }
+
+  test("dsir: exactly 200 selected, scores descend, and the English target is enriched") {
+    val rows = Selection.qSelectDsir(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 200)
+    val scored = rows.map(r => (r.getDouble(2), r.getLong(0)))
+    // selection order: score desc, then doc_id — fully deterministic
+    assert(scored.sameElements(scored.sortBy { case (s, id) => (-s, id) }))
+    val lang = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = rows.count(r => lang(r.getLong(0)) == "en").toDouble / rows.length
+    val baseEn = lang.values.count(_ == "en").toDouble / lang.size
+    assert(selEn > baseEn,
+      s"importance weights failed to enrich the target: $selEn <= $baseEn")
+  }
 }
