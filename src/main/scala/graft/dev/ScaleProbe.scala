@@ -113,6 +113,20 @@ object ScaleProbe {
         // shrinks as n grows — same anti-quadratic property as ngram
         graft.operators.Dedup.winnowPairsOf(docs).count()
       }
+      time(s"substring_spans x$n") {
+        // shipped repeated-span pipeline: position-gram df aggregate +
+        // join-back + per-doc island window — STRICTLY LINEAR by
+        // construction (no pair join anywhere), so the exponent should
+        // track the scan
+        graft.operators.Dedup.substringSpansOf(docs).count()
+      }
+      time(s"lpa_3round x$n") {
+        // shipped LPA core over the synthetic quadratic graph; per
+        // round one edge join + (node,label) count + top-1 window
+        val nodes = docs.select(col("doc_id").as("id"))
+        graft.operators.Graph.lpa(nodes,
+          graft.operators.Graph.synthEdges(nodes)).count()
+      }
       time(s"basket_lift x$n") {
         // baskets duplicate ×n (orderkey offset): pair ROWS grow linearly
         // but distinct pairs/parts stay fixed, so the count-agg state and

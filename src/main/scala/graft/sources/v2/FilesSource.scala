@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
@@ -124,11 +125,12 @@ private[v2] class FilesScanBuilder(
     statsBudget: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = FilesSource.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpec: Seq[String] = Nil
 
   /** PARTIAL limit pushdown (Spark re-applies the global limit): each
     * listing task stops walking its subtree after `n` surviving rows,
@@ -161,14 +163,64 @@ private[v2] class FilesScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Aggregate pushdown ([[SupportsPushDownAggregates]], PARTIAL —
+    * Spark still applies the final merge, so multi-shard listings
+    * combine correctly): the bucket-audit aggregates a metadata
+    * catalog runs constantly — `COUNT(*)`, `SUM(size)` ("du" over a
+    * prefix), `MIN/MAX(size)`, `MIN/MAX(modified)` (staleness probe) —
+    * collapse to ONE partial row per listing shard instead of
+    * materializing every file as an InternalRow and shipping it
+    * through codegen. Each is computable in-stream during the walk
+    * from the FileStatus the listing already holds: zero extra
+    * syscalls, and the `created`-stat is provably never taken (the
+    * spec counts). Spark attempts this only when every filter was
+    * consumed by the scan, so the partials never miss a predicate. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (limit >= 0) return false
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max => AMax, Min => AMin, Sum => ASum}
+    val parsed = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some("count")
+      case m: AMin => colOf(m.column).collect {
+        case c @ ("size" | "modified") => s"min:$c" }
+      case m: AMax => colOf(m.column).collect {
+        case c @ ("size" | "modified") => s"max:$c" }
+      case s: ASum if !s.isDistinct => colOf(s.column).collect {
+        case "size" => "sum:size" }
+      case _ => None
+    }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
+    else {
+      aggSpec = parsed.flatten
+      required = StructType(aggSpec.zipWithIndex.map { case (tok, i) =>
+        val dt = tok match {
+          case "count" | "min:size" | "max:size" | "sum:size" => LongType
+          case "min:modified" | "max:modified" => TimestampType
+        }
+        StructField(s"agg_$i", dt, nullable = tok != "count")
+      })
+      true
+    }
+  }
+
   override def build(): Scan =
-    new FilesScan(root, source, confMap, required, pushed, statsBudget, limit)
+    new FilesScan(root, source, confMap, required, pushed, statsBudget,
+      limit, aggSpec)
 }
 
 private[v2] class FilesScan(
     root: String, source: String, confMap: Map[String, String],
     required: StructType, pushed: Array[Filter], statsBudget: Long,
-    limit: Int = -1)
+    limit: Int = -1, aggSpec: Seq[String] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with SupportsReportStatistics {
@@ -209,10 +261,17 @@ private[v2] class FilesScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Spark's aggregate pushdown is a batch-only optimizer rule; guard the
+    // invariant anyway so a future engine change fails loudly, not subtly
+    require(aggSpec.isEmpty,
+      "graft-files: aggregate pushdown is batch-only")
     new FilesMicroBatchStream(this)
+  }
   override def description(): String =
     s"graft-files root=$root PushedFilters=[${pushed.mkString(", ")}] " +
+      (if (aggSpec.nonEmpty) s"PushedAggregation=[${aggSpec.mkString(", ")}] "
+       else "") +
       s"ReadSchema=[${required.fieldNames.mkString(",")}]"
 
   /** Driver-side shard BFS plus pushdown pruning, shared by partition
@@ -292,6 +351,16 @@ private[v2] class FilesScan(
     * side with no hint. */
   override def estimateStatistics(): Statistics = {
     val (alive, keptEarly, fs) = prunedListing()
+    if (aggSpec.nonEmpty) {
+      // aggregated scan: one partial row per partition, widths fixed
+      val parts = alive.size.toLong + (if (keptEarly.nonEmpty) 1L else 0L)
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(parts * 8L * required.size)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(parts)
+      }
+    }
     // per-row in-memory width: 8 bytes per required field plus the
     // variable string payloads that survive pruning
     val wantPath = required.fieldNames.contains("path")
@@ -342,7 +411,8 @@ private[v2] class FilesScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FilesReaderFactory(source, required, pushed ++ runtime, limit)
+    new FilesReaderFactory(source, required, pushed ++ runtime, limit,
+      aggSpec)
 }
 
 /** Scan-generation offset: each micro-batch of the streaming form is
@@ -437,13 +507,18 @@ private[v2] case class RawEntry(
 
 private[v2] class FilesReaderFactory(
     source: String, required: StructType, pushed: Array[Filter],
-    limit: Int = -1)
+    limit: Int = -1, aggSpec: Seq[String] = Nil)
     extends PartitionReaderFactory {
+
+  private def reader(files: Iterator[RawEntry])
+      : PartitionReader[InternalRow] =
+    if (aggSpec.nonEmpty) new FilesAggPartitionReader(pushed, aggSpec, files)
+    else new FilesPartitionReader(source, required, pushed, limit, files)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case ShardPartition(dir, confMap) =>
-        new FilesPartitionReader(source, required, pushed, limit, {
+        reader({
           val c = new Configuration()
           confMap.foreach { case (k, v) => c.set(k, v) }
           val path = new Path(dir)
@@ -461,11 +536,57 @@ private[v2] class FilesReaderFactory(
           }
         })
       case EarlyFilesPartition(rows) =>
-        new FilesPartitionReader(source, required, pushed, limit,
+        reader(
           rows.iterator.map { case (dir, name, mod, size, created) =>
             RawEntry(dir, name, mod, size, Right(created))
           })
     }
+}
+
+/** Aggregating partition reader (pushed-down COUNT/SUM/MIN/MAX): folds
+  * the shard's listing stream into ONE partial row — no InternalRow per
+  * file, no mime lookup, and never the `created` stat (the supported
+  * aggregates read only what the FileStatus already carries). Emits its
+  * single row even for an empty shard (count 0, NULL extremes) — the
+  * partial-aggregation contract Spark's final merge expects. */
+private[v2] class FilesAggPartitionReader(
+    pushed: Array[Filter], aggSpec: Seq[String], files: Iterator[RawEntry])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0L
+    var sumSize = 0L
+    var minSize = Long.MaxValue; var maxSize = Long.MinValue
+    var minMod = Long.MaxValue; var maxMod = Long.MinValue
+    while (files.hasNext) {
+      val e = files.next()
+      if (FilesFilters.keep(pushed, e.dir, e.name, e.size)) {
+        n += 1
+        sumSize += e.size
+        if (e.size < minSize) minSize = e.size
+        if (e.size > maxSize) maxSize = e.size
+        if (e.modified < minMod) minMod = e.modified
+        if (e.modified > maxMod) maxMod = e.modified
+      }
+    }
+    val values = aggSpec.map {
+      case "count" => Long.box(n)
+      case "sum:size" => if (n == 0) null else Long.box(sumSize)
+      case "min:size" => if (n == 0) null else Long.box(minSize)
+      case "max:size" => if (n == 0) null else Long.box(maxSize)
+      case "min:modified" => if (n == 0) null else Long.box(minMod * 1000L)
+      case "max:modified" => if (n == 0) null else Long.box(maxMod * 1000L)
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Streams raw listing entries → pruned, filtered InternalRows. Pushed

@@ -208,6 +208,54 @@ class FilesSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS files_sql_t")
   }
 
+  test("aggregate pushdown: COUNT/SUM/MIN/MAX collapse to one partial row per shard") {
+    val agged = readV2.agg(
+      count(lit(1)).as("n"), sum("size").as("total"),
+      min("size").as("smin"), max("size").as("smax"),
+      min("modified").as("mmin"), max("modified").as("mmax"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[count, sum:size, min:size," +
+      " max:size, min:modified, max:modified]"), plan)
+    val r = agged.collect()(0)
+    // ground truth from the un-aggregated V1 listing
+    val v1 = FileListing.list(spark, root.toString, Some("srcv2")).collect()
+    assert(r.getLong(0) == v1.length.toLong)
+    assert(r.getLong(1) == v1.map(_.size.get).sum)
+    assert(r.getLong(2) == v1.map(_.size.get).min)
+    assert(r.getLong(3) == v1.map(_.size.get).max)
+    assert(r.getTimestamp(4) == v1.map(_.modified).minBy(_.getTime))
+    assert(r.getTimestamp(5) == v1.map(_.modified).maxBy(_.getTime))
+  }
+
+  test("aggregate pushdown composes with pushed filters and skips all stats") {
+    FilesSource.createdStatCalls.set(0L)
+    val agged = readV2.filter(col("filename").endsWith(".json"))
+      .agg(count(lit(1)).as("n"), sum("size").as("total"))
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("PushedAggregation=[count, sum:size]"))
+    val r = agged.collect()(0)
+    val v1 = FileListing.list(spark, root.toString, Some("srcv2")).collect()
+      .filter(_.filename.endsWith(".json"))
+    assert(r.getLong(0) == v1.length.toLong && r.getLong(1) == v1.map(_.size.get).sum)
+    assert(FilesSource.createdStatCalls.get() == 0L,
+      "aggregated scan must never take the created stat")
+  }
+
+  test("unsupported aggregates fall back to the row scan, still correct") {
+    // count(DISTINCT mime_type) and avg are not pushable — plan must NOT
+    // claim a pushed aggregation and results must match the plain path
+    val agged = readV2.agg(countDistinct("mime_type").as("n"))
+    assert(!agged.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    val exp = FileListing.list(spark, root.toString, Some("srcv2")).collect()
+      .flatMap(_.mime_type).distinct.length
+    assert(agged.collect()(0).getLong(0) == exp.toLong)
+    val grouped = readV2.groupBy("path").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 43L)
+  }
+
   test("pushed filters also gate the stat: only survivors pay it") {
     FilesSource.createdStatCalls.set(0L)
     val rows = readV2.filter(col("filename").endsWith(".csv"))
