@@ -286,11 +286,17 @@ object Dedup {
   private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
+    // Grams shuffle as 8-byte xxhash64 keys, not 32-hex-char md5: the
+    // gram hash never reaches the output (only island positions do), so
+    // the ~2e-9 collision odds argument of [[interOfCorpus]] applies —
+    // a collision could only ADD a spurious duplicated position, and
+    // only if the colliding grams also sit in 2+ docs. ~4× less shuffle
+    // volume on the two gram-keyed exchanges.
     val pos = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))"))
+        s"transform(sequence(0, size(w) - $k), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $k))))"))
         .as(Seq("i", "g")))
     val dup = pos.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
