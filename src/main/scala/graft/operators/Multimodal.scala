@@ -367,7 +367,84 @@ object Multimodal {
       .orderBy("probe_id", "rank")
   }
 
+  /** 64-bit perceptual aHash of the DECODED image as two 32-bit halves
+    * (hi/lo keep every engine's bigint arithmetic in non-negative
+    * territory): nearest-neighbor downsample to an 8×8 grid — sample
+    * (r,c) is decoded pixel (⌊r·h/8⌋, ⌊c·w/8⌋), total for any h ≥ 1 —
+    * then threshold each sample against the grid mean with the exact
+    * cross-multiplied integer compare s·64 ≥ Σs. Pure integer end to
+    * end, so the hash is reproducible from the source bytes in SQL
+    * (lossless codec) even though the engine computes it from the REAL
+    * decoder's output. */
+  case class ImageHash(doc_id: Long, hi: Long, lo: Long)
+
+  def aHashOf(b: PngBlob): ImageHash = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, px)
+    val samples = Array.tabulate(64) { i =>
+      val r = i / 8; val c = i % 8
+      px((r * h / 8) * w + (c * w / 8)) & 0xFF
+    }
+    val sum = samples.map(_.toLong).sum
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      val bit = if (samples(i).toLong * 64L >= sum) 1L else 0L
+      if (i < 32) lo |= bit << i else hi |= bit << (i - 32)
+      i += 1
+    }
+    ImageHash(b.doc_id, hi, lo)
+  }
+
+  /** Image near-duplicate detection by perceptual hash — the multimodal
+    * member of the dedup family (the image-side analogue of
+    * [[graft.operators.Dedup.qDedupSimhash]]): encode every corpus
+    * payload through the REAL PNG codec, decode it back, aHash the
+    * decoded pixels, and report pairs within Hamming radius 3 via the
+    * same 16-bit pigeonhole blocking (radius ≤ 3 ⇒ one of four chunks
+    * equal — never an all-pairs join engine-side). The
+    * [[graft.operators.Dedup.corpus]] fixture provides known positives:
+    * byte-exact copies decode to identical images, so all 50 exact
+    * pairs MUST surface at Hamming 0. The DuckDB oracle recomputes the
+    * hash from source bytes and brute-forces the quadratic join — an
+    * independent algorithm agreeing on the pair set is simultaneously
+    * the codec-roundtrip proof and the blocking-completeness proof.
+    *
+    * Scale shape: hash is a per-row mapPartitions projection (the
+    * decode cost, the real payload at 100 TB, parallelizes with the
+    * scan); the only shuffle is the chunk-keyed self-join on bounded
+    * 16-bit buckets. */
+  def qMultimodalImagedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = graft.operators.Dedup.corpus(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    val hashes = blobs.mapPartitions { it =>
+      // per-partition init would go here (codec context pooling)
+      it.map { case (id, content) => aHashOf(pngEncode(id, content)) }
+    }.toDF().cache() // feeds both sides of the pigeonhole join
+    val chunked = hashes.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(expr("array(shiftright(hi, 16) & 65535, hi & 65535," +
+        " shiftright(lo, 16) & 65535, lo & 65535)")))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        (bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+          bit_count(col("x.lo").bitwiseXOR(col("y.lo"))))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_imagedup" -> qMultimodalImagedup,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio" -> qMultimodalAudio,
@@ -397,6 +474,33 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recomputes the aHash from source bytes (lossless codec ⇒ decoded
+    // pixels == zero-padded byte codes) and brute-forces the quadratic
+    // pair join — agreement proves codec round-trip AND pigeonhole
+    // blocking completeness in one row set
+    "q_multimodal_imagedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz9 qq8 vv7' FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+        |px AS (SELECT doc_id,
+        |  greatest(1, (length(text) + 15) // 16) AS h,
+        |  [CASE WHEN i <= length(text) THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END
+        |   FOR i IN range(1, 16 * greatest(1, (length(text) + 15) // 16) + 1)] AS p
+        |  FROM corpus),
+        |smp AS (SELECT doc_id,
+        |  [p[CAST((((i // 8) * h) // 8) * 16 + 2 * (i % 8) + 1 AS INT)] FOR i IN range(0, 64)] AS s
+        |  FROM px),
+        |tot AS (SELECT doc_id, s, list_sum(s) AS t FROM smp),
+        |hash AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN s[i + 33] * 64 >= t THEN CAST(1 AS BIGINT) << i ELSE 0 END FOR i IN range(0, 32)]) AS BIGINT) AS hi,
+        |  CAST(list_sum([CASE WHEN s[i + 1] * 64 >= t THEN CAST(1 AS BIGINT) << i ELSE 0 END FOR i IN range(0, 32)]) AS BIGINT) AS lo
+        |  FROM tot)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  concat('media_', CAST(doc_id AS VARCHAR),

@@ -133,6 +133,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("image dedup: identical payloads hash equal; pigeonhole == brute force") {
+    val a = Multimodal.aHashOf(Multimodal.pngEncode(1L,
+      "the same payload bytes".getBytes("UTF-8")))
+    val b = Multimodal.aHashOf(Multimodal.pngEncode(2L,
+      "the same payload bytes".getBytes("UTF-8")))
+    assert((a.hi, a.lo) == (b.hi, b.lo))
+
+    val pairs = Multimodal.qMultimodalImagedup(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every injected exact copy decodes to an identical image → Hamming 0
+    val atZero = pairs.filter(p => p._3 == 0L).map(p => (p._1, p._2)).toSet
+    (0L until 50L).foreach { id =>
+      assert(atZero.contains((id, id + 100000)), s"missing exact pair $id")
+    }
+    // blocking completeness: brute-force over the collected hashes finds
+    // exactly the same radius-3 pair set
+    val hashes = graft.operators.Dedup.corpus(spark, TestSpark.sf0001)
+      .collect().map { r =>
+        val h = Multimodal.aHashOf(Multimodal.pngEncode(r.getLong(0),
+          r.getString(1).getBytes("UTF-8")))
+        (h.doc_id, h.hi, h.lo)
+      }
+    val brute = (for {
+      (d1, h1, l1) <- hashes; (d2, h2, l2) <- hashes if d1 < d2
+      ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+      if ham <= 3
+    } yield (d1, d2, ham.toLong)).toSet
+    assert(pairs.toSet == brute)
+  }
+
   test("decode query: real PNG round-trip for every document") {
     val feats = Multimodal.qMultimodalDecode(spark, TestSpark.sf0001).collect()
     val meta = Multimodal.qMultimodalMeta(spark, TestSpark.sf0001).collect()
