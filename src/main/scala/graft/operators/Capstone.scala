@@ -271,7 +271,79 @@ object Capstone {
         col("fused"))
   }
 
+  /** Entity resolution with survivorship — the record-linkage capstone
+    * (blocking → match → cluster → golden record) over the customer
+    * dimension: the fixture injects a deletion-typo duplicate for every
+    * third customer (one digit dropped from the name, acctbal drifted
+    * +37.50 — both engines derive the identical variant set), and the
+    * pipeline must merge each duplicate back onto its source and elect
+    * one surviving record per cluster.
+    *
+    *  1. '''Blocking''': SymSpell deletion neighborhood on the full name
+    *     (the [[Dedup.qDedupFuzzy]] discipline — a lev≤1 pair MUST share
+    *     a deletion key, so the equi-join has full recall and nothing
+    *     all-pairs runs), pre-gated by nation equality.
+    *  2. '''Match rule''': levenshtein ≤ 1 AND unequal lengths — the
+    *     deletion-typo model. The length gate excludes the
+    *     substitution-only lev-1 pairs between DISTINCT customers
+    *     ("…001" vs "…002"); the surviving cross-matches a weak rule
+    *     still admits (a variant insertion-reaching another base name in
+    *     the same nation) are kept deliberately — deterministic in both
+    *     engines, and exactly the imperfect-rule chaining a real ER
+    *     deployment audits for (visible as the handful of size>2
+    *     clusters).
+    *  3. '''Clustering''': [[Dedup.clustersOf]] (bounded union-find with
+    *     the distributed min-label fallback).
+    *  4. '''Survivorship''': per cluster the max-acctbal record wins
+    *     (tie → smallest key) — a cluster-partitioned top-1 window over
+    *     the resolved frame, never a global sort.
+    *
+    * Scale shape: deletion keys bound bucket sizes by typo
+    * neighborhoods (the SymSpell argument); the only wide work is the
+    * key-equi-join and the cluster shuffle on pair output, which is
+    * orders of magnitude below the dimension. */
+  def qCapstoneEntity(s: SparkSession, dir: String): DataFrame = {
+    val base = customer(s, dir).select(
+      col("c_custkey").cast("bigint").as("ekey"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
+    val variants = base.filter(col("ekey") % 3 === 0)
+      .select((col("ekey") + 100000).as("ekey"),
+        expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
+        col("nation"), (col("acctbal") + 37.5).as("acctbal"))
+    val entities = base.union(variants).cache() // blocking ×2 + survivorship
+    val keyed = entities.select(col("ekey"), col("name"), col("nation"),
+      explode(expr(
+        "array_distinct(concat(array(name), transform(sequence(1, length(name))," +
+          " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))))"))
+        .as("bkey"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.ekey") < col("b.ekey") &&
+          col("a.nation") === col("b.nation"))
+      .select(col("a.ekey").as("d1"), col("b.ekey").as("d2"),
+        col("a.name").as("n1"), col("b.name").as("n2"))
+      .distinct()
+      .filter(levenshtein(col("n1"), col("n2")) <= 1 &&
+        length(col("n1")) =!= length(col("n2")))
+      .select(col("d1"), col("d2"))
+    val clusters = Dedup.clustersOf(s, pairs)
+    val resolved = entities
+      .join(clusters.withColumnRenamed("doc_id", "ekey"), Seq("ekey"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("acctbal").desc, col("ekey"))
+    val golden = resolved.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("ekey").as("golden_key"),
+        col("name").as("golden_name"), col("acctbal").as("golden_acctbal"))
+    val sizes = resolved.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"))
+    golden.join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_records"), col("golden_key"),
+        col("golden_name"), col("golden_acctbal"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capstone_entity" -> qCapstoneEntity,
     "q_capstone_corpus" -> qCapstoneCorpus,
     "q_capstone_hybrid" -> qCapstoneHybrid,
     "q_capstone_sessions" -> qCapstoneSessions,
@@ -282,6 +354,31 @@ object Capstone {
   private def toksSql = "list_filter(string_split(text,' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // nation-gated brute-force match + recursive closure — an
+    // independent algorithm agreeing on the golden-record set proves
+    // SymSpell blocking recall AND the cluster/survivorship logic
+    "q_capstone_entity" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS ekey, c_name AS name, c_nationkey AS nation, c_acctbal AS acctbal FROM customer),
+        |var AS (SELECT ekey + 100000 AS ekey, substr(name, 1, 10) || substr(name, 12) AS name,
+        |    nation, acctbal + 37.5 AS acctbal FROM base WHERE ekey % 3 = 0),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |prs AS (SELECT a.ekey AS d1, b.ekey AS d2 FROM e a JOIN e b
+        |  ON a.nation = b.nation AND a.ekey < b.ekey
+        |  AND length(a.name) <> length(b.name) AND levenshtein(a.name, b.name) <= 1),
+        |und AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2, d1 FROM prs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT d1, d1 FROM und
+        |  UNION
+        |  SELECT u.d1, reach.r FROM und u JOIN reach ON u.d2 = reach.v),
+        |cl AS (SELECT v AS ekey, min(r) AS cluster_id FROM reach GROUP BY v),
+        |res AS (SELECT e.ekey, e.name, e.acctbal, cl.cluster_id FROM e JOIN cl USING (ekey)),
+        |g AS (SELECT cluster_id, ekey, name, acctbal,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY acctbal DESC, ekey) AS rn FROM res),
+        |sz AS (SELECT cluster_id, count(*) AS n_records FROM res GROUP BY 1)
+        |SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id, sz.n_records,
+        |  CAST(g.ekey AS BIGINT) AS golden_key, g.name AS golden_name, g.acctbal AS golden_acctbal
+        |FROM g JOIN sz USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_capstone_hybrid" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
         |d AS (SELECT doc_id, w, len(w) AS dl FROM t),

@@ -136,4 +136,49 @@ class CapstoneSpec extends AnyFunSuite {
     if (rows.exists(r => r._2.nonEmpty && r._3.nonEmpty))
       assert(rows.head._2.nonEmpty || rows.head._3.nonEmpty)
   }
+
+  test("entity resolution == in-memory brute-force match + union-find + survivorship") {
+    case class E(ekey: Long, name: String, nation: Long, acctbal: Double)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = spark.read.parquet(TestSpark.sf0001 + "/customer.parquet")
+      .selectExpr("cast(c_custkey as bigint)", "c_name",
+        "cast(c_nationkey as bigint)", "c_acctbal")
+      .collect().map(r => E(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val entities = base ++ base.filter(_.ekey % 3 == 0).map(e =>
+      E(e.ekey + 100000, e.name.substring(0, 10) + e.name.substring(11),
+        e.nation, e.acctbal + 37.5))
+    val pairs = for {
+      a <- entities; b <- entities
+      if a.ekey < b.ekey && a.nation == b.nation &&
+        a.name.length != b.name.length && lev(a.name, b.name) <= 1
+    } yield (a.ekey, b.ekey)
+    // union-find
+    val parent = scala.collection.mutable.Map(entities.map(e => e.ekey -> e.ekey): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = entities.filter(e => find(e.ekey) != e.ekey ||
+      pairs.exists(p => p._1 == e.ekey || p._2 == e.ekey))
+    val expected = clustered.groupBy(e => find(e.ekey)).map { case (cid, ms) =>
+      val g = ms.minBy(e => (-e.acctbal, e.ekey))
+      (cid, ms.length.toLong, g.ekey, g.name, g.acctbal)
+    }.toSeq.sortBy(_._1)
+    val got = Capstone.qCapstoneEntity(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // every injected variant resolved into a cluster with its source
+    got.foreach { case (cid, _, _, _, _) => assert(cid < 100000) }
+  }
 }
