@@ -594,6 +594,69 @@ object TextAnalysis {
     * rows by construction. Determinism: the five ln-product sums
     * accumulate as ordered prefix sums (ORDER BY rank), so both engines
     * add in the same sequence; round(6) absorbs the ln ulp. */
+  /** Heaps'-law vocabulary-growth audit (the [[qTextZipf]] companion):
+    * cumulative corpus volume N and distinct vocabulary V at ten
+    * doc-id-order checkpoints, plus the V = K·N^β log-log fit — the
+    * "how fast does new data stop bringing new vocabulary" curve that
+    * sizes tokenizer vocab and dedup expectations for a growing corpus.
+    * The unit is the word BIGRAM: the fixture's unigram vocabulary is
+    * closed (31 types, saturated within the first decile — β would be
+    * exactly 0), while bigram types keep appearing corpus-long, so the
+    * bigram curve is the one with an actual exponent to estimate.
+    *
+    * The cumulative-distinct trick: V at a checkpoint is NOT a
+    * count-distinct rescan per checkpoint (10 full passes) — each
+    * bigram's FIRST-occurrence doc is a single (bigram → min doc_id)
+    * aggregate, V_k is then the count of first-occurrences below the
+    * checkpoint, and both axes reduce to per-doc frames joined against
+    * the broadcast 10-row checkpoint spine (a ×10 bounded expansion,
+    * never a rescan). The fit uses the Zipf discipline: ordered prefix
+    * sums over the 10 (ln N, ln V) points, round(6) absorbing the ln
+    * ulp. */
+  def qTextHeaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val cuts = broadcast(nDocs.select(explode(expr(
+      "transform(sequence(1, 10), k -> named_struct('k', k, 'thr', cast(n_docs * k / 10 as bigint)))"))
+      .as("c")).select(col("c.k").as("k"), col("c.thr").as("thr")))
+    val perDocTokens = d.select(col("doc_id"),
+      greatest(size(tokens(col("text"))) - 1, lit(0)).cast("bigint").as("nt"))
+    val nCum = perDocTokens.join(cuts, col("doc_id") < col("thr"))
+      .groupBy("k").agg(sum(col("nt")).as("n_bigrams"))
+    val firstDoc = d.select(col("doc_id"), explode(
+        graft.plans.GraftExpressions.shingles(col("text"), 2)).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("nv"))
+    val vCum = firstDoc.join(cuts, col("fd") < col("thr"))
+      .groupBy("k").agg(sum(col("nv")).as("vocab"))
+    val pts = nCum.join(vCum, Seq("k"))
+    val x = log(col("n_bigrams").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val pw = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pts
+      .withColumn("sx", sum(x).over(pw)).withColumn("sy", sum(y).over(pw))
+      .withColumn("sxx", sum(x * x).over(pw))
+      .withColumn("sxy", sum(x * y).over(pw))
+      .groupBy()
+      .agg(count(lit(1)).as("n_pts"),
+        max_by(col("sx"), col("k")).as("sx"),
+        max_by(col("sy"), col("k")).as("sy"),
+        max_by(col("sxx"), col("k")).as("sxx"),
+        max_by(col("sxy"), col("k")).as("sxy"))
+    val n = col("n_pts").cast("double")
+    val beta = (col("sxy") / n - (col("sx") / n) * (col("sy") / n)) /
+      (col("sxx") / n - (col("sx") / n) * (col("sx") / n))
+    val fitted = fit.select(
+      round(beta, 6).as("heaps_beta"),
+      round(exp(col("sy") / n - beta * (col("sx") / n)), 6).as("heaps_k"))
+    pts.crossJoin(broadcast(fitted))
+      .select(col("k"), col("n_bigrams"), col("vocab"),
+        col("heaps_beta"), col("heaps_k"))
+      .orderBy("k")
+  }
+
   def qTextZipf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = documents(s, dir)
@@ -792,7 +855,73 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
+  /** "Passes every Gopher gate" as one boolean column (the
+    * [[qTextGopher]] predicates conjoined) — the pseudo-label for
+    * calibration audits. */
+  private def gopherPassAll(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("bigint")
+    val nTokens = size(toks).cast("bigint")
+    val nDistinct = size(array_distinct(toks)).cast("bigint")
+    val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("bigint")
+    val stops = stopHits(toks, enStop).cast("bigint")
+    (nTokens >= 10 && nTokens <= 1000) &&
+      (tokChars >= nTokens * 2 && tokChars <= nTokens * 12) &&
+      (punct * 10 < nChars * 3) && (stops >= 2) &&
+      (nDistinct * 10 >= nTokens * 3)
+  }
+
+  /** Calibration audit of the quality score against the Gopher gate —
+    * Expected Calibration Error over 10 equal-width probability bins
+    * (Guo et al. 2017's reliability-diagram statistic): treating
+    * [[qualityScore]] as P(doc passes all quality gates), per bin the
+    * mean predicted score (confidence) vs the empirical pass rate
+    * (accuracy), their gap, and the n-weighted ECE — the audit that
+    * says whether a learned/heuristic quality filter's scores can be
+    * thresholded on faith or need recalibrating first.
+    *
+    * Determinism: the score is bit-exact cross-engine (the
+    * [[qualityScore]] contract), so binning agrees exactly; per-bin
+    * score sums accumulate as doc_id-ordered prefix sums, the gap
+    * rounds to 6 dp, and the ECE is a bin-ordered prefix sum of
+    * exactly-representable n/N weights times rounded gaps. Scale: one
+    * map-side projection → 10-bin aggregate; the label is integer
+    * arithmetic; nothing wide beyond the bin shuffle. */
+  def qEvalCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents(s, dir).select(col("doc_id"),
+      qualityScore(col("text")).as("score"),
+      gopherPassAll(col("text")).as("label"))
+      .withColumn("bin", least(floor(col("score") * 10), lit(9)).cast("int"))
+    val prefix = Window.partitionBy("bin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = scored.withColumn("cum", sum(col("score")).over(prefix))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("cum"), col("doc_id")).as("ssum"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pass"))
+    val tot = bins.agg(sum(col("n_docs")).as("n_total"))
+    val gapped = bins.crossJoin(broadcast(tot))
+      .withColumn("conf", col("ssum") / col("n_docs"))
+      .withColumn("acc", col("n_pass").cast("double") / col("n_docs"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+    val ecePrefix = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ece = gapped
+      .withColumn("t",
+        (col("n_docs").cast("double") / col("n_total")) * col("gap"))
+      .withColumn("ec", sum(col("t")).over(ecePrefix))
+      .agg(round(max_by(col("ec"), col("bin")), 6).as("ece"))
+    gapped.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"), round(col("conf"), 6).as("conf"),
+        col("acc"), col("gap"), col("ece"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_calibration" -> qEvalCalibration,
+    "q_text_heaps" -> qTextHeaps,
     "q_text_gopher" -> qTextGopher,
     "q_text_novelty" -> qTextNovelty,
     "q_text_hapax" -> qTextHapax,
@@ -833,6 +962,54 @@ object TextAnalysis {
       s" + 0.25 * (CASE WHEN len($toks) > 0 THEN len(list_distinct($toks)) / len($toks) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "q_eval_calibration" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+         |sc AS (SELECT doc_id, ${qualityScoreSql("w", "text")} AS score,
+         |  (len(w) >= 10 AND len(w) <= 1000
+         |   AND list_sum([length(x) FOR x IN w]) >= len(w) * 2 AND list_sum([length(x) FOR x IN w]) <= len(w) * 12
+         |   AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10 < length(text) * 3
+         |   AND len(list_filter(w, x -> list_contains(${sqlList(enStop)}, x))) >= 2
+         |   AND len(list_distinct(w)) * 10 >= len(w) * 3) AS label FROM t),
+         |b AS (SELECT doc_id, score, label, CAST(least(floor(score * 10), 9) AS INT) AS bin FROM sc),
+         |pre AS (SELECT bin, doc_id, label, sum(score) OVER (PARTITION BY bin ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+         |bins AS (SELECT bin, count(*) AS n_docs, max_by(cum, doc_id) AS ssum,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pass FROM pre GROUP BY bin),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM bins),
+         |g AS (SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, ssum / n_docs AS conf_raw,
+         |    CAST(n_pass AS DOUBLE) / n_docs AS acc,
+         |    round(abs(ssum / n_docs - CAST(n_pass AS DOUBLE) / n_docs), 6) AS gap, n_total
+         |  FROM bins, tt),
+         |e AS (SELECT round(max_by(ec, bin), 6) AS ece FROM (
+         |  SELECT bin, sum((CAST(n_docs AS DOUBLE) / n_total) * gap) OVER (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ec FROM g))
+         |SELECT bin, n_docs, round(conf_raw, 6) AS conf, acc, gap, ece FROM g, e ORDER BY bin""".stripMargin,
+    "q_text_heaps" ->
+      """WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        |cuts AS (SELECT k, CAST(n_docs * k / 10 AS BIGINT) AS thr
+        |  FROM nd, (SELECT unnest(range(1, 11)) AS k)),
+        |pdt AS (SELECT doc_id, CAST(greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 0) AS BIGINT) AS nt FROM documents),
+        |ncum AS (SELECT k, CAST(sum(nt) AS BIGINT) AS n_bigrams FROM pdt JOIN cuts ON doc_id < thr GROUP BY k),
+        |tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM documents),
+        |fdoc AS (SELECT b, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b FROM tk WHERE len(w) >= 2)
+        |  GROUP BY b),
+        |fcnt AS (SELECT fd, count(*) AS nv FROM fdoc GROUP BY fd),
+        |vcum AS (SELECT k, CAST(sum(nv) AS BIGINT) AS vocab FROM fcnt JOIN cuts ON fd < thr GROUP BY k),
+        |pts AS (SELECT k, n_bigrams, vocab FROM ncum JOIN vcum USING (k)),
+        |pre AS (SELECT k, n_bigrams, vocab,
+        |  sum(ln(CAST(n_bigrams AS DOUBLE))) OVER w AS sx,
+        |  sum(ln(CAST(vocab AS DOUBLE))) OVER w AS sy,
+        |  sum(ln(CAST(n_bigrams AS DOUBLE)) * ln(CAST(n_bigrams AS DOUBLE))) OVER w AS sxx,
+        |  sum(ln(CAST(n_bigrams AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) OVER w AS sxy
+        |  FROM pts WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, max_by(sx, k) AS sx, max_by(sy, k) AS sy,
+        |  max_by(sxx, k) AS sxx, max_by(sxy, k) AS sxy FROM pre),
+        |fit AS (SELECT round((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n)), 6) AS heaps_beta,
+        |  round(exp(sy/n - ((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n))) * (sx/n)), 6) AS heaps_k
+        |  FROM agg)
+        |SELECT CAST(k AS INT) AS k, n_bigrams, vocab, heaps_beta, heaps_k
+        |FROM pts, fit ORDER BY k""".stripMargin,
     "q_text_gopher" ->
       s"""WITH base AS (SELECT
          |  CAST(length(text) AS BIGINT) AS n_chars,
