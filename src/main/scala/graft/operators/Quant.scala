@@ -262,7 +262,28 @@ object Quant {
       .orderBy("day")
   }
 
+  /** Centered 7-day rolling MEDIAN of daily revenue — the robust
+    * sibling of the rolling mean (q_window_moving): one outlier day
+    * shifts a 7-day mean by outlier/7 but leaves the median untouched,
+    * which is why robust anomaly baselines smooth with medians. Exact:
+    * the window holds ≤7 integer cent values, and both engines
+    * interpolate the even-count middle as lo + 0.5·(hi − lo) on exact
+    * doubles — no rounding needed. The window reads the
+    * calendar-bounded daily aggregate (the [[qCusumDaily]] frame
+    * argument), never raw rows, so the partition-less ORDER BY is over
+    * ~2.4k rows at any scale factor. */
+  def qWindowMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy("d").rowsBetween(-3, 3)
+    daily.select(col("d").cast("timestamp").as("day"), col("rev"),
+        percentile(col("rev"), lit(0.5)).over(w).as("med7_cents"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_median" -> qWindowMedian,
     "q_forecast_holt" -> qForecastHolt,
     "q_quant_theilsen" -> qQuantTheilSen,
     "q_gini_nation" -> qGiniNation,
@@ -270,6 +291,13 @@ object Quant {
     "q_cusum_daily" -> qCusumDaily)
 
   val oracles: Map[String, String] = Map(
+    "q_window_median" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(d AS TIMESTAMP) AS day, rev,
+        |  median(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med7_cents
+        |FROM daily ORDER BY day""".stripMargin,
     "q_forecast_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, d, y FROM (

@@ -94,4 +94,22 @@ class QuantSpec extends AnyFunSuite {
     // trend must actually move (a flat series would make this vacuous)
     assert(got.map(_._6).distinct.length > 1)
   }
+
+  test("rolling 7-day median equals an in-memory window recompute") {
+    val daily = spark.read
+      .parquet(TestSpark.sf0001 + "/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val expected = daily.indices.map { i =>
+      val fr = daily.slice(math.max(0, i - 3), math.min(daily.length, i + 4))
+        .sorted
+      val m = fr.length
+      if (m % 2 == 1) fr(m / 2).toDouble
+      else fr(m / 2 - 1) + 0.5 * (fr(m / 2) - fr(m / 2 - 1)).toDouble
+    }
+    val got = Quant.qWindowMedian(spark, TestSpark.sf0001).collect()
+      .map(_.getDouble(2)).toSeq
+    assert(got == expected)
+  }
 }
