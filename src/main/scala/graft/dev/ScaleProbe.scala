@@ -127,6 +127,27 @@ object ScaleProbe {
         graft.operators.Graph.lpa(nodes,
           graft.operators.Graph.synthEdges(nodes)).count()
       }
+      time(s"entity_resolve x$n") {
+        // shipped ER pipeline over n×-amplified customers; copies get a
+        // per-copy name suffix (identical names across copies would
+        // chain lev-0 clusters BY CONSTRUCTION — an amplification
+        // artifact, not an algorithm property), variants injected the
+        // same way as the registered query
+        val base = amp(
+          graft.Tables.customer(spark, sfDir).select(
+            col("c_custkey").cast("bigint").as("ekey"),
+            col("c_name").as("name"), col("c_nationkey").as("nation"),
+            col("c_acctbal").as("acctbal")),
+          n, Seq("ekey"), 10000000L)
+          .withColumn("name", concat(col("name"), lit("~"),
+            (col("ekey") / 10000000L).cast("bigint")))
+        val variants = base.filter(col("ekey") % 3 === 0)
+          .select((col("ekey") + 100000).as("ekey"),
+            expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
+            col("nation"), (col("acctbal") + 37.5).as("acctbal"))
+        graft.operators.Capstone.resolveEntities(
+          spark, base.union(variants)).count()
+      }
       time(s"basket_lift x$n") {
         // baskets duplicate ×n (orderkey offset): pair ROWS grow linearly
         // but distinct pairs/parts stay fixed, so the count-agg state and

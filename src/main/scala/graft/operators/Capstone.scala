@@ -310,7 +310,16 @@ object Capstone {
       .select((col("ekey") + 100000).as("ekey"),
         expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
         col("nation"), (col("acctbal") + 37.5).as("acctbal"))
-    val entities = base.union(variants).cache() // blocking ×2 + survivorship
+    resolveEntities(s, base.union(variants)).orderBy("cluster_id")
+  }
+
+  /** The blocking → match → cluster → survivorship core over an
+    * arbitrary (ekey, name, nation, acctbal) frame, without the
+    * presentation sort — shared with the ×100 scale probe so the probe
+    * measures the SHIPPED pipeline. */
+  private[graft] def resolveEntities(s: SparkSession,
+      entityFrame: DataFrame): DataFrame = {
+    val entities = entityFrame.cache() // blocking ×2 + survivorship
     val keyed = entities.select(col("ekey"), col("name"), col("nation"),
       explode(expr(
         "array_distinct(concat(array(name), transform(sequence(1, length(name))," +
@@ -339,7 +348,6 @@ object Capstone {
     golden.join(sizes, Seq("cluster_id"))
       .select(col("cluster_id"), col("n_records"), col("golden_key"),
         col("golden_name"), col("golden_acctbal"))
-      .orderBy("cluster_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
