@@ -140,7 +140,10 @@ object ScaleProbe {
             col("c_acctbal").as("acctbal")),
           n, Seq("ekey"), 10000000L)
           .withColumn("name", concat(col("name"), lit("~"),
-            (col("ekey") / 10000000L).cast("bigint")))
+            lpad((col("ekey") / 10000000L).cast("bigint").cast("string"),
+              3, "0"))) // fixed width: variable-length suffixes ("~3" vs
+                        // "~37") differ by one INSERTION and would chain
+                        // cross-copy matches through the length-diff gate
         val variants = base.filter(col("ekey") % 3 === 0)
           .select((col("ekey") + 100000).as("ekey"),
             expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
