@@ -232,7 +232,12 @@ object Quant {
     * `aggregate()` higher-order fold over that bounded array inside one
     * codegen'd projection — never a partition-less window over raw
     * rows, never a driver collect. */
-  def qForecastHolt(s: SparkSession, dir: String): DataFrame = {
+  def qForecastHolt(s: SparkSession, dir: String): DataFrame =
+    holtFrame(s, dir).orderBy("day")
+
+  /** The Holt fold without the presentation sort — shared by
+    * [[qForecastHolt]] and the conformal-interval audit. */
+  private[graft] def holtFrame(s: SparkSession, dir: String): DataFrame = {
     val daily = orders(s, dir)
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sum(cents(col("o_totalprice"))).as("y"))
@@ -259,7 +264,43 @@ object Quant {
       col("r.y").as("revenue_cents"), col("r.fitted").as("fitted_cents"),
       (col("r.y") - col("r.fitted")).as("err_cents"),
       col("r.level").as("level_cents"), col("r.trend").as("trend_cents"))
-      .orderBy("day")
+  }
+
+  /** Split-conformal prediction interval for the Holt one-step forecast
+    * (Vovk's split/inductive conformal, the distribution-free coverage
+    * guarantee): calibrate the 90% quantile of |error| on the first 80%
+    * of days — rank ⌈0.9·(n_cal+1)⌉ of the sorted absolute errors, the
+    * finite-sample-corrected conformal score — then report how often
+    * the held-out last 20% of days actually landed within ±q̂. A
+    * well-specified forecaster covers ≈ 90%; under-coverage flags
+    * drift the point forecast hides.
+    *
+    * Everything is exact: errors are integer cents, the quantile is an
+    * ORDER-STATISTIC pick (rank via cross-multiplied integer ceil, tie
+    * broken by day), and coverage is an exact integer ratio — no float
+    * enters until the final division. The ranks run over the
+    * calendar-bounded daily frame ([[qQuantTheilSen]] argument). */
+  def qForecastConformal(s: SparkSession, dir: String): DataFrame = {
+    val hw = holtFrame(s, dir)
+    val n = hw.agg(count(lit(1)).as("n_days"))
+    val withT = hw.crossJoin(broadcast(n))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cal_n", expr("(8 * n_days) div 10"))
+    val cal = withT.filter(col("t") <= col("cal_n"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(abs(col("err_cents")), col("day"))))
+    val q = cal
+      .filter(col("r") === least(expr("(9 * (cal_n + 1) + 9) div 10"),
+        col("cal_n")))
+      .select(abs(col("err_cents")).as("q_cents"))
+    withT.filter(col("t") > col("cal_n"))
+      .crossJoin(broadcast(q))
+      .agg(max(col("cal_n")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("q_cents")).as("q_cents"),
+        sum(when(abs(col("err_cents")) <= col("q_cents"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
   }
 
   /** Centered 7-day rolling MEDIAN of daily revenue — the robust
@@ -284,11 +325,28 @@ object Quant {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_median" -> qWindowMedian,
+    "q_forecast_conformal" -> qForecastConformal,
     "q_forecast_holt" -> qForecastHolt,
     "q_quant_theilsen" -> qQuantTheilSen,
     "q_gini_nation" -> qGiniNation,
     "q_weighted_median" -> qWeightedMedian,
     "q_cusum_daily" -> qCusumDaily)
+
+  /** The Holt recurrence as DuckDB CTEs, shared by the forecast oracle
+    * and the conformal-coverage oracle. */
+  private val holtCte =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, d, y FROM (
+      |    SELECT CAST(o_orderdate AS DATE) AS d,
+      |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |    FROM orders GROUP BY 1)),
+      |hw(t, d, y, fitted, l, b) AS (
+      |  SELECT t, d, y, y AS fitted, y AS l, CAST(0 AS BIGINT) AS b FROM daily WHERE t = 1
+      |  UNION ALL
+      |  SELECT dd.t, dd.d, dd.y, hw.l + hw.b,
+      |    (dd.y + hw.l + hw.b) >> 1,
+      |    (hw.b + ((dd.y + hw.l + hw.b) >> 1) - hw.l) >> 1
+      |  FROM daily dd JOIN hw ON dd.t = hw.t + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_window_median" ->
@@ -298,22 +356,27 @@ object Quant {
         |SELECT CAST(d AS TIMESTAMP) AS day, rev,
         |  median(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med7_cents
         |FROM daily ORDER BY day""".stripMargin,
-    "q_forecast_holt" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, d, y FROM (
-        |    SELECT CAST(o_orderdate AS DATE) AS d,
-        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-        |    FROM orders GROUP BY 1)),
-        |hw(t, d, y, fitted, l, b) AS (
-        |  SELECT t, d, y, y AS fitted, y AS l, CAST(0 AS BIGINT) AS b FROM daily WHERE t = 1
-        |  UNION ALL
-        |  SELECT dd.t, dd.d, dd.y, hw.l + hw.b,
-        |    (dd.y + hw.l + hw.b) >> 1,
-        |    (hw.b + ((dd.y + hw.l + hw.b) >> 1) - hw.l) >> 1
-        |  FROM daily dd JOIN hw ON dd.t = hw.t + 1)
+    "q_forecast_holt" -> (holtCte +
+      """
         |SELECT CAST(d AS TIMESTAMP) AS day, y AS revenue_cents, fitted AS fitted_cents,
         |  y - fitted AS err_cents, l AS level_cents, b AS trend_cents
-        |FROM hw ORDER BY day""".stripMargin,
+        |FROM hw ORDER BY day""".stripMargin),
+    "q_forecast_conformal" -> (holtCte +
+      """,
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM hw),
+        |wt AS (SELECT hw.t, hw.d, abs(hw.y - hw.fitted) AS ae,
+        |    (8 * n_days) // 10 AS cal_n FROM hw, nn),
+        |cal AS (SELECT ae, cal_n,
+        |    row_number() OVER (ORDER BY ae, d) AS r FROM wt WHERE t <= cal_n),
+        |qv AS (SELECT ae AS q_cents FROM cal
+        |  WHERE r = least((9 * (cal_n + 1) + 9) // 10, cal_n))
+        |SELECT CAST(max(cal_n) AS BIGINT) AS n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(max(q_cents) AS BIGINT) AS q_cents,
+        |  CAST(sum(CASE WHEN ae <= q_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN ae <= q_cents THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS coverage
+        |FROM wt, qv WHERE t > cal_n""".stripMargin),
     "q_quant_theilsen" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev

@@ -95,6 +95,38 @@ class QuantSpec extends AnyFunSuite {
     assert(got.map(_._6).distinct.length > 1)
   }
 
+  test("conformal interval: rank quantile and coverage equal an in-memory recompute") {
+    val daily = spark.read
+      .parquet(TestSpark.sf0001 + "/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      .orderBy("d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    // re-run the integer Holt recurrence to get |error| per day
+    var l = 0L; var b = 0L
+    val errs = daily.zipWithIndex.map { case ((d, y), t) =>
+      val fitted = if (t == 0) y else l + b
+      val nl = if (t == 0) y else (y + l + b) >> 1
+      val nb = if (t == 0) 0L else (b + nl - l) >> 1
+      l = nl; b = nb
+      (d, math.abs(y - fitted))
+    }
+    val n = errs.length
+    val calN = 8 * n / 10
+    val cal = errs.take(calN).sortBy(e => (e._2, e._1))
+    val k = math.min((9 * (calN + 1) + 9) / 10, calN)
+    val q = cal(k - 1)._2
+    val test = errs.drop(calN)
+    val covered = test.count(_._2 <= q)
+    val r = Quant.qForecastConformal(spark, TestSpark.sf0001).collect()(0)
+    assert(r.getLong(0) == calN.toLong)
+    assert(r.getLong(1) == (n - calN).toLong)
+    assert(r.getLong(2) == q)
+    assert(r.getLong(3) == covered.toLong)
+    assert(r.getDouble(4) == covered.toDouble / (n - calN))
+    // the split-conformal guarantee should roughly hold on this series
+    assert(r.getDouble(4) >= 0.8 && r.getDouble(4) <= 1.0)
+  }
+
   test("rolling 7-day median equals an in-memory window recompute") {
     val daily = spark.read
       .parquet(TestSpark.sf0001 + "/orders.parquet")
