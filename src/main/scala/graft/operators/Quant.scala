@@ -303,6 +303,47 @@ object Quant {
         col("n_covered").cast("double") / col("n_test").cast("double"))
   }
 
+  /** Binary-segmentation change-point localization over daily revenue —
+    * the argmax complement of [[qCusumDaily]]'s score list: the single
+    * split k maximizing the between-segment variance reduction
+    * n₁n₂/n·(μ₁−μ₂)², evaluated for every candidate day in one pass
+    * over the calendar-bounded daily frame via prefix sums. The score
+    * rewrites to (n₂S₁ − n₁S₂)²/(n₁n₂n): the numerator is EXACT
+    * decimal(38,0) (inner term ~17 digits, squared ~34 — inside
+    * decimal range; at 100 TB cents this is the arithmetic that
+    * silently wraps in bigint), and the one division to double happens
+    * on exactly-parsed operands, so both engines compute bit-identical
+    * scores and agree on the argmax (ties → earlier day). DuckDB's
+    * HUGEINT must round-trip through VARCHAR for the exact double
+    * parse (the [[Quant]] header gotcha). */
+  def qChangepointBinseg(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy("d")
+    val pre = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("rev")).as("st"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val inner = dec(col("n") - col("k")) * dec(col("s1")) -
+      dec(col("k")) * dec(col("st") - col("s1"))
+    val score = (inner * inner).cast("double") /
+      (col("k") * (col("n") - col("k")) * col("n")).cast("double")
+    pre.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n"))
+      .select(col("d").cast("timestamp").as("split_day"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        (col("s1").cast("double") / col("k").cast("double") / 100.0)
+          .as("mean_left"),
+        ((col("st") - col("s1")).cast("double") /
+          (col("n") - col("k")).cast("double") / 100.0).as("mean_right"),
+        score.as("score"))
+      .orderBy(col("score").desc, col("split_day"))
+      .limit(1)
+  }
+
   /** Centered 7-day rolling MEDIAN of daily revenue — the robust
     * sibling of the rolling mean (q_window_moving): one outlier day
     * shifts a 7-day mean by outlier/7 but leaves the median untouched,
@@ -324,6 +365,7 @@ object Quant {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint_binseg" -> qChangepointBinseg,
     "q_window_median" -> qWindowMedian,
     "q_forecast_conformal" -> qForecastConformal,
     "q_forecast_holt" -> qForecastHolt,
@@ -349,6 +391,24 @@ object Quant {
       |  FROM daily dd JOIN hw ON dd.t = hw.t + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_changepoint_binseg" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |pre AS (SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+        |    CAST(sum(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS st FROM daily),
+        |sc AS (SELECT d, k, n - k AS n2, s1, st - s1 AS s2,
+        |    CAST((CAST(n - k AS HUGEINT) * s1 - CAST(k AS HUGEINT) * (st - s1)) *
+        |         (CAST(n - k AS HUGEINT) * s1 - CAST(k AS HUGEINT) * (st - s1)) AS HUGEINT) AS num,
+        |    k * (n - k) * n AS den
+        |  FROM pre, tot WHERE k < n)
+        |SELECT CAST(d AS TIMESTAMP) AS split_day, k AS n_left, n2 AS n_right,
+        |  CAST(s1 AS DOUBLE) / k / 100.0 AS mean_left,
+        |  CAST(s2 AS DOUBLE) / n2 / 100.0 AS mean_right,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, split_day LIMIT 1""".stripMargin,
     "q_window_median" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev

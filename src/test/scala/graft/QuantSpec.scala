@@ -95,6 +95,30 @@ class QuantSpec extends AnyFunSuite {
     assert(got.map(_._6).distinct.length > 1)
   }
 
+  test("binseg changepoint equals the in-memory argmax of variance reduction") {
+    val daily = spark.read
+      .parquet(TestSpark.sf0001 + "/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      .orderBy("d").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val n = daily.length
+    val st = daily.map(v => BigInt(v._2)).sum
+    var s1 = BigInt(0)
+    val best = daily.dropRight(1).zipWithIndex.map { case ((d, y), i) =>
+      s1 += y
+      val k = i + 1
+      val inner = BigInt(n - k) * s1 - BigInt(k) * (st - s1)
+      val score = (inner * inner).toDouble / (k.toLong * (n - k) * n).toDouble
+      (d, k, score)
+    }.minBy { case (d, _, sc) => (-sc, d) }
+    val r = Quant.qChangepointBinseg(spark, TestSpark.sf0001).collect()(0)
+    assert(r.getTimestamp(0).toLocalDateTime.toLocalDate.toString == best._1)
+    assert(r.getLong(1) == best._2.toLong)
+    assert(r.getDouble(5) == best._3)
+    // the split genuinely separates the means
+    assert(r.getDouble(3) != r.getDouble(4))
+  }
+
   test("conformal interval: rank quantile and coverage equal an in-memory recompute") {
     val daily = spark.read
       .parquet(TestSpark.sf0001 + "/orders.parquet")
