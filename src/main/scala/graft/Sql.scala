@@ -31,5 +31,16 @@ object Sql {
       df.createOrReplaceTempView(t)
     }
     plans.GraftFunctions.register(spark)
+    // Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): declarative
+    // helpers a pure-SQL user composes with — the body inlines into the
+    // plan (full codegen, no UDF black box).
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION tok_count(text STRING)
+        |RETURNS INT
+        |RETURN size(filter(split(text, ' '), x -> x != ''))""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION cents(amount DOUBLE)
+        |RETURNS BIGINT
+        |RETURN cast(round(amount * 100) as bigint)""".stripMargin)
   }
 }

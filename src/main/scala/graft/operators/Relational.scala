@@ -1142,7 +1142,73 @@ object Relational {
       .orderBy("event_type", "k_bucket")
   }
 
+  /** Hierarchical subtree rollup via Spark 4's NATIVE recursive CTE
+    * (`WITH RECURSIVE`, UNION ALL form — the engine's recursion is
+    * acyclic-only, and the synthetic decimal-shift forest child →
+    * child div 10 is a tree of depth ≤ 6 at any key range): every
+    * (node, ancestor) pair expands by recursion, then subtree account
+    * balances roll up per ancestor in exact cents — the BOM/org-chart
+    * aggregation every SQL engine is benchmarked on, previously only
+    * expressible here as plan-unrolled iterations
+    * ([[graft.operators.Graph.qGraphComponents]]). Recursion depth is
+    * bounded by the KEY WIDTH (log₁₀ of the max key), not data volume,
+    * so the unrolled-by-the-engine plan survives any scale factor. */
+  def sqlRecursive(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE cust AS (
+         |  SELECT c_custkey, c_acctbal FROM parquet.`$dir/customer.parquet`),
+         |e AS (SELECT c_custkey AS child, c_custkey div 10 AS parent
+         |  FROM cust WHERE c_custkey > 0),
+         |reach(node, anc) AS (
+         |  SELECT c_custkey, c_custkey FROM cust
+         |  UNION ALL
+         |  SELECT r.node, e.parent FROM reach r JOIN e ON r.anc = e.child),
+         |rev AS (SELECT c_custkey,
+         |  cast(round(c_acctbal * 100) as bigint) AS cents FROM cust)
+         |SELECT cast(r.anc as bigint) AS ancestor, count(*) AS n_desc,
+         |  sum(v.cents) AS subtree_cents
+         |FROM reach r JOIN rev v ON r.node = v.c_custkey
+         |WHERE r.anc < 200
+         |GROUP BY r.anc ORDER BY ancestor""".stripMargin)
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-3
+    * customers by balance per nation, written as the lateral join the
+    * SQL:2016 surface expects and decorrelated by Catalyst into a
+    * ranked join (never a per-nation rescan). The oracle deliberately
+    * uses the INDEPENDENT window formulation — two formulations
+    * agreeing is the decorrelation-correctness proof. */
+  def sqlLateral(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT n.n_name, cast(t.c_custkey as bigint) AS c_custkey,
+         |  t.c_acctbal
+         |FROM parquet.`$dir/nation.parquet` n,
+         |LATERAL (SELECT c_custkey, c_acctbal
+         |  FROM parquet.`$dir/customer.parquet` c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+
+  /** The VARIANT path (Spark 4's binary semi-structured type):
+    * `parse_json` → typed `variant_get` extraction + `try_variant_get`
+    * null-safety on a missing path, aggregated per event type —
+    * the modern engine surface for the reference's JSON-ish props,
+    * distinct from [[jsonExtract]]'s string-functions path (VARIANT
+    * parses once into a binary encoding; repeated path access does
+    * not re-parse the text). */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(variant_get(parse_json(props), '$$.k', 'bigint')) AS sum_k,
+         |  max(variant_get(parse_json(props), '$$.k', 'bigint')) AS max_k,
+         |  sum(CASE WHEN try_variant_get(parse_json(props), '$$.missing', 'bigint')
+         |      IS NULL THEN 1 ELSE 0 END) AS n_missing
+         |FROM parquet.`$dir/events.parquet`
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_recursive" -> sqlRecursive,
+    "q_sql_lateral" -> sqlLateral,
+    "q_json_variant" -> jsonVariant,
     "q_json_extract" -> jsonExtract,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivot,
@@ -1223,6 +1289,35 @@ object Relational {
         |  substring(text, 1, 10) AS text_head,
         |  levenshtein(lang, source) AS lev
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS child, c_custkey // 10 AS parent
+        |  FROM customer WHERE c_custkey > 0),
+        |reach(node, anc) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT r.node, e.parent FROM reach r JOIN e ON r.anc = e.child),
+        |rev AS (SELECT c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)
+        |SELECT CAST(r.anc AS BIGINT) AS ancestor, count(*) AS n_desc,
+        |  CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+        |FROM reach r JOIN rev v ON r.node = v.c_custkey
+        |WHERE r.anc < 200
+        |GROUP BY r.anc ORDER BY ancestor""".stripMargin,
+    // independent window formulation — agreement proves the engine's
+    // LATERAL decorrelation
+    "q_sql_lateral" ->
+      """SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+        |    row_number() OVER (PARTITION BY n.n_nationkey
+        |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+        |WHERE rn <= 3 ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |  count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

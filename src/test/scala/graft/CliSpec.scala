@@ -30,6 +30,13 @@ class CliSpec extends AnyFunSuite {
     // events view carries the ns->micros conversion
     val ts = spark.sql("SELECT min(ts) FROM events").collect()(0)
     assert(ts.getTimestamp(0) != null)
+    // SQL UDFs (CREATE FUNCTION ... RETURN) inline into the plan
+    val u = spark.sql(
+      "SELECT tok_count('a b  c') AS tc, cents(12.345) AS c").collect()(0)
+    assert(u.getInt(0) == 3 && u.getLong(1) == 1235L)
+    val agg = spark.sql(
+      "SELECT sum(cents(o_totalprice)) FROM orders").collect()(0)
+    assert(agg.getLong(0) > 0L)
   }
 
   test("scan CLI merges a tree into parquet state through the V2 connector") {
