@@ -325,15 +325,18 @@ object Capstone {
         "array_distinct(concat(array(name), transform(sequence(1, length(name))," +
           " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))))"))
         .as("bkey"))
+    // lev filter BEFORE the distinct: the match test is cheap per
+    // candidate row (≤ ~20² DP cells), while distinct-ing first would
+    // shuffle the full name strings for every shared deletion key
+    // (~21 duplicate candidate rows per true pair) — filtering first
+    // leaves an 16-byte (d1, d2) pair for the dedup exchange
     val pairs = keyed.as("a").join(keyed.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.ekey") < col("b.ekey") &&
           col("a.nation") === col("b.nation"))
-      .select(col("a.ekey").as("d1"), col("b.ekey").as("d2"),
-        col("a.name").as("n1"), col("b.name").as("n2"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 1 &&
+        length(col("a.name")) =!= length(col("b.name")))
+      .select(col("a.ekey").as("d1"), col("b.ekey").as("d2"))
       .distinct()
-      .filter(levenshtein(col("n1"), col("n2")) <= 1 &&
-        length(col("n1")) =!= length(col("n2")))
-      .select(col("d1"), col("d2"))
     val clusters = Dedup.clustersOf(s, pairs)
     val resolved = entities
       .join(clusters.withColumnRenamed("doc_id", "ekey"), Seq("ekey"))
