@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.Tables._
 
@@ -42,6 +42,84 @@ object StateV2 {
       totals.update((n, v))
       Iterator((user, n, v))
     }
+  }
+
+  /** Timer-driven sessionizer — the capability that genuinely NEEDS the
+    * new API: event-time TIMERS close idle sessions without waiting for
+    * the user's next event (fMGS could only approximate this with
+    * per-key timeout modes). Sessions that ROLL (a new event beyond the
+    * gap) close inline in `handleInputRows`; sessions that go IDLE
+    * close in `handleExpiredTimer` when the watermark passes
+    * last + gap. Stale timers (from since-extended sessions) fire
+    * harmlessly: the expiry-vs-current-state guard ignores them.
+    * State per user = one open-session tuple; timers per user ≤ events
+    * — both watermark-bounded.
+    *
+    * Input rows arrive UNORDERED within a micro-batch, so the handler
+    * sorts its per-key batch slice by timestamp before the
+    * gaps-and-islands fold (bounded by the per-key batch volume). */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long),
+        (Long, Long, Long, Long, Long)] {
+    // open session: (start_ms, last_ms, n_events, cents)
+    @transient private var open: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long, Long)]("open",
+        Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)], timerValues: TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val evs = rows.toSeq.sortBy(_._2)
+      var closed = List.empty[(Long, Long, Long, Long)]
+      var st = if (open.exists()) Option(open.get()) else None
+      evs.foreach { case (_, ts, c) =>
+        st = st match {
+          case Some((s0, l0, n0, c0)) if ts - l0 <= gapMs =>
+            Some((s0, math.max(ts, l0), n0 + 1, c0 + c))
+          case Some(done) =>
+            closed ::= done
+            Some((ts, ts, 1L, c))
+          case None => Some((ts, ts, 1L, c))
+        }
+      }
+      st.foreach { sess =>
+        open.update(sess)
+        getHandle.registerTimer(sess._2 + gapMs)
+      }
+      closed.reverse.iterator
+        .map(t => (user, t._1, t._2, t._3, t._4))
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long, Long)] =
+      if (open.exists()) {
+        val (s0, l0, n0, c0) = open.get()
+        // only close if THIS timer corresponds to the current session's
+        // idle deadline (stale timers from extended sessions are older)
+        if (expiredTimerInfo.getExpiryTimeInMs() >= l0 + gapMs) {
+          open.clear()
+          Iterator((user, s0, l0, n0, c0))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** 10-minute-gap sessionization on transformWithState with event-time
+    * timers; output (user_id, start_ms, last_ms, n_events, cents). */
+  def sessionStreamTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = EventWindows.eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        cents(col("value")).as("value_cents"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(600000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[(Long, Long, Long, Long, Long)])
+      .toDF("user_id", "start_ms", "last_ms", "n_events", "cents")
   }
 
   /** [[EventWindows.userTotalsStream]] on the transformWithState API:

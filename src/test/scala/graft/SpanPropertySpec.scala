@@ -100,6 +100,49 @@ class SpanPropertySpec extends AnyFunSuite {
     lab
   }
 
+  test("entity resolution == brute force on random name sets (blocking recall)") {
+    val genEntities: Gen[Seq[(Long, String, Long, Double)]] = for {
+      n <- Gen.choose(4, 24)
+      names <- Gen.listOfN(n, Gen.choose(0, 6).flatMap(len =>
+        Gen.stringOfN(len, Gen.oneOf('a', 'b'))))
+    } yield names.zipWithIndex.map { case (nm, i) =>
+      (i.toLong, nm, i.toLong % 2, i.toDouble)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (ents <- sample(genEntities, 10, 55L)) {
+      val got = graft.operators.Capstone.resolveEntities(spark,
+          ents.toDF("ekey", "name", "nation", "acctbal"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute: lev<=1 AND unequal length AND same nation → union-find
+      val pairs = for {
+        a <- ents; b <- ents
+        if a._1 < b._1 && a._3 == b._3 &&
+          a._2.length != b._2.length && lev(a._2, b._2) <= 1
+      } yield (a._1, b._1)
+      val parent = scala.collection.mutable.Map(ents.map(e => e._1 -> e._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inCluster = ents.filter(e =>
+        pairs.exists(p => p._1 == e._1 || p._2 == e._1))
+      val want = inCluster.groupBy(e => find(e._1)).map { case (cid, ms) =>
+        val g = ms.minBy(e => (-e._4, e._1))
+        (cid, ms.size.toLong, g._1)
+      }.toSet
+      assert(got == want, s"ents=$ents")
+    }
+  }
+
   test("lpa == brute-force synchronous propagation on random graphs") {
     for (((nodes, edges), i) <- sample(genGraph, 8, 99L).zipWithIndex) {
       val got = Graph.lpa(nodes.toDF("id"), edges.toDF("src", "dst"))
