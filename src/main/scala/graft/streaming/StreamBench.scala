@@ -149,6 +149,22 @@ object StreamBench {
       }.toDF("user_id", "n_events", "total_cents")
   }
 
+  /** [[userTotals]] on the Spark 4 transformWithState API (same
+    * semantics, named typed ValueState) — benched side by side with the
+    * fMGS form so the new operator's cost is a measured row, not a
+    * guess. */
+  def twsTotals(s: SparkSession, src: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    src.select(col("user_id"), (col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new StateV2.UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .toDF("user_id", "n_events", "total_cents")
+  }
+
   /** The full suite over a fresh synthetic stream; returns op → stats.
     * `nRows` events over 4 h span / 500 users in `nFiles` micro-batches.
     *
@@ -173,14 +189,28 @@ object StreamBench {
       "dedup" -> (() => dedup(sourceStream(s, dir))),
       "join" -> (() => intervalJoin(sourceStream(s, dir))),
       "fmgs_totals" -> (() => userTotals(s, sourceStream(s, dir))),
+      "tws_totals" -> (() => twsTotals(s, sourceStream(s, dir))),
     )
+    // transformWithState requires the RocksDB provider; scope it to the
+    // tws op so every pre-existing row keeps its graded store (the
+    // provider difference is then visible IN the fmgs-vs-tws comparison
+    // rather than silently moving all six baselines)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val out =
       try ops.map { case (name, build) =>
         // session windows + dedup + join only support append mode
         val mode =
-          if (name == "tumbling" || name == "sliding" || name == "fmgs_totals")
+          if (name == "tumbling" || name == "sliding" ||
+            name == "fmgs_totals" || name == "tws_totals")
             "update" else "append"
-        name -> runOp(s, build(), mode)
+        val prevProv = s.conf.getOption(provKey)
+        if (name == "tws_totals") s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try name -> runOp(s, build(), mode)
+        finally if (name == "tws_totals") prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
       }
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // best-effort cleanup of the temp stream dir + checkpoints
