@@ -62,6 +62,33 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("statestore reader: checkpointed fMGS state is introspectable offline") {
+    // run the totals stream with a DURABLE checkpoint, then read the
+    // state store back with the `statestore` format — the ops surface
+    // for debugging a production stream's state without the stream
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventWindows.userTotalsStream(spark, TestSpark.sf0001)
+      .writeStream.format("memory").queryName("state_ckpt_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val state = spark.read.format("statestore").option("path", ckpt).load()
+    // schema: key.value (the group key), value.groupState._1/_2 (the
+    // fMGS state tuple), partition_id
+    val rows = state.selectExpr("key.value", "value.groupState._1",
+      "value.groupState._2").collect()
+    val fromState = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Tables.cents(col("value"))).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromState == batch,
+      s"state store drifted from batch: ${fromState.size} vs ${batch.size} keys")
+  }
+
   test("timer-driven TWS sessionizer == batch gaps-and-islands (watermark-closed set)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
