@@ -121,9 +121,15 @@ object ScaleProbe {
         graft.operators.Dedup.substringSpansOf(docs).count()
       }
       time(s"lpa_3round x$n") {
-        // shipped LPA core over the synthetic quadratic graph; per
-        // round one edge join + (node,label) count + top-1 window
-        val nodes = docs.select(col("doc_id").as("id"))
+        // shipped LPA core per round: one edge join + (node,label)
+        // count + top-1 window. Nodes must be CONTIGUOUS [0, N):
+        // synthEdges targets (id² + 7k) mod N, so amplified SPARSE ids
+        // (copy offset 1e6) would point ~90%+ of edges at phantom
+        // nodes — a structurally different graph per n, not a scaled
+        // one. The graph is id-defined, so a plain range scales the
+        // SHIPPED shape exactly.
+        val baseN = graft.Tables.documents(spark, sfDir).count()
+        val nodes = spark.range(baseN * n).select(col("id"))
         graft.operators.Graph.lpa(nodes,
           graft.operators.Graph.synthEdges(nodes)).count()
       }

@@ -821,30 +821,35 @@ object TextAnalysis {
     * disagree on. Scale: one map-side per-row projection feeding a
     * single 6-row aggregate of boolean sums — zero joins, zero
     * windows; the rate division is exact-integer-over-integer. */
+  /** The five Gopher fail predicates over a raw text column — the ONE
+    * source of truth shared by the attrition report ([[qTextGopher]])
+    * and the calibration label ([[gopherPassAll]]), so a threshold
+    * tweak cannot make the two silently disagree. Every predicate is an
+    * exact cross-multiplied integer comparison. */
+  private def gopherFails(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("bigint")
+    val nTokens = size(toks).cast("bigint")
+    val nDistinct = size(array_distinct(toks)).cast("bigint")
+    val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("bigint")
+    val stops = stopHits(toks, enStop).cast("bigint")
+    Seq(
+      "f_len" -> !(nTokens >= 10 && nTokens <= 1000),
+      "f_wordlen" -> !(tokChars >= nTokens * 2 && tokChars <= nTokens * 12),
+      "f_symbol" -> !(punct * 10 < nChars * 3),
+      "f_stopword" -> !(stops >= 2),
+      "f_repetition" -> !(nDistinct * 10 >= nTokens * 3))
+  }
+
   def qTextGopher(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val base = documents(s, dir).select(
-      length(col("text")).cast("bigint").as("n_chars"),
-      size(toks).cast("bigint").as("n_tokens"),
-      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
-      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
-        .cast("bigint").as("punct_chars"),
-      stopHits(toks, enStop).cast("bigint").as("stop_hits"))
-    val fLen = !(col("n_tokens") >= 10 && col("n_tokens") <= 1000)
-    val fWordLen = !(col("tok_chars") >= col("n_tokens") * 2 &&
-      col("tok_chars") <= col("n_tokens") * 12)
-    val fSymbol = !(col("punct_chars") * 10 < col("n_chars") * 3)
-    val fStop = !(col("stop_hits") >= 2)
-    val fRep = !(col("n_distinct") * 10 >= col("n_tokens") * 3)
+    val fails = gopherFails(col("text"))
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    val agged = base.agg(
+    val agged = documents(s, dir).agg(
       count(lit(1)).as("n_docs"),
-      cnt(fLen).as("f_len"), cnt(fWordLen).as("f_wordlen"),
-      cnt(fSymbol).as("f_symbol"), cnt(fStop).as("f_stopword"),
-      cnt(fRep).as("f_repetition"),
-      cnt(fLen || fWordLen || fSymbol || fStop || fRep).as("f_any"))
+      (fails.map { case (name, c) => cnt(c).as(name) } :+
+        cnt(fails.map(_._2).reduce(_ || _)).as("f_any")): _*)
     agged.select(col("n_docs"), expr(
       "stack(6, 'doc_length', f_len, 'mean_word_length', f_wordlen," +
         " 'symbol_ratio', f_symbol, 'stopword_floor', f_stopword," +
@@ -855,22 +860,11 @@ object TextAnalysis {
       .orderBy("rule")
   }
 
-  /** "Passes every Gopher gate" as one boolean column (the
-    * [[qTextGopher]] predicates conjoined) — the pseudo-label for
-    * calibration audits. */
-  private def gopherPassAll(text: Column): Column = {
-    val toks = tokens(text)
-    val nChars = length(text).cast("bigint")
-    val nTokens = size(toks).cast("bigint")
-    val nDistinct = size(array_distinct(toks)).cast("bigint")
-    val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
-    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("bigint")
-    val stops = stopHits(toks, enStop).cast("bigint")
-    (nTokens >= 10 && nTokens <= 1000) &&
-      (tokChars >= nTokens * 2 && tokChars <= nTokens * 12) &&
-      (punct * 10 < nChars * 3) && (stops >= 2) &&
-      (nDistinct * 10 >= nTokens * 3)
-  }
+  /** "Passes every Gopher gate" as one boolean column — the negated
+    * conjunction of the SHARED [[gopherFails]] predicates; the
+    * pseudo-label for calibration audits. */
+  private def gopherPassAll(text: Column): Column =
+    !gopherFails(text).map(_._2).reduce(_ || _)
 
   /** Calibration audit of the quality score against the Gopher gate —
     * Expected Calibration Error over 10 equal-width probability bins

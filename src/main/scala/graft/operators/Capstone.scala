@@ -306,7 +306,12 @@ object Capstone {
     val base = customer(s, dir).select(
       col("c_custkey").cast("bigint").as("ekey"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
-    val variants = base.filter(col("ekey") % 3 === 0)
+    // the variant id block [100000, 190000) must stay disjoint from
+    // genuine keys, so the injected set is BOUNDED like Dedup.corpus
+    // bounds its copies (doc_id < 50): at a fixture scale where
+    // custkeys reached 100k, unbounded injection would collide variant
+    // ids with real customers and silently corrupt the clustering
+    val variants = base.filter(col("ekey") % 3 === 0 && col("ekey") < 90000)
       .select((col("ekey") + 100000).as("ekey"),
         expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
         col("nation"), (col("acctbal") + 37.5).as("acctbal"))
@@ -372,7 +377,7 @@ object Capstone {
       """WITH RECURSIVE base AS (
         |  SELECT c_custkey AS ekey, c_name AS name, c_nationkey AS nation, c_acctbal AS acctbal FROM customer),
         |var AS (SELECT ekey + 100000 AS ekey, substr(name, 1, 10) || substr(name, 12) AS name,
-        |    nation, acctbal + 37.5 AS acctbal FROM base WHERE ekey % 3 = 0),
+        |    nation, acctbal + 37.5 AS acctbal FROM base WHERE ekey % 3 = 0 AND ekey < 90000),
         |e AS (SELECT * FROM base UNION ALL SELECT * FROM var),
         |prs AS (SELECT a.ekey AS d1, b.ekey AS d2 FROM e a JOIN e b
         |  ON a.nation = b.nation AND a.ekey < b.ekey

@@ -73,19 +73,39 @@ object StateV2 {
         : Iterator[(Long, Long, Long, Long, Long)] = {
       val evs = rows.toSeq.sortBy(_._2)
       var closed = List.empty[(Long, Long, Long, Long)]
-      var st = if (open.exists()) Option(open.get()) else None
+      val before = if (open.exists()) Option(open.get()) else None
+      var st = before
       evs.foreach { case (_, ts, c) =>
         st = st match {
-          case Some((s0, l0, n0, c0)) if ts - l0 <= gapMs =>
-            Some((s0, math.max(ts, l0), n0 + 1, c0 + c))
-          case Some(done) =>
+          // within gap of the open session on EITHER side (out-of-order
+          // events extend the start backward, not just the end forward)
+          case Some((s0, l0, n0, c0))
+              if ts >= s0 - gapMs && ts <= l0 + gapMs =>
+            Some((math.min(ts, s0), math.max(ts, l0), n0 + 1, c0 + c))
+          // past the gap forward: the open session is complete
+          case Some(done) if ts > done._2 + gapMs =>
             closed ::= done
             Some((ts, ts, 1L, c))
+          // an out-of-order event OLDER than start − gap: it belongs to
+          // an already-gone earlier session; emit it as its own closed
+          // session (exact retro-merging would need buffering the full
+          // watermark horizon — disorder beyond the gap but inside the
+          // watermark is the one shape this operator approximates)
+          case Some(keep) =>
+            closed ::= ((ts, ts, 1L, c))
+            Some(keep)
           case None => Some((ts, ts, 1L, c))
         }
       }
       st.foreach { sess =>
         open.update(sess)
+        // keep timer state O(keys): retire the previous deadline before
+        // arming the new one (a stale timer would fire harmlessly into
+        // the expiry guard, but at stream scale they accumulate per
+        // extension, not per key)
+        before.foreach { prev =>
+          if (prev._2 != sess._2) getHandle.deleteTimer(prev._2 + gapMs)
+        }
         getHandle.registerTimer(sess._2 + gapMs)
       }
       closed.reverse.iterator

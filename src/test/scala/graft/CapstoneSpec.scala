@@ -152,9 +152,10 @@ class CapstoneSpec extends AnyFunSuite {
         "cast(c_nationkey as bigint)", "c_acctbal")
       .collect().map(r => E(r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3)))
-    val entities = base ++ base.filter(_.ekey % 3 == 0).map(e =>
-      E(e.ekey + 100000, e.name.substring(0, 10) + e.name.substring(11),
-        e.nation, e.acctbal + 37.5))
+    val entities = base ++
+      base.filter(e => e.ekey % 3 == 0 && e.ekey < 90000).map(e =>
+        E(e.ekey + 100000, e.name.substring(0, 10) + e.name.substring(11),
+          e.nation, e.acctbal + 37.5))
     val pairs = for {
       a <- entities; b <- entities
       if a.ekey < b.ekey && a.nation == b.nation &&
