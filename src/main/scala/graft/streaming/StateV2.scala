@@ -126,21 +126,31 @@ object StateV2 {
       } else Iterator.empty
   }
 
-  /** 10-minute-gap sessionization on transformWithState with event-time
-    * timers; output (user_id, start_ms, last_ms, n_events, cents). */
-  def sessionStreamTws(s: SparkSession, dir: String): DataFrame = {
+  /** The sessionizer over an arbitrary streaming frame with columns
+    * (user_id long, ts timestamp, value_cents long) — source-agnostic
+    * core shared with the out-of-order spec so the tested semantics
+    * ARE the shipped ones. */
+  def sessionizeTws(s: SparkSession, src: DataFrame,
+      gapMs: Long = 600000L): DataFrame = {
     import s.implicits._
-    val typed = EventWindows.eventsStream(s, dir)
+    val typed = src
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        cents(col("value")).as("value_cents"))
+        col("value_cents"))
       .as[(Long, Long, Long)]
     typed.groupByKey(_._1)
-      .transformWithState(new SessionProcessor(600000L),
+      .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append(),
         Encoders.product[(Long, Long, Long, Long, Long)])
       .toDF("user_id", "start_ms", "last_ms", "n_events", "cents")
   }
+
+  /** 10-minute-gap sessionization on transformWithState with event-time
+    * timers; output (user_id, start_ms, last_ms, n_events, cents). */
+  def sessionStreamTws(s: SparkSession, dir: String): DataFrame =
+    sessionizeTws(s, EventWindows.eventsStream(s, dir)
+      .select(col("user_id"), col("ts"),
+        cents(col("value")).as("value_cents")))
 
   /** [[EventWindows.userTotalsStream]] on the transformWithState API:
     * one (count, cents) ValueState per user, emitted on every update —

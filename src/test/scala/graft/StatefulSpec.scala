@@ -89,6 +89,55 @@ class StatefulSpec extends AnyFunSuite {
       s"state store drifted from batch: ${fromState.size} vs ${batch.size} keys")
   }
 
+  test("TWS sessionizer handles cross-batch out-of-order events per the documented contract") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // three micro-batches for one user (seconds → ms in the output):
+      //  f1: 0s, 1500s      → roll closes (0,0); open (1500,1500)
+      //  f2: 700s  — older than start−gap (900s): straggler session
+      //      1000s — within gap of start: extends start BACKWARD
+      //      1600s — extends end forward          → open (1000,1600)
+      //  f3: 5000s → roll closes (1000,1600,3ev); open (5000,5000)
+      val dir = java.nio.file.Files.createTempDirectory("tws_ooo").toString
+      def writeFile(n: Int, secs: Seq[Long]): Unit = {
+        val f = s"$dir/f$n"
+        secs.map(sec => (1L, new java.sql.Timestamp(sec * 1000L), 100L))
+          .toDF("user_id", "ts", "value_cents")
+          .coalesce(1).write.mode("overwrite").parquet(f)
+        // FileStreamSource orders by modification time; space them out
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + n * 60000L))
+      }
+      writeFile(1, Seq(0L, 1500L))
+      writeFile(2, Seq(700L, 1000L, 1600L))
+      writeFile(3, Seq(5000L))
+      val src = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value_cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/f*")
+      val q = graft.streaming.StateV2.sessionizeTws(spark, src)
+        .writeStream.format("memory").queryName("tws_ooo_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("tws_ooo_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = Set(
+        (0L, 0L, 1L, 100L),          // rolled closed in f1
+        (700000L, 700000L, 1L, 100L), // straggler emitted in f2
+        (1000000L, 1600000L, 3L, 300L)) // backward-extended, rolled in f3
+      assert(got == expected, s"got=$got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("timer-driven TWS sessionizer == batch gaps-and-islands (watermark-closed set)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
