@@ -753,7 +753,60 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** CUPED variance reduction for the A/B readout (Deng, Xu, Kohavi &
+    * Walker 2013 — the industry-standard pre-experiment covariate
+    * adjustment): per user, pre-period spend X (first half of the event
+    * window, the q_drift_psi midpoint) and experiment-period spend Y;
+    * θ = cov(X,Y)/var(X) pooled; each variant reports its raw and
+    * CUPED-adjusted mean Ŷ = Ȳ_v − θ·(X̄_v − X̄), plus the pooled
+    * residual-variance ratio 1 − ρ² — how much tighter the experiment
+    * reads after adjustment. Variant assignment is the deterministic
+    * salted-md5 split every sampling operator here uses.
+    *
+    * Scale shape: ONE user-keyed aggregate collapses the fact table;
+    * the pooled moment frame is a 1-row broadcast; per-variant stats a
+    * 2-row aggregate. Per-user power sums stay exact bigints; the
+    * pooled cross-products move to double BEFORE multiplying (Σx·Σy
+    * overflows bigint at fixture scale already — doubles are exact
+    * here, |Σ| < 2⁵³, and the op tree mirrors the oracle exactly);
+    * round(6) pins the long derived expressions. */
+  def qAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    val per = events(s, dir).groupBy(col("user_id")).agg(
+      sum(when(col("ts") < mid, cents(col("value"))).otherwise(0L)).as("x"),
+      sum(when(col("ts") >= mid, cents(col("value"))).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(substring(md5(concat(lit("ab"), col("user_id").cast("string"))),
+          1, 1) < "8", "A").otherwise("B"))
+    val pooled = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = d(col("n"))
+    val cov = d(col("sxy")) / n - (d(col("sx")) / n) * (d(col("sy")) / n)
+    val vx = d(col("sxx")) / n - (d(col("sx")) / n) * (d(col("sx")) / n)
+    val vy = d(col("syy")) / n - (d(col("sy")) / n) * (d(col("sy")) / n)
+    val consts = pooled.select(
+      (d(col("sx")) / n).as("mean_x_pool"),
+      (cov / vx).as("theta"),
+      (lit(1.0) - (cov * cov) / (vx * vy)).as("var_ratio"))
+    val byVariant = per.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x")).as("vx_sum"), sum(col("y")).as("vy_sum"))
+    byVariant.crossJoin(broadcast(consts))
+      .select(col("variant"), col("n_users"),
+        round(d(col("vy_sum")) / d(col("n_users")), 6).as("mean_y"),
+        round(d(col("vy_sum")) / d(col("n_users")) -
+          col("theta") * (d(col("vx_sum")) / d(col("n_users")) -
+            col("mean_x_pool")), 6).as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("var_ratio"), 6).as("var_ratio"))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_cuped" -> qAbCuped,
     "q_agree_kappa" -> qAgreeKappa,
     "q_stats_benford" -> qStatsBenford,
     "q_drift_psi" -> qDriftPsi,
@@ -787,6 +840,31 @@ object Stats {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ab_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT *, CASE WHEN substring(md5('ab' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS variant FROM per),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)*y) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)*x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT)*y) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM v),
+        |c AS (SELECT sx/n AS mean_x_pool,
+        |    (sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n)) AS theta,
+        |    1.0 - ((sxy/n - (sx/n)*(sy/n)) * (sxy/n - (sx/n)*(sy/n)))
+        |      / ((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) AS var_ratio
+        |  FROM p),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS DOUBLE) AS vxs, CAST(sum(y) AS DOUBLE) AS vys
+        |  FROM v GROUP BY variant)
+        |SELECT variant, n_users, round(vys/n_users, 6) AS mean_y,
+        |  round(vys/n_users - theta * (vxs/n_users - mean_x_pool), 6) AS mean_y_adj,
+        |  round(theta, 6) AS theta, round(var_ratio, 6) AS var_ratio
+        |FROM g, c ORDER BY variant""".stripMargin,
     "q_agree_kappa" ->
       """WITH f AS (SELECT lang,
         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,

@@ -11,6 +11,37 @@ import graft.operators.Stats
   * must agree to float tolerance even though they are not bit-stable),
   * plus structural properties. */
 class StatsSpec extends AnyFunSuite {
+
+  test("cuped: theta/adjustment equal an in-memory recompute; adjustment is mean-preserving") {
+    lazy val spark2 = TestSpark.spark
+    val per = graft.Tables.events(spark2, TestSpark.sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          "sum(case when ts < timestamp '2024-01-16' then cast(round(value*100) as bigint) else 0 end)").as("x"),
+        org.apache.spark.sql.functions.expr(
+          "sum(case when ts >= timestamp '2024-01-16' then cast(round(value*100) as bigint) else 0 end)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = per.length.toDouble
+    val (sx, sy) = (per.map(_._2).sum.toDouble, per.map(_._3).sum.toDouble)
+    val sxy = per.map(p => BigInt(p._2) * p._3).sum.toDouble
+    val sxx = per.map(p => BigInt(p._2) * p._2).sum.toDouble
+    val cov = sxy / n - (sx / n) * (sy / n)
+    val vx = sxx / n - (sx / n) * (sx / n)
+    val theta = cov / vx
+    val rows = graft.operators.Stats.qAbCuped(spark2, TestSpark.sf0001)
+      .collect()
+    assert(rows.length == 2)
+    assert(math.abs(rows(0).getDouble(4) - theta) < 1e-5)
+    // CUPED is mean-preserving across variants in aggregate: the
+    // n-weighted mean of adjusted means equals that of raw means
+    val totRaw = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val totAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(totRaw - totAdj) / totRaw < 1e-6)
+    // the adjustment must tighten, never widen
+    val vr = rows(0).getDouble(5)
+    assert(vr > 0.0 && vr <= 1.0)
+  }
   private lazy val spark = TestSpark.spark
 
   test("moments agree with Spark's built-in skewness/kurtosis/corr") {
