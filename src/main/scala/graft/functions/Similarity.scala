@@ -589,8 +589,93 @@ object Similarity {
         ari.as("ari"))
   }
 
+  /** Top principal component of the embedding space by power iteration —
+    * the dimensionality-reduction audit the embedding family lacked
+    * (PCA whitening / common-component removal is standard retrieval
+    * preprocessing, e.g. Arora et al. 2017's "remove the first PC").
+    *
+    * Scale shape (the point of the formulation): the ONLY pass over the
+    * data computes the exact 64×64 second-moment matrix — per row the
+    * 2 080 upper-triangle products `q_j·q_k` of the ×10⁴-quantized grid
+    * values, partially aggregated map-side so the shuffle carries
+    * ≤ 2 080 × partitions rows regardless of corpus size. Sums are
+    * exact integers (decimal(38): per-term ≤ 2.5e7 so bigint saturates
+    * past ~4e11 rows — 100 TB territory), turned into a double
+    * covariance ONCE via the established exactly-parsed-string cast, so
+    * both engines see bit-identical matrices. The 64-row matrix collect
+    * is bounded by the embedding DIMENSIONALITY, not the data (the
+    * kmeansRefine precedent), and 8 power-iteration steps run
+    * driver-side as plain left-fold loops — bit-identical to the
+    * oracle's unrolled `list_transform`/`list_dot_product` CTE chain
+    * (the same fold DuckDB applies in the cosine kernels, verified
+    * bit-equal there). v₀ = 1/√64 = 0.125 exactly; trace folds the
+    * diagonal via `d·1.0` products to pin the same add order. */
+  def qEmbPca(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(expr(
+      "transform(cast(embedding as array<double>), x -> cast(floor(x * 10000d + 0.5d) as bigint))")
+      .as("q"))
+    val sums = e.select(posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"), sum(col("qj")).as("sj"))
+    val pairs = e.select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1), j ->
+          |  transform(sequence(j, size(q) - 1), k ->
+          |    struct(j as j, k as k,
+          |      element_at(q, j + 1) * element_at(q, k + 1) as p))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.j").as("j"), col("pr.k").as("k"), col("pr.p").as("p"))
+      .groupBy("j", "k")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sjk"))
+    val nD = col("n").cast("double")
+    val cov0 = pairs
+      .join(broadcast(sums.select(col("j"), col("n"), col("sj"))), Seq("j"))
+      .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"))), Seq("k"))
+      .select(col("j"), col("k"), col("n"),
+        (col("sjk").cast("string").cast("double") / nD
+          - (col("sj").cast("double") / nD) * (col("sk").cast("double") / nD))
+          .as("cov"))
+    val sym = cov0.select("j", "k", "n", "cov")
+      .union(cov0.filter(col("j") =!= col("k"))
+        .select(col("k").as("j"), col("j").as("k"), col("n"), col("cov")))
+    val rows = sym.groupBy("j")
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("k"), col("cov")))),
+          p => p.getField("cov")).as("row"))
+      .orderBy("j")
+      .collect() // bounded: one row per embedding DIMENSION (64)
+    val m = rows.map(_.getSeq[Double](2).toArray)
+    val nVecs = rows.head.getLong(1)
+    val d = m.length
+    def matvec(x: Array[Double]): Array[Double] = m.map { row =>
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += row(i) * x(i); i += 1 }
+      acc
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 8) {
+      val u = matvec(v)
+      val nrm = math.sqrt(fold(u, u))
+      v = u.map(_ / nrm)
+    }
+    val lambda = fold(v, matvec(v))
+    val trace = fold(Array.tabulate(d)(i => m(i)(i)), Array.fill(d)(1.0))
+    s.range(1).select(
+      lit(nVecs).as("n"),
+      round(lit(trace), 6).as("trace"),
+      round(lit(lambda), 6).as("lambda1"),
+      round(lit(lambda / trace), 6).as("explained"),
+      round(lit(v(0)), 6).as("load1"), round(lit(v(1)), 6).as("load2"),
+      round(lit(v(2)), 6).as("load3"), round(lit(v(3)), 6).as("load4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_ari" -> qClusterAri,
+    "q_emb_pca" -> qEmbPca,
     "q_dedup_semantic" -> qDedupSemantic,
     "q_emb_clusters" -> qEmbClusters,
     "q_emb_inertia" -> qEmbInertia,
@@ -630,7 +715,53 @@ object Similarity {
       |  CAST(3 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
+  // q_emb_pca oracle: the identical exact-integer moment pipeline, then
+  // the 8 power-iteration steps unrolled as list_transform /
+  // list_dot_product CTE pairs (the same left fold the driver loop runs).
+  private val pcaOracle = {
+    val iters = (1 to 8).map { i =>
+      s"""u$i AS (SELECT list_transform(m, r -> list_dot_product(r, v)) AS u
+         |  FROM mat, i${i - 1}),
+         |i$i AS (SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS v
+         |  FROM u$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q FROM embeddings),
+       |s AS (SELECT j, count(*) AS n, CAST(sum(q[CAST(j AS INT)]) AS BIGINT) AS sj
+       |  FROM e, range(1, 65) tj(j) GROUP BY j),
+       |p AS (SELECT j, k,
+       |    sum(CAST(q[CAST(j AS INT)] AS HUGEINT) * q[CAST(k AS INT)]) AS sjk
+       |  FROM e, range(1, 65) tj(j), range(1, 65) tk(k)
+       |  WHERE k >= j GROUP BY j, k),
+       |cov0 AS (SELECT p.j AS j, p.k AS k, a.n AS n,
+       |    CAST(CAST(p.sjk AS VARCHAR) AS DOUBLE) / CAST(a.n AS DOUBLE)
+       |    - (CAST(a.sj AS DOUBLE) / CAST(a.n AS DOUBLE))
+       |      * (CAST(b.sj AS DOUBLE) / CAST(b.n AS DOUBLE)) AS cov
+       |  FROM p JOIN s a ON p.j = a.j JOIN s b ON p.k = b.j),
+       |sym AS (SELECT j, k, cov FROM cov0
+       |  UNION ALL SELECT k AS j, j AS k, cov FROM cov0 WHERE j <> k),
+       |r AS (SELECT j, list(cov ORDER BY k) AS row FROM sym GROUP BY j),
+       |mat AS (SELECT (SELECT list(row ORDER BY j) FROM r) AS m,
+       |  (SELECT list(cov ORDER BY j) FROM sym WHERE j = k) AS diag),
+       |i0 AS (SELECT list_transform(range(1, 65), x -> 0.125) AS v),
+       |$iters,
+       |u9 AS (SELECT list_transform(m, r -> list_dot_product(r, v)) AS u
+       |  FROM mat, i8),
+       |fin AS (SELECT (SELECT CAST(max(n) AS BIGINT) FROM cov0) AS n,
+       |    list_dot_product(mat.diag,
+       |      list_transform(range(1, 65), x -> 1.0)) AS trace,
+       |    list_dot_product(i8.v, u9.u) AS lambda, i8.v AS v
+       |  FROM mat, i8, u9)
+       |SELECT n, round(trace, 6) AS trace, round(lambda, 6) AS lambda1,
+       |  round(lambda / trace, 6) AS explained,
+       |  round(v[1], 6) AS load1, round(v[2], 6) AS load2,
+       |  round(v[3], 6) AS load3, round(v[4], 6) AS load4
+       |FROM fin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_emb_pca" -> pcaOracle,
     "q_cluster_ari" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT label,
