@@ -31,6 +31,7 @@ import graft.sources.FileListing
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("query")) { runQuery(args.drop(1)); return }
+    if (args.headOption.contains("audit")) { runAudit(args.drop(1)); return }
     var identifier: Option[String] = None
     var verbosity = 0
     var out = "./scan_out"
@@ -139,6 +140,46 @@ object Main {
         println(s"$name: ${spark.read.parquet(d).count()} rows -> $d")
       case None => df.show(20, truncate = false)
     }
+  }
+
+  /** The bucket-audit frame for one path — COUNT(*), SUM(size) ("du"
+    * over a prefix), MIN/MAX(size), MIN/MAX(modified) (staleness probe)
+    * — expressed so the WHOLE aggregate pushes into the graft-files
+    * listing tasks ([[graft.sources.v2.FilesSource]]
+    * `SupportsPushDownAggregates`): each listing shard folds its walk
+    * into ONE partial row in-stream, no per-file InternalRow ever
+    * reaches Spark, and the `created` stat is provably never taken.
+    * Shared with CliSpec, which pins the `PushedAggregation` plan
+    * marker and equality with a direct recursive walk. */
+  private[graft] def auditFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-files").option("path", normalize(path)).load()
+      .agg(count(lit(1)).as("n_files"), sum("size").as("total_bytes"),
+        min("size").as("min_bytes"), max("size").as("max_bytes"),
+        min("modified").as("oldest_modified"),
+        max("modified").as("newest_modified"))
+
+  /** `graft.Main audit PATH [PATH...]`: print one bucket-audit row per
+    * path via the pushed-aggregate scan — the metadata-catalog health
+    * check (namespace size, byte volume, staleness) that at 100 TB
+    * must NOT materialize 10⁸ file rows to answer. */
+  private def runAudit(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: audit PATH [PATH...]")
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-audit")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { p =>
+      val r = auditFrame(spark, p).collect()(0)
+      println(s"$p: files=${r.get(0)} bytes=${r.get(1)} " +
+        s"min=${r.get(2)} max=${r.get(3)} " +
+        s"oldest=${r.get(4)} newest=${r.get(5)}")
+    }
+    if (!preexisting) spark.stop()
   }
 
   /** `s3://` (reference scheme) → `s3a://` (Hadoop connector scheme). */

@@ -151,7 +151,7 @@ object ScaleProbe {
                         // "~37") differ by one INSERTION and would chain
                         // cross-copy matches through the length-diff gate
         val variants = base.filter(col("ekey") % 3 === 0)
-          .select((col("ekey") + 100000).as("ekey"),
+          .select((col("ekey") + 1099511627776L).as("ekey"),
             expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
             col("nation"), (col("acctbal") + 37.5).as("acctbal"))
         graft.operators.Capstone.resolveEntities(
@@ -360,6 +360,27 @@ object ScaleProbe {
             col("embedding").cast("array<double>"), cents, 1), 1).as("cell"))
           .groupBy("cell").count().count()
       }
+      time(s"emb_pca x$n") {
+        // the one-pass MomentAgg moment matrix (VERDICT r10 #3): buffer
+        // size is dimension-fixed (2 080 cells), so growth must be the
+        // scan — exponent ~1.0, and the exchange stays one buffer per
+        // partition at ANY n
+        val e = graft.Tables.embeddings(spark, sfDir)
+        val amp = (0 until n).map(i => e.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ union _)
+        graft.functions.Similarity.pcaOf(spark, amp).count()
+      }
+      time(s"ab_cuped x$n") {
+        // one user-keyed aggregate + 1-row pooled broadcast: user count
+        // scales n× (offset ids), exchanges carry 6 sums per user
+        val e = graft.Tables.events(spark, sfDir)
+        val amp = (0 until n).map(i =>
+          e.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+            col("ts"), col("value")))
+          .reduce(_ union _)
+        graft.operators.Stats.cupedOf(spark, amp).count()
+      }
       time(s"capstone_corpus x$n") {
         // the full composite (gate → dedup → contamination → budget
         // select) end-to-end: amplified copies multiply every stage's
@@ -405,7 +426,7 @@ object ScaleProbe {
             .withColumn("text", concat(col("text"), lit(" zz"), col("__copy")))
             .drop("__copy")
         val c0 = amp.unionByName(amp.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .withColumn("doc_id", col("doc_id") + 1099511627776L))
           .filter(col("n_chars") >= 100)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))

@@ -595,57 +595,71 @@ object Similarity {
     * preprocessing, e.g. Arora et al. 2017's "remove the first PC").
     *
     * Scale shape (the point of the formulation): the ONLY pass over the
-    * data computes the exact 64×64 second-moment matrix — per row the
-    * 2 080 upper-triangle products `q_j·q_k` of the ×10⁴-quantized grid
-    * values, partially aggregated map-side so the shuffle carries
-    * ≤ 2 080 × partitions rows regardless of corpus size. Sums are
-    * exact integers (decimal(38): per-term ≤ 2.5e7 so bigint saturates
-    * past ~4e11 rows — 100 TB territory), turned into a double
-    * covariance ONCE via the established exactly-parsed-string cast, so
-    * both engines see bit-identical matrices. The 64-row matrix collect
-    * is bounded by the embedding DIMENSIONALITY, not the data (the
-    * kmeansRefine precedent), and 8 power-iteration steps run
-    * driver-side as plain left-fold loops — bit-identical to the
-    * oracle's unrolled `list_transform`/`list_dot_product` CTE chain
-    * (the same fold DuckDB applies in the cosine kernels, verified
-    * bit-equal there). v₀ = 1/√64 = 0.125 exactly; trace folds the
-    * diagonal via `d·1.0` products to pin the same add order. */
-  def qEmbPca(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(expr(
+    * data computes the exact 64×64 second-moment matrix via
+    * [[MomentAgg]] — one fixed-size buffer per task holding n, Σqⱼ and
+    * the 2 080 upper-triangle sums Σqⱼqₖ of the ×10⁴-quantized grid
+    * values, so the shuffle carries ONE buffer per partition and no
+    * per-row explode ever materializes (the r10 formulation inflated
+    * 2 080 rows per input row before its partial aggregate; VERDICT r10
+    * #2). Cross-product sums are exact 128-bit integers (per-term
+    * ≤ 1e8, so 64-bit wraps past ~9e10 rows — the limb pair is exact
+    * past 1e27), turned into a double covariance ONCE via the
+    * established exactly-parsed-string cast, so both engines see
+    * bit-identical matrices. The single-row collect is bounded by the
+    * embedding DIMENSIONALITY, not the data (the kmeansRefine
+    * precedent), and 8 power-iteration steps run driver-side as plain
+    * left-fold loops — bit-identical to the oracle's unrolled
+    * `list_transform`/`list_dot_product` CTE chain (the same fold
+    * DuckDB applies in the cosine kernels, verified bit-equal there).
+    * v₀ = 1/√64 = 0.125 exactly; trace folds the diagonal via `d·1.0`
+    * products to pin the same add order. Zero-row input returns the
+    * empty frame (the EmptyInputSpec contract) instead of collapsing
+    * on a missing moment matrix. */
+  def qEmbPca(s: SparkSession, dir: String): DataFrame =
+    pcaOf(s, embeddings(s, dir))
+
+  /** [[qEmbPca]] over an arbitrary frame with an `embedding` array
+    * column (scale-probe entry point — the probe measures the SHIPPED
+    * one-pass moment kernel). */
+  private[graft] def pcaOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    val e = emb.select(expr(
       "transform(cast(embedding as array<double>), x -> cast(floor(x * 10000d + 0.5d) as bigint))")
       .as("q"))
-    val sums = e.select(posexplode(col("q")).as(Seq("j", "qj")))
-      .groupBy("j")
-      .agg(count(lit(1)).as("n"), sum(col("qj")).as("sj"))
-    val pairs = e.select(explode(expr(
-        """flatten(transform(sequence(0, size(q) - 1), j ->
-          |  transform(sequence(j, size(q) - 1), k ->
-          |    struct(j as j, k as k,
-          |      element_at(q, j + 1) * element_at(q, k + 1) as p))))""".stripMargin))
-        .as("pr"))
-      .select(col("pr.j").as("j"), col("pr.k").as("k"), col("pr.p").as("p"))
-      .groupBy("j", "k")
-      .agg(sum(col("p").cast("decimal(38,0)")).as("sjk"))
-    val nD = col("n").cast("double")
-    val cov0 = pairs
-      .join(broadcast(sums.select(col("j"), col("n"), col("sj"))), Seq("j"))
-      .join(broadcast(sums.select(col("j").as("k"), col("sj").as("sk"))), Seq("k"))
-      .select(col("j"), col("k"), col("n"),
-        (col("sjk").cast("string").cast("double") / nD
-          - (col("sj").cast("double") / nD) * (col("sk").cast("double") / nD))
-          .as("cov"))
-    val sym = cov0.select("j", "k", "n", "cov")
-      .union(cov0.filter(col("j") =!= col("k"))
-        .select(col("k").as("j"), col("j").as("k"), col("n"), col("cov")))
-    val rows = sym.groupBy("j")
-      .agg(max(col("n")).as("n"),
-        transform(array_sort(collect_list(struct(col("k"), col("cov")))),
-          p => p.getField("cov")).as("row"))
-      .orderBy("j")
-      .collect() // bounded: one row per embedding DIMENSION (64)
-    val m = rows.map(_.getSeq[Double](2).toArray)
-    val nVecs = rows.head.getLong(1)
-    val d = m.length
+    val momentUdaf = udaf(new MomentAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    // bounded collect: ONE row — the finished (n, Σq, ΣqqT) buffer,
+    // 2 080 + 64 integers regardless of corpus size
+    val buf = e.select(momentUdaf(col("q")).as("m")).select(
+      col("m.n").as("n"), col("m.s").as("s"),
+      col("m.hi").as("hi"), col("m.lo").as("lo")).head()
+    val nVecs = buf.getLong(0)
+    if (nVecs == 0L)
+      return s.range(0).select(
+        lit(0L).as("n"), lit(0d).as("trace"), lit(0d).as("lambda1"),
+        lit(0d).as("explained"), lit(0d).as("load1"), lit(0d).as("load2"),
+        lit(0d).as("load3"), lit(0d).as("load4"))
+    val sArr = buf.getSeq[Long](1).toArray
+    val hiArr = buf.getSeq[Long](2).toArray
+    val loArr = buf.getSeq[Long](3).toArray
+    val d = sArr.length
+    val nD = nVecs.toDouble
+    val m = Array.ofDim[Double](d, d)
+    var idx = 0
+    var j = 0
+    while (j < d) {
+      var k = j
+      while (k < d) {
+        // the oracle's exact arithmetic: HUGEINT→VARCHAR→DOUBLE sum,
+        // BIGINT→DOUBLE coordinate sums, identical op order
+        val sjk = MomentAgg.cellValue(hiArr(idx), loArr(idx)).toString.toDouble
+        val cov = sjk / nD - (sArr(j).toDouble / nD) * (sArr(k).toDouble / nD)
+        m(j)(k) = cov
+        m(k)(j) = cov
+        idx += 1
+        k += 1
+      }
+      j += 1
+    }
     def matvec(x: Array[Double]): Array[Double] = m.map { row =>
       var acc = 0.0; var i = 0
       while (i < d) { acc += row(i) * x(i); i += 1 }

@@ -191,7 +191,10 @@ object Capstone {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
     val corpus0 = d.select(cols: _*).unionByName(
       d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        // bit-40 offset, not +1000000: doc_ids reach 1e6 around sf200
+        // (50k docs/sf) and a colliding injected id would corrupt the
+        // dedup tiering identically in both engines (the ekey lesson)
+        .select((col("doc_id") + 1099511627776L).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")))
     val pii = corpus0.withColumn("ptext",
       when(col("doc_id") % 7 === 0, concat(col("text"),
@@ -306,13 +309,15 @@ object Capstone {
     val base = customer(s, dir).select(
       col("c_custkey").cast("bigint").as("ekey"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
-    // the variant id block [100000, 190000) must stay disjoint from
-    // genuine keys, so the injected set is BOUNDED like Dedup.corpus
-    // bounds its copies (doc_id < 50): at a fixture scale where
-    // custkeys reached 100k, unbounded injection would collide variant
-    // ids with real customers and silently corrupt the clustering
+    // variant ids live above bit 40 (ekey + 2^40) so they stay disjoint
+    // from genuine custkeys at ANY scale factor — a small additive
+    // offset like +100000 collides with real keys once the fixture
+    // reaches 100k customers (SF≥1: 150k) and silently corrupts the
+    // clustering identically in both engines, invisible to the oracle;
+    // the injected set stays BOUNDED (ekey % 3, < 90000) like
+    // Dedup.corpus bounds its copies
     val variants = base.filter(col("ekey") % 3 === 0 && col("ekey") < 90000)
-      .select((col("ekey") + 100000).as("ekey"),
+      .select((col("ekey") + 1099511627776L).as("ekey"),
         expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
         col("nation"), (col("acctbal") + 37.5).as("acctbal"))
     resolveEntities(s, base.union(variants)).orderBy("cluster_id")
@@ -376,7 +381,7 @@ object Capstone {
     "q_capstone_entity" ->
       """WITH RECURSIVE base AS (
         |  SELECT c_custkey AS ekey, c_name AS name, c_nationkey AS nation, c_acctbal AS acctbal FROM customer),
-        |var AS (SELECT ekey + 100000 AS ekey, substr(name, 1, 10) || substr(name, 12) AS name,
+        |var AS (SELECT ekey + 1099511627776 AS ekey, substr(name, 1, 10) || substr(name, 12) AS name,
         |    nation, acctbal + 37.5 AS acctbal FROM base WHERE ekey % 3 = 0 AND ekey < 90000),
         |e AS (SELECT * FROM base UNION ALL SELECT * FROM var),
         |prs AS (SELECT a.ekey AS d1, b.ekey AS d2 FROM e a JOIN e b
@@ -431,7 +436,7 @@ object Capstone {
       """WITH c0 AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  SELECT doc_id + 1099511627776, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 11 = 0),
         |p AS (SELECT *, CASE WHEN doc_id % 7 = 0
         |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||

@@ -31,7 +31,15 @@ import graft.functions.TextAnalysis.tokens
 object Dedup {
 
   /** documents ∪ exact copies (ids+100000 of doc_id<50) ∪ near copies
-    * (ids+200000 of 50≤doc_id<100, three tokens appended). */
+    * (ids+200000 of 50≤doc_id<100, three tokens appended).
+    *
+    * Offset bound: the injected tiers stay disjoint from genuine ids
+    * while max(doc_id) < 100000, i.e. fixture sf < 2 (50k docs/sf) —
+    * fine for every test/bench scale here. A production corpus builder
+    * would use a high-bit offset (the qCapstoneEntity 2⁴⁰ convention);
+    * these small offsets are kept because the canonical-dedup tier
+    * ORDER (raw < +100000 curated < +200000) is part of several
+    * fixtures' semantics and their oracles. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
     val exact = d.filter(col("doc_id") < 50)
@@ -931,6 +939,12 @@ object Dedup {
          |  GROUP BY 1, 2)
          |SELECT d1, d2, n_shared FROM shared WHERE n_shared >= 3
          |ORDER BY d1, d2""".stripMargin),
+    // NOTE (hash asymmetry, deliberate): the oracle keys grams by md5
+    // while the engine uses xxhash64 — unlike the pair pipelines, a
+    // cross-doc xxhash64 collision here would surface DIRECTLY in
+    // output rows (a spurious duplicated position lengthening or
+    // fabricating a span), at ~2e-9 odds per the interOfCorpus
+    // argument; accepted for the 4× smaller gram-keyed shuffles.
     "q_dedup_substring" -> (corpusCte +
       """, toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w FROM corpus),
         |pos AS (SELECT doc_id, unnest([{'i': i - 1, 'g': md5(array_to_string(w[i:i+7], ' '))} FOR i IN range(1, len(w) - 6)], recursive := true)

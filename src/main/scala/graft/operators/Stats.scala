@@ -766,13 +766,20 @@ object Stats {
     * Scale shape: ONE user-keyed aggregate collapses the fact table;
     * the pooled moment frame is a 1-row broadcast; per-variant stats a
     * 2-row aggregate. Per-user power sums stay exact bigints; the
-    * pooled cross-products move to double BEFORE multiplying (Σx·Σy
-    * overflows bigint at fixture scale already — doubles are exact
-    * here, |Σ| < 2⁵³, and the op tree mirrors the oracle exactly);
-    * round(6) pins the long derived expressions. */
-  def qAbCuped(s: SparkSession, dir: String): DataFrame = {
+    * pooled cross-product sums x·y / x² / y² accumulate as
+    * decimal(38,0) (the qChangepointBinseg discipline — a bigint sum
+    * of products silently wraps past ~9.2e18, which per-user cent
+    * totals reach long before 100 TB) mirroring the oracle's HUGEINT,
+    * and reach double via the exactly-parsed-string cast on BOTH
+    * sides; round(6) pins the long derived expressions. */
+  def qAbCuped(s: SparkSession, dir: String): DataFrame =
+    cupedOf(s, events(s, dir))
+
+  /** [[qAbCuped]] over an arbitrary (user_id, ts, value) event frame
+    * (scale-probe entry point). */
+  private[graft] def cupedOf(s: SparkSession, ev: DataFrame): DataFrame = {
     val mid = lit("2024-01-16").cast("timestamp")
-    val per = events(s, dir).groupBy(col("user_id")).agg(
+    val per = ev.groupBy(col("user_id")).agg(
       sum(when(col("ts") < mid, cents(col("value"))).otherwise(0L)).as("x"),
       sum(when(col("ts") >= mid, cents(col("value"))).otherwise(0L)).as("y"))
       .withColumn("variant",
@@ -780,13 +787,20 @@ object Stats {
           1, 1) < "8", "A").otherwise("B"))
     val pooled = per.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      sum((col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)"))
+        .as("sxy"),
+      sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)"))
+        .as("sxx"),
+      sum((col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)"))
+        .as("syy"))
+    // decimal sums cross to double through the string cast — the same
+    // correctly-rounded parse DuckDB's CAST(CAST(… AS VARCHAR) AS DOUBLE)
+    // applies to its HUGEINT sums
+    def sd(c: Column): Column = c.cast("string").cast("double")
     val n = d(col("n"))
-    val cov = d(col("sxy")) / n - (d(col("sx")) / n) * (d(col("sy")) / n)
-    val vx = d(col("sxx")) / n - (d(col("sx")) / n) * (d(col("sx")) / n)
-    val vy = d(col("syy")) / n - (d(col("sy")) / n) * (d(col("sy")) / n)
+    val cov = sd(col("sxy")) / n - (d(col("sx")) / n) * (d(col("sy")) / n)
+    val vx = sd(col("sxx")) / n - (d(col("sx")) / n) * (d(col("sx")) / n)
+    val vy = sd(col("syy")) / n - (d(col("sy")) / n) * (d(col("sy")) / n)
     val consts = pooled.select(
       (d(col("sx")) / n).as("mean_x_pool"),
       (cov / vx).as("theta"),

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** The scrape's seen-set as FIRST-CLASS stream state (VERDICT r10 #7):
+  * the reference's one stateful concept — "which files did this scan
+  * see, and which previously-known files vanished" (`db.rs:38-65`,
+  * SURVEY §2.10) — carried by `transformWithState` keyed on the file
+  * identity, instead of the `foreachBatch` + parquet-swap epilogue
+  * [[ScrapeStream.mergeBatch]] uses. Both paths stay shipped: the
+  * foreachBatch form is the JDBC/Postgres-shaped sink (one transactional
+  * merge per scan), this form is the always-on streaming shape where
+  * scan listings flow continuously and downstream consumers want CHANGE
+  * EVENTS, not snapshot diffs.
+  *
+  * Semantics, mirrored from the batch operators so the spec can assert
+  * state equality on a multi-batch replay:
+  *  - J3 conditional upsert per key: first sight → insert; any of
+  *    (created, modified, size) changed null-safely → update with the
+  *    scan's mime_type; unchanged → mime_type PRESERVED from state
+  *    (`db.rs:88-90`) and nothing re-stamped. A re-appearing deleted
+  *    file clears its tombstone (the batch path's `deleted = null` on
+  *    every applied row).
+  *  - J2 deletion detection WITHOUT an anti-join: every sighting arms
+  *    an event-time timer at scan_ts + 1 ms; when a LATER scan's
+  *    watermark passes, only keys that scan did NOT refresh still hold
+  *    a live timer, so `handleExpiredTimer` IS the anti-join — it
+  *    tombstones with the observing scan's instant (the watermark, P8's
+  *    scan-constant transaction time) and re-arms, reproducing the
+  *    reference's re-stamp-on-every-scan behavior (`db.rs:54-58` has no
+  *    `deleted IS NULL` guard). State and timers stay O(known files),
+  *    never O(scans).
+  *  - Deterministic identity: the same `gen_` + md5(key) surrogate the
+  *    batch path coalesces in, so replays (and the equality spec)
+  *    reproduce uuids bit-for-bit.
+  *
+  * Scope: one stream per external_source (exactly how the reference
+  * runs scrapes — one JoinSet task per path, `main.rs:44-58`). The
+  * watermark is query-global, so interleaving sources in ONE stream
+  * would let source A's scan clock tombstone source B's files; running
+  * per-source queries (or per-source watermark alignment upstream)
+  * keeps the deletion clock per source, and the processor asserts
+  * nothing about sources beyond carrying the column through.
+  *
+  * 100 TB shape: state is hash-partitioned by file key across the
+  * cluster (RocksDB per task), each scan row touches exactly its own
+  * key, and a scan's absence sweep costs one timer range-scan per
+  * partition instead of a full-state anti-join shuffle per batch.
+  */
+object ScrapeTws {
+
+  /** Per-file state: metadata + tombstone + the armed timer deadline
+    * (so a refresh can retire the stale deadline and keep timers at
+    * one per key). */
+  case class FileState(mime: Option[String], created: Option[Long],
+      modified: Option[Long], size: Option[Long], deleted: Option[Long],
+      armed: Long)
+
+  /** Input row: (key, source, path, filename, mime, created_ms,
+    * modified_ms, size, scan_ms). */
+  type In = (String, String, String, String, Option[String], Option[Long],
+    Option[Long], Option[Long], Long)
+
+  /** Change event: (uuid, source, path, filename, mime, created_ms,
+    * modified_ms, size, deleted_ms, action). */
+  type Out = (String, String, String, String, Option[String], Option[Long],
+    Option[Long], Option[Long], Option[Long], String)
+
+  private[streaming] def genUuid(source: String, path: String,
+      filename: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(
+      s"$source\u001f$path\u001f$filename".getBytes("UTF-8"))
+    "gen_" + bytes.map("%02x".format(_)).mkString
+  }
+
+  class ScrapeProcessor extends StatefulProcessor[String, In, Out] {
+    @transient private var st: ValueState[FileState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FileState]("file",
+        Encoders.product[FileState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[In],
+        timerValues: TimerValues): Iterator[Out] = {
+      // a real scan can list the same file twice (db.rs:120-123 set
+      // semantics) and two scans can share a micro-batch: fold in scan
+      // order, one upsert decision per sighting
+      val sorted = rows.toSeq.sortBy(_._9)
+      var cur = if (st.exists()) Option(st.get()) else None
+      val events = Seq.newBuilder[Out]
+      sorted.foreach { case (_, source, path, filename, mime, created,
+          modified, size, scanMs) =>
+        val unchanged = cur.exists(c => c.created == created &&
+          c.modified == modified && c.size == size)
+        val action = cur match {
+          case None => "insert"
+          case Some(_) if !unchanged => "update"
+          case _ => "unchanged"
+        }
+        val keptMime = if (unchanged) cur.get.mime else mime
+        val prevArmed = cur.map(_.armed)
+        val wasDeleted = cur.exists(_.deleted.nonEmpty)
+        val next = FileState(keptMime, created, modified, size, None,
+          scanMs + 1L)
+        // one timer per key: retire the stale deadline before arming
+        prevArmed.filter(_ != next.armed).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(next.armed)
+        st.update(next)
+        cur = Some(next)
+        // unchanged sightings refresh the timer but emit no event (the
+        // reference writes nothing for them — mime survives) UNLESS the
+        // row was tombstoned: presence always clears `deleted` in the
+        // batch path (every applied row gets deleted = null), so a
+        // metadata-identical re-appearance must surface as a revive
+        // event or event-derived state would keep the stale tombstone
+        if (action != "unchanged")
+          events += ((genUuid(source, path, filename), source, path,
+            filename, keptMime, created, modified, size, None, action))
+        else if (wasDeleted)
+          events += ((genUuid(source, path, filename), source, path,
+            filename, keptMime, created, modified, size, None, "revive"))
+      }
+      events.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Out] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val c = st.get()
+        // stale-timer guard: only the CURRENT deadline tombstones
+        if (expiredTimerInfo.getExpiryTimeInMs() < c.armed) Iterator.empty
+        else {
+          // the observing scan's instant is the watermark that fired us
+          // (delay 0 ⇒ wm = the latest scan's scan_ms)
+          val obs = timerValues.getCurrentWatermarkInMs()
+          val next = c.copy(deleted = Some(obs), armed = obs + 1L)
+          getHandle.registerTimer(next.armed) // re-stamp on EVERY scan
+          st.update(next)
+          val Array(source, path, filename) = key.split('\u001f')
+          Iterator((genUuid(source, path, filename), source, path, filename,
+            c.mime, c.created, c.modified, c.size, Some(obs), "delete"))
+        }
+      }
+  }
+
+  /** The change-event stream over an arbitrary streaming frame of scan
+    * rows (external_source, path, filename, mime_type, created,
+    * modified, size, observed) — `observed` is the scan-constant
+    * observation instant (P8) and the event-time axis. */
+  def changeStream(s: SparkSession, scans: DataFrame): DataFrame = {
+    import s.implicits._
+    val typed = scans
+      .withWatermark("observed", "0 milliseconds")
+      .select(
+        concat_ws("\u001f", col("external_source"), col("path"),
+          col("filename")).as("key"),
+        col("external_source"), col("path"), col("filename"),
+        col("mime_type"), unix_millis(col("created")).as("created_ms"),
+        unix_millis(col("modified")).as("modified_ms"), col("size"),
+        unix_millis(col("observed")).as("scan_ms"))
+      .as[In]
+    typed.groupByKey(_._1)
+      .transformWithState(new ScrapeProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[Out])
+      .toDF("uuid_external_file", "external_source", "path", "filename",
+        "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+        "action")
+  }
+}

@@ -96,7 +96,7 @@ class CapstoneSpec extends AnyFunSuite {
     // consistently, and the min-doc_id winner per text is released.
     val d = Tables.documents(spark, dir)
     val corpus0 = d.unionByName(d.filter(col("doc_id") % 11 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L))
+      .withColumn("doc_id", col("doc_id") + 1099511627776L))
       .filter(col("n_chars") >= 100)
     val winners = corpus0.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -154,7 +154,7 @@ class CapstoneSpec extends AnyFunSuite {
         r.getDouble(3)))
     val entities = base ++
       base.filter(e => e.ekey % 3 == 0 && e.ekey < 90000).map(e =>
-        E(e.ekey + 100000, e.name.substring(0, 10) + e.name.substring(11),
+        E(e.ekey + 1099511627776L, e.name.substring(0, 10) + e.name.substring(11),
           e.nation, e.acctbal + 37.5))
     val pairs = for {
       a <- entities; b <- entities
@@ -180,6 +180,6 @@ class CapstoneSpec extends AnyFunSuite {
         r.getDouble(4))).toSeq
     assert(got == expected)
     // every injected variant resolved into a cluster with its source
-    got.foreach { case (cid, _, _, _, _) => assert(cid < 100000) }
+    got.foreach { case (cid, _, _, _, _) => assert(cid < 1099511627776L) }
   }
 }

@@ -90,4 +90,35 @@ class CliSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no_such_query"))
   }
+
+  test("audit subcommand runs the bucket-audit through the pushed aggregate") {
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_audit")
+    (0 until 5).foreach(i =>
+      Files.writeString(tree.resolve(s"f$i.txt"), "x" * (i + 1)))
+    val sub = Files.createDirectories(tree.resolve("deep"))
+    Files.writeString(sub.resolve("g.bin"), "y" * 100)
+    // the e2e CLI path prints the audit row…
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Main.main(Array("audit", tree.toString))
+    }
+    val line = outBuf.toString("UTF-8")
+    assert(line.contains("files=6"), line)
+    assert(line.contains(s"bytes=${1 + 2 + 3 + 4 + 5 + 100}"), line)
+    // …and the frame behind it carries the WHOLE aggregate into the
+    // listing tasks: the plan claims the pushdown, no per-file row
+    // survives to Spark (partial rows = listing shards, not files),
+    // and the created stat is never taken
+    graft.sources.v2.FilesSource.createdStatCalls.set(0L)
+    val frame = Main.auditFrame(spark, tree.toString)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[count, sum:size, min:size," +
+      " max:size, min:modified, max:modified]"), plan)
+    val r = frame.collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 115L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 100L)
+    assert(r.getTimestamp(4) != null && r.getTimestamp(5) != null)
+    assert(graft.sources.v2.FilesSource.createdStatCalls.get() == 0L)
+  }
 }

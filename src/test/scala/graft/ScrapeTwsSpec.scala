@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ScrapeStream, ScrapeTws}
+
+/** VERDICT r10 #7: the transformWithState seen-set must agree with the
+  * batch scrape loop. A four-scan replay of one source exercises every
+  * classification (insert, metadata update, mime preservation on an
+  * unchanged row, tombstone, re-stamped tombstone, revive of a deleted
+  * row) through BOTH paths — [[ScrapeStream.mergeBatch]]'s
+  * foreachBatch/anti-join form and [[ScrapeTws.changeStream]]'s
+  * timer-driven form — and asserts the final states are IDENTICAL,
+  * uuids and tombstone instants included (both paths derive them
+  * deterministically: gen_md5 surrogates, scanInstant = epoch+batchId).
+  */
+class ScrapeTwsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val base = 1767225600000L // mergeBatch's deterministic epoch
+
+  // (path, filename, mime, created_ms, modified_ms, size) per scan;
+  // crafted so every upsert/tombstone shape appears. The revive needs
+  // C absent for TWO scans: timers fire AFTER a batch's input rows, so
+  // a tombstone landing in the same micro-batch as the re-appearance
+  // would be pre-empted by the refresh — absence across scans 1 AND 2
+  // guarantees the tombstone committed before scan 3 revives it.
+  //  A: scans 0,1 (unchanged, scan-side mime differs → preserved),
+  //     absent from 2,3      → deleted stamped t2, re-stamped t3
+  //  B: all scans, size changes in 1 (update), stable after
+  //  C: scan 0, absent 1-2 (deleted = t1), re-appears UNCHANGED in 3
+  //     → revive (deleted cleared, mime preserved)
+  //  D: first appears in scan 2 (insert), unchanged in 3
+  //  E: scan 0 only → tombstone RE-stamped by every later scan → t3
+  private def scanRows(i: Int): Seq[(String, String, String, java.lang.Long,
+      Long, Long)] = i match {
+    case 0 => Seq(
+      ("/d", "A", "text/plain", 1000L, 5000L, 1L),
+      ("/d", "B", "text/plain", null, 5000L, 2L),
+      ("/d", "C", "text/plain", 2000L, 6000L, 3L),
+      ("/d", "E", "app/bin", null, 7000L, 5L))
+    case 1 => Seq(
+      ("/d", "A", "text/html", 1000L, 5000L, 1L), // unchanged → keep mime
+      ("/d", "B", "text/plain", null, 5000L, 20L)) // size change → update
+    case 2 => Seq(
+      ("/d", "B", "text/plain", null, 5000L, 20L),
+      ("/d", "D", "image/png", null, 8000L, 9L))
+    case 3 => Seq(
+      ("/d", "B", "text/plain", null, 5000L, 20L),
+      ("/d", "C", "text/plain", 2000L, 6000L, 3L), // revive, unchanged
+      ("/d", "D", "image/png", null, 8000L, 9L))
+  }
+
+  private def scanDf(i: Int) = {
+    import spark.implicits._
+    scanRows(i).toDF("path", "filename", "mime_type", "created_ms",
+      "modified_ms", "size")
+      .select(lit("s1").as("external_source"), col("path"), col("filename"),
+        col("mime_type"), timestamp_millis(col("created_ms")).as("created"),
+        timestamp_millis(col("modified_ms")).as("modified"), col("size"),
+        timestamp_millis(lit(base + i)).as("observed"))
+  }
+
+  test("TWS change-event state == batch mergeBatch state on a 4-scan replay") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // --- batch path: replay through the foreachBatch merge loop
+      val stateDir = Files.createTempDirectory("tws_scrape_state").toString + "/st"
+      (0 to 3).foreach { i =>
+        ScrapeStream.mergeBatch(spark, stateDir)(
+          scanDf(i).drop("observed"), i.toLong)
+      }
+      val batchState = ScrapeStream.readState(spark, stateDir).collect()
+        .map(r => (r.getString(2), r.getString(3)) -> (
+          r.getString(0), r.getString(1), r.getString(4),
+          Option(r.getTimestamp(5)).map(_.getTime),
+          Option(r.getTimestamp(6)).map(_.getTime),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(8)).map(_.getTime))).toMap
+
+      // --- streaming path: same scans, one micro-batch each
+      val srcDir = Files.createTempDirectory("tws_scrape_src").toString
+      (0 to 3).foreach { i =>
+        val f = s"$srcDir/scan$i"
+        scanDf(i).coalesce(1).write.mode("overwrite").parquet(f)
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + i * 60000L))
+      }
+      val stream = spark.readStream
+        .schema(scanDf(0).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream)
+        .writeStream.format("memory").queryName("scrape_tws_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val events = spark.table("scrape_tws_out")
+        .withColumn("rn", monotonically_increasing_id())
+      // event-derived state: the LAST event per file key wins
+      val streamState = events
+        .groupBy("external_source", "path", "filename")
+        .agg(max(struct(col("rn"), col("uuid_external_file"),
+          col("mime_type"), col("created_ms"), col("modified_ms"),
+          col("size"), col("deleted_ms"))).as("m"))
+        .collect().map { r =>
+          val m = r.getStruct(3)
+          (r.getString(1), r.getString(2)) -> (
+            m.getString(1), r.getString(0), m.getString(2),
+            Option(m.get(3)).map(_.asInstanceOf[Long]),
+            Option(m.get(4)).map(_.asInstanceOf[Long]),
+            Option(m.get(5)).map(_.asInstanceOf[Long]),
+            Option(m.get(6)).map(_.asInstanceOf[Long]))
+        }.toMap
+
+      assert(streamState.keySet == batchState.keySet,
+        s"keys: stream=${streamState.keySet} batch=${batchState.keySet}")
+      streamState.keys.foreach { k =>
+        assert(streamState(k) == batchState(k),
+          s"$k: stream=${streamState(k)} batch=${batchState(k)}")
+      }
+      // and the specific contracts, independent of the batch engine:
+      def byName(n: String) = streamState(("/d", n))
+      assert(byName("A")._3 == "text/plain", "unchanged row keeps its mime")
+      assert(byName("A")._7 == Some(base + 3), "A re-stamped by scan 3")
+      assert(byName("B")._6 == Some(20L) && byName("B")._7.isEmpty)
+      assert(byName("C")._7.isEmpty, "revived row has no tombstone")
+      assert(byName("D")._7.isEmpty)
+      assert(byName("E")._7 == Some(base + 3),
+        "vanished row re-stamped by every later scan")
+      // the revive surfaced as an explicit event
+      assert(events.filter(col("action") === "revive")
+        .select("filename").collect().map(_.getString(0)).toSeq == Seq("C"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
