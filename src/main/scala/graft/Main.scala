@@ -27,6 +27,18 @@ import graft.sources.FileListing
   * `./scan_out`) merges into a parquet snapshot via the same
   * classify/tombstone operators (state-dir form of the sink, also used by
   * [[streaming.ScrapeStream]]).
+  *
+  * `--stream-events` switches the scan to the CHANGE-EVENT form
+  * ([[streaming.ScrapeTws]]): instead of merging a snapshot, each rescan
+  * emits insert/update/delete/revive rows appended under
+  * `OUT/events/<source>/`, with the seen-set carried as
+  * `transformWithState` state in `OUT/.events-checkpoint/<source>/`.
+  * One streaming query per PATH (the deletion clock is per-source). By
+  * default each invocation runs ONE rescan cycle and exits — repeated
+  * invocations against the same `--out` resume the checkpointed state,
+  * advance the scan clock, and tombstone vanished files; `--interval N`
+  * instead keeps the process alive rescanning every N seconds (the
+  * reference's poll-sleep daemon, `main.rs:64-96`).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -36,6 +48,8 @@ object Main {
     var verbosity = 0
     var out = "./scan_out"
     var jdbc: Option[String] = None
+    var streamEvents = false
+    var interval: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -44,10 +58,14 @@ object Main {
         case "-v" => verbosity += 1; i += 1
         case "--out" => out = args(i + 1); i += 2
         case "--jdbc" => jdbc = Some(args(i + 1)); i += 2
+        case "--stream-events" => streamEvents = true; i += 1
+        case "--interval" => interval = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
       }
     }
     require(paths.nonEmpty, "at least one PATH required")
+    require(!(streamEvents && jdbc.nonEmpty),
+      "--stream-events emits parquet change events; use --out, not --jdbc")
 
     // only stop a session this run created — under a shared JVM (tests,
     // notebooks) getOrCreate returns the caller's session, which must
@@ -64,6 +82,12 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       if (verbosity >= 2) "INFO" else if (verbosity == 1) "WARN" else "ERROR")
+
+    if (streamEvents) {
+      runStreamEvents(spark, paths.toSeq, identifier, out, interval)
+      if (!preexisting) spark.stop()
+      return
+    }
 
     implicit val ec: ExecutionContext = ExecutionContext.global
     // S8: one concurrent scan job per path; all actions run in parallel
@@ -102,6 +126,45 @@ object Main {
     }
     if (!preexisting) spark.stop()
   }
+
+  /** The `--stream-events` scan: one pinned [[streaming.ScrapeTws]]
+    * change-event query per PATH over the graft-files rescan stream.
+    * `observed` is `current_timestamp()`, which Structured Streaming
+    * pins to the BATCH timestamp — the scan-constant observation
+    * instant (P8) that advances once per rescan and drives the
+    * per-source deletion watermark. State lives in the checkpoint, so
+    * one-shot invocations (`Trigger.AvailableNow`) compose into the
+    * reference's scan loop across process restarts; `--interval` runs
+    * the loop in-process (`Trigger.ProcessingTime`). */
+  private def runStreamEvents(spark: SparkSession, paths: Seq[String],
+      identifier: Option[String], out: String,
+      interval: Option[Long]): Unit =
+    streaming.RocksDb.withRocksDb(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val queries = paths.map { p =>
+        val src = FileListing.identifierFor(p, identifier)
+        val reader = spark.readStream.format("graft-files")
+          .option("path", normalize(p))
+        val scans = identifier.fold(reader)(id =>
+          reader.option("identifier", id)).load()
+          .withColumn("observed", current_timestamp())
+        val sub = java.net.URLEncoder.encode(src, "UTF-8")
+        val q = streaming.ScrapeTws.changeStream(spark, scans, src)
+          .writeStream.format("parquet")
+          .option("path", s"$out/events/$sub")
+          .option("checkpointLocation", s"$out/.events-checkpoint/$sub")
+          .outputMode("append")
+          .trigger(interval.fold[Trigger](Trigger.AvailableNow())(sec =>
+            Trigger.ProcessingTime(sec * 1000L)))
+          .start()
+        (src, sub, q)
+      }
+      queries.foreach(_._3.awaitTermination())
+      queries.foreach { case (src, sub, _) =>
+        val n = spark.read.parquet(s"$out/events/$sub").count()
+        println(s"$src: $n change events at $out/events/$sub")
+      }
+    }
 
   /** `graft.Main query NAME SF_DIR [--out DIR | --explain]`: run one
     * registered analytics query over a fixture/table dir; parquet to

@@ -15,7 +15,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); the driver sets
     // nothing and gets the full dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -24,6 +23,20 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // A FULL run owns the whole outDir: clear it first so artifacts from
+    // an interrupted earlier run (stale __err.txt beside fresh parquet —
+    // VERDICT r11 "What's wrong" #5) can't sit beside this run's output.
+    // Subset runs (dev loop) leave other queries' artifacts in place —
+    // the per-query cleanup below still keeps each touched name honest.
+    if (only.isEmpty) {
+      val root = Paths.get(outDir)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .filter(_ != root).foreach(Files.delete)
+      }
+    }
+    new java.io.File(outDir).mkdirs()
     // A crashed query must be impossible to read as "absent, probably
     // fine": write a per-query error marker file AND an aggregate
     // _failed.json manifest, so the round's correctness artifact can

@@ -342,7 +342,7 @@ object ScaleProbe {
         // latest-row-per-key window over an n×-amplified event log
         val e = graft.Tables.events(spark, sfDir)
         val amp = (0 until n).map(i =>
-          e.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+          e.select((col("user_id") + lit(i * 1099511627776L)).as("user_id"),
             col("event_type"), col("ts"), col("event_id")))
           .reduce(_ union _)
         val w = org.apache.spark.sql.expressions.Window
@@ -354,7 +354,7 @@ object ScaleProbe {
         val cents = graft.functions.Similarity.ivfCentroids(64, 64)
         val e = graft.Tables.embeddings(spark, sfDir)
         (0 until n).map(i => e.select(
-            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+            (col("vec_id") + lit(i * 1099511627776L)).as("vec_id"), col("embedding")))
           .reduce(_ union _)
           .select(element_at(graft.plans.GraftExpressions.ivf_cells(
             col("embedding").cast("array<double>"), cents, 1), 1).as("cell"))
@@ -367,7 +367,7 @@ object ScaleProbe {
         // partition at ANY n
         val e = graft.Tables.embeddings(spark, sfDir)
         val amp = (0 until n).map(i => e.select(
-            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+            (col("vec_id") + lit(i * 1099511627776L)).as("vec_id"), col("embedding")))
           .reduce(_ union _)
         graft.functions.Similarity.pcaOf(spark, amp).count()
       }
@@ -376,7 +376,7 @@ object ScaleProbe {
         // scales n× (offset ids), exchanges carry 6 sums per user
         val e = graft.Tables.events(spark, sfDir)
         val amp = (0 until n).map(i =>
-          e.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+          e.select((col("user_id") + lit(i * 1099511627776L)).as("user_id"),
             col("ts"), col("value")))
           .reduce(_ union _)
         graft.operators.Stats.cupedOf(spark, amp).count()
@@ -388,7 +388,7 @@ object ScaleProbe {
         // offsets window stays ≤33 rows — growth must track the scan
         val d = graft.Tables.documents(spark, sfDir)
         val amp = (0 until n).map(i => d.select(
-            (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            (col("doc_id") + lit(i * 1099511627776L)).as("doc_id"),
             col("text"), col("lang"), col("source")))
           .reduce(_ union _)
         val out = graft.operators.Capstone.corpusBuild(amp).count()

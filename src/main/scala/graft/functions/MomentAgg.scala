@@ -55,6 +55,12 @@ class MomentAgg extends Aggregator[Seq[Long], MomentBuf, MomentBuf] {
   override def reduce(buf0: MomentBuf, q: Seq[Long]): MomentBuf = {
     val d = q.length
     val buf = if (buf0.s.isEmpty) sized(d) else buf0
+    // mixed-dimension input must fail LOUDLY (the Math.addExact
+    // discipline): a shorter vector would otherwise fold cross-products
+    // into the wrong triangle cells — the sequential idx layout assumes
+    // the buffer's d — corrupting the covariance silently (ADVICE r11)
+    require(d == buf.s.length,
+      s"MomentAgg: vector dimension $d != accumulator dimension ${buf.s.length}")
     val qa = q match {
       case w: scala.collection.immutable.ArraySeq[Long @unchecked] =>
         w.unsafeArray.asInstanceOf[Array[Long]]
@@ -79,6 +85,8 @@ class MomentAgg extends Aggregator[Seq[Long], MomentBuf, MomentBuf] {
     if (a.s.isEmpty) b
     else if (b.s.isEmpty) a
     else {
+      require(a.s.length == b.s.length,
+        s"MomentAgg: merging accumulators of dimension ${a.s.length} != ${b.s.length}")
       var j = 0
       while (j < a.s.length) {
         a.s(j) = Math.addExact(a.s(j), b.s(j)); j += 1

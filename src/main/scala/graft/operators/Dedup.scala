@@ -125,7 +125,7 @@ object Dedup {
     * candidate structs per gram) instead of reintroducing the unbounded
     * hot-key blowup the production cap exists to prevent. */
   private[graft] val truthDf = 512
-  private lazy val cappedListTruthDf = graft.functions.CappedCollect.cappedList(truthDf)
+  private[graft] lazy val cappedListTruthDf = graft.functions.CappedCollect.cappedList(truthDf)
 
   /** N-gram Jaccard near-dup pairs over df-filtered shingle sets.
     *
@@ -187,7 +187,7 @@ object Dedup {
     * aggregator, so the recall companions can run the same pipeline with
     * the loose [[truthDf]] cap as the ground-truth side and the scale
     * probe can amplify the corpus. */
-  private def interOfCorpus(docs: DataFrame,
+  private[graft] def interOfCorpus(docs: DataFrame,
       postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'

@@ -795,8 +795,19 @@ object Stats {
         .as("syy"))
     // decimal sums cross to double through the string cast — the same
     // correctly-rounded parse DuckDB's CAST(CAST(… AS VARCHAR) AS DOUBLE)
-    // applies to its HUGEINT sums
-    def sd(c: Column): Column = c.cast("string").cast("double")
+    // applies to its HUGEINT sums. Past the documented envelope the two
+    // engines would DIVERGE silently: Spark's non-ANSI decimal(38,0)
+    // overflow yields NULL while DuckDB's HUGEINT (range ~1.7e38 >
+    // decimal(38)'s ~1e38) errors loudly — so a NULL power sum raises
+    // here (the Math.addExact fail-loud convention, ADVICE r11) instead
+    // of flowing into a null theta/var_ratio.
+    // (n > 0 distinguishes overflow from the legitimately-null sums of
+    // an empty aggregate — empty input stays an empty result frame)
+    def sd(c: Column): Column = when(col("n") > 0 && c.isNull,
+        raise_error(lit(
+          "cupedOf: decimal(38,0) power-sum overflow — input cents exceed " +
+            "the documented envelope"))).otherwise(c)
+      .cast("string").cast("double")
     val n = d(col("n"))
     val cov = sd(col("sxy")) / n - (d(col("sx")) / n) * (d(col("sy")) / n)
     val vx = sd(col("sxx")) / n - (d(col("sx")) / n) * (d(col("sx")) / n)

@@ -39,10 +39,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * Scope: one stream per external_source (exactly how the reference
   * runs scrapes — one JoinSet task per path, `main.rs:44-58`). The
   * watermark is query-global, so interleaving sources in ONE stream
-  * would let source A's scan clock tombstone source B's files; running
-  * per-source queries (or per-source watermark alignment upstream)
-  * keeps the deletion clock per source, and the processor asserts
-  * nothing about sources beyond carrying the column through.
+  * would let source A's scan clock tombstone source B's files — the
+  * deletion clock is only per-source if the stream is. That scope is
+  * therefore ENFORCED, not documented: [[changeStream]] takes the
+  * stream's source and fails fast (`raise_error` at the first foreign
+  * row, before it can touch state) when a row from any other source
+  * appears. Multi-source deployments run one query per source — each
+  * gets its own watermark, so neither source's scan cadence can
+  * tombstone the other's files (ScrapeTwsSpec pins exactly that with
+  * two interleaved sources).
   *
   * 100 TB shape: state is hash-partitioned by file key across the
   * cluster (RocksDB per task), each scan row touches exactly its own
@@ -51,12 +56,16 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   */
 object ScrapeTws {
 
-  /** Per-file state: metadata + tombstone + the armed timer deadline
+  /** Per-file state: the file's IDENTITY (source, path, filename — so
+    * `handleExpiredTimer` never re-derives it by parsing the grouping
+    * key, which MatchErrors on an empty filename and desyncs on a
+    * U+001F inside a path component, both legal in POSIX names —
+    * ADVICE r11), metadata, tombstone, and the armed timer deadline
     * (so a refresh can retire the stale deadline and keep timers at
     * one per key). */
-  case class FileState(mime: Option[String], created: Option[Long],
-      modified: Option[Long], size: Option[Long], deleted: Option[Long],
-      armed: Long)
+  case class FileState(source: String, path: String, filename: String,
+      mime: Option[String], created: Option[Long], modified: Option[Long],
+      size: Option[Long], deleted: Option[Long], armed: Long)
 
   /** Input row: (key, source, path, filename, mime, created_ms,
     * modified_ms, size, scan_ms). */
@@ -103,8 +112,8 @@ object ScrapeTws {
         val keptMime = if (unchanged) cur.get.mime else mime
         val prevArmed = cur.map(_.armed)
         val wasDeleted = cur.exists(_.deleted.nonEmpty)
-        val next = FileState(keptMime, created, modified, size, None,
-          scanMs + 1L)
+        val next = FileState(source, path, filename, keptMime, created,
+          modified, size, None, scanMs + 1L)
         // one timer per key: retire the stale deadline before arming
         prevArmed.filter(_ != next.armed).foreach(getHandle.deleteTimer)
         getHandle.registerTimer(next.armed)
@@ -140,20 +149,35 @@ object ScrapeTws {
           val next = c.copy(deleted = Some(obs), armed = obs + 1L)
           getHandle.registerTimer(next.armed) // re-stamp on EVERY scan
           st.update(next)
-          val Array(source, path, filename) = key.split('\u001f')
-          Iterator((genUuid(source, path, filename), source, path, filename,
-            c.mime, c.created, c.modified, c.size, Some(obs), "delete"))
+          // identity comes from state, never from parsing `key`
+          Iterator((genUuid(c.source, c.path, c.filename), c.source, c.path,
+            c.filename, c.mime, c.created, c.modified, c.size, Some(obs),
+            "delete"))
         }
       }
   }
 
-  /** The change-event stream over an arbitrary streaming frame of scan
-    * rows (external_source, path, filename, mime_type, created,
-    * modified, size, observed) — `observed` is the scan-constant
-    * observation instant (P8) and the event-time axis. */
-  def changeStream(s: SparkSession, scans: DataFrame): DataFrame = {
+  /** The change-event stream over a streaming frame of scan rows
+    * (external_source, path, filename, mime_type, created, modified,
+    * size, observed) — `observed` is the scan-constant observation
+    * instant (P8) and the event-time axis.
+    *
+    * `source` pins the stream: the deletion clock (the query's
+    * watermark) is only correct per-source, so a row from any OTHER
+    * source fails the query at the first sighting (`raise_error`
+    * before the row reaches state) instead of silently letting one
+    * source's scan cadence tombstone another's files. Run one query
+    * per source, like the reference's one-task-per-path loop. */
+  def changeStream(s: SparkSession, scans: DataFrame,
+      source: String): DataFrame = {
     import s.implicits._
     val typed = scans
+      .withColumn("external_source",
+        when(col("external_source") === lit(source), col("external_source"))
+          .otherwise(raise_error(concat(
+            lit(s"ScrapeTws: stream is pinned to source '$source' but saw '"),
+            col("external_source"),
+            lit("' — run one change-event query per source")))))
       .withWatermark("observed", "0 milliseconds")
       .select(
         concat_ws("\u001f", col("external_source"), col("path"),

@@ -121,4 +121,39 @@ class CliSpec extends AnyFunSuite {
     assert(r.getTimestamp(4) != null && r.getTimestamp(5) != null)
     assert(graft.sources.v2.FilesSource.createdStatCalls.get() == 0L)
   }
+
+  test("--stream-events scans emit change events; a vanished file tombstones on a later rescan") {
+    import org.apache.spark.sql.functions.col
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_se")
+    Files.writeString(tree.resolve("a.txt"), "alpha")
+    Files.writeString(tree.resolve("b.txt"), "beta")
+    val out = Files.createTempDirectory("cli_se_out").toString
+    def rescan(): Unit = Main.main(Array("--stream-events", "-i", "cli-se",
+      tree.toString, "--out", out))
+    // run 1: one rescan cycle, both files surface as inserts
+    rescan()
+    val evDir = s"$out/events/" + java.net.URLEncoder.encode("cli-se", "UTF-8")
+    val ev1 = spark.read.parquet(evDir)
+    assert(ev1.filter(col("action") === "insert")
+      .select("filename").collect().map(_.getString(0)).toSet ==
+      Set("a.txt", "b.txt"))
+    assert(ev1.filter(col("action") === "delete").count() == 0)
+    // b vanishes; later invocations RESUME the checkpointed seen-set and
+    // tombstone it once the per-source watermark passes its timer (the
+    // clock advances one rescan per invocation, so allow a few)
+    Files.delete(tree.resolve("b.txt"))
+    var dels = Seq.empty[String]
+    var runs = 0
+    while (dels.isEmpty && runs < 4) {
+      Thread.sleep(5) // batch timestamps must strictly advance (ms clock)
+      rescan(); runs += 1
+      dels = spark.read.parquet(evDir).filter(col("action") === "delete")
+        .select("filename").collect().map(_.getString(0)).toSeq
+    }
+    assert(dels.nonEmpty && dels.toSet == Set("b.txt"), s"after $runs rescans: $dels")
+    // a.txt was re-seen unchanged on every rescan: no further events
+    val ev = spark.read.parquet(evDir)
+    assert(ev.filter(col("filename") === "a.txt").count() == 1)
+  }
 }

@@ -65,11 +65,10 @@ class ScrapeTwsSpec extends AnyFunSuite {
   }
 
   test("TWS change-event state == batch mergeBatch state on a 4-scan replay") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // tuned RocksDB (changelog checkpointing + bounded memory) is the
+    // engine default since r12 — this spec now ALSO proves the state
+    // equality holds under changelog mode
+    graft.streaming.RocksDb.withRocksDb(spark) {
       // --- batch path: replay through the foreachBatch merge loop
       val stateDir = Files.createTempDirectory("tws_scrape_state").toString + "/st"
       (0 to 3).foreach { i =>
@@ -96,7 +95,7 @@ class ScrapeTwsSpec extends AnyFunSuite {
         .schema(scanDf(0).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$srcDir/scan*")
-      val q = ScrapeTws.changeStream(spark, stream)
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
         .writeStream.format("memory").queryName("scrape_tws_out")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -137,9 +136,131 @@ class ScrapeTwsSpec extends AnyFunSuite {
       // the revive surfaced as an explicit event
       assert(events.filter(col("action") === "revive")
         .select("filename").collect().map(_.getString(0)).toSeq == Seq("C"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    }
+  }
+
+  // ADVICE r11: identity must come from state, never from parsing the
+  // grouping key — an empty filename (the S3 root-key shape, P2 /
+  // s3.rs:104-108 parity) or a U+001F inside a path component (legal in
+  // POSIX names) previously MatchError'd / desynced handleExpiredTimer.
+  test("tombstoning survives empty filenames and U+001F-bearing paths") {
+    import spark.implicits._
+    def scan(i: Int, rows: Seq[(String, String)]) = {
+      rows.toDF("path", "filename")
+        .select(lit("s1").as("external_source"), col("path"), col("filename"),
+          lit("text/plain").as("mime_type"),
+          timestamp_millis(lit(1000L)).as("created"),
+          timestamp_millis(lit(5000L)).as("modified"), lit(7L).as("size"),
+          timestamp_millis(lit(base + i)).as("observed"))
+    }
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val dir = Files.createTempDirectory("tws_edge").toString
+      val weird = Seq(("/d", ""), ("/a\u001fb", "x"))
+      val scans = Seq(
+        scan(0, weird :+ (("/d", "keep"))),
+        scan(1, Seq(("/d", "keep"))),
+        scan(2, Seq(("/d", "keep"))))
+      scans.zipWithIndex.foreach { case (df, i) =>
+        val f = s"$dir/scan$i"
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + i * 60000L))
+      }
+      val stream = spark.readStream.schema(scans.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_edge_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination() // would throw on a MatchError in the processor
+      val deletes = spark.table("tws_edge_out")
+        .filter(col("action") === "delete")
+        .select("path", "filename", "deleted_ms").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+      // both weird identities tombstoned EXACTLY (no desync), keep alive
+      assert(deletes.map(d => (d._1, d._2)).toSet == weird.toSet,
+        s"got $deletes")
+      assert(deletes.forall(_._3.nonEmpty))
+    }
+  }
+
+  // VERDICT r11 #5: the deletion clock is per source because the STREAM
+  // is per source (enforced). Two interleaved sources, each on its own
+  // query: A scans three times and tombstones its own vanished file; B
+  // scans ONCE — in a merged stream A's later scan clock would have
+  // tombstoned B's files, but B's own watermark never advances, so
+  // neither clock crosses and B sees zero deletes.
+  test("per-source streams: neither source's scan clock tombstones the other") {
+    import spark.implicits._
+    def scan(src: String, i: Int, files: Seq[String]) =
+      files.toDF("filename")
+        .select(lit(src).as("external_source"), lit("/d").as("path"),
+          col("filename"), lit("text/plain").as("mime_type"),
+          timestamp_millis(lit(1000L)).as("created"),
+          timestamp_millis(lit(5000L)).as("modified"), lit(7L).as("size"),
+          timestamp_millis(lit(base + i)).as("observed"))
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val dirA = Files.createTempDirectory("tws_srcA").toString
+      val dirB = Files.createTempDirectory("tws_srcB").toString
+      // A: a2 vanishes after scan 0 → tombstoned by A's OWN clock (t2)
+      val aScans = Seq(scan("A", 0, Seq("a1", "a2")),
+        scan("A", 2, Seq("a1")), scan("A", 4, Seq("a1")))
+      // B: one scan at t1, then silence — its clock never advances
+      val bScans = Seq(scan("B", 1, Seq("b1", "b2")))
+      def write(dir: String, scans: Seq[org.apache.spark.sql.DataFrame]): Unit =
+        scans.zipWithIndex.foreach { case (df, i) =>
+          val f = s"$dir/scan$i"
+          df.coalesce(1).write.mode("overwrite").parquet(f)
+          new java.io.File(f).listFiles().foreach(p =>
+            p.setLastModified(1700000000000L + i * 60000L))
+        }
+      write(dirA, aScans); write(dirB, bScans)
+      def runPinned(dir: String, src: String, sink: String): Unit = {
+        val stream = spark.readStream.schema(aScans.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/scan*")
+        val q = ScrapeTws.changeStream(spark, stream, src)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runPinned(dirA, "A", "tws_src_a")
+      runPinned(dirB, "B", "tws_src_b")
+      val aDel = spark.table("tws_src_a").filter(col("action") === "delete")
+        .select("filename", "deleted_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // a2 tombstones with A's OWN clock (first stamp = A's t2 scan) and
+      // re-stamps on every later A scan (db.rs:54-58 — no IS NULL guard)
+      assert(aDel.nonEmpty && aDel.map(_._1).toSet == Set("a2"), s"$aDel")
+      assert(aDel.map(_._2).min == base + 2,
+        s"first tombstone carries A's own scan clock: $aDel")
+      assert(spark.table("tws_src_b").filter(col("action") === "delete")
+        .count() == 0, "B's single-scan clock never tombstones")
+      assert(spark.table("tws_src_b").filter(col("action") === "insert")
+        .count() == 2)
+    }
+  }
+
+  test("a foreign source in a pinned stream fails fast") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val dir = Files.createTempDirectory("tws_pin").toString
+      val mixed = scanDf(0).union(scanDf(1)
+        .withColumn("external_source", lit("s2")))
+      mixed.coalesce(1).write.mode("overwrite").parquet(s"$dir/scan0")
+      val stream = spark.readStream.schema(mixed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_pin_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("pinned to source")), messages(e))
     }
   }
 }

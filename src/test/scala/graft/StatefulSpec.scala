@@ -32,12 +32,10 @@ class StatefulSpec extends AnyFunSuite {
 
   test("transformWithState totals == fMGS totals == batch aggregate") {
     // the new-API operator requires the RocksDB provider (column
-    // families); restore whatever the session had afterwards
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // families); since r12 the engine default is the TUNED provider
+    // (changelog checkpointing + bounded memory) — these specs run
+    // under changelog mode
+    graft.streaming.RocksDb.withRocksDb(spark) {
       val q = graft.streaming.StateV2
         .userTotalsStreamTws(spark, TestSpark.sf0001)
         .writeStream.format("memory").queryName("state_v2_out")
@@ -56,9 +54,6 @@ class StatefulSpec extends AnyFunSuite {
           sum(graft.Tables.cents(col("value"))).as("v"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(finalRows == batch)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -91,11 +86,7 @@ class StatefulSpec extends AnyFunSuite {
 
   test("TWS sessionizer handles cross-batch out-of-order events per the documented contract") {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.RocksDb.withRocksDb(spark) {
       // three micro-batches for one user (seconds → ms in the output):
       //  f1: 0s, 1500s      → roll closes (0,0); open (1500,1500)
       //  f2: 700s  — older than start−gap (900s): straggler session
@@ -132,18 +123,11 @@ class StatefulSpec extends AnyFunSuite {
         (700000L, 700000L, 1L, 100L), // straggler emitted in f2
         (1000000L, 1600000L, 3L, 300L)) // backward-extended, rolled in f3
       assert(got == expected, s"got=$got")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("timer-driven TWS sessionizer == batch gaps-and-islands (watermark-closed set)") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.RocksDb.withRocksDb(spark) {
       val q = graft.streaming.StateV2
         .sessionStreamTws(spark, TestSpark.sf0001)
         .writeStream.format("memory").queryName("session_v2_out")
@@ -184,9 +168,6 @@ class StatefulSpec extends AnyFunSuite {
       assert(got == expected,
         s"missing=${(expected -- got).take(3)} spurious=${(got -- expected).take(3)}")
       assert(got.nonEmpty)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 }
