@@ -252,6 +252,17 @@ object StreamBench {
         () => twsTotals(s, sourceStream(s, dir))),
       ("scrape_tws", "append", Some(true), () => scrapeTws(s, scanDir)),
     )
+    // RocksDB warmup OUTSIDE the measured rows: the first RocksDB query
+    // in a JVM pays one-time native-library + provider init that would
+    // otherwise land entirely on whichever tws row runs first (r12
+    // found the r11 tuned-vs-bare delta was partly this order effect —
+    // the tuned row ran second and warm)
+    val warmDir = java.nio.file.Files
+      .createTempDirectory("graft_rocks_warm").toString
+    writeStreamDir(s, warmDir, 2000L, 2)
+    RocksDb.withRocksDb(s) {
+      runOp(s, twsTotals(s, sourceStream(s, warmDir)), "update")
+    }
     val out =
       try ops.map { case (name, mode, rocks, build) =>
         rocks match {
@@ -263,7 +274,7 @@ object StreamBench {
       }
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // best-effort cleanup of the temp stream dirs + checkpoints
-    Seq(dir, new java.io.File(scanDir).getParent).foreach { d =>
+    Seq(dir, warmDir, new java.io.File(scanDir).getParent).foreach { d =>
       try {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
