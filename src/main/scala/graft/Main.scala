@@ -66,6 +66,14 @@ object Main {
     require(paths.nonEmpty, "at least one PATH required")
     require(!(streamEvents && jdbc.nonEmpty),
       "--stream-events emits parquet change events; use --out, not --jdbc")
+    require(interval.isEmpty || streamEvents,
+      "--interval only applies to --stream-events (batch scans are one-shot)")
+    // -i overrides the identifier for EVERY path, and the identifier is
+    // the event-stream's sink/checkpoint key — two paths sharing it
+    // would collide on one checkpoint (the second query fails to start)
+    require(!streamEvents || paths.size == 1 || identifier.isEmpty,
+      "--stream-events with -i supports a single PATH (the identifier " +
+        "keys the per-source checkpoint)")
 
     // only stop a session this run created — under a shared JVM (tests,
     // notebooks) getOrCreate returns the caller's session, which must
@@ -159,7 +167,13 @@ object Main {
           .start()
         (src, sub, q)
       }
-      queries.foreach(_._3.awaitTermination())
+      // one-shot mode: every query runs to completion (failures
+      // propagate per query). Daemon mode: the queries never terminate,
+      // so waiting on the FIRST would silently swallow a later query's
+      // death — await ANY termination and propagate the first failure
+      // (S8 fail-fast parity: one dead scrape fails the run loudly).
+      if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
+      else spark.streams.awaitAnyTermination()
       queries.foreach { case (src, sub, _) =>
         val n = spark.read.parquet(s"$out/events/$sub").count()
         println(s"$src: $n change events at $out/events/$sub")

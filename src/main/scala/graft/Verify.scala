@@ -23,19 +23,18 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    def rmRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
     // A FULL run owns the whole outDir: clear it first so artifacts from
     // an interrupted earlier run (stale __err.txt beside fresh parquet —
     // VERDICT r11 "What's wrong" #5) can't sit beside this run's output.
     // Subset runs (dev loop) leave other queries' artifacts in place —
     // the per-query cleanup below still keeps each touched name honest.
-    if (only.isEmpty) {
-      val root = Paths.get(outDir)
-      if (Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .filter(_ != root).foreach(Files.delete)
-      }
-    }
+    if (only.isEmpty) rmRec(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     // A crashed query must be impossible to read as "absent, probably
     // fine": write a per-query error marker file AND an aggregate
@@ -43,15 +42,11 @@ object Verify {
     // carry an explicit err row instead of silence (r7 shipped 7
     // analysis-time crashes with no trace in CORRECTNESS_r07).
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Stale-artifact hygiene on a reused outDir (ADVICE r8): a failure must
-    // also REMOVE any previous run's parquet for that query (otherwise the
-    // checker grades the stale output and never reads the fresh error
-    // marker — the masked-crash mode the markers exist to kill), and a
-    // success must remove any previous run's error marker.
-    def rmRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    // Stale-artifact hygiene on a reused outDir (ADVICE r8): a failure
+    // must also REMOVE any previous run's parquet for that query
+    // (otherwise the checker grades the stale output and never reads the
+    // fresh error marker — the masked-crash mode the markers exist to
+    // kill), and a success must remove any previous run's error marker.
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

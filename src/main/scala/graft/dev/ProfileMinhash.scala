@@ -60,13 +60,8 @@ object ProfileMinhash {
       // design; time each side alone so the registry's slowest row is
       // attributed, not guessed.
       println(s"--- recall split, pass $i")
-      val exact = Dedup.interOfCorpus(Dedup.corpus(spark, sfDir),
-          Dedup.cappedListTruthDf)
-        .select(col("d1"), col("d2"),
-          (col("n_inter").cast("double") /
-            (col("s1") + col("s2") - col("n_inter"))).as("j"))
-        .filter(col("j") >= 0.5).select("d1", "d2")
-      time("exact truth side")(exact.count())
+      time("exact truth side")(
+        Dedup.minhashExactTruth(spark, sfDir).count())
       time("lsh found side")(Dedup.minhashPairs(spark, sfDir)
         .select("d1", "d2").count())
       time("recall full query")(

@@ -721,13 +721,19 @@ object Dedup {
     * `recall_ok` (≥ 90% of true pairs found; measured 100% at all three
     * SFs, 138-366 pairs — fixture pairs have j ≥ 0.72, detection
     * ≥ 99.3% per pair at 16×4 banding). */
-  def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = interOfCorpus(corpus(s, dir), cappedListTruthDf)
+  /** The exact Jaccard-≥0.5 ground-truth pair set — shared by the
+    * grading query and ProfileMinhash's attribution section so the
+    * profiler times exactly the pipeline the registry row runs. */
+  private[graft] def minhashExactTruth(s: SparkSession, dir: String): DataFrame =
+    interOfCorpus(corpus(s, dir), cappedListTruthDf)
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("j"))
       .filter(col("j") >= 0.5)
       .select("d1", "d2")
+
+  def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = minhashExactTruth(s, dir)
       .cache() // feeds the exact count and the hit join
     val found = minhashPairs(s, dir).select("d1", "d2")
       .cache() // feeds the found count and the hit join

@@ -785,8 +785,14 @@ object Stats {
       .withColumn("variant",
         when(substring(md5(concat(lit("ab"), col("user_id").cast("string"))),
           1, 1) < "8", "A").otherwise("B"))
+    // the plain-long sums sx/sy wrap STRICTLY BEFORE the power sums can
+    // overflow decimal(38) (sum(x^2) <= max(x)*sum(x) with max(x) <=
+    // 2^63, so sxx reaches 1e38 only after sum(x) > 1.09e19 > Long.Max)
+    // — so they carry the same decimal(38,0) + fail-loud discipline or
+    // the guard below would be unreachable until after silent corruption
     val pooled = per.agg(count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
       sum((col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)"))
         .as("sxy"),
       sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)"))
@@ -801,29 +807,32 @@ object Stats {
     // decimal(38)'s ~1e38) errors loudly — so a NULL power sum raises
     // here (the Math.addExact fail-loud convention, ADVICE r11) instead
     // of flowing into a null theta/var_ratio.
-    // (n > 0 distinguishes overflow from the legitimately-null sums of
-    // an empty aggregate — empty input stays an empty result frame)
-    def sd(c: Column): Column = when(col("n") > 0 && c.isNull,
+    // (count > 0 distinguishes overflow from the legitimately-null sums
+    // of an empty aggregate — empty input stays an empty result frame)
+    def sd(c: Column, cnt: Column): Column = when(cnt > 0 && c.isNull,
         raise_error(lit(
-          "cupedOf: decimal(38,0) power-sum overflow — input cents exceed " +
+          "cupedOf: decimal(38,0) sum overflow — input cents exceed " +
             "the documented envelope"))).otherwise(c)
       .cast("string").cast("double")
     val n = d(col("n"))
-    val cov = sd(col("sxy")) / n - (d(col("sx")) / n) * (d(col("sy")) / n)
-    val vx = sd(col("sxx")) / n - (d(col("sx")) / n) * (d(col("sx")) / n)
-    val vy = sd(col("syy")) / n - (d(col("sy")) / n) * (d(col("sy")) / n)
+    def sn(name: String): Column = sd(col(name), col("n"))
+    val cov = sn("sxy") / n - (sn("sx") / n) * (sn("sy") / n)
+    val vx = sn("sxx") / n - (sn("sx") / n) * (sn("sx") / n)
+    val vy = sn("syy") / n - (sn("sy") / n) * (sn("sy") / n)
     val consts = pooled.select(
-      (d(col("sx")) / n).as("mean_x_pool"),
+      (sn("sx") / n).as("mean_x_pool"),
       (cov / vx).as("theta"),
       (lit(1.0) - (cov * cov) / (vx * vy)).as("var_ratio"))
     val byVariant = per.groupBy(col("variant")).agg(
       count(lit(1)).as("n_users"),
-      sum(col("x")).as("vx_sum"), sum(col("y")).as("vy_sum"))
+      sum(col("x").cast("decimal(38,0)")).as("vx_sum"),
+      sum(col("y").cast("decimal(38,0)")).as("vy_sum"))
+    def sv(name: String): Column = sd(col(name), col("n_users"))
     byVariant.crossJoin(broadcast(consts))
       .select(col("variant"), col("n_users"),
-        round(d(col("vy_sum")) / d(col("n_users")), 6).as("mean_y"),
-        round(d(col("vy_sum")) / d(col("n_users")) -
-          col("theta") * (d(col("vx_sum")) / d(col("n_users")) -
+        round(sv("vy_sum") / d(col("n_users")), 6).as("mean_y"),
+        round(sv("vy_sum") / d(col("n_users")) -
+          col("theta") * (sv("vx_sum") / d(col("n_users")) -
             col("mean_x_pool")), 6).as("mean_y_adj"),
         round(col("theta"), 6).as("theta"),
         round(col("var_ratio"), 6).as("var_ratio"))
@@ -873,7 +882,8 @@ object Stats {
         |v AS (SELECT *, CASE WHEN substring(md5('ab' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
         |    THEN 'A' ELSE 'B' END AS variant FROM per),
         |p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
         |    CAST(CAST(sum(CAST(x AS HUGEINT)*y) AS VARCHAR) AS DOUBLE) AS sxy,
         |    CAST(CAST(sum(CAST(x AS HUGEINT)*x) AS VARCHAR) AS DOUBLE) AS sxx,
         |    CAST(CAST(sum(CAST(y AS HUGEINT)*y) AS VARCHAR) AS DOUBLE) AS syy
@@ -884,7 +894,8 @@ object Stats {
         |      / ((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) AS var_ratio
         |  FROM p),
         |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-        |    CAST(sum(x) AS DOUBLE) AS vxs, CAST(sum(y) AS DOUBLE) AS vys
+        |    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS vxs,
+        |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS vys
         |  FROM v GROUP BY variant)
         |SELECT variant, n_users, round(vys/n_users, 6) AS mean_y,
         |  round(vys/n_users - theta * (vxs/n_users - mean_x_pool), 6) AS mean_y_adj,

@@ -180,8 +180,16 @@ object ScrapeTws {
             lit("' — run one change-event query per source")))))
       .withWatermark("observed", "0 milliseconds")
       .select(
-        concat_ws("\u001f", col("external_source"), col("path"),
-          col("filename")).as("key"),
+        // the grouping key must be INJECTIVE in (source, path, filename):
+        // a separator-joined concat is ambiguous when a component itself
+        // contains the separator (('/a\u001fb', 'x') and
+        // ('/a', 'b\u001fx') would share one state slot, merging two
+        // files' timers), so prefix the first two components' lengths --
+        // the third's is implied. The key is never parsed (identity
+        // lives in FileState); it only has to be collision-free.
+        concat(length(col("external_source")).cast("string"), lit(":"),
+          length(col("path")).cast("string"), lit(":"),
+          col("external_source"), col("path"), col("filename")).as("key"),
         col("external_source"), col("path"), col("filename"),
         col("mime_type"), unix_millis(col("created")).as("created_ms"),
         unix_millis(col("modified")).as("modified_ms"), col("size"),

@@ -259,17 +259,21 @@ object StreamBench {
     // the tuned row ran second and warm)
     val warmDir = java.nio.file.Files
       .createTempDirectory("graft_rocks_warm").toString
-    writeStreamDir(s, warmDir, 2000L, 2)
-    RocksDb.withRocksDb(s) {
-      runOp(s, twsTotals(s, sourceStream(s, warmDir)), "update")
-    }
     val out =
-      try ops.map { case (name, mode, rocks, build) =>
-        rocks match {
-          case Some(tuned) => RocksDb.withRocksDb(s, tuned) {
-            name -> runOp(s, build(), mode)
+      try {
+        // warmup INSIDE the try: a RocksDB init failure must still
+        // restore the session's shuffle-partition conf
+        writeStreamDir(s, warmDir, 2000L, 2)
+        RocksDb.withRocksDb(s) {
+          runOp(s, twsTotals(s, sourceStream(s, warmDir)), "update")
+        }
+        ops.map { case (name, mode, rocks, build) =>
+          rocks match {
+            case Some(tuned) => RocksDb.withRocksDb(s, tuned) {
+              name -> runOp(s, build(), mode)
+            }
+            case None => name -> runOp(s, build(), mode)
           }
-          case None => name -> runOp(s, build(), mode)
         }
       }
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -156,10 +156,15 @@ class ScrapeTwsSpec extends AnyFunSuite {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val dir = Files.createTempDirectory("tws_edge").toString
       val weird = Seq(("/d", ""), ("/a\u001fb", "x"))
+      // the COLLIDING TWIN of ("/a\u001fb", "x") under a naive
+      // separator-joined grouping key — with the injective
+      // length-prefixed key it holds its own state slot, so its
+      // continued presence must NOT suppress its twin's tombstone
+      val twin = ("/a", "b\u001fx")
       val scans = Seq(
-        scan(0, weird :+ (("/d", "keep"))),
-        scan(1, Seq(("/d", "keep"))),
-        scan(2, Seq(("/d", "keep"))))
+        scan(0, weird ++ Seq(twin, ("/d", "keep"))),
+        scan(1, Seq(twin, ("/d", "keep"))),
+        scan(2, Seq(twin, ("/d", "keep"))))
       scans.zipWithIndex.foreach { case (df, i) =>
         val f = s"$dir/scan$i"
         df.coalesce(1).write.mode("overwrite").parquet(f)
@@ -178,7 +183,9 @@ class ScrapeTwsSpec extends AnyFunSuite {
         .select("path", "filename", "deleted_ms").collect()
         .map(r => (r.getString(0), r.getString(1),
           Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
-      // both weird identities tombstoned EXACTLY (no desync), keep alive
+      // both weird identities tombstoned EXACTLY (no desync); keep and
+      // the colliding twin stay alive — under an ambiguous key the twin's
+      // refresh would have suppressed ("/a\u001fb", "x")'s delete
       assert(deletes.map(d => (d._1, d._2)).toSet == weird.toSet,
         s"got $deletes")
       assert(deletes.forall(_._3.nonEmpty))
