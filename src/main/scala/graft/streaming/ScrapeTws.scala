@@ -77,6 +77,26 @@ object ScrapeTws {
   type Out = (String, String, String, String, Option[String], Option[Long],
     Option[Long], Option[Long], Option[Long], String)
 
+  /** The injective grouping key over (source, path, filename): the
+    * components' raw concat prefixed by the first two lengths (the
+    * third is implied). Decodable left-to-right — str(len) is all
+    * digits, so the first two ':' delimiters are unambiguous — hence
+    * collision-free for ALL component values including separators,
+    * colons, and empties (KeyInjectivityProperty in ScrapeTwsSpec
+    * drives the actual expression over adversarial triples). Never
+    * parsed at runtime; identity lives in [[FileState]]. */
+  private[graft] def stateKey: org.apache.spark.sql.Column =
+    concat(length(col("external_source")).cast("string"), lit(":"),
+      length(col("path")).cast("string"), lit(":"),
+      col("external_source"), col("path"), col("filename"))
+
+  /** Deterministic surrogate uuid — md5 over the separator-joined
+    * triple, BIT-IDENTICAL to the batch path's coalesced surrogate so
+    * the equality spec can compare uuids across paths. Unlike
+    * [[stateKey]] this stays the separator form deliberately: it must
+    * match the batch path, and a separator-embedding collision here
+    * collides the uuid in BOTH paths equally (reference-parity
+    * surrogate semantics), never the state slot. */
   private[streaming] def genUuid(source: String, path: String,
       filename: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -180,16 +200,10 @@ object ScrapeTws {
             lit("' — run one change-event query per source")))))
       .withWatermark("observed", "0 milliseconds")
       .select(
-        // the grouping key must be INJECTIVE in (source, path, filename):
-        // a separator-joined concat is ambiguous when a component itself
-        // contains the separator (('/a\u001fb', 'x') and
-        // ('/a', 'b\u001fx') would share one state slot, merging two
-        // files' timers), so prefix the first two components' lengths --
-        // the third's is implied. The key is never parsed (identity
-        // lives in FileState); it only has to be collision-free.
-        concat(length(col("external_source")).cast("string"), lit(":"),
-          length(col("path")).cast("string"), lit(":"),
-          col("external_source"), col("path"), col("filename")).as("key"),
+        // INJECTIVE in (source, path, filename) — a separator-joined
+        // concat would merge two files' state slots when a component
+        // embeds the separator (see [[stateKey]])
+        stateKey.as("key"),
         col("external_source"), col("path"), col("filename"),
         col("mime_type"), unix_millis(col("created")).as("created_ms"),
         unix_millis(col("modified")).as("modified_ms"), col("size"),

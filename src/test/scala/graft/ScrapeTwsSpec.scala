@@ -250,6 +250,26 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  // Injectivity of the grouping key, driven through the ACTUAL Spark
+  // expression (not a Scala mirror): adversarial component pools stuffed
+  // with separators, colons, digits, and empties — distinct triples must
+  // produce distinct keys, or two files would share one state slot.
+  test("state key is injective over adversarial (source, path, filename) triples") {
+    import spark.implicits._
+    val pool = Seq("", "a", "ab", ":", "1:", ":1", "\u001f", "a\u001fb",
+      "\u001f\u001f", "1", "11", "1:1", "x:2:", "2:x", "\u001f:",
+      "é\u001f", "a:b:c")
+    val triples = for (s0 <- pool; p0 <- pool; f0 <- pool)
+      yield (s0, p0, f0)
+    val df = triples.toDF("external_source", "path", "filename")
+    val n = df.count()
+    val distinctKeys = df.select(ScrapeTws.stateKey.as("k"))
+      .distinct().count()
+    assert(n == triples.size.toLong)
+    assert(distinctKeys == n,
+      s"key collisions: ${n - distinctKeys} of $n adversarial triples")
+  }
+
   test("a foreign source in a pinned stream fails fast") {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val dir = Files.createTempDirectory("tws_pin").toString
