@@ -250,6 +250,48 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  // The ops surface for "what does this scrape stream currently know":
+  // the transformWithState checkpoint's named state variable is readable
+  // OFFLINE via the statestore format (under the engine-default tuned
+  // RocksDB, i.e. from a changelog checkpoint) — the seen-set with its
+  // tombstones reconstructs without the stream running.
+  test("statestore reader: the scrape seen-set checkpoint is introspectable offline") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val srcDir = Files.createTempDirectory("tws_reader_src").toString
+      (0 to 3).foreach { i =>
+        val f = s"$srcDir/scan$i"
+        scanDf(i).coalesce(1).write.mode("overwrite").parquet(f)
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + i * 60000L))
+      }
+      val ckpt = Files.createTempDirectory("tws_reader_ckpt").toString
+      val stream = spark.readStream.schema(scanDf(0).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_reader_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "file")
+        .load()
+      val byFile = state.selectExpr("value.filename", "value.size",
+          "value.mime", "value.deleted").collect()
+        .map(r => r.getString(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      // the canonical 4-scan replay's final seen-set, tombstones included
+      assert(byFile.keySet == Set("A", "B", "C", "D", "E"))
+      assert(byFile("A")._3 == Some(base + 3), "A's re-stamped tombstone")
+      assert(byFile("A")._2 == "text/plain", "preserved mime in state")
+      assert(byFile("B") == (Some(20L), "text/plain", None))
+      assert(byFile("C")._3.isEmpty, "revived row's tombstone cleared")
+      assert(byFile("D")._3.isEmpty)
+      assert(byFile("E")._3 == Some(base + 3))
+    }
+  }
+
   // Injectivity of the grouping key, driven through the ACTUAL Spark
   // expression (not a Scala mirror): adversarial component pools stuffed
   // with separators, colons, digits, and empties — distinct triples must
