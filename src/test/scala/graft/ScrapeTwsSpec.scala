@@ -139,6 +139,96 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  // Randomized equivalence: beyond the crafted 4-scan case, seeded
+  // random churn scenarios (presence p=0.7, mutating sizes/mimes) must
+  // yield IDENTICAL final state through the timer-driven TWS path and
+  // the batch mergeBatch loop — uuids, preserved mimes, and tombstone
+  // instants included. Three replicates, fixed seeds, so a semantic
+  // divergence in any upsert/tombstone/revive interleaving fails
+  // deterministically.
+  test("randomized churn replays: TWS state == batch state (3 seeded scenarios)") {
+    import spark.implicits._
+    val mimes = Seq("text/plain", "text/html", "image/png")
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val files = (0 until 8).map(i => (s"/p${i % 3}", s"f$i"))
+      val scans: Seq[Seq[(String, String, String, java.lang.Long, Long, Long)]] =
+        (0 until 4).map { _ =>
+          files.zipWithIndex.flatMap { case ((path, name), idx) =>
+            // file 0 anchors every scan (an all-empty scan is a no-op in
+            // both paths but would stall the stream's watermark)
+            if (idx == 0 || rnd.nextDouble() < 0.7)
+              Some((path, name, mimes(rnd.nextInt(3)),
+                if (rnd.nextBoolean()) Long.box(1000L + idx) else null,
+                5000L + idx, (rnd.nextInt(3) + 1).toLong * 10L))
+            else None
+          }
+        }
+      def df(i: Int) =
+        scans(i).toDF("path", "filename", "mime_type", "created_ms",
+          "modified_ms", "size")
+          .select(lit("s1").as("external_source"), col("path"),
+            col("filename"), col("mime_type"),
+            timestamp_millis(col("created_ms")).as("created"),
+            timestamp_millis(col("modified_ms")).as("modified"), col("size"),
+            timestamp_millis(lit(base + i)).as("observed"))
+      graft.streaming.RocksDb.withRocksDb(spark) {
+        val stateDir = Files.createTempDirectory(s"tws_rand_state$seed")
+          .toString + "/st"
+        (0 to 3).foreach { i =>
+          ScrapeStream.mergeBatch(spark, stateDir)(
+            df(i).drop("observed"), i.toLong)
+        }
+        val batchState = ScrapeStream.readState(spark, stateDir).collect()
+          .map(r => (r.getString(2), r.getString(3)) -> (
+            r.getString(0), r.getString(4),
+            Option(r.getTimestamp(5)).map(_.getTime),
+            Option(r.getTimestamp(6)).map(_.getTime),
+            Option(r.get(7)).map(_.asInstanceOf[Long]),
+            Option(r.getTimestamp(8)).map(_.getTime))).toMap
+
+        val srcDir = Files.createTempDirectory(s"tws_rand_src$seed").toString
+        (0 to 3).foreach { i =>
+          val f = s"$srcDir/scan$i"
+          df(i).coalesce(1).write.mode("overwrite").parquet(f)
+          new java.io.File(f).listFiles().foreach(p =>
+            p.setLastModified(1700000000000L + i * 60000L))
+        }
+        val stream = spark.readStream.schema(df(0).schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/scan*")
+        val sink = s"tws_rand_out_$seed"
+        val q = ScrapeTws.changeStream(spark, stream, "s1")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val events = spark.table(sink)
+          .withColumn("rn", monotonically_increasing_id())
+        val streamState = events
+          .groupBy("path", "filename")
+          .agg(max(struct(col("rn"), col("uuid_external_file"),
+            col("mime_type"), col("created_ms"), col("modified_ms"),
+            col("size"), col("deleted_ms"))).as("m"))
+          .collect().map { r =>
+            val m = r.getStruct(2)
+            (r.getString(0), r.getString(1)) -> (
+              m.getString(1), m.getString(2),
+              Option(m.get(3)).map(_.asInstanceOf[Long]),
+              Option(m.get(4)).map(_.asInstanceOf[Long]),
+              Option(m.get(5)).map(_.asInstanceOf[Long]),
+              Option(m.get(6)).map(_.asInstanceOf[Long]))
+          }.toMap
+        assert(streamState.keySet == batchState.keySet,
+          s"seed $seed keys: stream=${streamState.keySet} batch=${batchState.keySet}")
+        streamState.keys.foreach { k =>
+          assert(streamState(k) == batchState(k),
+            s"seed $seed $k: stream=${streamState(k)} batch=${batchState(k)}")
+        }
+      }
+    }
+  }
+
   // ADVICE r11: identity must come from state, never from parsing the
   // grouping key — an empty filename (the S3 root-key shape, P2 /
   // s3.rs:104-108 parity) or a U+001F inside a path component (legal in
