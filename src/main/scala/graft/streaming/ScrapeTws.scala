@@ -73,9 +73,14 @@ object ScrapeTws {
     Option[Long], Option[Long], Long)
 
   /** Change event: (uuid, source, path, filename, mime, created_ms,
-    * modified_ms, size, deleted_ms, action). */
+    * modified_ms, size, deleted_ms, action, event_ms). `event_ms` is
+    * the observing scan's instant (the upsert's scan_ms; the
+    * tombstone's watermark) — the event ORDER. A persisted event log
+    * (the CLI's parquet sink) has no other recoverable order: file
+    * order is not event order, so consumers compact by `event_ms`
+    * ([[snapshotOf]]), never by physical layout. */
   type Out = (String, String, String, String, Option[String], Option[Long],
-    Option[Long], Option[Long], Option[Long], String)
+    Option[Long], Option[Long], Option[Long], String, Long)
 
   /** The injective grouping key over (source, path, filename): the
     * components' raw concat prefixed by the first two lengths (the
@@ -147,10 +152,12 @@ object ScrapeTws {
         // event or event-derived state would keep the stale tombstone
         if (action != "unchanged")
           events += ((genUuid(source, path, filename), source, path,
-            filename, keptMime, created, modified, size, None, action))
+            filename, keptMime, created, modified, size, None, action,
+            scanMs))
         else if (wasDeleted)
           events += ((genUuid(source, path, filename), source, path,
-            filename, keptMime, created, modified, size, None, "revive"))
+            filename, keptMime, created, modified, size, None, "revive",
+            scanMs))
       }
       events.result().iterator
     }
@@ -172,7 +179,7 @@ object ScrapeTws {
           // identity comes from state, never from parsing `key`
           Iterator((genUuid(c.source, c.path, c.filename), c.source, c.path,
             c.filename, c.mime, c.created, c.modified, c.size, Some(obs),
-            "delete"))
+            "delete", obs))
         }
       }
   }
@@ -215,6 +222,31 @@ object ScrapeTws {
         Encoders.product[Out])
       .toDF("uuid_external_file", "external_source", "path", "filename",
         "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
-        "action")
+        "action", "event_ms")
+  }
+
+  /** Consumer-side compaction of a change-event log back into the
+    * current seen-set snapshot (same columns as
+    * [[ScrapeStream.readState]]): the LAST event per file identity by
+    * `event_ms` wins. One hash shuffle on the identity key — at 100 TB
+    * the log compacts in one exchange, and a date-partitioned log
+    * prunes to the partitions since the last snapshot. Ordering note:
+    * `event_ms` is scan-grained and scans are strictly ordered, so the
+    * winner is well-defined; the extra sort keys only break the
+    * pathological tie of one scan listing one file twice with
+    * CONTRADICTORY metadata (reference set-semantics dedup such rows,
+    * `db.rs:120-123`). */
+  def snapshotOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("external_source", "path", "filename")
+      .orderBy(col("event_ms").desc, col("deleted_ms").desc_nulls_last,
+        col("size").desc_nulls_last, col("mime_type").desc_nulls_last)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("uuid_external_file"), col("external_source"), col("path"),
+        col("filename"), col("mime_type"),
+        timestamp_millis(col("created_ms")).as("created"),
+        timestamp_millis(col("modified_ms")).as("modified"), col("size"),
+        timestamp_millis(col("deleted_ms")).as("deleted"))
   }
 }

@@ -155,5 +155,13 @@ class CliSpec extends AnyFunSuite {
     // a.txt was re-seen unchanged on every rescan: no further events
     val ev = spark.read.parquet(evDir)
     assert(ev.filter(col("filename") === "a.txt").count() == 1)
+    // the persisted log compacts back into the current snapshot by
+    // event_ms (file order is NOT event order in a parquet log)
+    val snap = graft.streaming.ScrapeTws.snapshotOf(ev)
+      .collect().map(r => r.getString(3) ->
+        Option(r.getTimestamp(8))).toMap
+    assert(snap.keySet == Set("a.txt", "b.txt"))
+    assert(snap("a.txt").isEmpty, "live file has no tombstone")
+    assert(snap("b.txt").nonEmpty, "vanished file's tombstone survives compaction")
   }
 }

@@ -101,22 +101,15 @@ class ScrapeTwsSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       val events = spark.table("scrape_tws_out")
-        .withColumn("rn", monotonically_increasing_id())
-      // event-derived state: the LAST event per file key wins
-      val streamState = events
-        .groupBy("external_source", "path", "filename")
-        .agg(max(struct(col("rn"), col("uuid_external_file"),
-          col("mime_type"), col("created_ms"), col("modified_ms"),
-          col("size"), col("deleted_ms"))).as("m"))
-        .collect().map { r =>
-          val m = r.getStruct(3)
-          (r.getString(1), r.getString(2)) -> (
-            m.getString(1), r.getString(0), m.getString(2),
-            Option(m.get(3)).map(_.asInstanceOf[Long]),
-            Option(m.get(4)).map(_.asInstanceOf[Long]),
-            Option(m.get(5)).map(_.asInstanceOf[Long]),
-            Option(m.get(6)).map(_.asInstanceOf[Long]))
-        }.toMap
+      // event-derived state through the SHIPPED consumer-side
+      // compaction (last event per identity by event_ms)
+      val streamState = ScrapeTws.snapshotOf(events)
+        .collect().map(r => (r.getString(2), r.getString(3)) -> (
+          r.getString(0), r.getString(1), r.getString(4),
+          Option(r.getTimestamp(5)).map(_.getTime),
+          Option(r.getTimestamp(6)).map(_.getTime),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(8)).map(_.getTime))).toMap
 
       assert(streamState.keySet == batchState.keySet,
         s"keys: stream=${streamState.keySet} batch=${batchState.keySet}")
@@ -203,22 +196,13 @@ class ScrapeTwsSpec extends AnyFunSuite {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val events = spark.table(sink)
-          .withColumn("rn", monotonically_increasing_id())
-        val streamState = events
-          .groupBy("path", "filename")
-          .agg(max(struct(col("rn"), col("uuid_external_file"),
-            col("mime_type"), col("created_ms"), col("modified_ms"),
-            col("size"), col("deleted_ms"))).as("m"))
-          .collect().map { r =>
-            val m = r.getStruct(2)
-            (r.getString(0), r.getString(1)) -> (
-              m.getString(1), m.getString(2),
-              Option(m.get(3)).map(_.asInstanceOf[Long]),
-              Option(m.get(4)).map(_.asInstanceOf[Long]),
-              Option(m.get(5)).map(_.asInstanceOf[Long]),
-              Option(m.get(6)).map(_.asInstanceOf[Long]))
-          }.toMap
+        val streamState = ScrapeTws.snapshotOf(spark.table(sink))
+          .collect().map(r => (r.getString(2), r.getString(3)) -> (
+            r.getString(0), r.getString(4),
+            Option(r.getTimestamp(5)).map(_.getTime),
+            Option(r.getTimestamp(6)).map(_.getTime),
+            Option(r.get(7)).map(_.asInstanceOf[Long]),
+            Option(r.getTimestamp(8)).map(_.getTime))).toMap
         assert(streamState.keySet == batchState.keySet,
           s"seed $seed keys: stream=${streamState.keySet} batch=${batchState.keySet}")
         streamState.keys.foreach { k =>
