@@ -228,25 +228,28 @@ object ScrapeTws {
   /** Consumer-side compaction of a change-event log back into the
     * current seen-set snapshot (same columns as
     * [[ScrapeStream.readState]]): the LAST event per file identity by
-    * `event_ms` wins. One hash shuffle on the identity key — at 100 TB
-    * the log compacts in one exchange, and a date-partitioned log
-    * prunes to the partitions since the last snapshot. Ordering note:
-    * `event_ms` is scan-grained and scans are strictly ordered, so the
-    * winner is well-defined; the extra sort keys only break the
+    * `event_ms` wins, as a `max(struct(event_ms, …))` aggregate rather
+    * than a window — the aggregate compacts MAP-SIDE before the
+    * exchange (one candidate row per file per input partition), where
+    * a row_number window would shuffle and sort every event of the
+    * log. At 100 TB the log compacts in one partial-then-final hash
+    * aggregation, and a date-partitioned log prunes to the partitions
+    * since the last snapshot. Ordering note: `event_ms` is
+    * scan-grained and scans are strictly ordered, so the winner is
+    * well-defined; the struct's trailing fields only break the
     * pathological tie of one scan listing one file twice with
     * CONTRADICTORY metadata (reference set-semantics dedup such rows,
     * `db.rs:120-123`). */
-  def snapshotOf(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("external_source", "path", "filename")
-      .orderBy(col("event_ms").desc, col("deleted_ms").desc_nulls_last,
-        col("size").desc_nulls_last, col("mime_type").desc_nulls_last)
-    events.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("uuid_external_file"), col("external_source"), col("path"),
-        col("filename"), col("mime_type"),
-        timestamp_millis(col("created_ms")).as("created"),
-        timestamp_millis(col("modified_ms")).as("modified"), col("size"),
-        timestamp_millis(col("deleted_ms")).as("deleted"))
-  }
+  def snapshotOf(events: DataFrame): DataFrame =
+    events.groupBy("external_source", "path", "filename")
+      .agg(max(struct(col("event_ms"), col("deleted_ms"), col("size"),
+        col("mime_type"), col("uuid_external_file"), col("created_ms"),
+        col("modified_ms"))).as("m"))
+      .select(col("m.uuid_external_file").as("uuid_external_file"),
+        col("external_source"), col("path"), col("filename"),
+        col("m.mime_type").as("mime_type"),
+        timestamp_millis(col("m.created_ms")).as("created"),
+        timestamp_millis(col("m.modified_ms")).as("modified"),
+        col("m.size").as("size"),
+        timestamp_millis(col("m.deleted_ms")).as("deleted"))
 }
