@@ -174,9 +174,14 @@ object Main {
       // (S8 fail-fast parity: one dead scrape fails the run loudly).
       if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
       else spark.streams.awaitAnyTermination()
-      queries.foreach { case (src, sub, _) =>
+      queries.foreach { case (src, sub, q) =>
         val n = spark.read.parquet(s"$out/events/$sub").count()
-        println(s"$src: $n change events at $out/events/$sub")
+        // seen-set size straight from the engine's state metrics — the
+        // number an operator watches for unbounded-state drift
+        val stateRows = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption
+        println(s"$src: $n change events at $out/events/$sub" +
+          stateRows.fold("")(r => s" (seen-set: $r files)"))
       }
     }
 
