@@ -175,7 +175,11 @@ object Main {
       if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
       else spark.streams.awaitAnyTermination()
       queries.foreach { case (src, sub, q) =>
-        val n = spark.read.parquet(s"$out/events/$sub").count()
+        // an empty tree yields a sink dir with no data files (only the
+        // _spark_metadata log), where schema inference fails — that's
+        // zero events, not an error
+        val n = scala.util.Try(
+          spark.read.parquet(s"$out/events/$sub").count()).getOrElse(0L)
         // seen-set size straight from the engine's state metrics — the
         // number an operator watches for unbounded-state drift
         val stateRows = q.recentProgress

@@ -164,4 +164,17 @@ class CliSpec extends AnyFunSuite {
     assert(snap("a.txt").isEmpty, "live file has no tombstone")
     assert(snap("b.txt").nonEmpty, "vanished file's tombstone survives compaction")
   }
+
+  test("--stream-events over an empty tree reports zero events instead of crashing") {
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_se_empty")
+    val out = Files.createTempDirectory("cli_se_empty_out").toString
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      Main.main(Array("--stream-events", "-i", "cli-se-empty",
+        tree.toString, "--out", out))
+    }
+    assert(outBuf.toString("UTF-8").contains("0 change events"),
+      outBuf.toString("UTF-8"))
+  }
 }

@@ -386,6 +386,49 @@ class ScrapeTwsSpec extends AnyFunSuite {
       s"key collisions: ${n - distinctKeys} of $n adversarial triples")
   }
 
+  // The always-on daemon composition (the CLI's --interval form): the
+  // graft-files rescan source under Trigger.ProcessingTime, observed =
+  // the wall-clock batch timestamp, multiple complete rescans inside
+  // ONE query — a deleted file must tombstone within a few rescan
+  // cycles via its event-time timer. Polls with a generous deadline so
+  // box load cannot flake it.
+  test("live-listing daemon: ProcessingTime rescans tombstone a deleted file") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val tree = Files.createTempDirectory("tws_live")
+      Files.writeString(tree.resolve("a.txt"), "alpha")
+      Files.writeString(tree.resolve("b.txt"), "beta")
+      val scans = spark.readStream.format("graft-files")
+        .option("path", tree.toString).option("identifier", "live-src")
+        .load()
+        .withColumn("observed", current_timestamp())
+      val q = ScrapeTws.changeStream(spark, scans, "live-src")
+        .writeStream.format("memory").queryName("tws_live_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+        .start()
+      try {
+        def count(action: String): Long = spark.table("tws_live_out")
+          .filter(col("action") === action).count()
+        val deadline = System.currentTimeMillis() + 60000L
+        while (count("insert") < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200L)
+        assert(count("insert") == 2L, "both files surfaced as inserts")
+        Files.delete(tree.resolve("b.txt"))
+        while (count("delete") < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200L)
+        val dels = spark.table("tws_live_out")
+          .filter(col("action") === "delete")
+          .select("filename").distinct().collect()
+          .map(_.getString(0)).toSet
+        assert(dels == Set("b.txt"),
+          s"only the vanished file tombstones: $dels")
+        // the survivor was re-seen unchanged on every rescan: one event
+        assert(spark.table("tws_live_out")
+          .filter(col("filename") === "a.txt").count() == 1L)
+      } finally q.stop()
+    }
+  }
+
   test("a foreign source in a pinned stream fails fast") {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val dir = Files.createTempDirectory("tws_pin").toString
