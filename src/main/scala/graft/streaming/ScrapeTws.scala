@@ -189,6 +189,16 @@ object ScrapeTws {
     * size, observed) — `observed` is the scan-constant observation
     * instant (P8) and the event-time axis.
     *
+    * Ordering contract: scans must arrive in observation order (the
+    * watermark drops rows older than the latest seen `observed`) —
+    * both shipped feeders guarantee it by construction (the rescan
+    * source observes NOW each trigger; file replays order by
+    * mod-time). Several scans may share one micro-batch: the per-key
+    * fold applies sightings in scan order and timers settle at the
+    * batch's end, so the FINAL state matches the one-scan-per-batch
+    * replay even though intermediate events (a tombstone and its
+    * revive inside one batch) coalesce away.
+    *
     * `source` pins the stream: the deletion clock (the query's
     * watermark) is only correct per-source, so a row from any OTHER
     * source fails the query at the first sighting (`raise_error`

@@ -386,6 +386,53 @@ class ScrapeTwsSpec extends AnyFunSuite {
       s"key collisions: ${n - distinctKeys} of $n adversarial triples")
   }
 
+  // All four scans in ONE micro-batch: the per-key sorted fold applies
+  // sightings in scan order, timers settle once at the batch end —
+  // the FINAL state must equal the batch replay's even though the
+  // intra-batch tombstone/revive pair for C coalesces away in the
+  // event log.
+  test("multiple scans in one micro-batch settle to the same final state") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      val stateDir = Files.createTempDirectory("tws_onebatch_state")
+        .toString + "/st"
+      (0 to 3).foreach { i =>
+        ScrapeStream.mergeBatch(spark, stateDir)(
+          scanDf(i).drop("observed"), i.toLong)
+      }
+      val batchState = ScrapeStream.readState(spark, stateDir).collect()
+        .map(r => (r.getString(2), r.getString(3)) -> (
+          r.getString(0), r.getString(4),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(8)).map(_.getTime))).toMap
+
+      val srcDir = Files.createTempDirectory("tws_onebatch_src").toString
+      (0 to 3).foreach { i =>
+        scanDf(i).coalesce(1).write.mode("append").parquet(s"$srcDir/scans")
+      }
+      // no maxFilesPerTrigger: one batch swallows all four scans
+      val stream = spark.readStream.schema(scanDf(0).schema)
+        .parquet(s"$srcDir/scans")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_onebatch_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamState = ScrapeTws.snapshotOf(spark.table("tws_onebatch_out"))
+        .collect().map(r => (r.getString(2), r.getString(3)) -> (
+          r.getString(0), r.getString(4),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(8)).map(_.getTime))).toMap
+      assert(streamState.keySet == batchState.keySet)
+      // C's tombstone+revive coalesced inside the batch: compare the
+      // settled values (uuid, mime, size, deleted) key by key
+      streamState.keys.foreach { k =>
+        assert(streamState(k) == batchState(k),
+          s"$k: stream=${streamState(k)} batch=${batchState(k)}")
+      }
+    }
+  }
+
   // The always-on daemon composition (the CLI's --interval form): the
   // graft-files rescan source under Trigger.ProcessingTime, observed =
   // the wall-clock batch timestamp, multiple complete rescans inside
