@@ -11,7 +11,7 @@ import graft.sources.FileListing
 /** CLI entry point — the reference's product surface (`main.rs:20-81`):
   *
   * {{{
-  * graft.Main [-i IDENTIFIER] [-v]... [--out DIR | --jdbc URL] PATH [PATH...]
+  * graft.Main [-i IDENTIFIER] [-v]... [--out DIR | --jdbc URL | --pg HOST:PORT/DB] PATH [PATH...]
   * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
   * graft.Main query list                        // enumerate query names
   * }}}
@@ -23,7 +23,10 @@ import graft.sources.FileListing
   * URL or `hostname:path` (P6). `-v` raises log verbosity.
   *
   * Sink: `--jdbc URL` publishes through [[sinks.PgMerge]] (scan semantics
-  * identical to the reference's Postgres flow); `--out DIR` (default
+  * identical to the reference's Postgres flow); `--pg HOST:PORT/DBNAME`
+  * publishes the same resolution over the built-in v3 wire-protocol
+  * client ([[sinks.PgWireClient]], trust auth) when no JDBC driver jar
+  * exists; `--out DIR` (default
   * `./scan_out`) merges into a parquet snapshot via the same
   * classify/tombstone operators (state-dir form of the sink, also used by
   * [[streaming.ScrapeStream]]).
@@ -48,6 +51,7 @@ object Main {
     var verbosity = 0
     var out = "./scan_out"
     var jdbc: Option[String] = None
+    var pg: Option[String] = None
     var streamEvents = false
     var interval: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -58,14 +62,16 @@ object Main {
         case "-v" => verbosity += 1; i += 1
         case "--out" => out = args(i + 1); i += 2
         case "--jdbc" => jdbc = Some(args(i + 1)); i += 2
+        case "--pg" => pg = Some(args(i + 1)); i += 2
         case "--stream-events" => streamEvents = true; i += 1
         case "--interval" => interval = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
       }
     }
     require(paths.nonEmpty, "at least one PATH required")
-    require(!(streamEvents && jdbc.nonEmpty),
-      "--stream-events emits parquet change events; use --out, not --jdbc")
+    require(jdbc.isEmpty || pg.isEmpty, "--jdbc and --pg are exclusive sinks")
+    require(!(streamEvents && (jdbc.nonEmpty || pg.nonEmpty)),
+      "--stream-events emits parquet change events; use --out")
     require(interval.isEmpty || streamEvents,
       "--interval only applies to --stream-events (batch scans are one-shot)")
     // -i overrides the identifier for EVERY path, and the identifier is
@@ -74,6 +80,17 @@ object Main {
     require(!streamEvents || paths.size == 1 || identifier.isEmpty,
       "--stream-events with -i supports a single PATH (the identifier " +
         "keys the per-source checkpoint)")
+    // … and so would duplicate PATH args or distinct paths that DERIVE
+    // the same identifier (ADVICE r12): fail up front with the collision
+    // named, not via a late second-query start failure
+    if (streamEvents) {
+      val derived = paths.toSeq.map(p =>
+        FileListing.identifierFor(p, identifier) -> p)
+      val dup = derived.groupBy(_._1).filter(_._2.size > 1)
+      require(dup.isEmpty, "paths collide on one events/checkpoint " +
+        "identifier: " + dup.map { case (id, ps) =>
+          s"'$id' <- ${ps.map(_._2).mkString(", ")}" }.mkString("; "))
+    }
 
     // only stop a session this run created — under a shared JVM (tests,
     // notebooks) getOrCreate returns the caller's session, which must
@@ -117,14 +134,25 @@ object Main {
     }
     val results = Await.result(Future.sequence(scans), Duration.Inf)
 
-    jdbc match {
-      case Some(url) =>
+    (jdbc, pg) match {
+      case (Some(url), _) =>
         results.foreach { case (src, df) =>
           sinks.PgMerge.publishScan(df, url,
             sys.env.getOrElse("PGUSER", "postgres"),
             sys.env.getOrElse("PGPASSWORD", ""), src)
         }
-      case None =>
+      case (_, Some(addr)) =>
+        // --pg HOST:PORT/DBNAME — the driverless v3 wire-protocol sink
+        // (trust auth), same staged-merge resolution as --jdbc
+        val (hostPort, db) = addr.span(_ != '/')
+        val (host, portStr) = hostPort.span(_ != ':')
+        require(portStr.startsWith(":") && db.startsWith("/"),
+          s"--pg expects HOST:PORT/DBNAME, got '$addr'")
+        results.foreach { case (src, df) =>
+          sinks.PgMerge.publishScanWire(df, host, portStr.tail.toInt,
+            db.tail, sys.env.getOrElse("PGUSER", "postgres"), src)
+        }
+      case _ =>
         results.foreach { case (src, df) =>
           streaming.ScrapeStream.mergeBatch(spark, out)(
             df.withColumn("external_source", lit(src)), 0L)
@@ -177,9 +205,17 @@ object Main {
       queries.foreach { case (src, sub, q) =>
         // an empty tree yields a sink dir with no data files (only the
         // _spark_metadata log), where schema inference fails — that's
-        // zero events, not an error
-        val n = scala.util.Try(
-          spark.read.parquet(s"$out/events/$sub").count()).getOrElse(0L)
+        // zero events, not an error; any OTHER read failure (corrupt
+        // sink, permissions) must propagate, not print "0 change events"
+        // (ADVICE r12)
+        val n =
+          try spark.read.parquet(s"$out/events/$sub").count()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(c =>
+                  c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                    c.startsWith("PATH_NOT_FOUND")) => 0L
+          }
         // seen-set size straight from the engine's state metrics — the
         // number an operator watches for unbounded-state drift
         val stateRows = q.recentProgress

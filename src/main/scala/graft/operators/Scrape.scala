@@ -223,10 +223,49 @@ object Scrape {
     seenKeys(filesCurrent(s, dir), filesScan(s, dir))
       .orderBy("path", "filename")
 
+  /** [[graft.streaming.ScrapeTws.snapshotOf]] as an oracled query
+    * (VERDICT r12 #6): compact a deterministic change-event log — every
+    * key inserts, %5 keys update later, %7 keys tombstone last, and %3
+    * keys carry a SAME-instant contradictory pair (event_seq 0 vs 1,
+    * the apply-order tie the reference's set semantics would dedup,
+    * `db.rs:120-123`) — and prove the engine's map-side max-struct fold
+    * equals the window-function arg-max formulation. The tie pair is
+    * adversarial: seq 0 carries the LARGER size, so a value-wise max
+    * would pick the wrong sighting — only apply order wins. */
+  def qScrapeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+      .withColumn("mime_guess", Mime.mimeOf(col("filename")))
+    val k = col("o_orderkey")
+    def ev(filter: Column, size: Column, mime: Column, deletedMs: Column,
+        action: String, eventMs: Column, seq: Long): DataFrame =
+      b.filter(filter).select(
+        k.cast("string").as("uuid_external_file"),
+        col("external_source"), col("path"), col("filename"),
+        mime.as("mime_type"),
+        k.as("created_ms"), (k * 2).as("modified_ms"),
+        size.cast("bigint").as("size"),
+        deletedMs.cast("bigint").as("deleted_ms"),
+        lit(action).as("action"),
+        eventMs.cast("bigint").as("event_ms"),
+        lit(seq).as("event_seq"))
+    val log = ev(lit(true), col("size"), col("mime_guess"),
+        lit(null), "insert", k + 1000000L, 0L)
+      .unionAll(ev(k % 5 === 0, col("size") + 7L, col("mime_guess"),
+        lit(null), "update", k + 2000000L, 0L))
+      .unionAll(ev(k % 7 === 0, col("size"), col("mime_guess"),
+        k + 3000000L, "delete", k + 3000000L, 0L))
+      .unionAll(ev(k % 3 === 0, k + 1000L, lit("text/tie0"),
+        lit(null), "update", k + 4000000L, 0L))
+      .unionAll(ev(k % 3 === 0, k - 50L, lit("text/tie1"),
+        lit(null), "update", k + 4000000L, 1L))
+    graft.streaming.ScrapeTws.snapshotOf(log).orderBy("path", "filename")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scrape_upsert" -> qUpsert,
     "q_scrape_deletions" -> qDeletions,
     "q_scrape_seen" -> qSeen,
+    "q_scrape_snapshot" -> qScrapeSnapshot,
   )
 
   /** Shared CTE text for the DuckDB oracles — must mirror
@@ -283,6 +322,43 @@ object Scrape {
         |WHERE NOT EXISTS (SELECT 1 FROM scan n
         |  WHERE n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename)
         |ORDER BY c.path, c.filename""".stripMargin),
+    // the window arg-max formulation of snapshotOf's max-struct fold —
+    // same event-log CTE, last (event_ms, event_seq) per identity wins
+    "q_scrape_snapshot" -> (cte +
+      """, ev AS (
+        |  SELECT CAST(k AS VARCHAR) AS uuid_external_file, external_source,
+        |    path, filename, guessed_mime AS mime_type,
+        |    k AS created_ms, k*2 AS modified_ms,
+        |    size, CAST(NULL AS BIGINT) AS deleted_ms,
+        |    k + 1000000 AS event_ms, CAST(0 AS BIGINT) AS event_seq
+        |  FROM base
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    guessed_mime, k, k*2, size + 7, NULL, k + 2000000, 0
+        |  FROM base WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    guessed_mime, k, k*2, size, k + 3000000, k + 3000000, 0
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    'text/tie0', k, k*2, k + 1000, NULL, k + 4000000, 0
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    'text/tie1', k, k*2, k - 50, NULL, k + 4000000, 1
+        |  FROM base WHERE k % 3 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY external_source, path, filename
+        |    ORDER BY event_ms DESC, event_seq DESC) AS rn
+        |  FROM ev)
+        |SELECT uuid_external_file, external_source, path, filename,
+        |  mime_type, epoch_ms(created_ms) AS created,
+        |  epoch_ms(modified_ms) AS modified, size,
+        |  epoch_ms(deleted_ms) AS deleted
+        |FROM ranked WHERE rn = 1
+        |ORDER BY path, filename""".stripMargin),
     "q_scrape_seen" -> (cte +
       """SELECT DISTINCT * FROM (
         |  SELECT c.uuid_external_file, n.path, n.filename

@@ -25,11 +25,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * Connection budget: `numPartitions` on the staging write caps parallel
   * connections (the reference pools 2, `db.rs:28`); the epilogue uses one.
   *
-  * No Postgres server exists in this harness; the WHOLE execution path —
-  * Spark's batched JDBC staging write, the single-connection
-  * transactional epilogue, rollback on failure — runs live in tests
-  * against an in-process DuckDB over JDBC (PgMergeSpec), with the
-  * conflict-target spelling as the one documented dialect seam.
+  * Two shipped transports for the same resolution:
+  *  - `df.write.jdbc` ([[publishScan]]) — the standard path when a JDBC
+  *    driver jar is on the classpath; tested live against an in-process
+  *    DuckDB over JDBC (PgMergeSpec), conflict-target spelling as the
+  *    one documented dialect seam.
+  *  - the v3 wire protocol ([[publishScanWire]] via [[PgWireClient]]) —
+  *    no driver jar needed; tested END-TO-END against a real PostgreSQL
+  *    server with the named-constraint conflict target verbatim
+  *    (PgWireSpec replays every dev/pgmerge_live_check.py scenario
+  *    through the engine's own code path).
   */
 object PgMerge {
 
@@ -152,6 +157,105 @@ object PgMerge {
         throw e
     } finally {
       if (conn != null) conn.close()
+    }
+  }
+
+  // --- the wire path (no JDBC driver jar needed) -------------------------
+
+  /** The scan columns COPY stages, in staging order. */
+  private val scanCols =
+    Seq("external_source", "filename", "path", "mime_type", "created",
+      "modified", "size")
+
+  /** Render one scan row as COPY text fields: timestamps as UTC
+    * `timestamptz` literals (micros preserved), everything else via
+    * toString; NULL-safe. Runs on executors. */
+  private[sinks] def copyFields(
+      row: org.apache.spark.sql.Row): Seq[Option[String]] = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
+      .withZone(java.time.ZoneOffset.UTC)
+    scanCols.map { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) None
+      else row.get(i) match {
+        case t: java.sql.Timestamp => Some(fmt.format(t.toInstant))
+        case t: java.time.Instant => Some(fmt.format(t))
+        case v => Some(v.toString)
+      }
+    }
+  }
+
+  /** [[markDeletedSql]] with the source bound as a quoted literal — the
+    * simple-query protocol has no bind step; the statement text is
+    * otherwise VERBATIM (the generated SQL contains exactly one `?`). */
+  def markDeletedSqlLiteral(scratch: String, externalSource: String): String =
+    markDeletedSql(scratch).replace("?", PgWireClient.sqlLit(externalSource))
+
+  /** [[publishScan]] over the v3 wire protocol ([[PgWireClient]]) instead
+    * of `df.write.jdbc` — same staged-table resolution, executed against
+    * a REAL PostgreSQL server with the reference's named-constraint
+    * conflict target verbatim (`db.rs:105-108`):
+    *
+    *  1. driver creates the per-scan scratch table,
+    *  2. executors `COPY ... FROM STDIN` their partitions into it
+    *     (`coalesce(maxConnections)` caps parallel connections — the
+    *     reference pools 2, `db.rs:28`),
+    *  3. driver runs the single-transaction merge epilogue: BEGIN →
+    *     upsert (J3) → tombstone (J2) → DROP scratch → COMMIT, with
+    *     ROLLBACK on any failure (K2) and a best-effort scratch drop
+    *     outside the failed transaction.
+    */
+  def publishScanWire(
+      scan: DataFrame,
+      host: String,
+      port: Int,
+      database: String,
+      user: String,
+      externalSource: String,
+      maxConnections: Int = 2): Unit = {
+    val scratch = scratchName(java.util.UUID.randomUUID().toString)
+    def withClient[A](f: PgWireClient => A): A = {
+      val c = new PgWireClient(host, port, user, database)
+      try f(c) finally c.close()
+    }
+    withClient(_.exec(
+      s"""CREATE TABLE $scratch (
+         |  external_source TEXT, filename TEXT, path TEXT, mime_type TEXT,
+         |  created TIMESTAMPTZ, modified TIMESTAMPTZ, size BIGINT)"""
+        .stripMargin))
+    try {
+      val colList = scanCols.mkString(", ")
+      scan.selectExpr(scanCols: _*).coalesce(maxConnections)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val c = new PgWireClient(host, port, user, database)
+            try c.copyIn(s"COPY $scratch ($colList) FROM STDIN",
+              rows.map(r => PgWireClient.copyRow(copyFields(r))))
+            finally c.close()
+            ()
+          }
+        }
+      withClient { c =>
+        try {
+          c.exec("BEGIN")
+          c.exec(upsertSql(scratch)) // named-constraint target, verbatim
+          c.exec(markDeletedSqlLiteral(scratch, externalSource))
+          c.exec(s"DROP TABLE $scratch")
+          c.exec("COMMIT")
+        } catch {
+          case e: Throwable =>
+            try c.exec("ROLLBACK") catch { case _: Throwable => () }
+            throw e
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        // the scratch outlives a failed transaction (it was created and
+        // COPY'd outside it) — drop it so a retry never reads stale rows
+        try withClient(_.exec(s"DROP TABLE IF EXISTS $scratch"))
+        catch { case _: Throwable => () }
+        throw e
     }
   }
 }

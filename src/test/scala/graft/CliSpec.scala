@@ -177,4 +177,18 @@ class CliSpec extends AnyFunSuite {
     assert(outBuf.toString("UTF-8").contains("0 change events"),
       outBuf.toString("UTF-8"))
   }
+
+  test("--stream-events fails up front when paths derive one identifier") {
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_se_dup")
+    // the same PATH twice → the same derived hostname:path identifier →
+    // one events/checkpoint dir; must fail BEFORE any query starts, with
+    // the colliding identifier named (ADVICE r12)
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("--stream-events", tree.toString, tree.toString,
+        "--out", Files.createTempDirectory("cli_se_dup_out").toString))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    assert(e.getMessage.contains(tree.toString), e.getMessage)
+  }
 }
