@@ -34,8 +34,25 @@ object Verify {
     // VERDICT r11 "What's wrong" #5) can't sit beside this run's output.
     // Subset runs (dev loop) leave other queries' artifacts in place —
     // the per-query cleanup below still keeps each touched name honest.
-    if (only.isEmpty) rmRec(Paths.get(outDir))
-    new java.io.File(outDir).mkdirs()
+    // Ownership guard (ADVICE r12): only wipe a directory a previous
+    // Verify run MARKED as its own — a mistyped/shared outDir (".", a
+    // data dir) is refused loudly instead of recursively deleted.
+    val marker = Paths.get(outDir, "_graft_verify_dir")
+    val outFile = new java.io.File(outDir)
+    if (only.isEmpty) {
+      val nonEmpty = Option(outFile.list()).exists(_.nonEmpty)
+      // a pre-marker Verify dir is recognizable by its oracle dump, so a
+      // driver-reused outDir from an earlier round still clears
+      val owned = Files.exists(marker) ||
+        Files.exists(Paths.get(outDir, "oracle_sql.json"))
+      require(!nonEmpty || owned,
+        s"refusing to clear '$outDir': non-empty and not a Verify output " +
+          "dir (no _graft_verify_dir marker) — pass an empty or " +
+          "verify-owned directory")
+      rmRec(Paths.get(outDir))
+    }
+    outFile.mkdirs()
+    Files.writeString(marker, "verify output dir\n")
     // A crashed query must be impossible to read as "absent, probably
     // fine": write a per-query error marker file AND an aggregate
     // _failed.json manifest, so the round's correctness artifact can

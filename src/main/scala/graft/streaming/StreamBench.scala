@@ -27,8 +27,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
+  /** `stateBytesShared`: under the tuned RocksDB provider
+    * (`boundedMemoryUsage`), `memoryUsedBytes` surfaces the EXECUTOR-WIDE
+    * shared block-cache budget, not this store's resident state — the
+    * bench artifact must say so or a 25k-row store reads as 53 MB of
+    * state (VERDICT r12 #4). */
   final case class OpStats(rows: Long, secs: Double, stateRows: Long,
-      stateBytes: Long, batches: Int) {
+      stateBytes: Long, batches: Int, stateBytesShared: Boolean = false) {
     def rowsPerSec: Double = if (secs > 0) rows / secs else 0.0
   }
 
@@ -79,7 +84,8 @@ object StreamBench {
     * state-store rows/bytes across all micro-batches — peak resident
     * state is what actually bounds executor memory (the final batch's
     * state is often post-eviction and reads misleadingly small). */
-  def runOp(s: SparkSession, df: DataFrame, mode: String = "update"): OpStats = {
+  def runOp(s: SparkSession, df: DataFrame, mode: String = "update",
+      sharedBudget: Boolean = false): OpStats = {
     val t0 = System.nanoTime()
     val q = df.writeStream.format("noop").outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
@@ -93,7 +99,7 @@ object StreamBench {
     val peakBytes =
       if (progress.isEmpty) 0L
       else progress.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-    OpStats(rows, secs, peakRows, peakBytes, progress.length)
+    OpStats(rows, secs, peakRows, peakBytes, progress.length, sharedBudget)
   }
 
   // --- the operator zoo (mirrors the registered streaming family) -----
@@ -176,6 +182,12 @@ object StreamBench {
   def writeScanDir(s: SparkSession, dir: String, universe: Long,
       nScans: Int): Unit = {
     val baseMs = baseTs.getTime
+    // scan order must be REPLAY order (maxFilesPerTrigger=1 consumes by
+    // mtime): natural mtimes of back-to-back writes can tie and reorder
+    // scans, silently dropping a whole scan behind the watermark (ADVICE
+    // r12) — stamp each scan's files with a strictly increasing mtime,
+    // exactly as the specs do
+    val stamped = scala.collection.mutable.Set.empty[String]
     (0 until nScans).foreach { i =>
       s.range(universe)
         .filter(col("id") % 50 =!= lit(i.toLong % 50))
@@ -192,6 +204,12 @@ object StreamBench {
           timestamp_millis(lit(baseMs + i * 60000L)).as("observed"))
         .coalesce(1)
         .write.mode("append").parquet(dir)
+      Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+        if (f.getName.endsWith(".parquet") && stamped.add(f.getName)) {
+          f.setLastModified(1700000000000L + i * 60000L)
+          ()
+        }
+      })
     }
   }
 
@@ -270,7 +288,9 @@ object StreamBench {
         ops.map { case (name, mode, rocks, build) =>
           rocks match {
             case Some(tuned) => RocksDb.withRocksDb(s, tuned) {
-              name -> runOp(s, build(), mode)
+              // tuned = boundedMemoryUsage = memoryUsedBytes reports the
+              // SHARED executor budget, flagged as such in the artifact
+              name -> runOp(s, build(), mode, sharedBudget = tuned)
             }
             case None => name -> runOp(s, build(), mode)
           }
@@ -289,9 +309,11 @@ object StreamBench {
     out
   }
 
-  /** Dev entry: `sbt "runMain graft.streaming.StreamBench [nRows]"`. */
+  /** Dev entry: `sbt "runMain graft.streaming.StreamBench [nRows]"`, or
+    * `… StreamBench scrape UNIVERSE [NSCANS]` for the flagship-only
+    * scale probe (VERDICT r12 #7: the scrape_tws shape at a 1M-file
+    * universe, state rows == universe, throughput curve → PLANS.md). */
   def main(args: Array[String]): Unit = {
-    val nRows = if (args.nonEmpty) args(0).toLong else 200000L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -299,10 +321,27 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, nRows).foreach { case (name, st) =>
+    def show(name: String, st: OpStats): Unit =
       println(f"$name%-12s ${st.rowsPerSec.toLong}%8d rows/s  " +
-        f"state ${st.stateRows}%7d rows ${st.stateBytes / 1024}%7d KiB  " +
-        f"${st.batches}%2d batches  ${st.secs}%6.2f s")
+        f"state ${st.stateRows}%7d rows ${st.stateBytes / 1024}%7d KiB" +
+        (if (st.stateBytesShared) " (shared budget)" else "") +
+        f"  ${st.batches}%2d batches  ${st.secs}%6.2f s")
+    if (args.headOption.contains("scrape")) {
+      val universe = args(1).toLong
+      val nScans = if (args.length > 2) args(2).toInt else 8
+      val scanDir = java.nio.file.Files
+        .createTempDirectory("graft_scan_probe").toString + "/scans"
+      writeScanDir(spark, scanDir, universe, nScans)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try RocksDb.withRocksDb(spark) {
+        show(s"scrape_tws@$universe",
+          runOp(spark, scrapeTws(spark, scanDir), "append",
+            sharedBudget = true))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } else {
+      val nRows = if (args.nonEmpty) args(0).toLong else 200000L
+      run(spark, nRows).foreach { case (name, st) => show(name, st) }
     }
     spark.stop()
   }
