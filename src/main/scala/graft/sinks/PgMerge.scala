@@ -192,6 +192,65 @@ object PgMerge {
   def markDeletedSqlLiteral(scratch: String, externalSource: String): String =
     markDeletedSql(scratch).replace("?", PgWireClient.sqlLit(externalSource))
 
+  /** [[readCurrent]] over the v3 wire protocol — a DISTRIBUTED read with
+    * no JDBC jar: `numPartitions` executor tasks each open one wire
+    * connection and pull a disjoint hash shard of the source's rows
+    * (`hashtext(path||filename) % N`, the wire analog of JDBC's
+    * `partitionColumn` sharding), so a 10⁸-row source never lands on the
+    * driver. The `external_source` predicate and the shard filter are
+    * both evaluated REMOTELY (only this source's slice crosses the wire,
+    * `readCurrent`'s PushedFilters parity); timestamps arrive as UTC ISO
+    * text (`SET TIME ZONE 'UTC'` per connection) and parse losslessly to
+    * micros. */
+  def readCurrentWire(
+      spark: org.apache.spark.sql.SparkSession,
+      host: String,
+      port: Int,
+      database: String,
+      user: String,
+      externalSource: String,
+      numPartitions: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("external_source", StringType),
+      StructField("path", StringType),
+      StructField("filename", StringType),
+      StructField("mime_type", StringType),
+      StructField("created", TimestampType),
+      StructField("modified", TimestampType),
+      StructField("size", LongType),
+      StructField("deleted", TimestampType)))
+    val n = numPartitions
+    val srcLit = PgWireClient.sqlLit(externalSource)
+    val rdd = spark.sparkContext
+      .parallelize(0 until n, n)
+      .mapPartitions { shards =>
+        shards.flatMap { shard =>
+          val c = new PgWireClient(host, port, user, database)
+          try {
+            c.exec("SET TIME ZONE 'UTC'")
+            // hashtext cast to bigint BEFORE abs: abs(INT_MIN) overflows
+            c.query(
+              s"""SELECT external_source, path, filename, mime_type,
+                 |  created, modified, size, deleted
+                 |FROM $table
+                 |WHERE external_source = $srcLit
+                 |  AND abs(hashtext(path || filename)::bigint) % $n = $shard"""
+                .stripMargin)
+              .map { f =>
+                Row(f(0).orNull, f(1).orNull, f(2).orNull, f(3).orNull,
+                  f(4).map(PgWireClient.parsePgTimestamp).orNull,
+                  f(5).map(PgWireClient.parsePgTimestamp).orNull,
+                  f(6).map(_.toLong: java.lang.Long).orNull,
+                  f(7).map(PgWireClient.parsePgTimestamp).orNull)
+              }
+          } finally c.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** [[publishScan]] over the v3 wire protocol ([[PgWireClient]]) instead
     * of `df.write.jdbc` — same staged-table resolution, executed against
     * a REAL PostgreSQL server with the reference's named-constraint

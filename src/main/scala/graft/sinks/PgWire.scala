@@ -252,4 +252,17 @@ object PgWireClient {
   /** SQL string literal with standard_conforming_strings quoting (the
     * PG 9.1+ default): single quotes doubled, backslashes literal. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Parse PostgreSQL's ISO text rendering of `timestamptz` under
+    * `SET TIME ZONE 'UTC'` — `2026-01-01 05:06:07[.ffffff]+00` (offset
+    * may carry minutes) — to a micros-exact [[java.sql.Timestamp]]. */
+  def parsePgTimestamp(s: String): java.sql.Timestamp = {
+    val t = s.replace(' ', 'T')
+    // PG prints whole-hour offsets as two digits ("+00"); ISO needs ":00"
+    val iso =
+      if (t.length >= 3 && (t(t.length - 3) == '+' || t(t.length - 3) == '-'))
+        t + ":00"
+      else t
+    java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
+  }
 }

@@ -251,6 +251,42 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("readCurrentWire: distributed hash-sharded read returns the exact " +
+      "source slice") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      seed(c)
+      // bulk-extend source A so every one of 3 shards is non-trivially hit
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT 'A', '/bulk', 'f' || i, 'text/plain', " +
+        s"TIMESTAMPTZ '$T1', TIMESTAMPTZ '2026-03-04 05:06:07.123456+00', " +
+        "i, NULL FROM generate_series(1, 200) g(i)")
+    }
+    val df = PgMerge.readCurrentWire(spark, host, port, db, user, "A",
+      numPartitions = 3)
+    assert(df.rdd.getNumPartitions == 3, "one shard per connection")
+    val rows = df.collect()
+    assert(rows.length == 205, "5 seeded A rows + 200 bulk; B excluded " +
+      "remotely")
+    assert(rows.forall(_.getString(0) == "A"))
+    // shards are DISJOINT and COMPLETE: identity set matches a direct read
+    val got = rows.map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got.size == 205, "no duplicate identities across shards")
+    val viaSql = withClient(_.query(
+      s"SELECT path, filename FROM ${PgMerge.table} " +
+        "WHERE external_source = 'A'"))
+      .map(f => (f(0).get, f(1).get)).toSet
+    assert(got == viaSql)
+    // timestamptz text → micros-exact Spark timestamps
+    val f7 = rows.find(r => r.getString(2) == "f7").get
+    assert(f7.getTimestamp(5).toInstant ==
+      java.time.Instant.parse("2026-03-04T05:06:07.123456Z"))
+    assert(f7.getLong(6) == 7L && f7.isNullAt(7))
+    // the tombstone column survives the round trip (undead.txt seed)
+    assert(rows.count(!_.isNullAt(7)) == 1)
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("COPY staging preserves timestamptz microseconds and text edge " +
       "cases across the wire") {
     assume(live, s"no PostgreSQL server at $host:$port")
