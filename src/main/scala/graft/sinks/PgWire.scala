@@ -42,6 +42,8 @@ final class PgWireClient(host: String, port: Int, user: String,
     new BufferedOutputStream(sock.getOutputStream, 1 << 16))
 
   startup()
+  PgWireClient.register()
+  @volatile private var closed = false
 
   // --- framing ----------------------------------------------------------
 
@@ -91,6 +93,9 @@ final class PgWireClient(host: String, port: Int, user: String,
     d.write(user.getBytes(UTF_8)); d.writeByte(0)
     d.write("database".getBytes(UTF_8)); d.writeByte(0)
     d.write(database.getBytes(UTF_8)); d.writeByte(0)
+    // identifies engine connections in pg_stat_activity
+    d.write("application_name".getBytes(UTF_8)); d.writeByte(0)
+    d.write("graft".getBytes(UTF_8)); d.writeByte(0)
     d.writeByte(0)
     send(0, buf.toByteArray)
     out.flush()
@@ -227,10 +232,29 @@ final class PgWireClient(host: String, port: Int, user: String,
       out.flush()
     } catch { case _: Throwable => () }
     sock.close()
+    if (!closed) { closed = true; PgWireClient.unregister() }
   }
 }
 
 object PgWireClient {
+  // K1 observability (`db.rs:28` pools 2): live/peak open-connection
+  // counters — in local mode every executor shares the JVM, so the peak
+  // is a DETERMINISTIC proof that the staged publish never exceeds its
+  // connection budget (PgWireSpec asserts it); on a cluster the same
+  // numbers surface per executor, and server-side the connections are
+  // identifiable as application_name='graft' in pg_stat_activity.
+  private val liveCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val peakCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[sinks] def register(): Unit = {
+    val n = liveCount.incrementAndGet()
+    peakCount.getAndAccumulate(n, math.max)
+    ()
+  }
+  private[sinks] def unregister(): Unit = { liveCount.decrementAndGet(); () }
+  def live: Int = liveCount.get
+  def peak: Int = peakCount.get
+  def resetPeak(): Unit = peakCount.set(liveCount.get)
+
   /** COPY text-format field: NULL → \N; backslash and the row/field
     * delimiters escaped per the public COPY spec
     * (https://www.postgresql.org/docs/current/sql-copy.html#id-1.9.3.55.9.2). */

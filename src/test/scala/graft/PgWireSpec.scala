@@ -251,6 +251,35 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("K1: a staged wire publish never exceeds its connection budget") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient(seed)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    // 5k rows across many upstream partitions — coalesce(2) must be the
+    // ONLY thing capping concurrent connections
+    val big = spark.range(5000).repartition(16)
+      .select(lit("K").as("external_source"), lit("/d").as("path"),
+        concat(lit("f"), $"id").as("filename"),
+        lit("text/plain").as("mime_type"),
+        lit(ts(T1)).as("created"), lit(ts(T1)).as("modified"),
+        $"id".as("size"))
+    PgWireClient.resetPeak()
+    PgMerge.publishScanWire(big, host, port, db, user, "K",
+      maxConnections = 2)
+    assert(PgWireClient.peak <= 2,
+      s"connection budget exceeded: peak=${PgWireClient.peak}")
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient { c =>
+      assert(c.queryOne(s"SELECT count(*) FROM ${PgMerge.table} " +
+        "WHERE external_source='K'") == Some("5000"))
+      // the engine's connections are identifiable server-side
+      assert(c.queryOne("SELECT application_name FROM pg_stat_activity " +
+        "WHERE pid = pg_backend_pid()") == Some("graft"))
+      c.exec(s"DROP TABLE ${PgMerge.table}")
+    }
+  }
+
   test("readCurrentWire: distributed hash-sharded read returns the exact " +
       "source slice") {
     assume(live, s"no PostgreSQL server at $host:$port")
