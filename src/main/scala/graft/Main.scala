@@ -11,10 +11,17 @@ import graft.sources.FileListing
 /** CLI entry point — the reference's product surface (`main.rs:20-81`):
   *
   * {{{
-  * graft.Main [-i IDENTIFIER] [-v]... [--out DIR | --jdbc URL | --pg HOST:PORT/DB] PATH [PATH...]
+  * graft.Main [-i ID] [-v]... [--s3-wire [--s3-endpoint URL]]
+  *            [--out DIR | --jdbc URL | --pg HOST:PORT/DB] PATH [PATH...]
   * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
   * graft.Main query list                        // enumerate query names
   * }}}
+  *
+  * `--s3-wire` lists `s3://` paths over the built-in REST client
+  * ([[sources.S3Wire]]: SigV4 + ListObjectsV2) instead of the s3a
+  * connector — no hadoop-aws jars needed; combined with `--pg` the whole
+  * reference product (S3 → Postgres metadata ETL) runs with zero
+  * external dependencies (S3WireSpec proves it live end-to-end).
   *
   * Each PATH (filesystem dir or `s3://`/`s3a://` URL) is scanned
   * concurrently (S8, one task per path like `main.rs:44-58`'s JoinSet;
@@ -52,6 +59,8 @@ object Main {
     var out = "./scan_out"
     var jdbc: Option[String] = None
     var pg: Option[String] = None
+    var s3Wire = false
+    var s3Endpoint: Option[String] = None
     var streamEvents = false
     var interval: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -63,6 +72,8 @@ object Main {
         case "--out" => out = args(i + 1); i += 2
         case "--jdbc" => jdbc = Some(args(i + 1)); i += 2
         case "--pg" => pg = Some(args(i + 1)); i += 2
+        case "--s3-wire" => s3Wire = true; i += 1
+        case "--s3-endpoint" => s3Endpoint = Some(args(i + 1)); i += 2
         case "--stream-events" => streamEvents = true; i += 1
         case "--interval" => interval = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
@@ -118,18 +129,44 @@ object Main {
     // S8: one concurrent scan job per path; all actions run in parallel
     // against the shared session (Spark schedules them fairly); the first
     // failure propagates and fails the whole run.
+    // --s3-wire: list s3:// paths over the built-in REST client
+    // ([[sources.S3Wire]], SigV4 + ListObjectsV2) instead of the s3a
+    // Hadoop connector — the no-jars transport. Credentials/region come
+    // from the reference's env contract (s3.rs:24-49) with the standard
+    // JVM property names (aws.accessKeyId / aws.secretAccessKey /
+    // aws.region) and --s3-endpoint taking precedence; a custom endpoint
+    // implies path-style addressing (IP endpoints can't host virtual
+    // buckets).
+    lazy val s3Conf = {
+      val base = sources.S3Wire.confFromEnv(sys.env)
+      base.copy(
+        endpoint = s3Endpoint.getOrElse(base.endpoint),
+        region = sys.props.getOrElse("aws.region", base.region),
+        accessKey = sys.props.getOrElse("aws.accessKeyId", base.accessKey),
+        secretKey = sys.props.getOrElse("aws.secretAccessKey",
+          base.secretKey),
+        pathStyle = base.pathStyle || s3Endpoint.isDefined)
+    }
     val scans: Seq[Future[(String, DataFrame)]] = paths.toSeq.map { p =>
       Future {
         val src = FileListing.identifierFor(p, identifier)
-        // scans go through the graft-files DataSource V2 table (not the
-        // RDD listing): the planner can push filename/path/size filters
-        // into the listing tasks, prune whole shards, skip the `created`
-        // stat when the column is unread, and broadcast a small listing
-        // from its reported statistics — none of which the RDD form gets
-        val reader = spark.read.format("graft-files")
-          .option("path", normalize(p))
-        val withId = identifier.fold(reader)(id => reader.option("identifier", id))
-        (src, withId.load().cache())
+        FileListing.parseS3Url(p).filter(_ => s3Wire) match {
+          case Some((bucket, prefix)) =>
+            (src, sources.S3Wire.listDF(spark, s3Conf, bucket, prefix,
+              Some(src)).cache())
+          case None =>
+            // scans go through the graft-files DataSource V2 table (not
+            // the RDD listing): the planner can push filename/path/size
+            // filters into the listing tasks, prune whole shards, skip
+            // the `created` stat when the column is unread, and
+            // broadcast a small listing from its reported statistics —
+            // none of which the RDD form gets
+            val reader = spark.read.format("graft-files")
+              .option("path", normalize(p))
+            val withId = identifier.fold(reader)(id =>
+              reader.option("identifier", id))
+            (src, withId.load().cache())
+        }
       }
     }
     val results = Await.result(Future.sequence(scans), Duration.Inf)

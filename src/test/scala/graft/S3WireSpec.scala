@@ -1,0 +1,263 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.S3Wire
+import graft.sources.S3Wire.{S3Conf, S3Object}
+
+/** The driverless S3 REST lister, tested two ways:
+  *
+  *  1. the SigV4 implementation is anchored to the AWS documentation's
+  *     PUBLISHED worked example (the 20150830 iam ListUsers request:
+  *     known canonical-request hash, known final signature) — the
+  *     algorithm is checked against AWS's own numbers, not against
+  *     itself;
+  *  2. ListObjectsV2 runs LIVE over real HTTP against an in-JVM
+  *     endpoint that verifies every request's signature server-side
+  *     and implements the public pagination/prefix/delimiter
+  *     semantics — continuation tokens, truncated root pages,
+  *     common-prefix sharding, and the 403 path all execute on the
+  *     wire.
+  */
+class S3WireSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // --- 1. SigV4 vs the AWS documentation's worked example ----------------
+
+  test("SigV4 reproduces the AWS documentation's published example " +
+      "signature") {
+    // https://docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html
+    // GET https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
+    val emptySha =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    val headers = Seq(
+      "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+      "host" -> "iam.amazonaws.com",
+      "x-amz-date" -> "20150830T123600Z")
+    val canon = S3Wire.canonicalRequest("GET", "/",
+      Seq("Action" -> "ListUsers", "Version" -> "2010-05-08"),
+      headers, emptySha)
+    assert(java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(UTF_8)).map("%02x".format(_)).mkString ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59",
+      s"canonical request drifted from the published example:\n$canon")
+    val sig = S3Wire.signature(
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      "20150830T123600Z", "us-east-1", "iam", canon)
+    assert(sig ==
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  test("key split matches the reference's path/filename semantics " +
+      "incl. the root-key case it panics on") {
+    assert(S3Wire.splitKey("a/b/c.txt") == ("/a/b", "c.txt"))
+    assert(S3Wire.splitKey("top.json") == ("", "top.json")) // s3.rs:107-108
+    assert(S3Wire.splitKey("d/") == ("/d", ""))
+  }
+
+  test("env contract matches the reference's client config (s3.rs:24-49)") {
+    val c = S3Wire.confFromEnv(Map(
+      "AWS_ENDPOINT_URL" -> "http://127.0.0.1:9000",
+      "AWS_REGION" -> "eu-west-1",
+      "AWS_ACCESS_KEY_ID" -> "ak",
+      "AWS_SECRET_ACCESS_KEY" -> "sk",
+      "AWS_S3_FORCE_PATH_STYLE" -> "1"))
+    assert(c == S3Conf("http://127.0.0.1:9000", "eu-west-1", "ak", "sk",
+      pathStyle = true))
+    val d = S3Wire.confFromEnv(Map("AWS_REGION" -> "us-west-2"))
+    assert(d.endpoint == "https://s3.us-west-2.amazonaws.com")
+    assert(!d.pathStyle)
+  }
+
+  // --- 2. live HTTP endpoint ----------------------------------------------
+
+  private val accessKey = "GRAFTACCESSKEY"
+  private val secretKey = "graft/secret+key"
+  private val bucket = "test-bucket"
+
+  /** Keys of the fixture bucket, with a root-level object and three
+    * top-level prefixes of uneven size. */
+  private val fixture: Seq[S3Object] = (Seq(
+    S3Object("root.txt", 1700000000000L, 5L)) ++
+    (0 until 7).map(i => S3Object(s"logs/2024/f$i.json",
+      1700000001000L + i, 100L + i)) ++
+    (0 until 4).map(i => S3Object(s"data/part-$i.parquet",
+      1700000002000L + i, 1000L + i)) ++
+    Seq(S3Object("docs/readme.md", 1700000003000L, 7L)))
+    .sortBy(_.key)
+
+  /** Minimal ListObjectsV2 endpoint: signature-verifying, paginating,
+    * delimiter-aware, serving `fixture` in key order. The continuation
+    * token is opaque to the client (here: the last emitted key). */
+  private def withServer[A](f: S3Conf => A): A = {
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    server.createContext("/", (ex: HttpExchange) => {
+      try handle(ex, port) finally ex.close()
+    })
+    server.start()
+    try f(S3Conf(s"http://127.0.0.1:$port", "us-east-1", accessKey,
+      secretKey, pathStyle = true))
+    finally server.stop(0)
+  }
+
+  private def handle(ex: HttpExchange, port: Int): Unit = {
+    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val params = rawQuery.split("&").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2).padTo(2, "")
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    // verify the signature server-side from the RECEIVED request parts
+    val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
+    val payloadSha = ex.getRequestHeaders.getFirst("x-amz-content-sha256")
+    val host = ex.getRequestHeaders.getFirst("Host")
+    val expectedAuth = S3Wire.authorizationHeader(accessKey, secretKey,
+      amzDate, "us-east-1", "s3", ex.getRequestMethod,
+      ex.getRequestURI.getPath, params.toSeq,
+      Seq("host" -> host, "x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadSha), payloadSha)
+    val gotAuth = ex.getRequestHeaders.getFirst("Authorization")
+    if (gotAuth != expectedAuth) {
+      val body = "<Error><Code>SignatureDoesNotMatch</Code></Error>"
+        .getBytes(UTF_8)
+      ex.sendResponseHeaders(403, body.length)
+      ex.getResponseBody.write(body)
+      return
+    }
+    require(ex.getRequestURI.getPath == s"/$bucket", "path-style bucket")
+    require(params.get("list-type").contains("2"))
+    val prefix = params.getOrElse("prefix", "")
+    val delim = params.get("delimiter")
+    val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
+    val after = params.get("continuation-token")
+    val inPrefix = fixture.filter(_.key.startsWith(prefix))
+      .filter(o => after.forall(o.key > _))
+    // delimiter grouping: keys with a '/' after the prefix roll up
+    val (grouped, direct) = delim match {
+      case Some(d) =>
+        val (g, dd) = inPrefix.partition(
+          _.key.drop(prefix.length).contains(d))
+        (g.map(o => prefix + o.key.drop(prefix.length).takeWhile(_ != d.head)
+          + d).distinct, dd)
+      case None => (Seq.empty[String], inPrefix)
+    }
+    val page = direct.take(maxKeys)
+    val truncated = direct.size > maxKeys
+    val next =
+      if (truncated) s"<NextContinuationToken>${page.last.key}" +
+        "</NextContinuationToken><IsTruncated>true</IsTruncated>"
+      else "<IsTruncated>false</IsTruncated>"
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+         |<Name>$bucket</Name><Prefix>$prefix</Prefix>$next
+         |${page.map(o =>
+          s"<Contents><Key>${o.key}</Key><LastModified>" +
+            java.time.Instant.ofEpochMilli(o.modifiedMs).toString +
+            s"</LastModified><Size>${o.size}</Size></Contents>")
+          .mkString("\n")}
+         |${grouped.map(p =>
+          s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+          .mkString("\n")}
+         |</ListBucketResult>""".stripMargin.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/xml")
+    ex.sendResponseHeaders(200, xml.length)
+    ex.getResponseBody.write(xml)
+  }
+
+  test("live HTTP: paginated listAll returns every key in order " +
+      "(3-key pages, the reference's cursor loop)") {
+    withServer { conf =>
+      val got = S3Wire.listAll(conf, bucket, "", maxKeys = 3).toSeq
+      assert(got == fixture, s"got $got")
+      assert(got.size == 13 && got.size > 3 * 2,
+        "multiple continuation pages were actually taken")
+      // prefix pushdown evaluates remotely
+      val logs = S3Wire.listAll(conf, bucket, "logs/", maxKeys = 3).toSeq
+      assert(logs.size == 7 && logs.forall(_.key.startsWith("logs/")))
+    }
+  }
+
+  test("live HTTP: delimiter page yields common prefixes + root objects") {
+    withServer { conf =>
+      val page = S3Wire.listPage(conf, bucket, "", None, Some("/"))
+      assert(page.commonPrefixes.toSet == Set("logs/", "data/", "docs/"))
+      assert(page.objects.map(_.key) == Seq("root.txt"))
+    }
+  }
+
+  test("live HTTP: a wrong secret is rejected by the endpoint (403)") {
+    withServer { conf =>
+      val bad = conf.copy(secretKey = "wrong")
+      val e = intercept[java.io.IOException] {
+        S3Wire.listPage(bad, bucket, "", None, None)
+      }
+      assert(e.getMessage.contains("403"), e.getMessage)
+    }
+  }
+
+  test("the whole reference product with zero external jars: s3:// scan " +
+      "over live HTTP published to live PostgreSQL over the wire client") {
+    val pgPort = sys.env.get("PGPORT").flatMap(_.toIntOption).getOrElse(54329)
+    val pgLive =
+      try { new graft.sinks.PgWireClient("127.0.0.1", pgPort, "postgres",
+        "postgres").close(); true }
+      catch { case _: Throwable => false }
+    assume(pgLive, s"no PostgreSQL server at 127.0.0.1:$pgPort")
+    withServer { conf =>
+      val pg = new graft.sinks.PgWireClient("127.0.0.1", pgPort, "postgres",
+        "postgres")
+      try {
+        pg.exec(s"DROP TABLE IF EXISTS ${graft.sinks.PgMerge.table}")
+        pg.exec(
+          s"""CREATE TABLE ${graft.sinks.PgMerge.table} (
+             |  external_source TEXT, path TEXT, filename TEXT,
+             |  mime_type TEXT, created TIMESTAMPTZ, modified TIMESTAMPTZ,
+             |  size BIGINT, deleted TIMESTAMPTZ,
+             |  CONSTRAINT ${graft.sinks.PgMerge.constraint}
+             |    UNIQUE (external_source, path, filename))""".stripMargin)
+        val props = Seq("aws.accessKeyId" -> accessKey,
+          "aws.secretAccessKey" -> secretKey, "aws.region" -> "us-east-1")
+        props.foreach { case (k, v) => sys.props(k) = v }
+        try Main.main(Array("--s3-wire", "--s3-endpoint", conf.endpoint,
+          "--pg", s"127.0.0.1:$pgPort/postgres", s"s3://$bucket"))
+        finally props.foreach { case (k, _) => sys.props.remove(k) }
+        def one(sql: String): Option[String] = pg.queryOne(sql)
+        assert(one(s"SELECT count(*) FROM ${graft.sinks.PgMerge.table} " +
+          s"WHERE external_source = 's3://$bucket'") == Some("13"))
+        assert(one(s"SELECT mime_type FROM ${graft.sinks.PgMerge.table} " +
+          "WHERE filename = 'readme.md'") == Some("text/markdown"))
+        assert(one(s"SELECT count(*) FROM ${graft.sinks.PgMerge.table} " +
+          "WHERE path = '' AND filename = 'root.txt' AND created IS NULL")
+          == Some("1"), "root key lists with empty path, null created")
+        pg.exec(s"DROP TABLE ${graft.sinks.PgMerge.table}")
+      } finally pg.close()
+    }
+  }
+
+  test("listDF: distributed prefix-sharded listing matches the engine's " +
+      "scan frame incl. root-key and null-created semantics") {
+    withServer { conf =>
+      val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 3)
+      val rows = df.collect()
+      assert(rows.length == 13)
+      assert(rows.forall(_.getString(0) == s"s3://$bucket"))
+      val byName = rows.map(r => (r.getString(1), r.getString(2)) ->
+        (r.getString(3), r.isNullAt(4), r.getTimestamp(5).getTime,
+          r.getLong(6))).toMap
+      // the root-level key the reference panics on (s3.rs:107-108)
+      assert(byName(("", "root.txt")) == (("text/plain", true,
+        1700000000000L, 5L)))
+      assert(byName(("/logs/2024", "f3.json"))._1 == "application/json")
+      assert(rows.forall(_.isNullAt(4)), "created is NULL on s3 (s3.rs:123)")
+      // identity column set matches FileListing's frame
+      assert(df.columns.toSeq == Seq("external_source", "path", "filename",
+        "mime_type", "created", "modified", "size"))
+    }
+  }
+}
