@@ -226,6 +226,67 @@ object S3Wire extends Serializable {
         }))
     }.flatten
 
+  /** Signed GetObject — the content-fetch half a training-data pipeline
+    * needs once the metadata scan has selected keys (the reference never
+    * reads bodies; this extends its surface to the multimodal family's
+    * binary columns). `range` (inclusive byte bounds) does a bounded
+    * partial read (HTTP 206) — at 100 TB you fetch the frame you need,
+    * not the object. */
+  def getObject(conf: S3Conf, bucketName: String, key: String,
+      range: Option[(Long, Long)] = None): Array[Byte] = {
+    val ep = URI.create(conf.endpoint)
+    val (host, path) =
+      if (conf.pathStyle) {
+        val h = ep.getHost + (if (ep.getPort > 0) s":${ep.getPort}" else "")
+        (h, s"/$bucketName/$key")
+      } else {
+        val h = s"$bucketName.${ep.getHost}" +
+          (if (ep.getPort > 0) s":${ep.getPort}" else "")
+        (h, s"/$key")
+      }
+    val amzDate = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val payloadHash = hexSha256(Array.emptyByteArray)
+    val headers = Seq("host" -> host, "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadHash) ++
+      range.map { case (a, b) => "range" -> s"bytes=$a-$b" }
+    val auth = authorizationHeader(conf.accessKey, conf.secretKey, amzDate,
+      conf.region, "s3", "GET", path, Seq.empty, headers, payloadHash)
+    val url = new java.net.URL(
+      s"${ep.getScheme}://$host${uriEncode(path, true)}")
+    val c = url.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("GET")
+    c.setConnectTimeout(10000)
+    c.setReadTimeout(60000)
+    c.setRequestProperty("x-amz-date", amzDate)
+    c.setRequestProperty("x-amz-content-sha256", payloadHash)
+    range.foreach { case (a, b) =>
+      c.setRequestProperty("Range", s"bytes=$a-$b") }
+    c.setRequestProperty("Authorization", auth)
+    val code = c.getResponseCode
+    if (code != 200 && code != 206) {
+      val err = Option(c.getErrorStream)
+        .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
+      throw new java.io.IOException(
+        s"GetObject $bucketName/$key: HTTP $code $err")
+    }
+    c.getInputStream.readAllBytes()
+  }
+
+  /** Per-partition content fetch: each executor task pulls its keys'
+    * bodies over its own HTTP connection(s) — the binary-column feed for
+    * the multimodal operators, with no driver involvement and no
+    * connector jars. Input: a one-string-column frame of keys; output
+    * `(key, content)`. */
+  def fetchObjects(spark: SparkSession, conf: S3Conf, bucketName: String,
+      keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    keys.select(keys.columns.head).as[String]
+      .mapPartitions(_.map(k => (k, getObject(conf, bucketName, k))))
+      .toDF("key", "content")
+  }
+
   /** Key → (path, filename) with the reference's split semantics
     * (`s3.rs:102-112`): path is "/" + the directory part of the key; a
     * root-level key (no '/') panics in the reference — here it lists

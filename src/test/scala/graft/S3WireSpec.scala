@@ -105,6 +105,10 @@ class S3WireSpec extends AnyFunSuite {
     finally server.stop(0)
   }
 
+  /** Body served for GetObject: deterministic bytes per key. */
+  private def objectBody(key: String): Array[Byte] =
+    (s"content-of:$key:" + "x" * 64).getBytes(UTF_8)
+
   private def handle(ex: HttpExchange, port: Int): Unit = {
     val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val params = rawQuery.split("&").filter(_.nonEmpty).map { kv =>
@@ -116,11 +120,13 @@ class S3WireSpec extends AnyFunSuite {
     val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
     val payloadSha = ex.getRequestHeaders.getFirst("x-amz-content-sha256")
     val host = ex.getRequestHeaders.getFirst("Host")
+    val rangeHdr = Option(ex.getRequestHeaders.getFirst("Range"))
     val expectedAuth = S3Wire.authorizationHeader(accessKey, secretKey,
       amzDate, "us-east-1", "s3", ex.getRequestMethod,
       ex.getRequestURI.getPath, params.toSeq,
       Seq("host" -> host, "x-amz-date" -> amzDate,
-        "x-amz-content-sha256" -> payloadSha), payloadSha)
+        "x-amz-content-sha256" -> payloadSha) ++
+        rangeHdr.map("range" -> _), payloadSha)
     val gotAuth = ex.getRequestHeaders.getFirst("Authorization")
     if (gotAuth != expectedAuth) {
       val body = "<Error><Code>SignatureDoesNotMatch</Code></Error>"
@@ -129,8 +135,24 @@ class S3WireSpec extends AnyFunSuite {
       ex.getResponseBody.write(body)
       return
     }
+    // GetObject: /bucket/key (no list-type param)
+    if (!params.get("list-type").contains("2")) {
+      val key = ex.getRequestURI.getPath.stripPrefix(s"/$bucket/")
+      if (!fixture.exists(_.key == key)) {
+        ex.sendResponseHeaders(404, -1); return
+      }
+      val full = objectBody(key)
+      val (code, body) = rangeHdr match {
+        case Some(r) =>
+          val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+          (206, full.slice(a.toInt, b.toInt + 1))
+        case None => (200, full)
+      }
+      ex.sendResponseHeaders(code, body.length)
+      ex.getResponseBody.write(body)
+      return
+    }
     require(ex.getRequestURI.getPath == s"/$bucket", "path-style bucket")
-    require(params.get("list-type").contains("2"))
     val prefix = params.getOrElse("prefix", "")
     val delim = params.get("delimiter")
     val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
@@ -198,6 +220,29 @@ class S3WireSpec extends AnyFunSuite {
         S3Wire.listPage(bad, bucket, "", None, None)
       }
       assert(e.getMessage.contains("403"), e.getMessage)
+    }
+  }
+
+  test("live HTTP: GetObject fetches bodies (full + ranged) and " +
+      "fetchObjects feeds a distributed binary column") {
+    withServer { conf =>
+      val full = S3Wire.getObject(conf, bucket, "docs/readme.md")
+      assert(new String(full, UTF_8).startsWith("content-of:docs/readme.md:"))
+      // bounded partial read — the 100 TB frame-fetch shape
+      val part = S3Wire.getObject(conf, bucket, "root.txt",
+        range = Some((11L, 18L)))
+      assert(new String(part, UTF_8) == "root.txt")
+      intercept[java.io.IOException](
+        S3Wire.getObject(conf, bucket, "absent.bin"))
+      // executor-side fetch: listing → key frame → binary column
+      import spark.implicits._
+      val keys = fixture.map(_.key).toDF("key").repartition(3)
+      val fetched = S3Wire.fetchObjects(spark, conf, bucket, keys).collect()
+      assert(fetched.length == 13)
+      assert(fetched.forall { r =>
+        new String(r.getAs[Array[Byte]]("content"), UTF_8) ==
+          new String(objectBody(r.getString(0)), UTF_8)
+      })
     }
   }
 
