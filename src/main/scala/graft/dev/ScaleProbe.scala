@@ -45,6 +45,8 @@ object ScaleProbe {
         n, Seq("doc_id"), 1000000L)
     def amplifyLineitem(n: Int): DataFrame =
       amp(graft.Tables.lineitem(spark, sfDir), n, Seq("l_orderkey"), 10000000L)
+    def amplifyOrders(n: Int): DataFrame =
+      amp(graft.Tables.orders(spark, sfDir), n, Seq("o_orderkey"), 10000000L)
 
     def time(name: String)(f: => Long): Unit =
       if (only.isEmpty || only.exists(p => name.startsWith(p))) {
@@ -72,6 +74,12 @@ object ScaleProbe {
       }
       time(s"exact_dedup x$n") {
         docs.groupBy(md5(col("text").cast("binary"))).agg(count(lit(1))).count()
+      }
+      time(s"scrape_snapshot x$n") {
+        // event-log compaction (q_scrape_snapshot): ~3.1 events/key,
+        // partial-then-final max-struct — one exchange of one candidate
+        // row per key per partition at any log volume
+        graft.operators.Scrape.snapshotOfOrders(amplifyOrders(n)).count()
       }
       time(s"simhash_fp x$n") {
         import graft.operators.Dedup

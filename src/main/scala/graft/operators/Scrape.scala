@@ -162,9 +162,12 @@ object Scrape {
     when(k % 4 === 0, ".txt").when(k % 4 === 1, ".json")
       .when(k % 4 === 2, ".csv").otherwise(".dat")
 
-  private def base(s: SparkSession, dir: String): DataFrame = {
+  private def base(s: SparkSession, dir: String): DataFrame =
+    baseOf(orders(s, dir))
+
+  private def baseOf(ordersDf: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    orders(s, dir).select(
+    ordersDf.select(
       k,
       lit("demo").as("external_source"),
       concat(lit("/bucket/"), col("o_orderstatus")).as("path"),
@@ -232,8 +235,13 @@ object Scrape {
     * equals the window-function arg-max formulation. The tie pair is
     * adversarial: seq 0 carries the LARGER size, so a value-wise max
     * would pick the wrong sighting — only apply order wins. */
-  def qScrapeSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir)
+  def qScrapeSnapshot(s: SparkSession, dir: String): DataFrame =
+    snapshotOfOrders(orders(s, dir)).orderBy("path", "filename")
+
+  /** The event-log build + compaction over any orders-shaped frame —
+    * shared by the oracled query and the ×N ScaleProbe kernel. */
+  def snapshotOfOrders(ordersDf: DataFrame): DataFrame = {
+    val b = baseOf(ordersDf)
       .withColumn("mime_guess", Mime.mimeOf(col("filename")))
     val k = col("o_orderkey")
     def ev(filter: Column, size: Column, mime: Column, deletedMs: Column,
@@ -258,7 +266,7 @@ object Scrape {
         lit(null), "update", k + 4000000L, 0L))
       .unionAll(ev(k % 3 === 0, k - 50L, lit("text/tie1"),
         lit(null), "update", k + 4000000L, 1L))
-    graft.streaming.ScrapeTws.snapshotOf(log).orderBy("path", "filename")
+    graft.streaming.ScrapeTws.snapshotOf(log)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
