@@ -120,7 +120,8 @@ object Main {
       if (verbosity >= 2) "INFO" else if (verbosity == 1) "WARN" else "ERROR")
 
     if (streamEvents) {
-      runStreamEvents(spark, paths.toSeq, identifier, out, interval)
+      runStreamEvents(spark, paths.toSeq, identifier, out, interval,
+        if (s3Wire) s3Endpoint.orElse(Some("")) else None)
       if (!preexisting) spark.stop()
       return
     }
@@ -211,13 +212,26 @@ object Main {
     * the loop in-process (`Trigger.ProcessingTime`). */
   private def runStreamEvents(spark: SparkSession, paths: Seq[String],
       identifier: Option[String], out: String,
-      interval: Option[Long]): Unit =
+      interval: Option[Long],
+      s3WireEndpoint: Option[String] = None): Unit =
     streaming.RocksDb.withRocksDb(spark) {
       import org.apache.spark.sql.streaming.Trigger
       val queries = paths.map { p =>
         val src = FileListing.identifierFor(p, identifier)
-        val reader = spark.readStream.format("graft-files")
-          .option("path", normalize(p))
+        // --s3-wire: rescan s3:// paths through the graft-s3 REST table
+        // (one complete listing per trigger, same generation-offset
+        // contract as graft-files) — the always-on S3 scrape daemon
+        // with zero connector jars
+        val reader = FileListing.parseS3Url(p)
+          .filter(_ => s3WireEndpoint.isDefined) match {
+          case Some(_) =>
+            val r = spark.readStream.format("graft-s3").option("url", p)
+            s3WireEndpoint.filter(_.nonEmpty)
+              .fold(r)(ep => r.option("endpoint", ep))
+          case None =>
+            spark.readStream.format("graft-files")
+              .option("path", normalize(p))
+        }
         val scans = identifier.fold(reader)(id =>
           reader.option("identifier", id)).load()
           .withColumn("observed", current_timestamp())

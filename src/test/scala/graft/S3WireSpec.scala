@@ -100,6 +100,7 @@ class S3WireSpec extends AnyFunSuite {
       try handle(ex, port) finally ex.close()
     })
     server.start()
+    served = fixture
     try f(S3Conf(s"http://127.0.0.1:$port", "us-east-1", accessKey,
       secretKey, pathStyle = true))
     finally server.stop(0)
@@ -108,6 +109,10 @@ class S3WireSpec extends AnyFunSuite {
   /** Body served for GetObject: deterministic bytes per key. */
   private def objectBody(key: String): Array[Byte] =
     (s"content-of:$key:" + "x" * 64).getBytes(UTF_8)
+
+  /** The key set the server currently serves — mutable so the rescan
+    * daemon test can delete a key between scans. Reset per test. */
+  @volatile private var served: Seq[S3Object] = fixture
 
   private def handle(ex: HttpExchange, port: Int): Unit = {
     val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -138,7 +143,7 @@ class S3WireSpec extends AnyFunSuite {
     // GetObject: /bucket/key (no list-type param)
     if (!params.get("list-type").contains("2")) {
       val key = ex.getRequestURI.getPath.stripPrefix(s"/$bucket/")
-      if (!fixture.exists(_.key == key)) {
+      if (!served.exists(_.key == key)) {
         ex.sendResponseHeaders(404, -1); return
       }
       val full = objectBody(key)
@@ -157,7 +162,7 @@ class S3WireSpec extends AnyFunSuite {
     val delim = params.get("delimiter")
     val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
     val after = params.get("continuation-token")
-    val inPrefix = fixture.filter(_.key.startsWith(prefix))
+    val inPrefix = served.filter(_.key.startsWith(prefix))
       .filter(o => after.forall(o.key > _))
     // delimiter grouping: keys with a '/' after the prefix roll up
     val (grouped, direct) = delim match {
@@ -243,6 +248,68 @@ class S3WireSpec extends AnyFunSuite {
         new String(r.getAs[Array[Byte]]("content"), UTF_8) ==
           new String(objectBody(r.getString(0)), UTF_8)
       })
+    }
+  }
+
+  test("graft-s3 V2 table: batch read over live HTTP equals the direct " +
+      "listing") {
+    withServer { conf =>
+      val df = spark.read.format("graft-s3")
+        .option("url", s"s3://$bucket")
+        .option("endpoint", conf.endpoint)
+        .option("accessKey", accessKey).option("secretKey", secretKey)
+        .option("maxKeys", "3")
+        .load()
+      val rows = df.collect()
+      assert(rows.length == 13)
+      val keys = rows.map(r => (r.getString(1), r.getString(2))).toSet
+      assert(keys == fixture.map(o => S3Wire.splitKey(o.key)).toSet)
+      assert(rows.forall(_.isNullAt(4)), "created NULL on s3")
+      assert(df.rdd.getNumPartitions == 4,
+        "one partition per common prefix + the root partition")
+    }
+  }
+
+  test("graft-s3 streaming: the always-on S3 rescan daemon tombstones a " +
+      "deleted object with zero connector jars") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      withServer { conf =>
+        import org.apache.spark.sql.functions.{col, current_timestamp}
+        // whole bucket, not a one-object prefix: the deletion clock is
+        // the stream's watermark, which only advances while rescans
+        // still carry rows — the surviving 12 objects keep it moving
+        val scans = spark.readStream.format("graft-s3")
+          .option("url", s"s3://$bucket")
+          .option("endpoint", conf.endpoint)
+          .option("accessKey", accessKey).option("secretKey", secretKey)
+          .option("identifier", "s3-daemon")
+          .load()
+          .withColumn("observed", current_timestamp())
+        val q = graft.streaming.ScrapeTws.changeStream(spark, scans,
+          "s3-daemon")
+          .writeStream.format("memory").queryName("s3_daemon_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(250L))
+          .start()
+        try {
+          def count(action: String): Long = spark.table("s3_daemon_out")
+            .filter(col("action") === action).count()
+          val deadline = System.currentTimeMillis() + 60000L
+          while (count("insert") < 13 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200L)
+          assert(count("insert") == 13L, "all bucket objects surfaced")
+          // the object vanishes from the bucket between rescans
+          served = served.filterNot(_.key == "docs/readme.md")
+          while (count("delete") < 1 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200L)
+          val dels = spark.table("s3_daemon_out")
+            .filter(col("action") === "delete")
+            .select("path", "filename").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          assert(dels == Set(("/docs", "readme.md")), s"got $dels")
+        } finally q.stop()
+      }
     }
   }
 
