@@ -12,7 +12,8 @@ import graft.sources.FileListing
   *
   * {{{
   * graft.Main [-i ID] [-v]... [--s3-wire [--s3-endpoint URL]]
-  *            [--out DIR | --jdbc URL | --pg HOST:PORT/DB] PATH [PATH...]
+  *            [--out DIR | --jdbc URL | --pg HOST:PORT/DB]
+  *            [--interval SEC] PATH [PATH...]
   * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
   * graft.Main query list                        // enumerate query names
   * }}}
@@ -49,6 +50,11 @@ import graft.sources.FileListing
   * advance the scan clock, and tombstone vanished files; `--interval N`
   * instead keeps the process alive rescanning every N seconds (the
   * reference's poll-sleep daemon, `main.rs:64-96`).
+  *
+  * `--interval N` with a BATCH sink runs the same daemon in its
+  * original form: list → merge (tombstoning vanished keys) → sleep,
+  * repeated forever, each cycle a fresh listing of current state —
+  * with `--pg` this is the reference product's exact loop.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -83,8 +89,9 @@ object Main {
     require(jdbc.isEmpty || pg.isEmpty, "--jdbc and --pg are exclusive sinks")
     require(!(streamEvents && (jdbc.nonEmpty || pg.nonEmpty)),
       "--stream-events emits parquet change events; use --out")
-    require(interval.isEmpty || streamEvents,
-      "--interval only applies to --stream-events (batch scans are one-shot)")
+    // --interval with a batch sink is the reference's poll-sleep daemon
+    // (`main.rs:64-96`: list → merge → sleep → repeat); with
+    // --stream-events it maps to Trigger.ProcessingTime instead.
     // -i overrides the identifier for EVERY path, and the identifier is
     // the event-stream's sink/checkpoint key — two paths sharing it
     // would collide on one checkpoint (the second query fails to start)
@@ -148,55 +155,78 @@ object Main {
           base.secretKey),
         pathStyle = base.pathStyle || s3Endpoint.isDefined)
     }
-    val scans: Seq[Future[(String, DataFrame)]] = paths.toSeq.map { p =>
-      Future {
-        val src = FileListing.identifierFor(p, identifier)
-        FileListing.parseS3Url(p).filter(_ => s3Wire) match {
-          case Some((bucket, prefix)) =>
-            (src, sources.S3Wire.listDF(spark, s3Conf, bucket, prefix,
-              Some(src)).cache())
-          case None =>
-            // scans go through the graft-files DataSource V2 table (not
-            // the RDD listing): the planner can push filename/path/size
-            // filters into the listing tasks, prune whole shards, skip
-            // the `created` stat when the column is unread, and
-            // broadcast a small listing from its reported statistics —
-            // none of which the RDD form gets
-            val reader = spark.read.format("graft-files")
-              .option("path", normalize(p))
-            val withId = identifier.fold(reader)(id =>
-              reader.option("identifier", id))
-            (src, withId.load().cache())
+    // One complete scan cycle: fresh listings (never reused across
+    // cycles — the daemon must see CURRENT filesystem/bucket state),
+    // published to the selected sink, caches dropped.
+    def scanCycle(cycle: Long): Unit = {
+      val scans: Seq[Future[(String, DataFrame)]] = paths.toSeq.map { p =>
+        Future {
+          val src = FileListing.identifierFor(p, identifier)
+          FileListing.parseS3Url(p).filter(_ => s3Wire) match {
+            case Some((bucket, prefix)) =>
+              (src, sources.S3Wire.listDF(spark, s3Conf, bucket, prefix,
+                Some(src)).cache())
+            case None =>
+              // scans go through the graft-files DataSource V2 table (not
+              // the RDD listing): the planner can push filename/path/size
+              // filters into the listing tasks, prune whole shards, skip
+              // the `created` stat when the column is unread, and
+              // broadcast a small listing from its reported statistics —
+              // none of which the RDD form gets
+              val reader = spark.read.format("graft-files")
+                .option("path", normalize(p))
+              val withId = identifier.fold(reader)(id =>
+                reader.option("identifier", id))
+              (src, withId.load().cache())
+          }
         }
       }
-    }
-    val results = Await.result(Future.sequence(scans), Duration.Inf)
+      val results = Await.result(Future.sequence(scans), Duration.Inf)
 
-    (jdbc, pg) match {
-      case (Some(url), _) =>
-        results.foreach { case (src, df) =>
-          sinks.PgMerge.publishScan(df, url,
-            sys.env.getOrElse("PGUSER", "postgres"),
-            sys.env.getOrElse("PGPASSWORD", ""), src)
+      (jdbc, pg) match {
+        case (Some(url), _) =>
+          results.foreach { case (src, df) =>
+            sinks.PgMerge.publishScan(df, url,
+              sys.env.getOrElse("PGUSER", "postgres"),
+              sys.env.getOrElse("PGPASSWORD", ""), src)
+          }
+        case (_, Some(addr)) =>
+          // --pg HOST:PORT/DBNAME — the driverless v3 wire-protocol sink
+          // (trust auth), same staged-merge resolution as --jdbc
+          val (hostPort, db) = addr.span(_ != '/')
+          val (host, portStr) = hostPort.span(_ != ':')
+          require(portStr.startsWith(":") && db.startsWith("/"),
+            s"--pg expects HOST:PORT/DBNAME, got '$addr'")
+          results.foreach { case (src, df) =>
+            sinks.PgMerge.publishScanWire(df, host, portStr.tail.toInt,
+              db.tail, sys.env.getOrElse("PGUSER", "postgres"), src)
+          }
+        case _ =>
+          // the cycle number is the batch id so each rescan's tombstones
+          // carry their own scan instant (P8), not the first cycle's
+          results.foreach { case (src, df) =>
+            streaming.ScrapeStream.mergeBatch(spark, out)(
+              df.withColumn("external_source", lit(src)), cycle)
+          }
+          val n = spark.read.parquet(out).count()
+          println(s"scan complete: $n rows in state at $out")
+      }
+      results.foreach(_._2.unpersist())
+    }
+
+    interval match {
+      case None => scanCycle(0L)
+      case Some(sec) =>
+        // the reference's poll-sleep daemon (`main.rs:64-96`); the
+        // `graft.maxCycles` system property bounds the loop for tests
+        val maxCycles = sys.props.get("graft.maxCycles")
+          .flatMap(_.toLongOption).getOrElse(Long.MaxValue)
+        var c = 0L
+        while (c < maxCycles) {
+          scanCycle(c)
+          c += 1
+          if (c < maxCycles) Thread.sleep(sec * 1000L)
         }
-      case (_, Some(addr)) =>
-        // --pg HOST:PORT/DBNAME — the driverless v3 wire-protocol sink
-        // (trust auth), same staged-merge resolution as --jdbc
-        val (hostPort, db) = addr.span(_ != '/')
-        val (host, portStr) = hostPort.span(_ != ':')
-        require(portStr.startsWith(":") && db.startsWith("/"),
-          s"--pg expects HOST:PORT/DBNAME, got '$addr'")
-        results.foreach { case (src, df) =>
-          sinks.PgMerge.publishScanWire(df, host, portStr.tail.toInt,
-            db.tail, sys.env.getOrElse("PGUSER", "postgres"), src)
-        }
-      case _ =>
-        results.foreach { case (src, df) =>
-          streaming.ScrapeStream.mergeBatch(spark, out)(
-            df.withColumn("external_source", lit(src)), 0L)
-        }
-        val n = spark.read.parquet(out).count()
-        println(s"scan complete: $n rows in state at $out")
     }
     if (!preexisting) spark.stop()
   }

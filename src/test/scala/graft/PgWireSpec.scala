@@ -316,6 +316,53 @@ class PgWireSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("--pg --interval: the reference's poll-sleep daemon re-scans and " +
+      "tombstones a file deleted between cycles") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
+      c.exec(
+        s"""CREATE TABLE ${PgMerge.table} (
+           |  external_source TEXT, path TEXT, filename TEXT, mime_type TEXT,
+           |  created TIMESTAMPTZ, modified TIMESTAMPTZ, size BIGINT,
+           |  deleted TIMESTAMPTZ,
+           |  CONSTRAINT ${PgMerge.constraint}
+           |    UNIQUE (external_source, path, filename))""".stripMargin)
+    }
+    val tree = java.nio.file.Files.createTempDirectory("pg_daemon")
+    java.nio.file.Files.writeString(tree.resolve("a.txt"), "alpha")
+    java.nio.file.Files.writeString(tree.resolve("b.txt"), "beta")
+    sys.props("graft.maxCycles") = "20"
+    val daemon = new Thread(() => Main.main(Array(
+      "--pg", s"$host:$port/$db", "-i", "daemon-pg", "--interval", "1",
+      tree.toString)))
+    daemon.setDaemon(true)
+    try {
+      daemon.start()
+      val deadline = System.currentTimeMillis() + 90000L
+      def poll(pred: String): Boolean = {
+        while (System.currentTimeMillis() < deadline) {
+          if (withClient(c => t(c, pred))) return true
+          Thread.sleep(300L)
+        }
+        false
+      }
+      assert(poll(s"SELECT count(*) = 2 FROM ${PgMerge.table} " +
+        "WHERE external_source = 'daemon-pg' AND deleted IS NULL"),
+        "first cycle published both files live")
+      java.nio.file.Files.delete(tree.resolve("a.txt"))
+      assert(poll(s"SELECT deleted IS NOT NULL FROM ${PgMerge.table} " +
+        "WHERE filename = 'a.txt'"),
+        "a later cycle tombstoned the vanished file")
+      assert(withClient(c => t(c, s"SELECT deleted IS NULL FROM " +
+        s"${PgMerge.table} WHERE filename = 'b.txt'")))
+    } finally {
+      sys.props.remove("graft.maxCycles")
+      daemon.join(30000L)
+      withClient(_.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}"))
+    }
+  }
+
   test("COPY staging preserves timestamptz microseconds and text edge " +
       "cases across the wire") {
     assume(live, s"no PostgreSQL server at $host:$port")
