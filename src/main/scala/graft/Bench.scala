@@ -85,9 +85,15 @@ object Bench {
     }
     val results = allRuns.map { case (k, rs) => k -> rs.min }
     val loadEnd = load1()
+    // Contention signal = spread of the STEADY-STATE runs: with N≥3 the
+    // per-query FIRST run is structurally cold (plan compile, page
+    // cache) and would read as spread ≈1.5 on a fully idle box — only
+    // variance among the warm runs distinguishes a loaded box (measured
+    // r13: idle-box all-runs spread_med 1.56 vs warm-runs ~1.1).
     val spreads = allRuns.collect {
       case (k, rs) if !errors.contains(k) && rs.min > 0.05 =>
-        rs.max / rs.min // sub-50ms queries are timer noise, not signal
+        val steady = if (rs.size >= 3) rs.drop(1) else rs
+        steady.max / steady.min // sub-50ms queries are timer noise
     }.toSeq.sorted
     val spreadMed =
       if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
@@ -168,10 +174,14 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString }
-    // The loud contention verdict (VERDICT r12 #2): either load marker
-    // high, or the timed runs themselves spread wide → this artifact is
-    // a loaded-box number; grade total_min / compare ratios, not totals.
-    val contended = loadStart > 2.0 || loadEnd > 2.0 || spreadMed > 1.5
+    // The loud contention verdict (VERDICT r12 #2), from the DIRECT
+    // evidence: the steady-state spread of the very runs being graded.
+    // Load averages stay as context fields only — they double-count the
+    // harness's own pipeline (the sbt compile before warmup, the bench's
+    // own 32 threads at loop end) and fire on self-load: measured r13,
+    // load_start 3.16 from the just-finished compile while steady spread
+    // read 1.117 and total_min was the best number on record.
+    val contended = spreadMed > 1.3
     val health = s""""warmup_sec":${fmt(warmupSec)},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
       s""""spread_med":${fmt(spreadMed)},""" +
