@@ -230,13 +230,17 @@ object PgMerge {
           val c = new PgWireClient(host, port, user, database)
           try {
             c.exec("SET TIME ZONE 'UTC'")
-            // hashtext cast to bigint BEFORE abs: abs(INT_MIN) overflows
+            // coalesce: a NULL path/filename would NULL the hash and
+            // match NO shard, silently dropping the row (PG UNIQUE
+            // permits NULL key components); abs AFTER the bigint cast —
+            // abs(INT_MIN) overflows int4
             c.query(
               s"""SELECT external_source, path, filename, mime_type,
                  |  created, modified, size, deleted
                  |FROM $table
                  |WHERE external_source = $srcLit
-                 |  AND abs(hashtext(path || filename)::bigint) % $n = $shard"""
+                 |  AND abs(hashtext(coalesce(path, '') ||
+                 |    coalesce(filename, ''))::bigint) % $n = $shard"""
                 .stripMargin)
               .map { f =>
                 Row(f(0).orNull, f(1).orNull, f(2).orNull, f(3).orNull,

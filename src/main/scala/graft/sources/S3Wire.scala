@@ -130,12 +130,40 @@ object S3Wire extends Serializable {
   final case class ListPage(objects: Seq[S3Object],
       commonPrefixes: Seq[String], nextToken: Option[String])
 
+  /** Bounded retry with exponential backoff for the failure modes a
+    * fleet-scale lister actually hits: S3 throttles hot prefixes with
+    * 503 SlowDown (documented behavior — a 1000-executor listing WILL
+    * see it), 500s are transient, and connections reset. Client errors
+    * (403/404, parse failures) never retry — they would only repeat.
+    * Deterministic backoff (200ms·2^k, ~6 s total over 5 attempts):
+    * executors already start staggered, which provides the jitter. */
+  private[graft] def withRetry[A](what: => String)(f: => A): A = {
+    val attempts = 5
+    var k = 0
+    while (true) {
+      try return f
+      catch {
+        case e: java.io.IOException
+            if k < attempts - 1 && {
+              val m = Option(e.getMessage).getOrElse("")
+              val httpCode = "HTTP (\\d+)".r.findFirstMatchIn(m)
+                .map(_.group(1).toInt)
+              // no HTTP code = connect/read failure (reset, timeout)
+              httpCode.forall(c => c == 429 || c >= 500)
+            } =>
+          Thread.sleep(200L << k)
+          k += 1
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
   /** One signed ListObjectsV2 GET. Virtual-host style puts the bucket in
     * the Host header; path style (the reference's
     * `AWS_S3_FORCE_PATH_STYLE`, required for IP endpoints) in the path. */
   def listPage(conf: S3Conf, bucket: String, prefix: String,
       token: Option[String], delimiter: Option[String] = None,
-      maxKeys: Int = 1000): ListPage = {
+      maxKeys: Int = 1000): ListPage = withRetry(s"list $bucket/$prefix") {
     val ep = URI.create(conf.endpoint)
     val (host, path) =
       if (conf.pathStyle) {
@@ -233,7 +261,8 @@ object S3Wire extends Serializable {
     * partial read (HTTP 206) — at 100 TB you fetch the frame you need,
     * not the object. */
   def getObject(conf: S3Conf, bucketName: String, key: String,
-      range: Option[(Long, Long)] = None): Array[Byte] = {
+      range: Option[(Long, Long)] = None): Array[Byte] =
+    withRetry(s"get $bucketName/$key") {
     val ep = URI.create(conf.endpoint)
     val (host, path) =
       if (conf.pathStyle) {

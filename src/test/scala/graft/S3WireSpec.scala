@@ -114,7 +114,19 @@ class S3WireSpec extends AnyFunSuite {
     * daemon test can delete a key between scans. Reset per test. */
   @volatile private var served: Seq[S3Object] = fixture
 
+  /** Failure injection: the next N requests answer 503 SlowDown (the
+    * documented S3 throttle) before normal service resumes. */
+  private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def handle(ex: HttpExchange, port: Int): Unit = {
+    requestCount.incrementAndGet()
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      val body = "<Error><Code>SlowDown</Code></Error>".getBytes(UTF_8)
+      ex.sendResponseHeaders(503, body.length)
+      ex.getResponseBody.write(body)
+      return
+    }
     val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val params = rawQuery.split("&").filter(_.nonEmpty).map { kv =>
       val Array(k, v) = kv.split("=", 2).padTo(2, "")
@@ -218,13 +230,35 @@ class S3WireSpec extends AnyFunSuite {
     }
   }
 
-  test("live HTTP: a wrong secret is rejected by the endpoint (403)") {
+  test("live HTTP: a wrong secret is rejected by the endpoint (403) " +
+      "WITHOUT retries") {
     withServer { conf =>
       val bad = conf.copy(secretKey = "wrong")
+      val before = requestCount.get()
       val e = intercept[java.io.IOException] {
         S3Wire.listPage(bad, bucket, "", None, None)
       }
       assert(e.getMessage.contains("403"), e.getMessage)
+      assert(requestCount.get() - before == 1,
+        "client errors must not retry — they only repeat")
+    }
+  }
+
+  test("live HTTP: 503 SlowDown retries with backoff and recovers " +
+      "(the documented S3 throttle at fleet scale)") {
+    withServer { conf =>
+      failNext.set(2)
+      val before = requestCount.get()
+      val page = S3Wire.listPage(conf, bucket, "logs/", None, None)
+      assert(page.objects.size == 7, "listing succeeded after throttling")
+      assert(requestCount.get() - before == 3, "two 503s then success")
+      // sustained throttling exhausts the bounded retries and FAILS LOUD
+      failNext.set(99)
+      val e = intercept[java.io.IOException] {
+        S3Wire.listPage(conf, bucket, "logs/", None, None)
+      }
+      assert(e.getMessage.contains("503"), e.getMessage)
+      failNext.set(0)
     }
   }
 
