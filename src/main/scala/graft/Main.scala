@@ -87,6 +87,16 @@ object Main {
     }
     require(paths.nonEmpty, "at least one PATH required")
     require(jdbc.isEmpty || pg.isEmpty, "--jdbc and --pg are exclusive sinks")
+    // validate the sink address BEFORE any listing runs — a typo must
+    // not surface only after a multi-hour bucket scan (review r13)
+    val pgAddr: Option[(String, Int, String)] = pg.map { addr =>
+      val (hostPort, db) = addr.span(_ != '/')
+      val (host, portStr) = hostPort.span(_ != ':')
+      require(portStr.startsWith(":") && db.startsWith("/") &&
+        portStr.tail.toIntOption.nonEmpty && host.nonEmpty && db.tail.nonEmpty,
+        s"--pg expects HOST:PORT/DBNAME, got '$addr'")
+      (host, portStr.tail.toInt, db.tail)
+    }
     require(!(streamEvents && (jdbc.nonEmpty || pg.nonEmpty)),
       "--stream-events emits parquet change events; use --out")
     // --interval with a batch sink is the reference's poll-sleep daemon
@@ -139,22 +149,12 @@ object Main {
     // failure propagates and fails the whole run.
     // --s3-wire: list s3:// paths over the built-in REST client
     // ([[sources.S3Wire]], SigV4 + ListObjectsV2) instead of the s3a
-    // Hadoop connector — the no-jars transport. Credentials/region come
-    // from the reference's env contract (s3.rs:24-49) with the standard
-    // JVM property names (aws.accessKeyId / aws.secretAccessKey /
-    // aws.region) and --s3-endpoint taking precedence; a custom endpoint
-    // implies path-style addressing (IP endpoints can't host virtual
-    // buckets).
-    lazy val s3Conf = {
-      val base = sources.S3Wire.confFromEnv(sys.env)
-      base.copy(
-        endpoint = s3Endpoint.getOrElse(base.endpoint),
-        region = sys.props.getOrElse("aws.region", base.region),
-        accessKey = sys.props.getOrElse("aws.accessKeyId", base.accessKey),
-        secretKey = sys.props.getOrElse("aws.secretAccessKey",
-          base.secretKey),
-        pathStyle = base.pathStyle || s3Endpoint.isDefined)
-    }
+    // Hadoop connector — the no-jars transport. ONE resolution chain for
+    // every surface (env contract s3.rs:24-49 < JVM aws.* properties <
+    // explicit settings): [[sources.S3Wire.resolveConf]], shared with
+    // the graft-s3 V2 table so the CLI and the table can't drift.
+    lazy val s3Conf = sources.S3Wire.resolveConf(
+      s3Endpoint.map("endpoint" -> _).toMap)
     // One complete scan cycle: fresh listings (never reused across
     // cycles — the daemon must see CURRENT filesystem/bucket state),
     // published to the selected sink, caches dropped.
@@ -190,16 +190,14 @@ object Main {
               sys.env.getOrElse("PGUSER", "postgres"),
               sys.env.getOrElse("PGPASSWORD", ""), src)
           }
-        case (_, Some(addr)) =>
+        case (_, Some(_)) =>
           // --pg HOST:PORT/DBNAME — the driverless v3 wire-protocol sink
-          // (trust auth), same staged-merge resolution as --jdbc
-          val (hostPort, db) = addr.span(_ != '/')
-          val (host, portStr) = hostPort.span(_ != ':')
-          require(portStr.startsWith(":") && db.startsWith("/"),
-            s"--pg expects HOST:PORT/DBNAME, got '$addr'")
+          // (trust auth), same staged-merge resolution as --jdbc;
+          // address validated at arg-parse time, never after the listing
+          val (host, port, db) = pgAddr.get
           results.foreach { case (src, df) =>
-            sinks.PgMerge.publishScanWire(df, host, portStr.tail.toInt,
-              db.tail, sys.env.getOrElse("PGUSER", "postgres"), src)
+            sinks.PgMerge.publishScanWire(df, host, port, db,
+              sys.env.getOrElse("PGUSER", "postgres"), src)
           }
         case _ =>
           // the cycle number is the batch id so each rescan's tombstones

@@ -52,7 +52,10 @@ object Verify {
       rmRec(Paths.get(outDir))
     }
     outFile.mkdirs()
-    Files.writeString(marker, "verify output dir\n")
+    // claim ownership only on FULL runs (which passed the guard above):
+    // a subset run stamping an arbitrary pre-existing dir would poison
+    // the guard and license a later full run to wipe it (review r13)
+    if (only.isEmpty) Files.writeString(marker, "verify output dir\n")
     // A crashed query must be impossible to read as "absent, probably
     // fine": write a per-query error marker file AND an aggregate
     // _failed.json manifest, so the round's correctness artifact can

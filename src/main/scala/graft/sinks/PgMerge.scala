@@ -78,6 +78,24 @@ object PgMerge {
        |    OR $table.size IS DISTINCT FROM EXCLUDED.size
        |    OR $table.deleted IS NOT NULL)""".stripMargin
 
+  /** Set-dedup of the staged scan, run INSIDE the merge transaction
+    * before the upsert (engine-neutral CTAS + rename — no ctid/rowid
+    * dialect). Two real sources of duplicate staged rows, both fatal to
+    * `INSERT .. ON CONFLICT DO UPDATE` (PostgreSQL 21000, "cannot
+    * affect row a second time"): a scan genuinely listing one file
+    * twice (the reference set-dedups exactly these, `db.rs:120-123`),
+    * and a Spark task retry/speculative duplicate re-running its COPY
+    * (review r13). DISTINCT collapses identical rows — retry copies and
+    * honest double-listings; a same-key CONTRADICTORY pair still fails
+    * loudly, as the reference's own single INSERT would. The merge then
+    * reads [[dedupedName]] through the SAME statement templates (no
+    * rename — a drop-then-rename-to-same-name transaction breaks
+    * DuckDB's WAL replay, measured in PgMergeSpec). */
+  def dedupSql(scratch: String): String =
+    s"CREATE TABLE ${dedupedName(scratch)} AS SELECT DISTINCT * FROM $scratch"
+
+  def dedupedName(scratch: String): String = scratch + "_d"
+
   /** J2 — tombstone every row of this source not present in the scan.
     * One set-based statement, transaction-start timestamp semantics
     * (`now()` is constant within the transaction, matching `db.rs:54`). */
@@ -143,12 +161,18 @@ object PgMerge {
     var conn: Connection = null
     try {
       conn = DriverManager.getConnection(jdbcUrl, user, password)
-      conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.execute(upsertSql(scratch, conflictTarget))
-      val del = conn.prepareStatement(markDeletedSql(scratch))
+      // dedup CTAS in autocommit: like the scratch itself it is staging
+      // state OUTSIDE the publish's atomicity boundary, and DuckDB
+      // 1.0's WAL replay (the test harness engine) cannot replay a
+      // CTAS+DROP of one table inside one transaction
+      st.execute(dedupSql(scratch))
+      conn.setAutoCommit(false)
+      st.execute(upsertSql(dedupedName(scratch), conflictTarget))
+      val del = conn.prepareStatement(markDeletedSql(dedupedName(scratch)))
       del.setString(1, externalSource)
       del.executeUpdate()
+      st.execute(s"DROP TABLE ${dedupedName(scratch)}")
       st.execute(s"DROP TABLE $scratch")
       conn.commit()
     } catch {
@@ -302,8 +326,11 @@ object PgMerge {
       withClient { c =>
         try {
           c.exec("BEGIN")
-          c.exec(upsertSql(scratch)) // named-constraint target, verbatim
-          c.exec(markDeletedSqlLiteral(scratch, externalSource))
+          c.exec(dedupSql(scratch))
+          // named-constraint target, verbatim statement templates
+          c.exec(upsertSql(dedupedName(scratch)))
+          c.exec(markDeletedSqlLiteral(dedupedName(scratch), externalSource))
+          c.exec(s"DROP TABLE ${dedupedName(scratch)}")
           c.exec(s"DROP TABLE $scratch")
           c.exec("COMMIT")
         } catch {
@@ -316,8 +343,10 @@ object PgMerge {
       case e: Throwable =>
         // the scratch outlives a failed transaction (it was created and
         // COPY'd outside it) — drop it so a retry never reads stale rows
-        try withClient(_.exec(s"DROP TABLE IF EXISTS $scratch"))
-        catch { case _: Throwable => () }
+        try withClient { c =>
+          c.exec(s"DROP TABLE IF EXISTS $scratch")
+          c.exec(s"DROP TABLE IF EXISTS ${dedupedName(scratch)}")
+        } catch { case _: Throwable => () }
         throw e
     }
   }

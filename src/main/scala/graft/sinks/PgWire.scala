@@ -41,7 +41,13 @@ final class PgWireClient(host: String, port: Int, user: String,
   private val out = new DataOutputStream(
     new BufferedOutputStream(sock.getOutputStream, 1 << 16))
 
-  startup()
+  // a startup/auth failure must not leak the connected socket — the
+  // constructor throws before the caller ever holds a closeable ref
+  try startup()
+  catch { case e: Throwable =>
+    try sock.close() catch { case _: Throwable => () }
+    throw e
+  }
   PgWireClient.register()
   @volatile private var closed = false
 

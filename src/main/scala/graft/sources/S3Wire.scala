@@ -316,6 +316,50 @@ object S3Wire extends Serializable {
       .toDF("key", "content")
   }
 
+  /** One complete DELIMITER drain of a prefix: (shard-level objects,
+    * distinct common prefixes). Root objects AND common prefixes both
+    * count toward max-keys on real S3 and arrive SPREAD ACROSS truncated
+    * pages — a single-page read of either silently drops namespace (the
+    * r13 review's top finding: vanished prefixes then read as deletions
+    * downstream). One cursor, the reference's loop; shared by
+    * [[listDF]] and the `graft-s3` V2 scan. */
+  def shardListing(conf: S3Conf, bucketName: String, prefix: String,
+      maxKeys: Int = 1000): (Seq[S3Object], Seq[String]) = {
+    var page = listPage(conf, bucketName, prefix, None, Some("/"), maxKeys)
+    var objs = page.objects
+    var prefixes = page.commonPrefixes
+    while (page.nextToken.isDefined) {
+      page = listPage(conf, bucketName, prefix, page.nextToken,
+        Some("/"), maxKeys)
+      objs ++= page.objects
+      prefixes ++= page.commonPrefixes
+    }
+    (objs, prefixes.distinct)
+  }
+
+  /** env < standard JVM `aws.*` properties < explicit options — the one
+    * resolution chain for every surface (CLI `--s3-wire`, the `graft-s3`
+    * table); a custom endpoint implies path-style addressing unless
+    * overridden (IP endpoints can't host virtual buckets). Option keys
+    * are lower-case: endpoint, region, accesskey, secretkey, pathstyle
+    * (true/TRUE/1). */
+  def resolveConf(opts: Map[String, String]): S3Conf = {
+    val base = confFromEnv(sys.env)
+    val withProps = base.copy(
+      region = sys.props.getOrElse("aws.region", base.region),
+      accessKey = sys.props.getOrElse("aws.accessKeyId", base.accessKey),
+      secretKey = sys.props.getOrElse("aws.secretAccessKey", base.secretKey))
+    def truthy(v: String): Boolean =
+      v == "true" || v == "TRUE" || v == "1"
+    withProps.copy(
+      endpoint = opts.getOrElse("endpoint", withProps.endpoint),
+      region = opts.getOrElse("region", withProps.region),
+      accessKey = opts.getOrElse("accesskey", withProps.accessKey),
+      secretKey = opts.getOrElse("secretkey", withProps.secretKey),
+      pathStyle = opts.get("pathstyle").map(truthy).getOrElse(
+        withProps.pathStyle || opts.contains("endpoint")))
+  }
+
   /** Key → (path, filename) with the reference's split semantics
     * (`s3.rs:102-112`): path is "/" + the directory part of the key; a
     * root-level key (no '/') panics in the reference — here it lists
@@ -337,31 +381,18 @@ object S3Wire extends Serializable {
     import spark.implicits._
     val source = identifier.getOrElse(
       "s3://" + bucketName + (if (prefix.isEmpty) "" else s"/$prefix"))
-    val shardPage =
-      listPage(conf, bucketName, prefix, None, Some("/"), maxKeys)
-    // objects AT the shard level (incl. root keys) list here; each common
-    // prefix becomes one executor listing task. A shard-level page can
-    // itself truncate (>maxKeys root objects): drain it driver-side —
-    // it stays one cursor, exactly the reference's loop.
-    var rootObjs = shardPage.objects
-    var tok = shardPage.nextToken
-    while (tok.isDefined) {
-      val p = listPage(conf, bucketName, prefix, tok, Some("/"), maxKeys)
-      rootObjs ++= p.objects
-      tok = p.nextToken
-    }
+    val (rootObjs, prefixes) = shardListing(conf, bucketName, prefix, maxKeys)
     def row(o: S3Object): (String, String, Long, Long) = {
       val (dir, name) = splitKey(o.key)
       (dir, name, o.modifiedMs, o.size)
     }
     val rootDf = rootObjs.map(row).toDF("path", "filename", "mod", "size")
     val prefixDf =
-      if (shardPage.commonPrefixes.isEmpty)
+      if (prefixes.isEmpty)
         Seq.empty[(String, String, Long, Long)]
           .toDF("path", "filename", "mod", "size")
       else spark.sparkContext
-        .parallelize(shardPage.commonPrefixes,
-          shardPage.commonPrefixes.size)
+        .parallelize(prefixes, prefixes.size)
         .flatMap(p => listAll(conf, bucketName, p, maxKeys).map(row))
         .toDF("path", "filename", "mod", "size")
     rootDf.unionByName(prefixDf).select(

@@ -51,25 +51,6 @@ class S3WireSource extends TableProvider with DataSourceRegister {
     new S3WireTable(new CaseInsensitiveStringMap(properties))
 }
 
-private[v2] object S3WireTable {
-  /** env < sys.props < explicit options; custom endpoint ⇒ path style. */
-  def resolveConf(opts: Map[String, String]): S3Conf = {
-    val base = S3Wire.confFromEnv(sys.env)
-    val withProps = base.copy(
-      region = sys.props.getOrElse("aws.region", base.region),
-      accessKey = sys.props.getOrElse("aws.accessKeyId", base.accessKey),
-      secretKey = sys.props.getOrElse("aws.secretAccessKey", base.secretKey))
-    val endpoint = opts.getOrElse("endpoint", withProps.endpoint)
-    withProps.copy(
-      endpoint = endpoint,
-      region = opts.getOrElse("region", withProps.region),
-      accessKey = opts.getOrElse("accesskey", withProps.accessKey),
-      secretKey = opts.getOrElse("secretkey", withProps.secretKey),
-      pathStyle = opts.get("pathstyle").map(_ == "true").getOrElse(
-        withProps.pathStyle || opts.contains("endpoint")))
-  }
-}
-
 private[v2] class S3WireTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val url = Option(options.get("url")).getOrElse(
@@ -88,7 +69,7 @@ private[v2] class S3WireTable(options: CaseInsensitiveStringMap)
       opts.asCaseSensitiveMap().asScala).map { case (k, v) =>
       k.toLowerCase -> v
     }.toMap
-    val conf = S3WireTable.resolveConf(merged)
+    val conf = S3Wire.resolveConf(merged)
     val source = merged.getOrElse("identifier", url)
     val maxKeys = merged.get("maxkeys").map(_.toInt).getOrElse(1000)
     new ScanBuilder {
@@ -111,24 +92,14 @@ private[v2] class S3WireScan(conf: S3Conf, bucket: String, prefix: String,
   override def description(): String = s"graft-s3 $bucket/$prefix"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one delimiter cursor discovers the shards; root objects (incl. a
-    // truncated root tail) drain here — one cursor, the reference's
-    // loop. Common prefixes can arrive spread across truncated pages:
-    // accumulate and dedup across the whole drain.
-    var page = S3Wire.listPage(conf, bucket, prefix, None, Some("/"), maxKeys)
-    var roots = page.objects
-    var prefixes = page.commonPrefixes
-    while (page.nextToken.isDefined) {
-      page = S3Wire.listPage(conf, bucket, prefix, page.nextToken,
-        Some("/"), maxKeys)
-      roots ++= page.objects
-      prefixes ++= page.commonPrefixes
-    }
+    // one delimiter cursor discovers the shards ([[S3Wire.shardListing]]
+    // drains objects AND common prefixes across truncated pages)
+    val (roots, prefixes) = S3Wire.shardListing(conf, bucket, prefix, maxKeys)
     val rootPart: Array[InputPartition] =
       if (roots.isEmpty) Array.empty
       else Array(S3RootPartition(roots.map(o =>
         (o.key, o.modifiedMs, o.size))))
-    rootPart ++ prefixes.distinct.map(p =>
+    rootPart ++ prefixes.map(p =>
       S3PrefixPartition(conf, bucket, p, maxKeys))
   }
 

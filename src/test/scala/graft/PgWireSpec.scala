@@ -371,6 +371,10 @@ class PgWireSpec extends AnyFunSuite {
       java.time.Instant.parse("2026-03-04T05:06:07.123456Z"))
     val df = Seq(
       ("W", "/p\tq", "a'b\\c", "text/plain", odd, odd, 1L),
+      // an exact duplicate listing: the reference set-dedups these
+      // (db.rs:120-123); without the staged dedup the upsert dies with
+      // PostgreSQL 21000 — same shape as a Spark task-retry re-COPY
+      ("W", "/p\tq", "a'b\\c", "text/plain", odd, odd, 1L),
       ("W", "/line\nbreak", "", "text/plain", odd, odd,
         Long.MaxValue)) // empty filename: the S3 root-key shape (P2)
       .toDF("external_source", "path", "filename", "mime_type",

@@ -174,21 +174,46 @@ class S3WireSpec extends AnyFunSuite {
     val delim = params.get("delimiter")
     val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
     val after = params.get("continuation-token")
+    // Real-S3 pagination model: Contents AND CommonPrefixes together
+    // count toward max-keys, in lexicographic key order, so PREFIXES
+    // SPREAD ACROSS TRUNCATED PAGES — the shape that masked the r13
+    // listDF common-prefix-drop finding when the old stub returned all
+    // prefixes on every page. Entries: Left(object) | Right((prefix,
+    // last covered key)); the token is the last covered key, opaque to
+    // the client.
     val inPrefix = served.filter(_.key.startsWith(prefix))
-      .filter(o => after.forall(o.key > _))
-    // delimiter grouping: keys with a '/' after the prefix roll up
-    val (grouped, direct) = delim match {
+    val entries: Seq[Either[S3Object, (String, String)]] = delim match {
+      case None => inPrefix.map(Left(_))
       case Some(d) =>
-        val (g, dd) = inPrefix.partition(
-          _.key.drop(prefix.length).contains(d))
-        (g.map(o => prefix + o.key.drop(prefix.length).takeWhile(_ != d.head)
-          + d).distinct, dd)
-      case None => (Seq.empty[String], inPrefix)
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[Either[S3Object, (String, String)]]
+        var i = 0
+        while (i < inPrefix.size) {
+          val o = inPrefix(i)
+          val rest = o.key.drop(prefix.length)
+          if (rest.contains(d)) {
+            val g = prefix + rest.takeWhile(_ != d.head) + d
+            val covered = inPrefix.drop(i).takeWhile(_.key.startsWith(g))
+            out += Right((g, covered.last.key))
+            i += covered.size
+          } else { out += Left(o); i += 1 }
+        }
+        out.toSeq
     }
-    val page = direct.take(maxKeys)
-    val truncated = direct.size > maxKeys
+    val remaining = entries.filter {
+      case Left(o) => after.forall(o.key > _)
+      case Right((_, lastKey)) => after.forall(lastKey > _)
+    }
+    val pageEntries = remaining.take(maxKeys)
+    val truncated = remaining.size > maxKeys
+    val page = pageEntries.collect { case Left(o) => o }
+    val grouped = pageEntries.collect { case Right((g, _)) => g }
+    val lastCovered = pageEntries.lastOption.map {
+      case Left(o) => o.key
+      case Right((_, lk)) => lk
+    }
     val next =
-      if (truncated) s"<NextContinuationToken>${page.last.key}" +
+      if (truncated) s"<NextContinuationToken>${lastCovered.get}" +
         "</NextContinuationToken><IsTruncated>true</IsTruncated>"
       else "<IsTruncated>false</IsTruncated>"
     val xml =
@@ -227,6 +252,21 @@ class S3WireSpec extends AnyFunSuite {
       val page = S3Wire.listPage(conf, bucket, "", None, Some("/"))
       assert(page.commonPrefixes.toSet == Set("logs/", "data/", "docs/"))
       assert(page.objects.map(_.key) == Seq("root.txt"))
+    }
+  }
+
+  test("live HTTP: shardListing drains common prefixes spread across " +
+      "truncated pages (the r13 listDF data-loss finding)") {
+    withServer { conf =>
+      // maxKeys=2 at root: page 1 = [data/, docs/], page 2 = [logs/,
+      // root.txt] — a first-page-only read loses logs/ entirely and its
+      // 7 files would read as deletions downstream
+      val (objs, prefixes) = S3Wire.shardListing(conf, bucket, "", 2)
+      assert(prefixes.toSet == Set("data/", "docs/", "logs/"),
+        s"prefixes from later pages must survive: $prefixes")
+      assert(objs.map(_.key) == Seq("root.txt"))
+      val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 2)
+      assert(df.count() == 13, "no namespace lost at any page size")
     }
   }
 
