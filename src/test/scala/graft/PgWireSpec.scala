@@ -316,6 +316,54 @@ class PgWireSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("fuzz: COPY text escaping and timestamptz parsing round-trip " +
+      "adversarial values through live PostgreSQL bit-exactly") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    val rnd = new scala.util.Random(20260815L)
+    // adversarial pool of whole CODE POINTS: every COPY metachar,
+    // quotes, unicode controls (U+001F, NEL, U+2028) and an
+    // astral-plane emoji — picking raw chars would split its surrogate
+    // pair into invalid Unicode, which PostgreSQL rightly rejects.
+    // NUL excluded: PG TEXT forbids it by design.
+    val pool = Seq("\t", "\n", "\r", "\\", "'", "\"", "`", "|", ",",
+      ";", "%", "_", " ", "\u001f", "\u0085", "\u2028", "\u00e9",
+      "\u6f22", new String(Character.toChars(0x1F642)), "a", "b", "0")
+    val strings = (0 until 200).map { i =>
+      (0 until rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length)))
+        .mkString + i // unique suffix = stable join key
+    }
+    val instants = (0 until 200).map { _ =>
+      java.time.Instant.ofEpochSecond(
+        rnd.between(-30610224000L, 30610224000L), // years ~1000-2940
+        rnd.nextInt(1000000) * 1000L)
+    }
+    withClient { c =>
+      c.exec("SET TIME ZONE 'UTC'")
+      c.exec("DROP TABLE IF EXISTS pgwire_fuzz")
+      c.exec("CREATE TABLE pgwire_fuzz (i INT, s TEXT, ts TIMESTAMPTZ)")
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
+        .withZone(java.time.ZoneOffset.UTC)
+      val n = c.copyIn("COPY pgwire_fuzz (i, s, ts) FROM STDIN",
+        strings.indices.iterator.map(i => PgWireClient.copyRow(Seq(
+          Some(i.toString), Some(strings(i)),
+          Some(fmt.format(instants(i)))))))
+      assert(n == 200L)
+      val rows = c.query(
+        "SELECT i, s, ts FROM pgwire_fuzz ORDER BY i")
+      assert(rows.size == 200)
+      rows.foreach { r =>
+        val i = r(0).get.toInt
+        assert(r(1).get == strings(i),
+          s"string $i mangled: got ${r(1).get.toList} " +
+            s"want ${strings(i).toList}")
+        assert(PgWireClient.parsePgTimestamp(r(2).get).toInstant ==
+          instants(i), s"instant $i: got ${r(2).get}")
+      }
+      c.exec("DROP TABLE pgwire_fuzz")
+    }
+  }
+
   test("--pg --interval: the reference's poll-sleep daemon re-scans and " +
       "tombstones a file deleted between cycles") {
     assume(live, s"no PostgreSQL server at $host:$port")
