@@ -212,21 +212,26 @@ class S3WireSpec extends AnyFunSuite {
       case Left(o) => o.key
       case Right((_, lk)) => lk
     }
+    // real S3 XML-escapes key text (keys may carry &, <, quotes)
+    def xesc(s: String): String = s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case c => c.toString
+    }
     val next =
-      if (truncated) s"<NextContinuationToken>${lastCovered.get}" +
+      if (truncated) s"<NextContinuationToken>${xesc(lastCovered.get)}" +
         "</NextContinuationToken><IsTruncated>true</IsTruncated>"
       else "<IsTruncated>false</IsTruncated>"
     val xml =
       s"""<?xml version="1.0" encoding="UTF-8"?>
          |<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
-         |<Name>$bucket</Name><Prefix>$prefix</Prefix>$next
+         |<Name>$bucket</Name><Prefix>${xesc(prefix)}</Prefix>$next
          |${page.map(o =>
-          s"<Contents><Key>${o.key}</Key><LastModified>" +
+          s"<Contents><Key>${xesc(o.key)}</Key><LastModified>" +
             java.time.Instant.ofEpochMilli(o.modifiedMs).toString +
             s"</LastModified><Size>${o.size}</Size></Contents>")
           .mkString("\n")}
          |${grouped.map(p =>
-          s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+          s"<CommonPrefixes><Prefix>${xesc(p)}</Prefix></CommonPrefixes>")
           .mkString("\n")}
          |</ListBucketResult>""".stripMargin.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/xml")
@@ -299,6 +304,26 @@ class S3WireSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("503"), e.getMessage)
       failNext.set(0)
+    }
+  }
+
+  test("live HTTP: keys with spaces/unicode/URL-metachars survive " +
+      "signing, listing XML, and object fetch") {
+    withServer { conf =>
+      // '&' exercises the endpoint's XML escaping (real S3 escapes key
+      // text); '?'/'='/'+' exercise the client's path encoding — an
+      // unencoded '?' would truncate the signed path into a query
+      served = Seq(
+        S3Object("dir with space/f1 (v2)+x.txt", 1700000000000L, 3L),
+        S3Object("uni/é漢🙂 a=b&c?.bin", 1700000001000L, 4L))
+      val got = S3Wire.listAll(conf, bucket, "", 10).toSeq
+      assert(got == served.sortBy(_.key), s"got $got")
+      got.foreach { o =>
+        val body = new String(S3Wire.getObject(conf, bucket, o.key), UTF_8)
+        assert(body.startsWith(s"content-of:${o.key}:"), body)
+      }
+      val page = S3Wire.listPage(conf, bucket, "", None, Some("/"))
+      assert(page.commonPrefixes.toSet == Set("dir with space/", "uni/"))
     }
   }
 
