@@ -269,11 +269,107 @@ object Scrape {
     graft.streaming.ScrapeTws.snapshotOf(log)
   }
 
+  // ---------------------------------------------------------------------
+  // The S3→scrape COMPOSITION as an oracled row (VERDICT r13 #5): the
+  // graft-s3 listing frame shape — bucket keys split into (path,
+  // filename) with the root-key semantics the reference panics on
+  // (`s3.rs:104-108` vs P2's `path=""`), mime inferred from the key,
+  // `created` ALWAYS NULL (`s3.rs:123`) — replayed deterministically
+  // from `orders` and pushed through the REAL merge operators
+  // (upsertClassify + deletions) against a current snapshot. The key
+  // split below is the COLUMN form of [[graft.sources.S3Wire.splitKey]];
+  // ScrapeSpec pins the two in lockstep over adversarial keys.
+  // ---------------------------------------------------------------------
+
+  /** Bucket keys from orders: %9==0 are ROOT-LEVEL (no '/'), the rest
+    * live under `logs/<status>/`. */
+  private def s3Key(k: Column): Column =
+    when(k % 9 === 0,
+      concat(lit("f_"), k.cast("string"), extCase(k)))
+      .otherwise(concat(lit("logs/"), col("o_orderstatus"), lit("/f_"),
+        k.cast("string"), extCase(k)))
+
+  /** The column form of `S3Wire.splitKey`: path = "/"+dir, or "" for a
+    * root-level key; filename = the segment after the last '/'. */
+  private[graft] def splitKeyCols(key: Column): (Column, Column) = (
+    when(key.contains("/"),
+      concat(lit("/"), regexp_extract(key, "^(.*)/[^/]*$", 1)))
+      .otherwise(lit("")),
+    regexp_extract(key, "([^/]*)$", 1))
+
+  /** One S3 rescan's listing frame (the graft-s3 table's seven columns)
+    * derived from orders: %7>=2 keys present, %5==0 carry a newer
+    * modified, size = price cents (%13==0 NULL), created NULL. */
+  private def s3Base(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    orders(s, dir).select(k, col("o_orderstatus"), col("o_orderdate"),
+      s3Key(k).as("key"),
+      when(k % 13 === 0, lit(null).cast("bigint"))
+        .otherwise(cents(col("o_totalprice"))).as("size"))
+  }
+
+  private def s3Frame(df: DataFrame): DataFrame = {
+    val (path, filename) = splitKeyCols(col("key"))
+    df.select(
+      col("o_orderkey"),
+      lit("s3://demo-bucket").as("external_source"),
+      path.as("path"), filename.as("filename"),
+      Mime.mimeOf(filename).as("mime_type"),
+      lit(null).cast("timestamp").as("created"), // s3.rs:123
+      col("o_orderdate").as("modified"), col("size"))
+  }
+
+  /** Snapshot before the rescan: %7<5 known, %11 corrected mimes,
+    * %17 tombstoned — the same fixture logic as [[filesCurrent]], in the
+    * S3 key shape. */
+  def s3Current(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    s3Frame(s3Base(s, dir)).filter(k % 7 < 5).select(
+      k.cast("string").as("uuid_external_file"),
+      col("external_source"), col("path"), col("filename"),
+      when(k % 11 === 0, "application/x-corrected")
+        .otherwise(col("mime_type")).as("mime_type"),
+      col("created"), col("modified"), col("size"),
+      when(k % 17 === 0, lit("2025-12-01 00:00:00").cast("timestamp"))
+        .otherwise(lit(null).cast("timestamp")).as("deleted"))
+  }
+
+  def s3Scan(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    s3Frame(s3Base(s, dir)).filter(k % 7 >= 2)
+      .withColumn("modified",
+        when(k % 5 === 0, col("modified") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("modified")))
+      .drop("o_orderkey")
+  }
+
+  /** The composed rescan: classification of every listed key PLUS the
+    * tombstone set, one event-shaped frame (`action` ∈
+    * insert|update|unchanged|deleted) — exactly what `--s3-wire --pg`
+    * applies per cycle, oracle-checked end to end. */
+  def qScrapeS3(s: SparkSession, dir: String): DataFrame = {
+    val cur = s3Current(s, dir).drop("deleted")
+    val scan = s3Scan(s, dir)
+    val up = upsertClassify(cur, scan)
+      .withColumn("deleted", lit(null).cast("timestamp"))
+    val del = deletions(s3Current(s, dir), scan,
+      lit(scanInstant).cast("timestamp"))
+      .select(col("external_source"), col("path"), col("filename"),
+        lit("deleted").as("action"),
+        lit(null).cast("string").as("mime_type"),
+        lit(null).cast("timestamp").as("created"),
+        lit(null).cast("timestamp").as("modified"),
+        lit(null).cast("bigint").as("size"),
+        col("uuid_external_file"), col("deleted"))
+    up.unionByName(del).orderBy("path", "filename")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scrape_upsert" -> qUpsert,
     "q_scrape_deletions" -> qDeletions,
     "q_scrape_seen" -> qSeen,
     "q_scrape_snapshot" -> qScrapeSnapshot,
+    "q_scrape_s3" -> qScrapeS3,
   )
 
   /** Shared CTE text for the DuckDB oracles — must mirror
@@ -367,6 +463,73 @@ object Scrape {
         |  epoch_ms(deleted_ms) AS deleted
         |FROM ranked WHERE rn = 1
         |ORDER BY path, filename""".stripMargin),
+    // the composed S3 rescan: key split (root keys → path ''), inferred
+    // mime, created NULL (s3.rs:123), classify + tombstone in one frame
+    "q_scrape_s3" ->
+      """WITH s3base AS (
+        |  SELECT o_orderkey AS k, o_orderdate,
+        |    CASE WHEN o_orderkey % 9 = 0
+        |      THEN concat('f_', CAST(o_orderkey AS VARCHAR),
+        |        CASE o_orderkey % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+        |             WHEN 2 THEN '.csv' ELSE '.dat' END)
+        |      ELSE concat('logs/', o_orderstatus, '/f_',
+        |        CAST(o_orderkey AS VARCHAR),
+        |        CASE o_orderkey % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+        |             WHEN 2 THEN '.csv' ELSE '.dat' END) END AS key,
+        |    CASE o_orderkey % 4 WHEN 0 THEN 'text/plain'
+        |         WHEN 1 THEN 'application/json' WHEN 2 THEN 'text/csv'
+        |         ELSE NULL END AS guessed_mime,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice*100) AS BIGINT) END AS size
+        |  FROM orders),
+        |frame AS (
+        |  SELECT k, 's3://demo-bucket' AS external_source,
+        |    CASE WHEN key LIKE '%/%'
+        |      THEN '/' || regexp_extract(key, '^(.*)/[^/]*$', 1)
+        |      ELSE '' END AS path,
+        |    regexp_extract(key, '([^/]*)$', 1) AS filename,
+        |    guessed_mime AS mime_type,
+        |    CAST(NULL AS TIMESTAMP) AS created,
+        |    o_orderdate AS modified, size
+        |  FROM s3base),
+        |cur AS (
+        |  SELECT CAST(k AS VARCHAR) AS uuid_external_file, external_source,
+        |    path, filename,
+        |    CASE WHEN k % 11 = 0 THEN 'application/x-corrected'
+        |         ELSE mime_type END AS mime_type,
+        |    created, modified, size
+        |  FROM frame WHERE k % 7 < 5),
+        |scan AS (
+        |  SELECT external_source, path, filename, mime_type, created,
+        |    CASE WHEN k % 5 = 0 THEN modified + INTERVAL 1 DAY
+        |         ELSE modified END AS modified, size
+        |  FROM frame WHERE k % 7 >= 2)
+        |SELECT * FROM (
+        |  SELECT n.external_source, n.path, n.filename,
+        |    CASE WHEN c.filename IS NULL THEN 'insert'
+        |         WHEN (n.created IS DISTINCT FROM c.created
+        |            OR n.modified IS DISTINCT FROM c.modified
+        |            OR n.size IS DISTINCT FROM c.size) THEN 'update'
+        |         ELSE 'unchanged' END AS action,
+        |    CASE WHEN c.filename IS NOT NULL
+        |          AND NOT (n.created IS DISTINCT FROM c.created
+        |                OR n.modified IS DISTINCT FROM c.modified
+        |                OR n.size IS DISTINCT FROM c.size)
+        |         THEN c.mime_type ELSE n.mime_type END AS mime_type,
+        |    n.created, n.modified, n.size, c.uuid_external_file,
+        |    CAST(NULL AS TIMESTAMP) AS deleted
+        |  FROM scan n LEFT JOIN cur c
+        |    ON n.external_source = c.external_source AND n.path = c.path
+        |   AND n.filename = c.filename
+        |  UNION ALL
+        |  SELECT c.external_source, c.path, c.filename, 'deleted',
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+        |    c.uuid_external_file, TIMESTAMP '2026-01-15 00:00:00'
+        |  FROM cur c WHERE NOT EXISTS (SELECT 1 FROM scan n
+        |    WHERE n.external_source = c.external_source AND n.path = c.path
+        |      AND n.filename = c.filename))
+        |ORDER BY path, filename""".stripMargin,
     "q_scrape_seen" -> (cte +
       """SELECT DISTINCT * FROM (
         |  SELECT c.uuid_external_file, n.path, n.filename

@@ -158,6 +158,20 @@ object S3Wire extends Serializable {
     throw new IllegalStateException(s"unreachable: $what")
   }
 
+  /** Host header value: explicit port only when it is NOT the scheme's
+    * default — HttpURLConnection omits default ports from the Host header
+    * it actually sends, so signing `host:443` while sending `Host: host`
+    * would be a guaranteed SignatureDoesNotMatch (ADVICE r13). */
+  private[graft] def hostHeader(ep: URI, bucketPrefix: String = ""): String = {
+    val default = ep.getScheme match {
+      case "https" => 443
+      case "http" => 80
+      case _ => -1
+    }
+    bucketPrefix + ep.getHost +
+      (if (ep.getPort > 0 && ep.getPort != default) s":${ep.getPort}" else "")
+  }
+
   /** One signed ListObjectsV2 GET. Virtual-host style puts the bucket in
     * the Host header; path style (the reference's
     * `AWS_S3_FORCE_PATH_STYLE`, required for IP endpoints) in the path. */
@@ -166,14 +180,8 @@ object S3Wire extends Serializable {
       maxKeys: Int = 1000): ListPage = withRetry(s"list $bucket/$prefix") {
     val ep = URI.create(conf.endpoint)
     val (host, path) =
-      if (conf.pathStyle) {
-        val h = ep.getHost + (if (ep.getPort > 0) s":${ep.getPort}" else "")
-        (h, s"/$bucket")
-      } else {
-        val h = s"$bucket.${ep.getHost}" +
-          (if (ep.getPort > 0) s":${ep.getPort}" else "")
-        (h, "/")
-      }
+      if (conf.pathStyle) (hostHeader(ep), s"/$bucket")
+      else (hostHeader(ep, s"$bucket."), "/")
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
@@ -265,14 +273,8 @@ object S3Wire extends Serializable {
     withRetry(s"get $bucketName/$key") {
     val ep = URI.create(conf.endpoint)
     val (host, path) =
-      if (conf.pathStyle) {
-        val h = ep.getHost + (if (ep.getPort > 0) s":${ep.getPort}" else "")
-        (h, s"/$bucketName/$key")
-      } else {
-        val h = s"$bucketName.${ep.getHost}" +
-          (if (ep.getPort > 0) s":${ep.getPort}" else "")
-        (h, s"/$key")
-      }
+      if (conf.pathStyle) (hostHeader(ep), s"/$bucketName/$key")
+      else (hostHeader(ep, s"$bucketName."), s"/$key")
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
@@ -339,10 +341,12 @@ object S3Wire extends Serializable {
 
   /** env < standard JVM `aws.*` properties < explicit options — the one
     * resolution chain for every surface (CLI `--s3-wire`, the `graft-s3`
-    * table); a custom endpoint implies path-style addressing unless
-    * overridden (IP endpoints can't host virtual buckets). Option keys
-    * are lower-case: endpoint, region, accesskey, secretkey, pathstyle
-    * (true/TRUE/1). */
+    * table); a NON-AWS endpoint implies path-style addressing unless
+    * overridden, wherever it came from — env, property, or option
+    * (ADVICE r13: an `AWS_ENDPOINT_URL` of `http://ip:port` without the
+    * force-path-style flag must not synthesize `bucket.127.0.0.1`).
+    * Option keys are lower-case: endpoint, region, accesskey, secretkey,
+    * pathstyle (true/TRUE/1). */
   def resolveConf(opts: Map[String, String]): S3Conf = {
     val base = confFromEnv(sys.env)
     val withProps = base.copy(
@@ -351,14 +355,107 @@ object S3Wire extends Serializable {
       secretKey = sys.props.getOrElse("aws.secretAccessKey", base.secretKey))
     def truthy(v: String): Boolean =
       v == "true" || v == "TRUE" || v == "1"
+    val endpoint = opts.getOrElse("endpoint", withProps.endpoint)
+    // only real AWS endpoints can resolve bucket.host virtual-host names
+    val awsHost = Option(URI.create(endpoint).getHost)
+      .exists(_.endsWith(".amazonaws.com"))
     withProps.copy(
-      endpoint = opts.getOrElse("endpoint", withProps.endpoint),
+      endpoint = endpoint,
       region = opts.getOrElse("region", withProps.region),
       accessKey = opts.getOrElse("accesskey", withProps.accessKey),
       secretKey = opts.getOrElse("secretkey", withProps.secretKey),
       pathStyle = opts.get("pathstyle").map(truthy).getOrElse(
-        withProps.pathStyle || opts.contains("endpoint")))
+        withProps.pathStyle || !awsHost))
   }
+
+  // --- recursive shard planning (VERDICT r13 #4) ---------------------------
+
+  /** The distributed listing's work split: `preListed` objects the
+    * planner already holds (complete one-page subtrees + direct objects
+    * of expanded levels — chunked into row partitions downstream),
+    * `leafPrefixes` the cursors executor tasks paginate. */
+  final case class ShardPlan(preListed: Seq[S3Object],
+      leafPrefixes: Seq[String])
+
+  /** Delimiter-drain with a page cap: `None` when the prefix's direct
+    * level is larger than `maxPages` pages — the planner then leaves the
+    * whole prefix to one executor cursor instead of pulling an unbounded
+    * direct-object listing onto the driver. */
+  private def drainBounded(conf: S3Conf, bucketName: String, prefix: String,
+      maxKeys: Int, maxPages: Int): Option[(Seq[S3Object], Seq[String])] = {
+    var page = listPage(conf, bucketName, prefix, None, Some("/"), maxKeys)
+    var objs = page.objects
+    var prefixes = page.commonPrefixes
+    var pages = 1
+    while (page.nextToken.isDefined) {
+      if (pages >= maxPages) return None
+      page = listPage(conf, bucketName, prefix, page.nextToken,
+        Some("/"), maxKeys)
+      objs ++= page.objects
+      prefixes ++= page.commonPrefixes
+      pages += 1
+    }
+    Some((objs, prefixes.distinct))
+  }
+
+  /** Bounded RECURSIVE shard planning — the fix for the r13 skew shape
+    * (one hot top-level prefix degenerating to a single sequential
+    * executor cursor). Per child prefix, one no-delimiter PROBE page
+    * decides its fate:
+    *
+    *  - probe complete (not truncated): the whole subtree is already in
+    *    hand (≤ maxKeys objects) — pre-listed, zero executor work;
+    *  - probe truncated + the subtree is HIERARCHICAL (its delimiter
+    *    level shows child prefixes): re-delimit — direct objects are
+    *    drained (bounded by `maxPlanPages`), children recurse with one
+    *    less depth, so `logs/…` holding 10⁸ keys fans out across its
+    *    2024/ 2025/ … children instead of serializing;
+    *  - probe truncated + FLAT (no child prefixes): a leaf cursor — a
+    *    delimiter can't split it, and draining it driver-side would be
+    *    the exact unbounded pull this planner exists to avoid. The
+    *    honest residual: a single flat 10⁸-key "directory" still rides
+    *    one cursor (a start-after range split is the known next step).
+    *
+    * Driver memory is bounded by `shardBudget` expansions × `maxKeys`
+    * probe objects (defaults: ≤ 64k keys ≈ a few MB); planning requests
+    * by `shardBudget` × `maxPlanPages`. `maxDepth = 0` reproduces the
+    * r13 single-level behavior exactly. */
+  def planShards(conf: S3Conf, bucketName: String, prefix: String,
+      maxKeys: Int = 1000, maxDepth: Int = 2, shardBudget: Int = 64,
+      maxPlanPages: Int = 32): ShardPlan = {
+    val objs = Seq.newBuilder[S3Object]
+    val leaves = Seq.newBuilder[String]
+    var budget = shardBudget
+    def child(c: String, depth: Int): Unit = {
+      if (depth <= 0 || budget <= 0) { leaves += c; return }
+      val probe = listPage(conf, bucketName, c, None, None, maxKeys)
+      if (probe.nextToken.isEmpty) { objs ++= probe.objects; return }
+      // hot subtree — worth a delimiter look (probe objects DISCARDED:
+      // whatever covers c next re-lists from scratch, so no double count)
+      budget -= 1
+      drainBounded(conf, bucketName, c, maxKeys, maxPlanPages) match {
+        case Some((direct, children)) if children.nonEmpty =>
+          objs ++= direct
+          children.foreach(child(_, depth - 1))
+        case _ => leaves += c // flat or oversized direct level: one cursor
+      }
+    }
+    // the root level is always delimiter-drained (the r13 behavior);
+    // its truncation is already handled page-by-page in shardListing
+    val (rootObjs, prefixes) = shardListing(conf, bucketName, prefix, maxKeys)
+    objs ++= rootObjs
+    prefixes.foreach(child(_, maxDepth))
+    ShardPlan(objs.result(), leaves.result())
+  }
+
+  /** Chunk pre-listed objects into bounded row groups so a large
+    * pre-listed set (or a root level with many direct objects) spreads
+    * across partitions instead of riding one (VERDICT r13 #4's
+    * root-partition split). */
+  private[graft] def chunkPreListed(objs: Seq[S3Object],
+      maxKeys: Int): Seq[Seq[S3Object]] =
+    if (objs.isEmpty) Seq.empty
+    else objs.grouped(math.max(1, maxKeys)).toSeq
 
   /** Key → (path, filename) with the reference's split semantics
     * (`s3.rs:102-112`): path is "/" + the directory part of the key; a
@@ -371,31 +468,41 @@ object S3Wire extends Serializable {
 
   /** Distributed listing → the engine's scan frame (same columns as
     * [[FileListing.listDF]]; `created` is always NULL on S3,
-    * `s3.rs:123`). One driver-side delimiter page shards the namespace
-    * by top-level common prefix; executors paginate their prefixes
-    * concurrently. Root-level objects come from the shard page itself. */
+    * `s3.rs:123`). [[planShards]] splits the namespace RECURSIVELY
+    * (bounded depth/fan-out) so a skewed namespace — one hot prefix
+    * holding ~everything — still fans out across executor cursors;
+    * pre-listed objects ride maxKeys-sized row partitions, leaf
+    * prefixes paginate one executor cursor each. */
   def listDF(spark: SparkSession, conf: S3Conf, bucketName: String,
       prefix: String, identifier: Option[String] = None,
-      maxKeys: Int = 1000): DataFrame = {
+      maxKeys: Int = 1000, maxDepth: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
     import spark.implicits._
     val source = identifier.getOrElse(
       "s3://" + bucketName + (if (prefix.isEmpty) "" else s"/$prefix"))
-    val (rootObjs, prefixes) = shardListing(conf, bucketName, prefix, maxKeys)
+    val plan = planShards(conf, bucketName, prefix, maxKeys, maxDepth)
     def row(o: S3Object): (String, String, Long, Long) = {
       val (dir, name) = splitKey(o.key)
       (dir, name, o.modifiedMs, o.size)
     }
-    val rootDf = rootObjs.map(row).toDF("path", "filename", "mod", "size")
-    val prefixDf =
-      if (prefixes.isEmpty)
+    val chunks = chunkPreListed(plan.preListed, maxKeys)
+    val preDf =
+      if (chunks.isEmpty)
         Seq.empty[(String, String, Long, Long)]
           .toDF("path", "filename", "mod", "size")
       else spark.sparkContext
-        .parallelize(prefixes, prefixes.size)
+        .parallelize(chunks, chunks.size)
+        .flatMap(_.iterator.map(row))
+        .toDF("path", "filename", "mod", "size")
+    val prefixDf =
+      if (plan.leafPrefixes.isEmpty)
+        Seq.empty[(String, String, Long, Long)]
+          .toDF("path", "filename", "mod", "size")
+      else spark.sparkContext
+        .parallelize(plan.leafPrefixes, plan.leafPrefixes.size)
         .flatMap(p => listAll(conf, bucketName, p, maxKeys).map(row))
         .toDF("path", "filename", "mod", "size")
-    rootDf.unionByName(prefixDf).select(
+    preDf.unionByName(prefixDf).select(
       lit(source).as("external_source"),
       col("path"), col("filename"),
       graft.functions.Mime.mimeOf(col("filename")).as("mime_type"),

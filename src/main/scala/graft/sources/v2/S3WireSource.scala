@@ -27,12 +27,15 @@ import graft.sources.S3Wire.S3Conf
   * reference's ALWAYS-ON S3 scrape daemon (`main.rs:64-96` +
   * `s3.rs:87-150`) with zero connector jars.
   *
-  * Sharding: one driver-side delimiter page splits the namespace by
-  * top-level common prefix; each executor partition paginates its own
-  * prefix cursor (root-level objects ride a dedicated partition). No
-  * filter pushdown here — the Hadoop-backed `graft-files` table remains
-  * the planner-integrated path when s3a jars exist; this table is the
-  * no-jars transport with the same seven-column frame.
+  * Sharding: [[S3Wire.planShards]] splits the namespace RECURSIVELY
+  * (bounded depth/fan-out, option `maxDepth`, default 2): a hot prefix
+  * whose first page is truncated re-delimits into child cursors, so one
+  * dominant top-level prefix fans out across executors instead of
+  * serializing on a single cursor; pre-listed objects (complete one-page
+  * subtrees, direct objects of expanded levels) ride maxKeys-sized row
+  * partitions. No filter pushdown here — the Hadoop-backed `graft-files`
+  * table remains the planner-integrated path when s3a jars exist; this
+  * table is the no-jars transport with the same seven-column frame.
   *
   * Connection config resolves like the CLI's `--s3-wire`: the
   * reference's env contract (`s3.rs:24-49`) overlaid by the standard
@@ -72,9 +75,10 @@ private[v2] class S3WireTable(options: CaseInsensitiveStringMap)
     val conf = S3Wire.resolveConf(merged)
     val source = merged.getOrElse("identifier", url)
     val maxKeys = merged.get("maxkeys").map(_.toInt).getOrElse(1000)
+    val maxDepth = merged.get("maxdepth").map(_.toInt).getOrElse(2)
     new ScanBuilder {
       override def build(): Scan =
-        new S3WireScan(conf, bucket, prefix, source, maxKeys)
+        new S3WireScan(conf, bucket, prefix, source, maxKeys, maxDepth)
     }
   }
 }
@@ -85,21 +89,22 @@ private[v2] case class S3RootPartition(
     rows: Seq[(String, Long, Long)]) extends InputPartition
 
 private[v2] class S3WireScan(conf: S3Conf, bucket: String, prefix: String,
-    source: String, maxKeys: Int) extends Scan with Batch {
+    source: String, maxKeys: Int, maxDepth: Int = 2) extends Scan with Batch {
 
   override def readSchema(): StructType = FilesSource.SCHEMA
   override def toBatch: Batch = this
   override def description(): String = s"graft-s3 $bucket/$prefix"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one delimiter cursor discovers the shards ([[S3Wire.shardListing]]
-    // drains objects AND common prefixes across truncated pages)
-    val (roots, prefixes) = S3Wire.shardListing(conf, bucket, prefix, maxKeys)
-    val rootPart: Array[InputPartition] =
-      if (roots.isEmpty) Array.empty
-      else Array(S3RootPartition(roots.map(o =>
-        (o.key, o.modifiedMs, o.size))))
-    rootPart ++ prefixes.map(p =>
+    // recursive bounded shard planning ([[S3Wire.planShards]]): hot
+    // prefixes re-delimit into child cursors, pre-listed objects ride
+    // maxKeys-sized row partitions (the r13 root-partition split)
+    val plan = S3Wire.planShards(conf, bucket, prefix, maxKeys, maxDepth)
+    val preParts: Array[InputPartition] =
+      S3Wire.chunkPreListed(plan.preListed, maxKeys)
+        .map(chunk => S3RootPartition(chunk.map(o =>
+          (o.key, o.modifiedMs, o.size)))).toArray
+    preParts ++ plan.leafPrefixes.map(p =>
       S3PrefixPartition(conf, bucket, p, maxKeys))
   }
 

@@ -364,8 +364,80 @@ class S3WireSpec extends AnyFunSuite {
       val keys = rows.map(r => (r.getString(1), r.getString(2))).toSet
       assert(keys == fixture.map(o => S3Wire.splitKey(o.key)).toSet)
       assert(rows.forall(_.isNullAt(4)), "created NULL on s3")
-      assert(df.rdd.getNumPartitions == 4,
-        "one partition per common prefix + the root partition")
+      // at maxKeys=3 the planner pre-lists root.txt + docs/ (one-page
+      // subtrees) into one row partition, keeps flat data/ as a leaf
+      // cursor, and re-delimits hot logs/ down to the logs/2024/ leaf
+      assert(df.rdd.getNumPartitions == 3,
+        "pre-listed chunk + the data/ and logs/2024/ leaf cursors")
+    }
+  }
+
+  test("recursive re-sharding: a namespace dominated by ONE hot prefix " +
+      "fans out across >1 executor cursor and lists equal (r13 #4)") {
+    withServer { conf =>
+      served = (Seq(S3Object("root.txt", 1700000000000L, 5L),
+        S3Object("hot/c.txt", 1700000000500L, 6L)) ++
+        (0 until 40).map(i => S3Object(f"hot/a/k$i%02d.bin",
+          1700000001000L + i, 10L + i)) ++
+        (0 until 40).map(i => S3Object(f"hot/b/k$i%02d.bin",
+          1700000002000L + i, 50L + i))).sortBy(_.key)
+      val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 5,
+        maxDepth = 2)
+      assert(plan.leafPrefixes.toSet == Set("hot/a/", "hot/b/"),
+        s"the hot prefix re-delimited into its children: $plan")
+      assert(plan.preListed.map(_.key).toSet == Set("root.txt", "hot/c.txt"),
+        "direct objects of the expanded level + root objects pre-listed")
+      val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5)
+      assert(df.rdd.getNumPartitions == 3,
+        ">1 partition does the listing work despite total skew")
+      val got = df.collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got == served.map(o => S3Wire.splitKey(o.key)).toSet,
+        "listing equality holds under re-sharding")
+      // depth 0 reproduces the r13 single-level plan exactly
+      val flatPlan = S3Wire.planShards(conf, bucket, "", maxKeys = 5,
+        maxDepth = 0)
+      assert(flatPlan.leafPrefixes == Seq("hot/") &&
+        flatPlan.preListed.map(_.key) == Seq("root.txt"))
+      // a FLAT hot prefix (no children to re-delimit) stays one honest
+      // cursor — the documented residual a delimiter cannot split
+      served = ((0 until 40).map(i => S3Object(f"deep/flat$i%02d.bin",
+        1700000003000L + i, 3L)) ++ Seq(S3Object("one/x.txt",
+        1700000004000L, 1L))).sortBy(_.key)
+      val p2 = S3Wire.planShards(conf, bucket, "", maxKeys = 5, maxDepth = 2)
+      assert(p2.preListed.map(_.key) == Seq("one/x.txt"))
+      assert(p2.leafPrefixes == Seq("deep/"),
+        "a flat prefix cannot re-delimit: one honest cursor")
+      assert(S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5).count()
+        == 41)
+    }
+  }
+
+  test("graft-s3 V2 table re-shards the skewed namespace the same way " +
+      "(one partition per leaf cursor + pre-listed chunks)") {
+    withServer { conf =>
+      served = (Seq(S3Object("solo.txt", 1700000000000L, 5L)) ++
+        (0 until 30).map(i => S3Object(f"hot/x/k$i%02d.bin",
+          1700000001000L + i, 10L)) ++
+        (0 until 30).map(i => S3Object(f"hot/y/k$i%02d.bin",
+          1700000002000L + i, 20L))).sortBy(_.key)
+      val df = spark.read.format("graft-s3")
+        .option("url", s"s3://$bucket")
+        .option("endpoint", conf.endpoint)
+        .option("accessKey", accessKey).option("secretKey", secretKey)
+        .option("maxKeys", "5")
+        .load()
+      assert(df.rdd.getNumPartitions == 3,
+        "pre-listed chunk + hot/x/ + hot/y/ leaf cursors")
+      assert(df.count() == 61)
+      // maxdepth=0 pins the r13 single-level shape for comparison
+      val flat = spark.read.format("graft-s3")
+        .option("url", s"s3://$bucket")
+        .option("endpoint", conf.endpoint)
+        .option("accessKey", accessKey).option("secretKey", secretKey)
+        .option("maxKeys", "5").option("maxDepth", "0")
+        .load()
+      assert(flat.rdd.getNumPartitions == 2, "root chunk + the one hot/ cursor")
+      assert(flat.count() == 61)
     }
   }
 

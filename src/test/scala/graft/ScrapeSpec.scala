@@ -103,4 +103,22 @@ class ScrapeSpec extends AnyFunSuite {
     val again = Scrape.upsertClassify(merged, scanDF)
     assert(again.filter(col("action") =!= "unchanged").count() == 0)
   }
+
+  test("splitKeyCols (the q_scrape_s3 column split) stays in lockstep " +
+      "with S3Wire.splitKey over adversarial keys incl. the root-key " +
+      "case the reference panics on") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val keys = Seq("a/b/c.txt", "top.json", "d/", "", "x//y", "/lead.txt",
+      "a b/é漢/x y.bin", "dot.d/.hidden", "tab\there/n l.bin")
+    val (path, filename) = Scrape.splitKeyCols(col("key"))
+    val got = keys.toDF("key")
+      .select(col("key"), path.as("p"), filename.as("f"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    keys.foreach { k =>
+      assert(got(k) == graft.sources.S3Wire.splitKey(k),
+        s"column split diverged from S3Wire.splitKey on '$k'")
+    }
+  }
 }
