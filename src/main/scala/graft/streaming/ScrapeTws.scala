@@ -65,7 +65,8 @@ object ScrapeTws {
     * one per key). */
   case class FileState(source: String, path: String, filename: String,
       mime: Option[String], created: Option[Long], modified: Option[Long],
-      size: Option[Long], deleted: Option[Long], armed: Long)
+      size: Option[Long], deleted: Option[Long], armed: Long,
+      seqMs: Long, seq: Long)
 
   /** Input row: (key, source, path, filename, mime, created_ms,
     * modified_ms, size, scan_ms). */
@@ -79,12 +80,15 @@ object ScrapeTws {
     * log (the CLI's parquet sink) has no other recoverable order: file
     * order is not event order, so consumers compact by
     * `(event_ms, event_seq)` ([[snapshotOf]]), never by physical
-    * layout. `event_seq` is the per-key apply index within a batch
+    * layout. `event_seq` is the per-key apply index AT one `event_ms`
     * (ADVICE r12): it makes the compaction order TOTAL even when one
     * scan lists one file twice with contradictory metadata — the
     * last-applied sighting wins the compaction exactly as it wins the
     * processor's fold, instead of a value-wise max tiebreak that could
-    * diverge from checkpoint state. */
+    * diverge from checkpoint state. The last emitted (event_ms, seq) is
+    * PERSISTED in [[FileState]] and continued when the same event_ms
+    * reappears in a later micro-batch (ADVICE r13): a scan's duplicate
+    * sightings split across triggers still compact in apply order. */
   type Out = (String, String, String, String, Option[String], Option[Long],
     Option[Long], Option[Long], Option[Long], String, Long, Long)
 
@@ -132,7 +136,17 @@ object ScrapeTws {
       val init = if (st.exists()) Option(st.get()) else None
       var cur = init
       val events = Seq.newBuilder[Out]
-      var seq = 0L // per-key apply index → total compaction order
+      // per-key apply index AT each event_ms → total compaction order;
+      // CONTINUED from state across micro-batches (ADVICE r13: a
+      // batch-local counter restarting at 0 would let an earlier batch's
+      // seq 1 out-compact a later batch's seq 0 at the same event_ms)
+      var lastMs = init.map(_.seqMs).getOrElse(Long.MinValue)
+      var lastSeq = init.map(_.seq).getOrElse(-1L)
+      def nextSeq(ms: Long): Long = {
+        lastSeq = if (ms == lastMs) lastSeq + 1L else 0L
+        lastMs = ms
+        lastSeq
+      }
       sorted.foreach { case (_, source, path, filename, mime, created,
           modified, size, scanMs) =>
         val unchanged = cur.exists(c => c.created == created &&
@@ -144,8 +158,6 @@ object ScrapeTws {
         }
         val keptMime = if (unchanged) cur.get.mime else mime
         val wasDeleted = cur.exists(_.deleted.nonEmpty)
-        cur = Some(FileState(source, path, filename, keptMime, created,
-          modified, size, None, scanMs + 1L))
         // unchanged sightings refresh the timer but emit no event (the
         // reference writes nothing for them — mime survives) UNLESS the
         // row was tombstoned: presence always clears `deleted` in the
@@ -155,14 +167,14 @@ object ScrapeTws {
         if (action != "unchanged") {
           events += ((genUuid(source, path, filename), source, path,
             filename, keptMime, created, modified, size, None, action,
-            scanMs, seq))
-          seq += 1L
+            scanMs, nextSeq(scanMs)))
         } else if (wasDeleted) {
           events += ((genUuid(source, path, filename), source, path,
             filename, keptMime, created, modified, size, None, "revive",
-            scanMs, seq))
-          seq += 1L
+            scanMs, nextSeq(scanMs)))
         }
+        cur = Some(FileState(source, path, filename, keptMime, created,
+          modified, size, None, scanMs + 1L, lastMs, lastSeq))
       }
       // timers and state settle ONCE per key per batch (VERDICT r12 #3:
       // the per-sighting deleteTimer/registerTimer churn was the
@@ -188,15 +200,18 @@ object ScrapeTws {
           // the observing scan's instant is the watermark that fired us
           // (delay 0 ⇒ wm = the latest scan's scan_ms)
           val obs = timerValues.getCurrentWatermarkInMs()
-          val next = c.copy(deleted = Some(obs), armed = obs + 1L)
+          // continue this key's seq chain if its last event shares the
+          // instant (a sighting applied at the watermark's scan in an
+          // earlier batch) — the delete must out-order it
+          val seq = if (obs == c.seqMs) c.seq + 1L else 0L
+          val next = c.copy(deleted = Some(obs), armed = obs + 1L,
+            seqMs = obs, seq = seq)
           getHandle.registerTimer(next.armed) // re-stamp on EVERY scan
           st.update(next)
           // identity comes from state, never from parsing `key`
-          // (event_seq 0: a delete's event_ms is the watermark, strictly
-          // above every already-applied sighting's scan_ms)
           Iterator((genUuid(c.source, c.path, c.filename), c.source, c.path,
             c.filename, c.mime, c.created, c.modified, c.size, Some(obs),
-            "delete", obs, 0L))
+            "delete", obs, seq))
         }
       }
   }

@@ -433,6 +433,56 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_seq continues across micro-batches at one event_ms: a " +
+      "scan's duplicate sightings split across triggers still compact " +
+      "in apply order (ADVICE r13)") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      import spark.implicits._
+      val t = base + 500L
+      // same observed instant in BOTH batches; batch 1's values are
+      // LARGER in every snapshotOf tiebreak field, so a value-wise max
+      // (or a seq counter restarting at 0) would pick the WRONG sighting
+      def scan(mime: String, size: Long) =
+        Seq(("/d", "F", mime, 1000L, 5000L, size))
+          .toDF("path", "filename", "mime_type", "created_ms",
+            "modified_ms", "size")
+          .select(lit("s1").as("external_source"), col("path"),
+            col("filename"), col("mime_type"),
+            timestamp_millis(col("created_ms")).as("created"),
+            timestamp_millis(col("modified_ms")).as("modified"),
+            col("size"), timestamp_millis(lit(t)).as("observed"))
+      val srcDir = Files.createTempDirectory("tws_seq_src").toString
+      Seq(scan("text/z-big", 100L), scan("text/a-small", 7L))
+        .zipWithIndex.foreach { case (df, i) =>
+          val f = s"$srcDir/scan$i"
+          df.coalesce(1).write.mode("overwrite").parquet(f)
+          new java.io.File(f).listFiles().foreach(p =>
+            p.setLastModified(1700000000000L + i * 60000L))
+        }
+      val stream = spark.readStream.schema(scan("x", 1L).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_seq_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val events = spark.table("tws_seq_out").collect()
+        .map(r => (r.getString(9), r.getLong(10), r.getLong(11),
+          r.getLong(7)))
+      assert(events.toSet == Set(("insert", t, 0L, 100L),
+        ("update", t, 1L, 7L)),
+        s"seq must CONTINUE across batches at one event_ms: " +
+          events.mkString(", "))
+      val snap = ScrapeTws.snapshotOf(spark.table("tws_seq_out")).collect()
+      assert(snap.length == 1)
+      assert(snap(0).getLong(7) == 7L &&
+        snap(0).getString(4) == "text/a-small",
+        "compaction picks the LAST-APPLIED sighting, not the value max")
+    }
+  }
+
   // The always-on daemon composition (the CLI's --interval form): the
   // graft-files rescan source under Trigger.ProcessingTime, observed =
   // the wall-clock batch timestamp, multiple complete rescans inside
