@@ -177,7 +177,8 @@ object S3Wire extends Serializable {
     * `AWS_S3_FORCE_PATH_STYLE`, required for IP endpoints) in the path. */
   def listPage(conf: S3Conf, bucket: String, prefix: String,
       token: Option[String], delimiter: Option[String] = None,
-      maxKeys: Int = 1000): ListPage = withRetry(s"list $bucket/$prefix") {
+      maxKeys: Int = 1000, startAfter: Option[String] = None): ListPage =
+    withRetry(s"list $bucket/$prefix") {
     val ep = URI.create(conf.endpoint)
     val (host, path) =
       if (conf.pathStyle) (hostHeader(ep), s"/$bucket")
@@ -189,7 +190,10 @@ object S3Wire extends Serializable {
     val query = Seq("list-type" -> "2", "prefix" -> prefix,
       "max-keys" -> maxKeys.toString) ++
       token.map("continuation-token" -> _) ++
-      delimiter.map("delimiter" -> _)
+      delimiter.map("delimiter" -> _) ++
+      // only meaningful on the FIRST request of a cursor (the API gives
+      // ContinuationToken precedence anyway; omit to keep requests clean)
+      (if (token.isEmpty) startAfter.map("start-after" -> _) else None)
     val headers = Seq("host" -> host, "x-amz-date" -> amzDate,
       "x-amz-content-sha256" -> payloadHash)
     val auth = authorizationHeader(conf.accessKey, conf.secretKey, amzDate,
@@ -370,12 +374,44 @@ object S3Wire extends Serializable {
 
   // --- recursive shard planning (VERDICT r13 #4) ---------------------------
 
+  /** One executor listing cursor: paginate `prefix`, optionally bounded
+    * to the key range (`startAfter`, `stopAt`] — `start-after` is the
+    * ListObjectsV2 parameter (exclusive), `stopAt` the inclusive upper
+    * bound the reader stops past. Adjacent range shards share their
+    * boundary key, so ranges partition the keyspace with no gap and no
+    * overlap. */
+  final case class LeafShard(prefix: String,
+      startAfter: Option[String] = None, stopAt: Option[String] = None)
+
   /** The distributed listing's work split: `preListed` objects the
     * planner already holds (complete one-page subtrees + direct objects
     * of expanded levels — chunked into row partitions downstream),
-    * `leafPrefixes` the cursors executor tasks paginate. */
+    * `leaves` the cursors executor tasks paginate. */
   final case class ShardPlan(preListed: Seq[S3Object],
-      leafPrefixes: Seq[String])
+      leaves: Seq[LeafShard])
+
+  /** Drain one [[LeafShard]]: the reference's cursor loop plus the range
+    * bounds — starts after `startAfter`, stops requesting as soon as a
+    * page crosses `stopAt` (keys equal to `stopAt` are kept). */
+  def listShard(conf: S3Conf, bucketName: String, shard: LeafShard,
+      maxKeys: Int = 1000): Iterator[S3Object] =
+    Iterator.unfold[Seq[S3Object], Option[Option[String]]](Some(None)) {
+      case None => None
+      case Some(token) =>
+        val page = listPage(conf, bucketName, shard.prefix, token, None,
+          maxKeys, shard.startAfter)
+        val kept = shard.stopAt match {
+          case None => page.objects
+          case Some(stop) => page.objects.takeWhile(_.key <= stop)
+        }
+        val crossed = kept.size < page.objects.size
+        Some((kept,
+          if (crossed) None
+          else page.nextToken match {
+            case Some(t) => Some(Some(t))
+            case None => None
+          }))
+    }.flatten
 
   /** Delimiter-drain with a page cap: `None` when the prefix's direct
     * level is larger than `maxPages` pages — the planner then leaves the
@@ -410,11 +446,16 @@ object S3Wire extends Serializable {
     *    drained (bounded by `maxPlanPages`), children recurse with one
     *    less depth, so `logs/…` holding 10⁸ keys fans out across its
     *    2024/ 2025/ … children instead of serializing;
-    *  - probe truncated + FLAT (no child prefixes): a leaf cursor — a
-    *    delimiter can't split it, and draining it driver-side would be
-    *    the exact unbounded pull this planner exists to avoid. The
-    *    honest residual: a single flat 10⁸-key "directory" still rides
-    *    one cursor (a start-after range split is the known next step).
+    *  - probe truncated + FLAT (no child prefixes): RANGE-SPLIT with
+    *    `start-after` — a delimiter can't split it and draining it
+    *    driver-side would be the exact unbounded pull this planner
+    *    exists to avoid, but the key RANGE still partitions: hex
+    *    boundaries carve the flat namespace into `flatFanout`+1
+    *    complementary (after, stopAt] cursors. Uniform for the
+    *    hash-prefixed key layout AWS itself recommends for hot
+    *    namespaces; skewed alphabets degrade gracefully toward today's
+    *    single cursor (empty ranges cost one empty page each), never
+    *    lose keys — adjacent shards share their boundary.
     *
     * Driver memory is bounded by `shardBudget` expansions × `maxKeys`
     * probe objects (defaults: ≤ 64k keys ≈ a few MB); planning requests
@@ -422,12 +463,23 @@ object S3Wire extends Serializable {
     * r13 single-level behavior exactly. */
   def planShards(conf: S3Conf, bucketName: String, prefix: String,
       maxKeys: Int = 1000, maxDepth: Int = 2, shardBudget: Int = 64,
-      maxPlanPages: Int = 32): ShardPlan = {
+      maxPlanPages: Int = 32, flatFanout: Int = 15): ShardPlan = {
     val objs = Seq.newBuilder[S3Object]
-    val leaves = Seq.newBuilder[String]
+    val leaves = Seq.newBuilder[LeafShard]
     var budget = shardBudget
+    def flatSplit(c: String): Unit =
+      if (flatFanout <= 0) leaves += LeafShard(c)
+      else {
+        // hex boundary chars: uniform over hash-prefixed keys, merely
+        // unbalanced (never wrong) over other alphabets
+        val bs = "123456789abcdef".take(flatFanout).map(ch => c + ch)
+        leaves += LeafShard(c, None, bs.headOption)
+        bs.sliding(2).withFilter(_.size == 2)
+          .foreach(w => leaves += LeafShard(c, Some(w(0)), Some(w(1))))
+        leaves += LeafShard(c, bs.lastOption, None)
+      }
     def child(c: String, depth: Int): Unit = {
-      if (depth <= 0 || budget <= 0) { leaves += c; return }
+      if (depth <= 0 || budget <= 0) { leaves += LeafShard(c); return }
       val probe = listPage(conf, bucketName, c, None, None, maxKeys)
       if (probe.nextToken.isEmpty) { objs ++= probe.objects; return }
       // hot subtree — worth a delimiter look (probe objects DISCARDED:
@@ -437,7 +489,7 @@ object S3Wire extends Serializable {
         case Some((direct, children)) if children.nonEmpty =>
           objs ++= direct
           children.foreach(child(_, depth - 1))
-        case _ => leaves += c // flat or oversized direct level: one cursor
+        case _ => flatSplit(c) // flat or oversized direct level
       }
     }
     // the root level is always delimiter-drained (the r13 behavior);
@@ -495,12 +547,12 @@ object S3Wire extends Serializable {
         .flatMap(_.iterator.map(row))
         .toDF("path", "filename", "mod", "size")
     val prefixDf =
-      if (plan.leafPrefixes.isEmpty)
+      if (plan.leaves.isEmpty)
         Seq.empty[(String, String, Long, Long)]
           .toDF("path", "filename", "mod", "size")
       else spark.sparkContext
-        .parallelize(plan.leafPrefixes, plan.leafPrefixes.size)
-        .flatMap(p => listAll(conf, bucketName, p, maxKeys).map(row))
+        .parallelize(plan.leaves, plan.leaves.size)
+        .flatMap(s => listShard(conf, bucketName, s, maxKeys).map(row))
         .toDF("path", "filename", "mod", "size")
     preDf.unionByName(prefixDf).select(
       lit(source).as("external_source"),

@@ -83,8 +83,8 @@ private[v2] class S3WireTable(options: CaseInsensitiveStringMap)
   }
 }
 
-private[v2] case class S3PrefixPartition(conf: S3Conf, bucket: String,
-    prefix: String, maxKeys: Int) extends InputPartition
+private[v2] case class S3LeafPartition(conf: S3Conf, bucket: String,
+    shard: S3Wire.LeafShard, maxKeys: Int) extends InputPartition
 private[v2] case class S3RootPartition(
     rows: Seq[(String, Long, Long)]) extends InputPartition
 
@@ -104,8 +104,8 @@ private[v2] class S3WireScan(conf: S3Conf, bucket: String, prefix: String,
       S3Wire.chunkPreListed(plan.preListed, maxKeys)
         .map(chunk => S3RootPartition(chunk.map(o =>
           (o.key, o.modifiedMs, o.size)))).toArray
-    preParts ++ plan.leafPrefixes.map(p =>
-      S3PrefixPartition(conf, bucket, p, maxKeys))
+    preParts ++ plan.leaves.map(s =>
+      S3LeafPartition(conf, bucket, s, maxKeys))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -136,8 +136,8 @@ private[v2] class S3WireReaderFactory(source: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case S3PrefixPartition(conf, bucket, prefix, maxKeys) =>
-        reader(S3Wire.listAll(conf, bucket, prefix, maxKeys)
+      case S3LeafPartition(conf, bucket, shard, maxKeys) =>
+        reader(S3Wire.listShard(conf, bucket, shard, maxKeys)
           .map(o => (o.key, o.modifiedMs, o.size)))
       case S3RootPartition(rows) => reader(rows.iterator)
     }

@@ -173,7 +173,11 @@ class S3WireSpec extends AnyFunSuite {
     val prefix = params.getOrElse("prefix", "")
     val delim = params.get("delimiter")
     val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
+    // start-after behaves exactly like an initial continuation token in
+    // this model (real S3: StartAfter starts listing after that key;
+    // ContinuationToken takes precedence when both are present)
     val after = params.get("continuation-token")
+      .orElse(params.get("start-after"))
     // Real-S3 pagination model: Contents AND CommonPrefixes together
     // count toward max-keys, in lexicographic key order, so PREFIXES
     // SPREAD ACROSS TRUNCATED PAGES — the shape that masked the r13
@@ -365,10 +369,11 @@ class S3WireSpec extends AnyFunSuite {
       assert(keys == fixture.map(o => S3Wire.splitKey(o.key)).toSet)
       assert(rows.forall(_.isNullAt(4)), "created NULL on s3")
       // at maxKeys=3 the planner pre-lists root.txt + docs/ (one-page
-      // subtrees) into one row partition, keeps flat data/ as a leaf
-      // cursor, and re-delimits hot logs/ down to the logs/2024/ leaf
-      assert(df.rdd.getNumPartitions == 3,
-        "pre-listed chunk + the data/ and logs/2024/ leaf cursors")
+      // subtrees) into one row partition, range-splits flat data/ and
+      // re-delimits hot logs/ down to the (flat) logs/2024/ level —
+      // 1 + 16 + 16 with the default 15 hex boundaries
+      assert(df.rdd.getNumPartitions == 33,
+        "pre-listed chunk + two range-split flat leaves")
     }
   }
 
@@ -383,12 +388,12 @@ class S3WireSpec extends AnyFunSuite {
           1700000002000L + i, 50L + i))).sortBy(_.key)
       val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 5,
         maxDepth = 2)
-      assert(plan.leafPrefixes.toSet == Set("hot/a/", "hot/b/"),
+      assert(plan.leaves.map(_.prefix).toSet == Set("hot/a/", "hot/b/"),
         s"the hot prefix re-delimited into its children: $plan")
       assert(plan.preListed.map(_.key).toSet == Set("root.txt", "hot/c.txt"),
         "direct objects of the expanded level + root objects pre-listed")
       val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5)
-      assert(df.rdd.getNumPartitions == 3,
+      assert(df.rdd.getNumPartitions > 1,
         ">1 partition does the listing work despite total skew")
       val got = df.collect().map(r => (r.getString(1), r.getString(2))).toSet
       assert(got == served.map(o => S3Wire.splitKey(o.key)).toSet,
@@ -396,19 +401,29 @@ class S3WireSpec extends AnyFunSuite {
       // depth 0 reproduces the r13 single-level plan exactly
       val flatPlan = S3Wire.planShards(conf, bucket, "", maxKeys = 5,
         maxDepth = 0)
-      assert(flatPlan.leafPrefixes == Seq("hot/") &&
+      assert(flatPlan.leaves == Seq(S3Wire.LeafShard("hot/")) &&
         flatPlan.preListed.map(_.key) == Seq("root.txt"))
-      // a FLAT hot prefix (no children to re-delimit) stays one honest
-      // cursor — the documented residual a delimiter cannot split
-      served = ((0 until 40).map(i => S3Object(f"deep/flat$i%02d.bin",
+      // a FLAT hot prefix (no children to re-delimit) RANGE-SPLITS on
+      // hex start-after boundaries; hash-spread keys land across many
+      // complementary cursors, and equality still holds exactly
+      served = ((0 until 40).map(i => S3Object(f"deep/${i * 6}%02x.bin",
         1700000003000L + i, 3L)) ++ Seq(S3Object("one/x.txt",
         1700000004000L, 1L))).sortBy(_.key)
       val p2 = S3Wire.planShards(conf, bucket, "", maxKeys = 5, maxDepth = 2)
       assert(p2.preListed.map(_.key) == Seq("one/x.txt"))
-      assert(p2.leafPrefixes == Seq("deep/"),
-        "a flat prefix cannot re-delimit: one honest cursor")
-      assert(S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5).count()
-        == 41)
+      assert(p2.leaves.map(_.prefix).distinct == Seq("deep/") &&
+        p2.leaves.size == 16,
+        s"flat prefix split into complementary ranges: ${p2.leaves}")
+      val flatDf = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5)
+      val counts = flatDf.rdd
+        .mapPartitions(it => Iterator.single(it.size)).collect()
+      assert(counts.sum == 41, "range shards lose and duplicate nothing")
+      assert(counts.count(_ > 0) >= 10,
+        s"hash-spread keys actually spread across range cursors: " +
+          counts.mkString(","))
+      // a range split at zero fan-out degrades to the one honest cursor
+      assert(S3Wire.planShards(conf, bucket, "", maxKeys = 5, maxDepth = 2,
+        flatFanout = 0).leaves == Seq(S3Wire.LeafShard("deep/")))
     }
   }
 
@@ -426,8 +441,9 @@ class S3WireSpec extends AnyFunSuite {
         .option("accessKey", accessKey).option("secretKey", secretKey)
         .option("maxKeys", "5")
         .load()
-      assert(df.rdd.getNumPartitions == 3,
-        "pre-listed chunk + hot/x/ + hot/y/ leaf cursors")
+      // pre-listed chunk + hot/x/ and hot/y/ each range-split 16 ways
+      assert(df.rdd.getNumPartitions == 33,
+        s"got ${df.rdd.getNumPartitions}")
       assert(df.count() == 61)
       // maxdepth=0 pins the r13 single-level shape for comparison
       val flat = spark.read.format("graft-s3")
