@@ -482,14 +482,22 @@ object S3Wire extends Serializable {
       if (depth <= 0 || budget <= 0) { leaves += LeafShard(c); return }
       val probe = listPage(conf, bucketName, c, None, None, maxKeys)
       if (probe.nextToken.isEmpty) { objs ++= probe.objects; return }
-      // hot subtree — worth a delimiter look (probe objects DISCARDED:
-      // whatever covers c next re-lists from scratch, so no double count)
+      // hot subtree — ONE delimiter page decides flat vs hierarchical
+      // BEFORE any drain, so a flat 10⁸-key level is never pulled onto
+      // the driver just to be discarded (probe objects are likewise
+      // discarded: whatever covers c next re-lists from scratch, so
+      // nothing double counts)
       budget -= 1
-      drainBounded(conf, bucketName, c, maxKeys, maxPlanPages) match {
-        case Some((direct, children)) if children.nonEmpty =>
+      val d1 = listPage(conf, bucketName, c, None, Some("/"), maxKeys)
+      if (d1.commonPrefixes.isEmpty) flatSplit(c)
+      // (a truncated all-objects first delimiter page may still hide
+      // children on later pages — the range shards cover their keys
+      // regardless, they just don't recurse)
+      else drainBounded(conf, bucketName, c, maxKeys, maxPlanPages) match {
+        case Some((direct, children)) =>
           objs ++= direct
           children.foreach(child(_, depth - 1))
-        case _ => flatSplit(c) // flat or oversized direct level
+        case None => flatSplit(c) // oversized direct level: ranges cover all
       }
     }
     // the root level is always delimiter-drained (the r13 behavior);
