@@ -290,12 +290,17 @@ object Scrape {
         k.cast("string"), extCase(k)))
 
   /** The column form of `S3Wire.splitKey`: path = "/"+dir, or "" for a
-    * root-level key; filename = the segment after the last '/'. */
+    * root-level key; filename = the segment after the last '/'. `(?s)`
+    * + `\z` because POSIX names may carry newlines: bare `.`/`$` would
+    * stop at/before a line terminator and silently diverge from the
+    * index-based production split (review r14); both regex dialects
+    * here (java.util.regex, DuckDB's RE2) support the two escapes
+    * identically. */
   private[graft] def splitKeyCols(key: Column): (Column, Column) = (
     when(key.contains("/"),
-      concat(lit("/"), regexp_extract(key, "^(.*)/[^/]*$", 1)))
+      concat(lit("/"), regexp_extract(key, "(?s)^(.*)/[^/]*\\z", 1)))
       .otherwise(lit("")),
-    regexp_extract(key, "([^/]*)$", 1))
+    regexp_extract(key, "(?s)([^/]*)\\z", 1))
 
   /** One S3 rescan's listing frame (the graft-s3 table's seven columns)
     * derived from orders: %7>=2 keys present, %5==0 carry a newer
@@ -485,9 +490,9 @@ object Scrape {
         |frame AS (
         |  SELECT k, 's3://demo-bucket' AS external_source,
         |    CASE WHEN key LIKE '%/%'
-        |      THEN '/' || regexp_extract(key, '^(.*)/[^/]*$', 1)
+        |      THEN '/' || regexp_extract(key, '(?s)^(.*)/[^/]*\z', 1)
         |      ELSE '' END AS path,
-        |    regexp_extract(key, '([^/]*)$', 1) AS filename,
+        |    regexp_extract(key, '(?s)([^/]*)\z', 1) AS filename,
         |    guessed_mime AS mime_type,
         |    CAST(NULL AS TIMESTAMP) AS created,
         |    o_orderdate AS modified, size

@@ -203,11 +203,18 @@ object PgMerge {
         java.nio.charset.StandardCharsets.UTF_8))
       bytes.reset()
     }
+    def hex(c: Char): Int = {
+      // Integer.parseInt would also accept "+4"/"-1" — RFC 3986 wants
+      // exactly two hex DIGITS
+      val d = Character.digit(c, 16)
+      require(d >= 0, s"invalid percent-escape in '$s'")
+      d
+    }
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%') {
         require(i + 2 < s.length, s"truncated percent-escape in '$s'")
-        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        bytes.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2)))
         i += 3
       } else { flush(); out.append(c); i += 1 }
     }
@@ -244,6 +251,14 @@ object PgMerge {
           val (k, v) = kv.span(_ != '=')
           pctDecode(k) -> pctDecode(v.stripPrefix("="))
         }.toMap
+      // libpq parity: an unknown parameter KEY fails loudly — a typo'd
+      // `sslmod=require` silently downgrading to plaintext would be the
+      // exact silent downgrade the sslmode handling below refuses
+      // (review r14)
+      val unknown = params.keySet -- Set("sslmode")
+      require(unknown.isEmpty,
+        s"unsupported DATABASE_URL parameter(s) ${unknown.mkString(", ")} " +
+          s"in '$addr' (supported: sslmode)")
       val ssl = params.getOrElse("sslmode", "disable") match {
         case m @ ("disable" | "prefer" | "require") => m
         case "allow" => "prefer" // same effective behavior at this client

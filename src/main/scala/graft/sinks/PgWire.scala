@@ -91,13 +91,29 @@ final class PgWireClient(host: String, port: Int, user: String,
     val o = new DataOutputStream(plain.getOutputStream)
     o.writeInt(8); o.writeInt(80877103); o.flush()
     val answer = plain.getInputStream.read()
-    if (answer != 'S') {
+    // only a clean 'N' is a refusal `prefer` may fall back from; an
+    // ErrorResponse or EOF leaves the stream in a state no startup can
+    // follow (the remaining error bytes would be misread as a message
+    // header), so both fail loudly regardless of mode (review r14)
+    if (answer == 'N') {
       if (sslMode == "require")
         throw new java.io.IOException(
           s"sslmode=require but server at $host:$port refused SSL " +
-            s"(answered '${answer.toChar}'; is ssl=on?)")
+            "(answered 'N'; is ssl=on?)")
       return plain // prefer: fall back to plaintext, like libpq
     }
+    if (answer == 'E') {
+      val in = new DataInputStream(plain.getInputStream)
+      val n = in.readInt() - 4
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      throw new java.io.IOException(
+        s"SSLRequest rejected by $host:$port: ${errorText(b)}")
+    }
+    if (answer != 'S')
+      throw new java.io.IOException(
+        s"SSLRequest to $host:$port got unexpected reply " +
+          (if (answer < 0) "EOF (connection closed)" else s"0x${answer.toHexString}"))
     // `require` semantics (libpq): encrypt, do NOT verify the chain —
     // self-signed server certs are the norm off a managed CA. verify-ca/
     // verify-full are rejected at parse time, never downgraded.

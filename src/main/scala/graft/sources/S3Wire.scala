@@ -345,12 +345,16 @@ object S3Wire extends Serializable {
 
   /** env < standard JVM `aws.*` properties < explicit options — the one
     * resolution chain for every surface (CLI `--s3-wire`, the `graft-s3`
-    * table); a NON-AWS endpoint implies path-style addressing unless
-    * overridden, wherever it came from — env, property, or option
-    * (ADVICE r13: an `AWS_ENDPOINT_URL` of `http://ip:port` without the
-    * force-path-style flag must not synthesize `bucket.127.0.0.1`).
-    * Option keys are lower-case: endpoint, region, accesskey, secretkey,
-    * pathstyle (true/TRUE/1). */
+    * table); a NON-AWS endpoint implies path-style addressing AS A
+    * DEFAULT, wherever the endpoint came from — env, property, or
+    * option (ADVICE r13: an `AWS_ENDPOINT_URL` of `http://ip:port`
+    * without the force-path-style flag must not synthesize
+    * `bucket.127.0.0.1`) — but an EXPLICITLY SET
+    * `AWS_S3_FORCE_PATH_STYLE` (either value) or `pathstyle` option
+    * always wins, so a vhost-only non-AWS gateway stays reachable with
+    * `AWS_S3_FORCE_PATH_STYLE=false` (review r14). Option keys are
+    * lower-case: endpoint, region, accesskey, secretkey, pathstyle
+    * (true/TRUE/1). */
   def resolveConf(opts: Map[String, String]): S3Conf = {
     val base = confFromEnv(sys.env)
     val withProps = base.copy(
@@ -363,13 +367,14 @@ object S3Wire extends Serializable {
     // only real AWS endpoints can resolve bucket.host virtual-host names
     val awsHost = Option(URI.create(endpoint).getHost)
       .exists(_.endsWith(".amazonaws.com"))
+    val explicit = opts.get("pathstyle").map(truthy)
+      .orElse(sys.env.get("AWS_S3_FORCE_PATH_STYLE").map(truthy))
     withProps.copy(
       endpoint = endpoint,
       region = opts.getOrElse("region", withProps.region),
       accessKey = opts.getOrElse("accesskey", withProps.accessKey),
       secretKey = opts.getOrElse("secretkey", withProps.secretKey),
-      pathStyle = opts.get("pathstyle").map(truthy).getOrElse(
-        withProps.pathStyle || !awsHost))
+      pathStyle = explicit.getOrElse(!awsHost))
   }
 
   // --- recursive shard planning (VERDICT r13 #4) ---------------------------
@@ -413,13 +418,15 @@ object S3Wire extends Serializable {
           }))
     }.flatten
 
-  /** Delimiter-drain with a page cap: `None` when the prefix's direct
-    * level is larger than `maxPages` pages — the planner then leaves the
-    * whole prefix to one executor cursor instead of pulling an unbounded
-    * direct-object listing onto the driver. */
+  /** Delimiter-drain continuing from an already-fetched `first` page,
+    * with a page cap: `None` when the prefix's direct level is larger
+    * than `maxPages` pages — the planner then leaves the whole prefix
+    * to executor cursors instead of pulling an unbounded direct-object
+    * listing onto the driver. */
   private def drainBounded(conf: S3Conf, bucketName: String, prefix: String,
-      maxKeys: Int, maxPages: Int): Option[(Seq[S3Object], Seq[String])] = {
-    var page = listPage(conf, bucketName, prefix, None, Some("/"), maxKeys)
+      maxKeys: Int, maxPages: Int, first: ListPage)
+      : Option[(Seq[S3Object], Seq[String])] = {
+    var page = first
     var objs = page.objects
     var prefixes = page.commonPrefixes
     var pages = 1
@@ -457,21 +464,32 @@ object S3Wire extends Serializable {
     *    single cursor (empty ranges cost one empty page each), never
     *    lose keys — adjacent shards share their boundary.
     *
-    * Driver memory is bounded by `shardBudget` expansions × `maxKeys`
-    * probe objects (defaults: ≤ 64k keys ≈ a few MB); planning requests
-    * by `shardBudget` × `maxPlanPages`. `maxDepth = 0` reproduces the
-    * r13 single-level behavior exactly. */
+    * EVERY driver-side planning request is charged against
+    * `shardBudget` — probes of complete subtrees included — so for a
+    * WIDE namespace (50k small prefixes) planning stops after the
+    * budget and the remaining prefixes become plain executor cursors,
+    * exactly the r13 plan: driver requests ≤ `shardBudget` ×
+    * (2 + `maxPlanPages`), pre-listed driver memory ≤ `shardBudget` ×
+    * `maxKeys` objects (defaults: ≤ 64k keys ≈ a few MB). `maxDepth =
+    * 0` reproduces the r13 single-level behavior exactly. */
   def planShards(conf: S3Conf, bucketName: String, prefix: String,
       maxKeys: Int = 1000, maxDepth: Int = 2, shardBudget: Int = 64,
       maxPlanPages: Int = 32, flatFanout: Int = 15): ShardPlan = {
     val objs = Seq.newBuilder[S3Object]
+    var objCount = 0L
+    def preList(os: Seq[S3Object]): Unit = { objs ++= os; objCount += os.size }
     val leaves = Seq.newBuilder[LeafShard]
     var budget = shardBudget
     def flatSplit(c: String): Unit =
       if (flatFanout <= 0) leaves += LeafShard(c)
       else {
         // hex boundary chars: uniform over hash-prefixed keys, merely
-        // unbalanced (never wrong) over other alphabets
+        // unbalanced (never wrong) over other alphabets. Boundaries
+        // MUST stay ASCII: every key-vs-boundary comparison then agrees
+        // between S3's UTF-8 byte order and the JVM's UTF-16 order
+        // (the first differing unit is ASCII-vs-anything, where both
+        // orders rank identically), which listShard's stop test relies
+        // on.
         val bs = "123456789abcdef".take(flatFanout).map(ch => c + ch)
         leaves += LeafShard(c, None, bs.headOption)
         bs.sliding(2).withFilter(_.size == 2)
@@ -479,23 +497,34 @@ object S3Wire extends Serializable {
         leaves += LeafShard(c, bs.lastOption, None)
       }
     def child(c: String, depth: Int): Unit = {
-      if (depth <= 0 || budget <= 0) { leaves += LeafShard(c); return }
+      // probes are NOT free: charge the budget for every child touched,
+      // or a namespace of 50k SMALL prefixes would serialize 50k driver
+      // probe requests and pull 50k pages into preListed (review r14) —
+      // past the budget, children fall back to plain cursors (r13 shape)
+      // the pre-list cap bounds DRIVER MEMORY the same way the budget
+      // bounds requests: past `shardBudget × maxKeys` held objects,
+      // further children ride executor cursors instead
+      if (depth <= 0 || budget <= 0 ||
+        objCount > shardBudget.toLong * maxKeys) {
+        leaves += LeafShard(c); return
+      }
+      budget -= 1
       val probe = listPage(conf, bucketName, c, None, None, maxKeys)
-      if (probe.nextToken.isEmpty) { objs ++= probe.objects; return }
+      if (probe.nextToken.isEmpty) { preList(probe.objects); return }
       // hot subtree — ONE delimiter page decides flat vs hierarchical
       // BEFORE any drain, so a flat 10⁸-key level is never pulled onto
       // the driver just to be discarded (probe objects are likewise
       // discarded: whatever covers c next re-lists from scratch, so
       // nothing double counts)
-      budget -= 1
       val d1 = listPage(conf, bucketName, c, None, Some("/"), maxKeys)
       if (d1.commonPrefixes.isEmpty) flatSplit(c)
       // (a truncated all-objects first delimiter page may still hide
       // children on later pages — the range shards cover their keys
       // regardless, they just don't recurse)
-      else drainBounded(conf, bucketName, c, maxKeys, maxPlanPages) match {
+      else drainBounded(conf, bucketName, c, maxKeys, maxPlanPages,
+        d1) match {
         case Some((direct, children)) =>
-          objs ++= direct
+          preList(direct)
           children.foreach(child(_, depth - 1))
         case None => flatSplit(c) // oversized direct level: ranges cover all
       }
@@ -503,7 +532,7 @@ object S3Wire extends Serializable {
     // the root level is always delimiter-drained (the r13 behavior);
     // its truncation is already handled page-by-page in shardListing
     val (rootObjs, prefixes) = shardListing(conf, bucketName, prefix, maxKeys)
-    objs ++= rootObjs
+    preList(rootObjs)
     prefixes.foreach(child(_, maxDepth))
     ShardPlan(objs.result(), leaves.result())
   }

@@ -63,6 +63,13 @@ object ScrapeTws {
     * ADVICE r11), metadata, tombstone, and the armed timer deadline
     * (so a refresh can retire the stale deadline and keep timers at
     * one per key). */
+  /** State-schema note: r14 added `seqMs`/`seq`, which a checkpoint
+    * written by an older build cannot resume into (Spark's state-schema
+    * compatibility check fails the restart loudly rather than
+    * misreading state). A deployment upgrading across that boundary
+    * replays the event log into a fresh checkpoint — the log IS the
+    * durable record ([[snapshotOf]] reconstructs state from it); no
+    * silent-corruption path exists. */
   case class FileState(source: String, path: String, filename: String,
       mime: Option[String], created: Option[Long], modified: Option[Long],
       size: Option[Long], deleted: Option[Long], armed: Long,

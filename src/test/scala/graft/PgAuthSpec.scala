@@ -296,6 +296,17 @@ class PgAuthSpec extends AnyFunSuite {
     assert(PgMerge.parsePgTarget("127.0.0.1:54329/postgres") ==
       PgMerge.PgTarget("127.0.0.1", 54329, "postgres", None, None,
         "disable"))
+    // a TYPO'D parameter KEY fails loudly — `sslmod=require` silently
+    // connecting in plaintext would be the silent downgrade the
+    // verify-* rejection exists to prevent (review r14)
+    val typo = intercept[IllegalArgumentException](
+      PgMerge.parsePgTarget("postgres://h/d?sslmod=require"))
+    assert(typo.getMessage.contains("sslmod"), typo.getMessage)
+    // percent-escapes take exactly two hex DIGITS (no signed parses)
+    intercept[IllegalArgumentException](
+      PgMerge.parsePgTarget("postgres://u:%+4@h/d"))
+    intercept[IllegalArgumentException](
+      PgMerge.parsePgTarget("postgres://u:%4@h/d")) // truncated
   }
 
   test("sslmode=require fails loudly when the server refuses SSL " +

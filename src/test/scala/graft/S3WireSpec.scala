@@ -58,6 +58,23 @@ class S3WireSpec extends AnyFunSuite {
     assert(S3Wire.splitKey("d/") == ("/d", ""))
   }
 
+  test("resolveConf path-style resolution: non-AWS endpoints default to " +
+      "path-style, explicit settings always win (review r14)") {
+    // no env interference expected: the harness sets no AWS_* vars
+    assume(!sys.env.contains("AWS_S3_FORCE_PATH_STYLE") &&
+      !sys.env.contains("AWS_ENDPOINT_URL"))
+    // a custom endpoint from OPTIONS defaults to path-style
+    assert(S3Wire.resolveConf(Map(
+      "endpoint" -> "http://127.0.0.1:9000")).pathStyle)
+    // …but an explicit pathstyle=false option wins (vhost-only gateway)
+    assert(!S3Wire.resolveConf(Map(
+      "endpoint" -> "https://s3.mycorp.example",
+      "pathstyle" -> "false")).pathStyle)
+    // real AWS endpoints keep virtual-host addressing by default
+    assert(!S3Wire.resolveConf(Map.empty).pathStyle)
+    assert(S3Wire.resolveConf(Map("pathstyle" -> "1")).pathStyle)
+  }
+
   test("env contract matches the reference's client config (s3.rs:24-49)") {
     val c = S3Wire.confFromEnv(Map(
       "AWS_ENDPOINT_URL" -> "http://127.0.0.1:9000",

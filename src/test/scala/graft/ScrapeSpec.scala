@@ -110,7 +110,10 @@ class ScrapeSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val keys = Seq("a/b/c.txt", "top.json", "d/", "", "x//y", "/lead.txt",
-      "a b/é漢/x y.bin", "dot.d/.hidden", "tab\there/n l.bin")
+      "a b/é漢/x y.bin", "dot.d/.hidden", "tab\there/n l.bin",
+      // newlines are legal in POSIX names: bare `.`/`$` regexes stop
+      // at/before a line terminator and desync from the index split
+      "new\nline/dir\n2/f.txt", "trail/name\n", "nl\nroot")
     val (path, filename) = Scrape.splitKeyCols(col("key"))
     val got = keys.toDF("key")
       .select(col("key"), path.as("p"), filename.as("f"))
