@@ -309,9 +309,20 @@ object PgMerge {
 
   /** [[markDeletedSql]] with the source bound as a quoted literal — the
     * simple-query protocol has no bind step; the statement text is
-    * otherwise VERBATIM (the generated SQL contains exactly one `?`). */
+    * otherwise VERBATIM (the generated SQL contains exactly one `?`).
+    * Retained for callers stuck on the simple protocol;
+    * [[publishScanWire]] itself binds through [[markDeletedSqlWire]]. */
   def markDeletedSqlLiteral(scratch: String, externalSource: String): String =
     markDeletedSql(scratch).replace("?", PgWireClient.sqlLit(externalSource))
+
+  /** [[markDeletedSql]] with the wire protocol's positional parameter —
+    * `$1` is the one token that differs from the JDBC API's `?`; the
+    * statement text is otherwise identical, and the source travels as a
+    * REAL extended-protocol bind ([[PgWireClient.execBound]]), the same
+    * prepared-statement shape the reference's sqlx uses
+    * (`db.rs:48-65`). */
+  def markDeletedSqlWire(scratch: String): String =
+    markDeletedSql(scratch).replace("?", "$1")
 
   /** [[readCurrent]] over the v3 wire protocol — a DISTRIBUTED read with
     * no JDBC jar: `numPartitions` executor tasks each open one wire
@@ -454,7 +465,10 @@ object PgMerge {
           c.exec(dedupSql(scratch))
           // named-constraint target, verbatim statement templates
           c.exec(upsertSql(dedupedName(scratch)))
-          c.exec(markDeletedSqlLiteral(dedupedName(scratch), externalSource))
+          // J2 with a REAL bind: the extended protocol carries the
+          // source as $1 — sqlx parity, and injection-proof by type
+          c.execBound(markDeletedSqlWire(dedupedName(scratch)),
+            Seq(Some(externalSource)))
           c.exec(s"DROP TABLE ${dedupedName(scratch)}")
           c.exec(s"DROP TABLE $scratch")
           c.exec("COMMIT")

@@ -371,6 +371,62 @@ final class PgWireClient(host: String, port: Int, user: String,
   /** Execute a statement; returns the affected-row count. */
   def exec(sql: String): Long = simpleQuery(sql)._2
 
+  /** Execute one statement through the EXTENDED-QUERY protocol
+    * (Parse → Bind → Execute → Sync) with text-format parameters bound
+    * to `$1…$n` — the same prepared-statement path the reference's
+    * sqlx drives (`db.rs:48-65` binds its source as `$1`), so the
+    * tombstone statement runs VERBATIM with a real bind instead of a
+    * quoted literal. `None` binds SQL NULL. On error the backend skips
+    * to Sync and the cycle still closes with ReadyForQuery, so the
+    * connection stays usable (raised after the drain, like [[exec]]).
+    * Returns the affected-row count. */
+  def execBound(sql: String, params: Seq[Option[String]]): Long = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(buf)
+    // Parse: unnamed statement, no pre-declared parameter types (the
+    // backend infers them from the statement)
+    d.writeByte(0) // statement name ""
+    d.write(sql.getBytes(UTF_8)); d.writeByte(0)
+    d.writeShort(0)
+    send('P', buf.toByteArray); buf.reset()
+    // Bind: unnamed portal ← unnamed statement, all-text params/results
+    d.writeByte(0) // portal ""
+    d.writeByte(0) // statement ""
+    d.writeShort(0) // parameter format codes: default text
+    d.writeShort(params.size)
+    params.foreach {
+      case None => d.writeInt(-1)
+      case Some(v) =>
+        val b = v.getBytes(UTF_8)
+        d.writeInt(b.length); d.write(b)
+    }
+    d.writeShort(0) // result format codes: default text
+    send('B', buf.toByteArray); buf.reset()
+    // Execute: unnamed portal, no row limit
+    d.writeByte(0)
+    d.writeInt(0)
+    send('E', buf.toByteArray); buf.reset()
+    send('S', Array.emptyByteArray) // Sync closes the cycle with Z
+    out.flush()
+    var affected = 0L
+    var err: Option[String] = None
+    var done = false
+    while (!done) read() match {
+      case ('1', _) | ('2', _) => () // ParseComplete / BindComplete
+      case ('T', _) | ('D', _) | ('s', _) => () // rows: not exec's concern
+      case ('C', body) =>
+        affected = cstrings(body).headOption.getOrElse("").split(' ')
+          .lastOption.flatMap(_.toLongOption).getOrElse(0L)
+      case ('E', body) => err = err.orElse(Some(errorText(body)))
+      case ('N', _) | ('S', _) | ('A', _) | ('I', _) => ()
+      case ('Z', _) => done = true
+      case (t, _) => throw new java.io.IOException(
+        s"unexpected backend message '$t' in extended query")
+    }
+    err.foreach(m => throw new java.sql.SQLException(m))
+    affected
+  }
+
   /** Execute a query; rows as text fields (None = SQL NULL). Buffers the
     * whole result — use [[queryStream]] for reads whose size an executor
     * heap shouldn't have to hold. */

@@ -116,6 +116,40 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("extended protocol: execBound runs Parse/Bind/Execute/Sync with " +
+      "real text-format binds (NULL, quotes, unicode) and recovers from " +
+      "errors — the sqlx prepared-statement shape (db.rs:48-65)") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      c.exec("DROP TABLE IF EXISTS pgwire_bind")
+      c.exec("CREATE TABLE pgwire_bind (k TEXT, n BIGINT)")
+      // adversarial bind values travel as DATA, not as statement text
+      val hostile = "x'; DROP TABLE pgwire_bind; --é漢\n\t\\"
+      assert(c.execBound("INSERT INTO pgwire_bind VALUES ($1, $2)",
+        Seq(Some(hostile), Some("1"))) == 1L)
+      assert(c.execBound("INSERT INTO pgwire_bind VALUES ($1, $2)",
+        Seq(None, Some("2"))) == 1L)
+      assert(t(c, s"SELECT k = ${PgWireClient.sqlLit(hostile)} " +
+        "FROM pgwire_bind WHERE n = 1"), "bound value arrives byte-exact")
+      assert(t(c, "SELECT k IS NULL FROM pgwire_bind WHERE n = 2"))
+      assert(c.execBound("UPDATE pgwire_bind SET n = n + 1 WHERE $1 = $1",
+        Seq(Some("x"))) == 2L, "affected count from CommandComplete")
+      // an error inside the extended cycle drains to ReadyForQuery
+      intercept[java.sql.SQLException](
+        c.execBound("INSERT INTO pgwire_bind VALUES ($1, $2)",
+          Seq(Some("a"), Some("not-a-number"))))
+      assert(c.queryOne("SELECT count(*) FROM pgwire_bind") == Some("2"),
+        "connection (and data) intact after a failed bound statement")
+      // extended + simple protocols interleave inside one explicit txn
+      c.exec("BEGIN")
+      c.execBound("DELETE FROM pgwire_bind WHERE n = $1", Seq(Some("2")))
+      c.exec("ROLLBACK")
+      assert(c.queryOne("SELECT count(*) FROM pgwire_bind") == Some("2"),
+        "Sync does not end an explicit transaction block")
+      c.exec("DROP TABLE pgwire_bind")
+    }
+  }
+
   test("publishScanWire end-to-end: all pgmerge_live_check scenarios " +
       "through the engine (real PostgreSQL, named constraint verbatim)") {
     assume(live, s"no PostgreSQL server at $host:$port")
