@@ -281,6 +281,11 @@ final class PgWireClient(host: String, port: Int, user: String,
     // server-first-message: r=<nonce>,s=<b64 salt>,i=<iterations>
     val serverFirst = saslRead(11, "SASLContinue")
     val attrs = serverFirst.split(",").map(a => a(0) -> a.drop(2)).toMap
+    // RFC 5802 §7: a mandatory extension this client doesn't implement
+    // MUST abort the exchange (PG never sends one; a proxy might)
+    if (attrs.contains('m'))
+      throw new java.io.IOException(
+        s"SCRAM: unsupported mandatory extension m=${attrs('m')}")
     val serverNonce = attrs('r')
     if (!serverNonce.startsWith(clientNonce))
       throw new java.io.IOException(
