@@ -368,7 +368,6 @@ object PgMerge {
       StructField("size", LongType),
       StructField("deleted", TimestampType)))
     val n = numPartitions
-    val srcLit = PgWireClient.sqlLit(externalSource)
     val rdd = spark.sparkContext
       .parallelize(0 until n, n)
       .mapPartitions { shards =>
@@ -383,15 +382,18 @@ object PgMerge {
           // coalesce: a NULL path/filename would NULL the hash and
           // match NO shard, silently dropping the row (PG UNIQUE
           // permits NULL key components); abs AFTER the bigint cast —
-          // abs(INT_MIN) overflows int4
-          val rows = c.queryStream(
+          // abs(INT_MIN) overflows int4. The source travels as a REAL
+          // $1 bind (extended protocol) — sqlx parity with the
+          // reference's own reads (db.rs:101-104); shard numbers are
+          // engine-generated ints, inlined.
+          val rows = c.queryStreamBound(
             s"""SELECT external_source, path, filename, mime_type,
                |  created, modified, size, deleted
                |FROM $table
-               |WHERE external_source = $srcLit
+               |WHERE external_source = $$1
                |  AND abs(hashtext(coalesce(path, '') ||
                |    coalesce(filename, ''))::bigint) % $n = $shard"""
-              .stripMargin)
+              .stripMargin, Seq(Some(externalSource)))
           new scala.collection.AbstractIterator[Row] {
             override def hasNext: Boolean = {
               val h = rows.hasNext

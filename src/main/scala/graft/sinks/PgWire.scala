@@ -376,16 +376,14 @@ final class PgWireClient(host: String, port: Int, user: String,
   /** Execute a statement; returns the affected-row count. */
   def exec(sql: String): Long = simpleQuery(sql)._2
 
-  /** Execute one statement through the EXTENDED-QUERY protocol
-    * (Parse → Bind → Execute → Sync) with text-format parameters bound
-    * to `$1…$n` — the same prepared-statement path the reference's
-    * sqlx drives (`db.rs:48-65` binds its source as `$1`), so the
-    * tombstone statement runs VERBATIM with a real bind instead of a
-    * quoted literal. `None` binds SQL NULL. On error the backend skips
-    * to Sync and the cycle still closes with ReadyForQuery, so the
-    * connection stays usable (raised after the drain, like [[exec]]).
-    * Returns the affected-row count. */
-  def execBound(sql: String, params: Seq[Option[String]]): Long = {
+  /** One EXTENDED-QUERY cycle's frontend half (Parse → Bind → Execute →
+    * Sync) with text-format parameters bound to `$1…$n` — the same
+    * prepared-statement path the reference's sqlx drives (`db.rs:48-65`
+    * binds its source as `$1`). `None` binds SQL NULL. On error the
+    * backend skips to Sync and the cycle still closes with
+    * ReadyForQuery, so the connection stays usable (consumers raise
+    * after the drain, like [[exec]]). */
+  private def sendExtended(sql: String, params: Seq[Option[String]]): Unit = {
     val buf = new java.io.ByteArrayOutputStream()
     val d = new DataOutputStream(buf)
     // Parse: unnamed statement, no pre-declared parameter types (the
@@ -413,6 +411,13 @@ final class PgWireClient(host: String, port: Int, user: String,
     send('E', buf.toByteArray); buf.reset()
     send('S', Array.emptyByteArray) // Sync closes the cycle with Z
     out.flush()
+  }
+
+  /** Execute one statement through the extended protocol
+    * ([[sendExtended]]); returns the affected-row count — the bound
+    * analog of [[exec]], used for the tombstone UPDATE's `$1` source. */
+  def execBound(sql: String, params: Seq[Option[String]]): Long = {
+    sendExtended(sql, params)
     var affected = 0L
     var err: Option[String] = None
     var done = false
@@ -452,6 +457,22 @@ final class PgWireClient(host: String, port: Int, user: String,
   def queryStream(sql: String): Iterator[Vector[Option[String]]] = {
     send('Q', sql.getBytes(UTF_8) :+ 0.toByte)
     out.flush()
+    rowIterator()
+  }
+
+  /** [[queryStream]] through the EXTENDED protocol with `$1…$n` binds —
+    * parameters travel as protocol-level data (see [[execBound]]), rows
+    * stream incrementally exactly like the simple form. */
+  def queryStreamBound(sql: String,
+      params: Seq[Option[String]]): Iterator[Vector[Option[String]]] = {
+    sendExtended(sql, params)
+    rowIterator()
+  }
+
+  /** Incremental row pump shared by both protocols: the extended form's
+    * ParseComplete/BindComplete ('1'/'2') are no-ops to the simple form
+    * and vice versa; both cycles end with ReadyForQuery ('Z'). */
+  private def rowIterator(): Iterator[Vector[Option[String]]] =
     new scala.collection.AbstractIterator[Vector[Option[String]]] {
       private var nextRow: Vector[Option[String]] = _
       private var done = false
@@ -461,7 +482,7 @@ final class PgWireClient(host: String, port: Int, user: String,
         while (nextRow == null && !done) read() match {
           case ('D', body) => nextRow = parseDataRow(body)
           case ('T', _) | ('C', _) | ('N', _) | ('S', _) | ('A', _) |
-               ('I', _) => ()
+               ('I', _) | ('1', _) | ('2', _) | ('s', _) => ()
           case ('E', body) => err = err.orElse(Some(errorText(body)))
           case ('Z', _) => done = true
           case (t, _) => throw new java.io.IOException(
@@ -478,7 +499,6 @@ final class PgWireClient(host: String, port: Int, user: String,
         r
       }
     }
-  }
 
   // --- COPY FROM STDIN (text format) -------------------------------------
 

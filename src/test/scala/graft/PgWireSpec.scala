@@ -347,6 +347,15 @@ class PgWireSpec extends AnyFunSuite {
     assert(f7.getLong(6) == 7L && f7.isNullAt(7))
     // the tombstone column survives the round trip (undead.txt seed)
     assert(rows.count(!_.isNullAt(7)) == 1)
+    // the source travels as a $1 BIND: a hostile name (quotes,
+    // backslash, newline) selects exactly its own slice
+    val hostile = "s'; DROP--\\\nsrc"
+    withClient(_.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+      s"(${PgWireClient.sqlLit(hostile)}, '/h', 'f', 'text/plain', " +
+      s"NULL, TIMESTAMPTZ '$T1', 1, NULL)"))
+    val h = PgMerge.readCurrentWire(spark, host, port, db, user, hostile,
+      numPartitions = 2).collect()
+    assert(h.length == 1 && h(0).getString(0) == hostile)
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
