@@ -99,8 +99,15 @@ object Main {
     // immutable in-JVM, so tests pin the contract through it).
     val envUrl = sys.props.get("graft.databaseUrl")
       .orElse(sys.env.get("DATABASE_URL")).filter(_.nonEmpty)
-    if (pg.isEmpty && jdbc.isEmpty && out.isEmpty && !streamEvents)
+    if (pg.isEmpty && jdbc.isEmpty && out.isEmpty && !streamEvents
+        && envUrl.nonEmpty) {
       pg = envUrl
+      // an env var silently rerouting the scan from the local parquet
+      // default to a REMOTE database deserves one visible line — the
+      // var may be set for unrelated reasons (ADVICE r14)
+      println("graft: sink resolved from DATABASE_URL (no sink flag " +
+        "given) — publishing to the database it names, not ./scan_out")
+    }
     // validate the sink address BEFORE any listing runs — a typo must
     // not surface only after a multi-hour bucket scan (review r13).
     // Accepts HOST:PORT/DB or the reference's credentialed
@@ -216,7 +223,8 @@ object Main {
             .orElse(sys.env.get("PGPASSWORD").filter(_.nonEmpty))
           results.foreach { case (src, df) =>
             sinks.PgMerge.publishScanWire(df, t.host, t.port, t.database,
-              pgUser, src, password = pgPass, sslMode = t.sslMode)
+              pgUser, src, password = pgPass, sslMode = t.sslMode,
+              sslRootCert = t.sslRootCert)
           }
         case _ =>
           // the cycle number is the batch id so each rescan's tombstones

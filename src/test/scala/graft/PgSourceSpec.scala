@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{PgMerge, PgWireClient}
+
+/** LIVE coverage for the `graft-pg` DataSource V2 table (VERDICT r14
+  * #1): `spark.read.format("graft-pg")` is the planner-integrated read
+  * half of the reference product — COPY TO STDOUT bulk transport, hash
+  * sharding across executor tasks, and the `external_source` equality
+  * predicate PUSHED into the remote statement. Requires the harness
+  * PostgreSQL (trust auth, 127.0.0.1:54329); every test cancels cleanly
+  * when no server is reachable. */
+class PgSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val host = sys.env.getOrElse("PGWIRE_HOST", "127.0.0.1")
+  private val port = sys.env.get("PGPORT").flatMap(_.toIntOption)
+    .getOrElse(54329)
+  private val db = "postgres"
+  private def url = s"$host:$port/$db"
+
+  private def live: Boolean =
+    try { new PgWireClient(host, port, "postgres", db).close(); true }
+    catch { case _: Throwable => false }
+
+  private def withClient[A](f: PgWireClient => A): A = {
+    val c = new PgWireClient(host, port, "postgres", db)
+    try f(c) finally c.close()
+  }
+
+  private def createTable(c: PgWireClient): Unit = {
+    c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
+    c.exec(
+      s"""CREATE TABLE ${PgMerge.table} (
+         |  external_source TEXT, path TEXT, filename TEXT, mime_type TEXT,
+         |  created TIMESTAMPTZ, modified TIMESTAMPTZ, size BIGINT,
+         |  deleted TIMESTAMPTZ,
+         |  CONSTRAINT ${PgMerge.constraint}
+         |    UNIQUE (external_source, path, filename))""".stripMargin)
+  }
+
+  test("graft-pg: the external_source predicate is PUSHED to the remote " +
+      "statement (visible in the plan), residual filters stay Spark-side, " +
+      "and the slice is exact — incl. a hostile source name") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT 'P' || (i % 3), '/d' || (i % 7), 'f' || i, 'text/plain', " +
+        "NULL, TIMESTAMPTZ '2026-01-02 03:04:05.678901+00', i, " +
+        "CASE WHEN i % 10 = 0 THEN now() END " +
+        "FROM generate_series(1, 3000) g(i)")
+    }
+    import org.apache.spark.sql.functions._
+    val reader = spark.read.format("graft-pg").option("url", url)
+    val df = reader.load()
+      .filter(col("external_source") === "P1")
+      .filter(col("size") <= 100) // NOT pushable: must apply post-scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [external_source = P1]"),
+      s"pushdown visible in the plan:\n$plan")
+    val rows = df.collect()
+    // i % 3 == 1 && i <= 100 → i in {1,4,…,100}: 34 rows
+    assert(rows.length == 34, s"got ${rows.length}")
+    assert(rows.forall(_.getString(0) == "P1"))
+    assert(rows.forall(_.getLong(6) <= 100))
+    // deleted tombstones and micros-exact timestamps survive
+    val all = reader.load().filter(col("external_source") === "P0").collect()
+    assert(all.length == 1000)
+    assert(all.count(!_.isNullAt(7)) == 100, "every 10th row tombstoned")
+    assert(all.head.getTimestamp(5).toInstant ==
+      java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))
+    // NO filter: the whole table crosses (all three sources)
+    assert(reader.load().count() == 3000)
+    // hostile source name travels safely as a COPY literal
+    val hostile = "p'; DROP--\\\nsrc"
+    withClient(_.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+      s"(${PgWireClient.sqlLit(hostile)}, '/h', 'f', 'text/plain', " +
+      "NULL, now(), 1, NULL)"))
+    val h = reader.load().filter(col("external_source") === hostile)
+    assert(h.count() == 1)
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
+  test("graft-pg reads 10^6 rows through COPY TO STDOUT with equality " +
+      "to readCurrentWire, partition-count control, and no leaked " +
+      "connections") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT CASE WHEN i <= 1000000 THEN 'BIG' ELSE 'OTHER' END, " +
+        "'/p' || (i % 97), 'f' || i, 'text/plain', " +
+        "NULL, TIMESTAMPTZ '2026-01-02 03:04:05.678901+00', i, NULL " +
+        "FROM generate_series(1, 1001000) g(i)")
+    }
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-pg")
+      .option("url", s"postgres://postgres@$host:$port/$db?sslmode=prefer")
+      .option("partitions", "8")
+      .load()
+      .filter(col("external_source") === "BIG")
+    assert(df.rdd.getNumPartitions == 8, "partitions option honored")
+    val agg = df.agg(count(lit(1)), sum("size"), countDistinct("filename"),
+      max("modified")).collect()(0)
+    assert(agg.getLong(0) == 1000000L, "the OTHER slice never crossed")
+    assert(agg.getLong(1) == 500000500000L) // n(n+1)/2
+    assert(agg.getLong(2) == 1000000L, "shards disjoint AND complete")
+    assert(agg.getTimestamp(3).toInstant ==
+      java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))
+    // equality with the library-call form (same transport, same slice)
+    val viaCall = PgMerge.readCurrentWire(spark, host, port, db,
+      "postgres", "BIG", numPartitions = 8)
+      .agg(count(lit(1)), sum("size"), countDistinct("filename")).collect()(0)
+    assert(viaCall.getLong(0) == agg.getLong(0) &&
+      viaCall.getLong(1) == agg.getLong(1) &&
+      viaCall.getLong(2) == agg.getLong(2))
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+}

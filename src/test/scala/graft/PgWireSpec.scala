@@ -347,8 +347,10 @@ class PgWireSpec extends AnyFunSuite {
     assert(f7.getLong(6) == 7L && f7.isNullAt(7))
     // the tombstone column survives the round trip (undead.txt seed)
     assert(rows.count(!_.isNullAt(7)) == 1)
-    // the source travels as a $1 BIND: a hostile name (quotes,
-    // backslash, newline) selects exactly its own slice
+    // COPY statements cannot carry extended-protocol binds, so the
+    // source travels as a standard_conforming_strings LITERAL in the
+    // remote COPY: a hostile name (quotes, backslash, newline) must
+    // still select exactly its own slice
     val hostile = "s'; DROP--\\\nsrc"
     withClient(_.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
       s"(${PgWireClient.sqlLit(hostile)}, '/h', 'f', 'text/plain', " +
@@ -494,5 +496,158 @@ class PgWireSpec extends AnyFunSuite {
         s"${PgMerge.table} WHERE filename = ''"), "max int8 size")
       c.exec(s"DROP TABLE ${PgMerge.table}")
     }
+  }
+
+  test("copyOut: COPY TO STDOUT decodes every COPY-out escape " +
+      "(\\b \\f \\n \\r \\t \\v \\\\ \\N) bit-exactly against copyIn, " +
+      "streams incrementally, and recovers from errors") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      c.exec("DROP TABLE IF EXISTS pgwire_copyout")
+      c.exec("CREATE TABLE pgwire_copyout (i INT, s TEXT)")
+      // every control char COPY TO escapes, plus quotes/unicode/empty;
+      // raw \u000b and \b/\f exercise the escapes copyIn never EMITS
+      // (copyField passes them raw — legal COPY input) but COPY TO does
+      val vals: Seq[Option[String]] = Seq(
+        Some("plain"), Some(""), None, Some("tab\there"), Some("nl\nhere"),
+        Some("cr\rhere"), Some("back\\slash"), Some("bell\bbs"),
+        Some("ff\fff"), Some("vt\u000bvt"), Some("\\N"), // literal ≠ NULL
+        Some("q'u\"ote"), Some("é漢" +
+          new String(Character.toChars(0x1F642))))
+      val n = c.copyIn("COPY pgwire_copyout (i, s) FROM STDIN",
+        vals.indices.iterator.map(i => PgWireClient.copyRow(
+          Seq(Some(i.toString), vals(i)))))
+      assert(n == vals.size.toLong)
+      val back = c.copyOut(
+        "COPY (SELECT i, s FROM pgwire_copyout ORDER BY i) TO STDOUT")
+        .toVector
+      assert(back.size == vals.size)
+      back.foreach { f =>
+        val i = f(0).get.toInt
+        assert(f(1) == vals(i), s"value $i mangled: got ${f(1)} " +
+          s"want ${vals(i)}")
+      }
+      // connection reusable after exhaustion
+      assert(c.queryOne("SELECT 6 * 7") == Some("42"))
+      // an error (bad statement) drains clean and raises
+      intercept[java.sql.SQLException](
+        c.copyOut("COPY (SELECT 1/0) TO STDOUT").toVector)
+      assert(c.queryOne("SELECT 8") == Some("8"))
+      c.exec("DROP TABLE pgwire_copyout")
+    }
+    // incrementality at the byte layer, same proof shape as queryStream:
+    // the first row of a ~27 MB COPY arrives after a bounded read
+    val c2 = new PgWireClient(host, port, user, db)
+    try {
+      val before = c2.bytesReceived
+      val it = c2.copyOut("COPY (SELECT i, repeat('x', 120) " +
+        "FROM generate_series(1, 200000) g(i)) TO STDOUT")
+      assert(it.next()(0) == Some("1"))
+      val afterFirst = c2.bytesReceived - before
+      assert(afterFirst < (1L << 20),
+        s"first row cost $afterFirst bytes — the whole COPY result " +
+          "was NOT buffered before delivery")
+      assert(it.size == 199999)
+      assert(c2.bytesReceived - before > (20L << 20))
+    } finally c2.close()
+  }
+
+  test("cancel: CancelRequest stops a running query (57014) and a " +
+      "cancelled shard-read backend leaves pg_stat_activity") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    val c = new PgWireClient(host, port, user, db)
+    try {
+      val marker = "graft_cancel_probe"
+      @volatile var failure: Option[Throwable] = None
+      val runner = new Thread(() => {
+        try { c.query(s"SELECT pg_sleep(30) /* $marker */"); () }
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      runner.start()
+      // wait until the server reports the query running
+      withClient { probe =>
+        var tries = 0
+        while (tries < 100 && !t(probe, "SELECT count(*) > 0 FROM " +
+          "pg_stat_activity WHERE query LIKE '%" + marker +
+          "%' AND state = 'active' AND pid <> pg_backend_pid()")) {
+          Thread.sleep(100L); tries += 1
+        }
+        assert(tries < 100, "pg_sleep query never showed up as active")
+        c.cancel()
+        runner.join(10000L)
+        assert(!runner.isAlive, "cancelled query returned")
+        assert(failure.exists(_.getMessage.contains("57014")),
+          s"query failed with 'canceling statement': $failure")
+        // the SESSION survives a cancel (only the query died)
+        assert(c.queryOne("SELECT 9") == Some("9"))
+        // cancelIfActive outside a cycle is a no-op (nothing to cancel)
+        c.cancelIfActive()
+        assert(c.queryOne("SELECT 10") == Some("10"))
+        // after close, the backend is gone from pg_stat_activity — the
+        // shard-read task-kill path (cancelIfActive + close) in one
+        c.close()
+        var gone = false
+        var w = 0
+        while (w < 100 && !gone) {
+          gone = t(probe, "SELECT count(*) = 0 FROM pg_stat_activity " +
+            "WHERE query LIKE '%" + marker + "%' AND pid <> pg_backend_pid()")
+          if (!gone) { Thread.sleep(100L); w += 1 }
+        }
+        assert(gone, "backend still in pg_stat_activity after close")
+      }
+    } finally c.close()
+  }
+
+  test("connect retry: a refusing-then-accepting endpoint is survived " +
+      "by bounded backoff; auth rejections are NOT retried") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    // phase 1: nothing listens on the port → ECONNREFUSED; after ~400 ms
+    // a byte-pump proxy to the real server starts accepting
+    val proxyPort = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val proxyUp = new java.util.concurrent.CountDownLatch(1)
+    val proxy = new Thread(() => {
+      Thread.sleep(400L)
+      val srv = new java.net.ServerSocket(proxyPort, 4,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      proxyUp.countDown()
+      def pump(a: java.io.InputStream, b: java.io.OutputStream): Thread = {
+        val t = new Thread(() => {
+          try {
+            val buf = new Array[Byte](8192)
+            var n = a.read(buf)
+            while (n >= 0) { b.write(buf, 0, n); b.flush(); n = a.read(buf) }
+          } catch { case _: Throwable => () }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      try {
+        val cli = srv.accept()
+        val up = new java.net.Socket(host, port)
+        pump(cli.getInputStream, up.getOutputStream)
+        pump(up.getInputStream, cli.getOutputStream)
+        Thread.sleep(30000L)
+      } catch { case _: Throwable => () }
+    })
+    proxy.setDaemon(true)
+    proxy.start()
+    // attempts=1 right now: fails fast (nothing listening yet)
+    intercept[java.io.IOException](PgWireClient.connect(
+      "127.0.0.1", proxyPort, user, db, attempts = 1))
+    // bounded retry outlives the refusal window and lands on the proxy
+    val c = PgWireClient.connect("127.0.0.1", proxyPort, user, db,
+      attempts = 5, backoffMs = 300)
+    try assert(c.queryOne("SELECT 11") == Some("11")) finally c.close()
+    // an AUTH rejection must throw immediately (SQLException, no retry):
+    // a nonexistent role fails startup deterministically
+    val t0 = System.nanoTime()
+    intercept[java.sql.SQLException](PgWireClient.connect(
+      host, port, "graft_no_such_role_xyz", db, attempts = 5,
+      backoffMs = 2000))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 2000, s"auth rejection took ${elapsedMs}ms — it " +
+      "was retried (the backoff alone would exceed 2000ms)")
   }
 }
