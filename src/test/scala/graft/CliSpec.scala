@@ -165,6 +165,52 @@ class CliSpec extends AnyFunSuite {
     assert(snap("b.txt").nonEmpty, "vanished file's tombstone survives compaction")
   }
 
+  test("--rebuild-state CLI: a deleted checkpoint is rebuilt from the " +
+      "event log and the resumed daemon still tombstones; an EXISTING " +
+      "checkpoint is refused loudly") {
+    import org.apache.spark.sql.functions.col
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_rb")
+    Files.writeString(tree.resolve("keep.txt"), "k")
+    Files.writeString(tree.resolve("drop.txt"), "d")
+    val out = Files.createTempDirectory("cli_rb_out").toString
+    def run(extra: String*): Unit = Main.main(Array("--stream-events",
+      "-i", "cli-rb", tree.toString, "--out", out) ++ extra)
+    run() // inserts for both files, checkpointed
+    val sub = java.net.URLEncoder.encode("cli-rb", "UTF-8")
+    val evDir = s"$out/events/$sub"
+    val ckpt = s"$out/.events-checkpoint/$sub"
+    assert(spark.read.parquet(evDir).count() == 2)
+    // --rebuild-state against a LIVE checkpoint must refuse (Spark would
+    // silently ignore the initial state on resume)
+    val e = intercept[IllegalArgumentException](run("--rebuild-state"))
+    assert(e.getMessage.contains("FRESH checkpoint"), e.getMessage)
+    // the upgrade scenario: checkpoint gone, log is the durable record
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    Files.delete(tree.resolve("drop.txt"))
+    Thread.sleep(5)
+    run("--rebuild-state") // fresh checkpoint seeded from the log
+    // subsequent plain invocations RESUME the rebuilt checkpoint and the
+    // deletion clock still works: drop.txt tombstones within a few scans
+    var dels = Seq.empty[String]
+    var runs = 0
+    while (dels.isEmpty && runs < 4) {
+      Thread.sleep(5)
+      run(); runs += 1
+      dels = spark.read.parquet(evDir).filter(col("action") === "delete")
+        .select("filename").collect().map(_.getString(0)).toSeq
+    }
+    assert(dels.nonEmpty && dels.toSet == Set("drop.txt"),
+      s"after rebuild + $runs rescans: $dels")
+    // keep.txt re-seen unchanged throughout: its single insert survived
+    // the rebuild (the log was never truncated) and nothing re-emitted
+    val ev = spark.read.parquet(evDir)
+    assert(ev.filter(col("filename") === "keep.txt").count() == 1)
+    val snap = graft.streaming.ScrapeTws.snapshotOf(ev)
+      .collect().map(r => r.getString(3) -> Option(r.getTimestamp(8))).toMap
+    assert(snap("keep.txt").isEmpty && snap("drop.txt").nonEmpty)
+  }
+
   test("--stream-events over an empty tree reports zero events instead of crashing") {
     val _ = spark
     val tree = Files.createTempDirectory("cli_se_empty")

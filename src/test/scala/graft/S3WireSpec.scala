@@ -70,8 +70,11 @@ class S3WireSpec extends AnyFunSuite {
     assert(!S3Wire.resolveConf(Map(
       "endpoint" -> "https://s3.mycorp.example",
       "pathstyle" -> "false")).pathStyle)
-    // real AWS endpoints keep virtual-host addressing by default
+    // real AWS endpoints keep virtual-host addressing by default —
+    // sovereign partitions included (ADVICE r14: .amazonaws.com.cn)
     assert(!S3Wire.resolveConf(Map.empty).pathStyle)
+    assert(!S3Wire.resolveConf(Map(
+      "endpoint" -> "https://s3.cn-north-1.amazonaws.com.cn")).pathStyle)
     assert(S3Wire.resolveConf(Map("pathstyle" -> "1")).pathStyle)
   }
 
@@ -388,9 +391,14 @@ class S3WireSpec extends AnyFunSuite {
       // at maxKeys=3 the planner pre-lists root.txt + docs/ (one-page
       // subtrees) into one row partition, range-splits flat data/ and
       // re-delimits hot logs/ down to the (flat) logs/2024/ level —
-      // 1 + 16 + 16 with the default 15 hex boundaries
-      assert(df.rdd.getNumPartitions == 33,
-        "pre-listed chunk + two range-split flat leaves")
+      // the table's partitioning mirrors the planner's plan exactly
+      val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 3,
+        maxDepth = 2)
+      assert(df.rdd.getNumPartitions == plan.leaves.size + 1,
+        s"pre-listed chunk + the plan's range-split leaves: " +
+          s"${df.rdd.getNumPartitions} vs ${plan.leaves.size} + 1")
+      assert(plan.leaves.size >= 32,
+        "two flat prefixes each split at least hex-floor wide")
     }
   }
 
@@ -421,16 +429,18 @@ class S3WireSpec extends AnyFunSuite {
       assert(flatPlan.leaves == Seq(S3Wire.LeafShard("hot/")) &&
         flatPlan.preListed.map(_.key) == Seq("root.txt"))
       // a FLAT hot prefix (no children to re-delimit) RANGE-SPLITS on
-      // hex start-after boundaries; hash-spread keys land across many
-      // complementary cursors, and equality still holds exactly
+      // start-after boundaries (hex floor + probe quantiles +
+      // observed-alphabet successors); hash-spread keys land across
+      // many complementary cursors, and equality still holds exactly
       served = ((0 until 40).map(i => S3Object(f"deep/${i * 6}%02x.bin",
         1700000003000L + i, 3L)) ++ Seq(S3Object("one/x.txt",
         1700000004000L, 1L))).sortBy(_.key)
       val p2 = S3Wire.planShards(conf, bucket, "", maxKeys = 5, maxDepth = 2)
       assert(p2.preListed.map(_.key) == Seq("one/x.txt"))
       assert(p2.leaves.map(_.prefix).distinct == Seq("deep/") &&
-        p2.leaves.size == 16,
-        s"flat prefix split into complementary ranges: ${p2.leaves}")
+        p2.leaves.size >= 16,
+        s"flat prefix split into complementary ranges (at least the r14 " +
+          s"hex-floor 16): ${p2.leaves}")
       val flatDf = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 5)
       val counts = flatDf.rdd
         .mapPartitions(it => Iterator.single(it.size)).collect()
@@ -441,6 +451,57 @@ class S3WireSpec extends AnyFunSuite {
       // a range split at zero fan-out degrades to the one honest cursor
       assert(S3Wire.planShards(conf, bucket, "", maxKeys = 5, maxDepth = 2,
         flatFanout = 0).leaves == Seq(S3Wire.LeafShard("deep/")))
+    }
+  }
+
+  test("alphabet-agnostic flat range-split (r14 #3): a flat hot prefix " +
+      "whose keys share a NON-HEX alphabet (img_00001…) still fans out " +
+      "across range cursors, losing and duplicating nothing") {
+    withServer { conf =>
+      // 200 sequential keys img_000…img_199 under one flat prefix: every
+      // fixed-hex boundary ('1'…'f') sorts BELOW 'i', so the r14 scheme
+      // collapsed this onto ONE working cursor; the probe page's keys
+      // (img_000…img_009 at maxKeys=10) expose the real alphabet
+      served = ((0 until 200).map(i => S3Object(f"flat/img_$i%03d",
+        1700000005000L + i, 2L)) ++ Seq(S3Object("tiny/y.txt",
+        1700000006000L, 1L))).sortBy(_.key)
+      val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 10,
+        maxDepth = 2)
+      assert(plan.preListed.map(_.key) == Seq("tiny/y.txt"))
+      assert(plan.leaves.map(_.prefix).distinct == Seq("flat/"))
+      val bounds = plan.leaves.flatMap(_.stopAt)
+      assert(bounds.forall(_.forall(_ < 0x80)), "boundaries stay ASCII " +
+        "(the UTF-8 vs UTF-16 ordering guarantee)")
+      // adjacent shards share their boundary: no gap, no overlap
+      assert(plan.leaves.map(_.startAfter) ==
+        (None +: plan.leaves.map(_.stopAt).init),
+        "ranges chain exactly")
+      // ≥ fanout/2 cursors do REAL work (the verdict's bar): count keys
+      // per leaf through the actual executor cursor path
+      val perLeaf = plan.leaves.map(s =>
+        S3Wire.listShard(conf, bucket, s, maxKeys = 10).size)
+      val fanout = 15 // the default
+      assert(perLeaf.sum == 200, s"lose nothing, duplicate nothing: " +
+        s"${perLeaf.sum} keys across ${perLeaf.size} cursors")
+      assert(perLeaf.count(_ > 0) >= fanout / 2,
+        s"non-hex keys spread across cursors: " +
+          s"${perLeaf.count(_ > 0)} working of ${perLeaf.size} " +
+          s"(${perLeaf.mkString(",")})")
+      // end-to-end equality through the distributed frame
+      val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 10)
+      val got = df.collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got == served.map(o => S3Wire.splitKey(o.key)).toSet)
+      // …and the hash-prefixed layout keeps its hex-floor split intact:
+      // uniform two-hex-char keys hit ≥ 12 distinct working cursors
+      served = (0 until 256).map(i => S3Object(f"hash/$i%02x",
+        1700000007000L + i, 2L)).sortBy(_.key)
+      val hp = S3Wire.planShards(conf, bucket, "", maxKeys = 10,
+        maxDepth = 2)
+      val hashWork = hp.leaves.map(s =>
+        S3Wire.listShard(conf, bucket, s, maxKeys = 10).size)
+      assert(hashWork.sum == 256)
+      assert(hashWork.count(_ > 0) >= 12,
+        s"hex-floor intact for hash layouts: ${hashWork.mkString(",")}")
     }
   }
 
@@ -458,9 +519,15 @@ class S3WireSpec extends AnyFunSuite {
         .option("accessKey", accessKey).option("secretKey", secretKey)
         .option("maxKeys", "5")
         .load()
-      // pre-listed chunk + hot/x/ and hot/y/ each range-split 16 ways
-      assert(df.rdd.getNumPartitions == 33,
-        s"got ${df.rdd.getNumPartitions}")
+      // pre-listed chunk + hot/x/ and hot/y/ each range-split: the V2
+      // table's partitioning mirrors the planner's plan exactly (same
+      // inputs → same leaves), never a re-derived shape
+      val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 5,
+        maxDepth = 2)
+      assert(df.rdd.getNumPartitions == plan.leaves.size + 1,
+        s"got ${df.rdd.getNumPartitions} vs plan ${plan.leaves.size} + 1")
+      assert(plan.leaves.size >= 32, "each hot child range-split at " +
+        s"least hex-floor wide: ${plan.leaves.size}")
       assert(df.count() == 61)
       // maxdepth=0 pins the r13 single-level shape for comparison
       val flat = spark.read.format("graft-s3")

@@ -489,6 +489,98 @@ class ScrapeTwsSpec extends AnyFunSuite {
   // ONE query — a deleted file must tombstone within a few rescan
   // cycles via its event-time timer. Polls with a generous deadline so
   // box load cannot flake it.
+  test("--rebuild-state (r14 #4): a LOST checkpoint is rebuilt from the " +
+      "event log (initial state + re-armed timers) and the resumed " +
+      "stream's final state equals the batch path, re-stamps included") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      // batch truth over all 4 scans
+      val stateDir = Files.createTempDirectory("tws_rb_state").toString + "/st"
+      (0 to 3).foreach { i =>
+        ScrapeStream.mergeBatch(spark, stateDir)(
+          scanDf(i).drop("observed"), i.toLong)
+      }
+      def stateMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(2), r.getString(3)) -> (
+          r.getString(0), r.getString(1), r.getString(4),
+          Option(r.getTimestamp(5)).map(_.getTime),
+          Option(r.getTimestamp(6)).map(_.getTime),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(8)).map(_.getTime))).toMap
+      val batchState = stateMap(ScrapeStream.readState(spark, stateDir))
+
+      // phase 1: scans 0-2 through a CHECKPOINTED query, events appended
+      // as plain parquet (the CLI's sink shape)
+      val root = Files.createTempDirectory("tws_rb").toString
+      (0 to 2).foreach { i =>
+        val f = s"$root/src1/scan$i"
+        scanDf(i).coalesce(1).write.mode("overwrite").parquet(f)
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + i * 60000L))
+      }
+      val eventsDir = s"$root/events"
+      def runPhase(srcGlob: String, ckpt: String,
+          initial: Option[org.apache.spark.sql.DataFrame]): Unit = {
+        val stream = spark.readStream
+          .schema(scanDf(0).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcGlob)
+        val q = ScrapeTws.changeStream(spark, stream, "s1", initial)
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(eventsDir)
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runPhase(s"$root/src1/scan*", s"$root/ckpt1", None)
+      // the phase-1 log already holds scan-2-era tombstones (A, E at t2)
+      val log1 = spark.read.parquet(eventsDir)
+      assert(log1.filter(col("action") === "delete")
+        .agg(max("event_ms")).collect()(0).getLong(0) == base + 2)
+
+      // LOSE the checkpoint (the state-schema-upgrade scenario) — the
+      // event log is the durable record; rebuild a FRESH checkpoint from
+      // it and resume with scan 3 flowing through the rebuilt state
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/ckpt1"))
+      val f3 = s"$root/src2/scan3"
+      scanDf(3).coalesce(1).write.mode("overwrite").parquet(f3)
+      runPhase(s"$root/src2/scan*", s"$root/ckpt2",
+        Some(spark.read.parquet(eventsDir)))
+
+      val events = spark.read.parquet(eventsDir)
+      val streamState = stateMap(ScrapeTws.snapshotOf(events))
+      assert(streamState.keySet == batchState.keySet,
+        s"keys: stream=${streamState.keySet} batch=${batchState.keySet}")
+      streamState.keys.foreach { k =>
+        assert(streamState(k) == batchState(k),
+          s"$k: stream=${streamState(k)} batch=${batchState(k)}")
+      }
+      // the contracts that PROVE the rebuild carried real state:
+      def byName(n: String) = streamState(("/d", n))
+      // A and E were already tombstoned before the loss — their timers
+      // were re-armed from the log alone, so scan 3 RE-STAMPS them
+      assert(byName("A")._7 == Some(base + 3) &&
+        byName("E")._7 == Some(base + 3),
+        "rebuilt timers keep re-stamping tombstones")
+      // A's preserved mime survived the loss via the log's last event
+      assert(byName("A")._3 == "text/plain")
+      // C revives IN the rebuilt stream: needs deleted + metadata +
+      // mime from initial state to classify as revive, not insert
+      assert(events.filter(col("action") === "revive")
+        .select("filename").collect().map(_.getString(0)).toSeq == Seq("C"))
+      assert(byName("C")._7.isEmpty, "revived row has no tombstone")
+      // B and D were refreshed by scan 3 before their rebuilt timers
+      // could fire: no spurious tombstones from the rebuild
+      assert(byName("B")._7.isEmpty && byName("D")._7.isEmpty)
+    }
+  }
+
   test("live-listing daemon: ProcessingTime rescans tombstone a deleted file") {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val tree = Files.createTempDirectory("tws_live")
