@@ -128,9 +128,14 @@ final class PgWireClient(host: String, port: Int, user: String,
     // follow (the remaining error bytes would be misread as a message
     // header), so both fail loudly regardless of mode (review r14)
     if (answer == 'N') {
-      if (sslMode == "require")
+      // ONLY `prefer` may fall back to plaintext; require and the
+      // verify modes demanded encryption (and, for verify-*, a
+      // verified peer) — refusal is fatal, never a silent downgrade
+      // (review r15: the original check named only `require`, which
+      // would have dropped a verify-full session to plaintext)
+      if (sslMode != "prefer")
         throw new java.io.IOException(
-          s"sslmode=require but server at $host:$port refused SSL " +
+          s"sslmode=$sslMode but server at $host:$port refused SSL " +
             "(answered 'N'; is ssl=on?)")
       return plain // prefer: fall back to plaintext, like libpq
     }

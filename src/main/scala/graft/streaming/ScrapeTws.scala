@@ -293,9 +293,13 @@ object ScrapeTws {
           TimeMode.EventTime(), OutputMode.Append(),
           Encoders.product[Out])
       case Some(log) =>
+        // the stream is PINNED to `source` (raise_error above), so a
+        // mixed-source log must not seed foreign keys: their timers
+        // could never be refreshed here and would emit foreign-source
+        // deletes into this source's output (review r15)
         grouped.transformWithState(new ScrapeProcessor,
           TimeMode.EventTime(), OutputMode.Append(),
-          initialStateOf(s, log),
+          initialStateOf(s, log.filter(col("external_source") === source)),
           Encoders.product[Out], Encoders.product[FileState])
     }
     out.toDF("uuid_external_file", "external_source", "path", "filename",

@@ -347,13 +347,14 @@ class PgAuthSpec extends AnyFunSuite {
       PgMerge.parsePgTarget("postgres://u:%4@h/d")) // truncated
   }
 
-  test("sslmode=require fails loudly when the server refuses SSL " +
-      "(deterministic in-JVM 'N' responder)") {
-    // a minimal backend that answers SSLRequest with 'N'
-    val srv = new java.net.ServerSocket(0, 1,
+  test("sslmode=require AND the verify modes fail loudly when the server " +
+      "refuses SSL (deterministic in-JVM 'N' responder) — only prefer " +
+      "may fall back to plaintext") {
+    // a minimal backend that answers SSLRequest with 'N', repeatedly
+    val srv = new java.net.ServerSocket(0, 4,
       java.net.InetAddress.getByName("127.0.0.1"))
     val t = new Thread(() => {
-      try {
+      try while (true) {
         val s = srv.accept()
         val in = new java.io.DataInputStream(s.getInputStream)
         in.readInt(); in.readInt() // SSLRequest
@@ -367,6 +368,13 @@ class PgAuthSpec extends AnyFunSuite {
       val e = intercept[java.io.IOException](new PgWireClient(
         "127.0.0.1", srv.getLocalPort, "u", "d", Some("x"), "require"))
       assert(e.getMessage.contains("refused SSL"), e.getMessage)
+      // a VERIFY mode dropping to plaintext would be the silent
+      // downgrade the whole surface exists to refuse (review r15)
+      val v = intercept[java.io.IOException](new PgWireClient(
+        "127.0.0.1", srv.getLocalPort, "u", "d", Some("x"), "verify-full",
+        Some("/tmp/whatever.pem")))
+      assert(v.getMessage.contains("verify-full") &&
+        v.getMessage.contains("refused SSL"), v.getMessage)
     } finally srv.close()
   }
 

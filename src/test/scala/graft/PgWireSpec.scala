@@ -632,10 +632,10 @@ class PgWireSpec extends AnyFunSuite {
       } catch { case _: Throwable => () }
     })
     proxy.setDaemon(true)
-    proxy.start()
-    // attempts=1 right now: fails fast (nothing listening yet)
+    // attempts=1 BEFORE the proxy even starts: fails fast, nothing listens
     intercept[java.io.IOException](PgWireClient.connect(
       "127.0.0.1", proxyPort, user, db, attempts = 1))
+    proxy.start()
     // bounded retry outlives the refusal window and lands on the proxy
     val c = PgWireClient.connect("127.0.0.1", proxyPort, user, db,
       attempts = 5, backoffMs = 300)

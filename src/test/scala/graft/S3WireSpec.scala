@@ -502,6 +502,20 @@ class S3WireSpec extends AnyFunSuite {
       assert(hashWork.sum == 256)
       assert(hashWork.count(_ > 0) >= 12,
         s"hex-floor intact for hash layouts: ${hashWork.mkString(",")}")
+      // NON-ASCII flat keys: observed-key boundaries truncate at the
+      // first non-ASCII unit (the UTF-8 vs UTF-16 ordering guarantee
+      // only holds when the boundary side is ASCII) — here that leaves
+      // only the hex floor, which degrades gracefully: boundaries all
+      // sort below 'é', one working cursor, NOTHING lost or duplicated
+      served = (0 until 60).map(i => S3Object(f"uni/é$i%02d",
+        1700000008000L + i, 2L)).sortBy(_.key)
+      val up = S3Wire.planShards(conf, bucket, "", maxKeys = 10,
+        maxDepth = 2)
+      assert(up.leaves.flatMap(_.stopAt).forall(_.forall(_ < 0x80)))
+      val uniWork = up.leaves.map(s =>
+        S3Wire.listShard(conf, bucket, s, maxKeys = 10).size)
+      assert(uniWork.sum == 60,
+        s"non-ASCII keys survive the split exactly: ${uniWork.mkString(",")}")
     }
   }
 
