@@ -374,11 +374,18 @@ object PgMerge {
     * key components); abs AFTER the bigint cast — abs(INT_MIN)
     * overflows int4. */
   private[graft] def shardCopySql(externalSource: Option[String], n: Int,
-      shard: Int): String = {
+      shard: Int,
+      columns: Seq[String] = readSchema.fieldNames.toSeq): String = {
     val srcPred = externalSource.fold("")(s =>
       s"external_source = ${PgWireClient.sqlLit(s)} AND ")
-    s"""COPY (SELECT external_source, path, filename, mime_type,
-       |  created, modified, size, deleted
+    // column PRUNING reaches the server: a 2-column projection reads 2
+    // columns' text off the wire, not 8 (the V2 table's
+    // SupportsPushDownRequiredColumns lands here). An empty projection
+    // (count(*)) still needs one row marker per row — SELECT a constant.
+    val known = readSchema.fieldNames.toSet
+    columns.foreach(c => require(known(c), s"unknown column '$c'"))
+    val select = if (columns.isEmpty) "1" else columns.mkString(", ")
+    s"""COPY (SELECT $select
        |FROM $table
        |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
        |    coalesce(filename, ''))::bigint) % $n = $shard) TO STDOUT"""

@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,48 +93,70 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
 }
 
 private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var source: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PgMerge.readSchema
 
-  /** Accept exactly the predicate the remote statement can evaluate —
-    * `external_source = '…'` ([[PgMerge.shardCopySql]]); everything
-    * else comes back for Spark to evaluate post-scan. */
+  /** Accept exactly the predicates the remote statement can evaluate —
+    * `external_source = '…'` ([[PgMerge.shardCopySql]]) and, once that
+    * equality is pushed, the `IsNotNull(external_source)` Spark always
+    * pairs with it (implied by the remote equality): keeping it
+    * Spark-side would force the column into the read schema just to
+    * re-check a fact the server already guaranteed. Everything else
+    * comes back for Spark to evaluate post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accept, rest) = filters.partition {
+    val (eqs, rest1) = filters.partition {
       case EqualTo("external_source", v: String) if source.forall(_ == v) =>
         true
       case _ => false
     }
-    accept.foreach {
+    eqs.foreach {
       case EqualTo(_, v: String) => source = Some(v)
       case _ => ()
     }
-    pushed = accept
+    val (nn, rest) =
+      if (source.isDefined) rest1.partition {
+        case org.apache.spark.sql.sources.IsNotNull("external_source") => true
+        case _ => false
+      } else (Array.empty[Filter], rest1)
+    pushed = eqs ++ nn
     rest
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new PgWireScan(conn, source, partitions)
+  /** Column pruning reaches the REMOTE statement: a 2-column projection
+    * reads 2 columns' text off the wire, not 8 — at a 10⁸-row source
+    * that's most of the bytes. An empty projection (count(*)) ships a
+    * constant marker per row. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PgWireScan(conn, source, partitions, required)
 }
 
 private[v2] case class PgShardPartition(conn: PgConnInfo,
-    source: Option[String], n: Int, shard: Int) extends InputPartition
+    source: Option[String], n: Int, shard: Int,
+    columns: Seq[String]) extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
-    partitions: Int) extends Scan with Batch {
+    partitions: Int, required: StructType) extends Scan with Batch {
 
-  override def readSchema(): StructType = PgMerge.readSchema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-pg ${conn.host}:${conn.port}/${conn.database} " +
+      s"ReadColumns: [${required.fieldNames.mkString(", ")}] " +
       s"PushedFilters: [${source.fold("")(s => s"external_source = $s")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until partitions)
-      .map(i => PgShardPartition(conn, source, partitions, i): InputPartition)
+      .map(i => PgShardPartition(conn, source, partitions, i,
+        required.fieldNames.toSeq): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -143,14 +165,14 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
 
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val PgShardPartition(conn, source, n, shard) = p
+    val PgShardPartition(conn, source, n, shard, columns) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
         conn.sslRootCert)
       client.exec("SET TIME ZONE 'UTC'")
       private val rows =
-        client.copyOut(PgMerge.shardCopySql(source, n, shard))
+        client.copyOut(PgMerge.shardCopySql(source, n, shard, columns))
       private var current: InternalRow = _
 
       private def micros(v: Option[String]): AnyRef = v match {
@@ -159,18 +181,30 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
           val i = PgWireClient.parsePgTimestamp(s).toInstant
           Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       }
-      private def utf8(v: Option[String]): AnyRef =
-        v.map(UTF8String.fromString).orNull
+      // one converter per REQUIRED column, resolved from the full read
+      // schema's types (the pruned field order is the row order)
+      private val convert: Array[Option[String] => AnyRef] =
+        columns.map { c =>
+          PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c)).dataType match {
+            case StringType =>
+              (v: Option[String]) => v.map(UTF8String.fromString).orNull
+            case TimestampType => micros _
+            case LongType =>
+              (v: Option[String]) => v.map(s => Long.box(s.toLong)).orNull
+            case other => throw new IllegalStateException(
+              s"unhandled read-schema type $other for '$c'")
+          }
+        }.toArray
 
       override def next(): Boolean =
         if (!rows.hasNext) false
         else {
           val f = rows.next()
-          current = InternalRow.fromSeq(IndexedSeq(
-            utf8(f(0)), utf8(f(1)), utf8(f(2)), utf8(f(3)),
-            micros(f(4)), micros(f(5)),
-            f(6).map(s => Long.box(s.toLong)).orNull,
-            micros(f(7))))
+          val vals = new Array[Any](convert.length)
+          var i = 0
+          while (i < convert.length) { vals(i) = convert(i)(f(i)); i += 1 }
+          current = InternalRow.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           true
         }
       override def get(): InternalRow = current

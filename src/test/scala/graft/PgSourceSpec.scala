@@ -71,6 +71,20 @@ class PgSourceSpec extends AnyFunSuite {
     assert(all.count(!_.isNullAt(7)) == 100, "every 10th row tombstoned")
     assert(all.head.getTimestamp(5).toInstant ==
       java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))
+    // COLUMN PRUNING reaches the remote COPY: a 2-column projection
+    // ships 2 columns' text, and the plan says so
+    val pruned = reader.load()
+      .filter(col("external_source") === "P2")
+      .select(col("filename"), col("size"))
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("ReadColumns: [filename, size]"),
+      s"pruned read schema visible in the plan:\n$prunedPlan")
+    val ps = pruned.collect()
+    assert(ps.length == 1000 && ps.map(_.getLong(1)).sum ==
+      (2 to 2999 by 3).map(_.toLong).sum)
+    // the empty projection (count(*)) ships a constant marker per row
+    assert(reader.load().filter(col("external_source") === "P2")
+      .count() == 1000)
     // NO filter: the whole table crosses (all three sources)
     assert(reader.load().count() == 3000)
     // hostile source name travels safely as a COPY literal

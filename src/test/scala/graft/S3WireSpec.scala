@@ -632,6 +632,22 @@ class S3WireSpec extends AnyFunSuite {
         assert(one(s"SELECT count(*) FROM ${graft.sinks.PgMerge.table} " +
           "WHERE path = '' AND filename = 'root.txt' AND created IS NULL")
           == Some("1"), "root key lists with empty path, null created")
+        // …and the published state reads BACK through the graft-pg V2
+        // table (COPY transport, pushed source filter, pruned columns):
+        // the full bidirectional product — S3 REST in, PG wire out, PG
+        // wire back in — with zero external jars
+        val back = spark.read.format("graft-pg")
+          .option("url", s"127.0.0.1:$pgPort/postgres")
+          .option("partitions", "3")
+          .load()
+          .filter(org.apache.spark.sql.functions.col("external_source")
+            === s"s3://$bucket")
+          .select("path", "filename", "mime_type")
+        val got = back.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        assert(got.size == 13 && got.contains(("", "root.txt", "text/plain"))
+          && got.contains(("/docs", "readme.md", "text/markdown")),
+          s"round trip through graft-pg: $got")
         pg.exec(s"DROP TABLE ${graft.sinks.PgMerge.table}")
       } finally pg.close()
     }
