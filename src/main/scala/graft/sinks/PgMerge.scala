@@ -392,6 +392,25 @@ object PgMerge {
       .stripMargin
   }
 
+  /** One shard's PARTIAL-AGGREGATE statement (the `graft-pg` table's
+    * SupportsPushDownAggregates): `count`/`min`/`max`/`sum` fold
+    * REMOTELY to one row per shard — a `count(*)` over a 10⁸-row source
+    * ships 16 rows, not 10⁸ markers. `aggExprs` are engine-generated
+    * SQL expressions (never user input — the pushdown whitelists
+    * column/function pairs), evaluated inside the same source+shard
+    * predicate as the row reads, so partials merge exactly. */
+  private[graft] def shardAggSql(externalSource: Option[String], n: Int,
+      shard: Int, aggExprs: Seq[String]): String = {
+    require(aggExprs.nonEmpty, "empty aggregate list")
+    val srcPred = externalSource.fold("")(s =>
+      s"external_source = ${PgWireClient.sqlLit(s)} AND ")
+    s"""COPY (SELECT ${aggExprs.mkString(", ")}
+       |FROM $table
+       |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
+       |    coalesce(filename, ''))::bigint) % $n = $shard) TO STDOUT"""
+      .stripMargin
+  }
+
   /** Decoded COPY-out fields → one read-schema [[org.apache.spark.sql.Row]]
     * (timestamps micros-exact via [[PgWireClient.parsePgTimestamp]]). */
   private[sinks] def shardRow(

@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
-import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,11 +95,12 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
 
 private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var source: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PgMerge.readSchema
+  private var aggExprs: Seq[String] = Nil
 
   /** Accept exactly the predicates the remote statement can evaluate —
     * `external_source = '…'` ([[PgMerge.shardCopySql]]) and, once that
@@ -135,28 +137,84 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** PARTIAL aggregate pushdown — Spark merges the per-shard partials,
+    * which is exactly right here: shards are hash-disjoint slices of
+    * one remote table, so `count`/`min`/`max`/`sum` fold remotely to
+    * ONE row per shard and a `count(*)` over a 10⁸-row source ships 16
+    * rows instead of 10⁸ markers. Spark only attempts this when every
+    * predicate was consumed by the scan, so partials never miss a
+    * filter. Accepted shapes: COUNT(*), COUNT(col), MIN/MAX over the
+    * numeric/timestamp columns (NOT text — PostgreSQL orders text by
+    * collation, Spark by binary UTF-8; pushing a text min/max could
+    * diverge), SUM(size) (CAST to BIGINT remotely: a sum past int8
+    * fails LOUDLY server-side instead of silently wrapping). No
+    * group-by (a text group key is safe only under deterministic
+    * collations — left unpushed rather than guessed). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val ordered = Set("size", "created", "modified", "deleted")
+    def typeOf(c: String) =
+      PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c)).dataType
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max => AMax, Min => AMin, Sum => ASum}
+    val parsed: Seq[Option[(String, org.apache.spark.sql.types.DataType)]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(("count(*)", LongType))
+        case c: Count if !c.isDistinct => colOf(c.column).map(col =>
+          (s"count($col)", LongType))
+        case m: AMin => colOf(m.column).collect {
+          case c if ordered(c) => (s"min($c)", typeOf(c)) }
+        case m: AMax => colOf(m.column).collect {
+          case c if ordered(c) => (s"max($c)", typeOf(c)) }
+        case s: ASum if !s.isDistinct => colOf(s.column).collect {
+          case "size" => ("CAST(sum(size) AS BIGINT)", LongType) }
+        case _ => None
+      }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
+    else {
+      aggExprs = parsed.flatten.map(_._1)
+      required = StructType(parsed.flatten.zipWithIndex.map {
+        case ((expr, dt), i) =>
+          StructField(s"agg_$i", dt, nullable = !expr.startsWith("count"))
+      })
+      true
+    }
+  }
+
   override def build(): Scan =
-    new PgWireScan(conn, source, partitions, required)
+    new PgWireScan(conn, source, partitions, required, aggExprs)
 }
 
 private[v2] case class PgShardPartition(conn: PgConnInfo,
     source: Option[String], n: Int, shard: Int,
-    columns: Seq[String]) extends InputPartition
+    columns: Seq[String], schema: StructType,
+    aggExprs: Seq[String]) extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
-    partitions: Int, required: StructType) extends Scan with Batch {
+    partitions: Int, required: StructType,
+    aggExprs: Seq[String] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-pg ${conn.host}:${conn.port}/${conn.database} " +
-      s"ReadColumns: [${required.fieldNames.mkString(", ")}] " +
+      (if (aggExprs.nonEmpty)
+        s"PushedAggregation: [${aggExprs.mkString(", ")}] "
+       else s"ReadColumns: [${required.fieldNames.mkString(", ")}] ") +
       s"PushedFilters: [${source.fold("")(s => s"external_source = $s")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until partitions)
       .map(i => PgShardPartition(conn, source, partitions, i,
-        required.fieldNames.toSeq): InputPartition)
+        required.fieldNames.toSeq, required, aggExprs): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -165,14 +223,15 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
 
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val PgShardPartition(conn, source, n, shard, columns) = p
+    val PgShardPartition(conn, source, n, shard, columns, schema, aggExprs) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
         conn.sslRootCert)
       client.exec("SET TIME ZONE 'UTC'")
-      private val rows =
-        client.copyOut(PgMerge.shardCopySql(source, n, shard, columns))
+      private val rows = client.copyOut(
+        if (aggExprs.nonEmpty) PgMerge.shardAggSql(source, n, shard, aggExprs)
+        else PgMerge.shardCopySql(source, n, shard, columns))
       private var current: InternalRow = _
 
       private def micros(v: Option[String]): AnyRef = v match {
@@ -181,20 +240,21 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
           val i = PgWireClient.parsePgTimestamp(s).toInstant
           Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       }
-      // one converter per REQUIRED column, resolved from the full read
-      // schema's types (the pruned field order is the row order)
+      // one converter per result column, resolved from the scan's read
+      // schema (pruned columns or aggregate partials — the field order
+      // is the remote select order either way)
       private val convert: Array[Option[String] => AnyRef] =
-        columns.map { c =>
-          PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c)).dataType match {
+        schema.fields.map { f =>
+          f.dataType match {
             case StringType =>
               (v: Option[String]) => v.map(UTF8String.fromString).orNull
             case TimestampType => micros _
             case LongType =>
               (v: Option[String]) => v.map(s => Long.box(s.toLong)).orNull
             case other => throw new IllegalStateException(
-              s"unhandled read-schema type $other for '$c'")
+              s"unhandled read-schema type $other for '${f.name}'")
           }
-        }.toArray
+        }
 
       override def next(): Boolean =
         if (!rows.hasNext) false

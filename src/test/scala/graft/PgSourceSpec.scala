@@ -97,6 +97,55 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("graft-pg aggregate pushdown: count/min/max/sum fold REMOTELY to " +
+      "one partial row per shard; text min/max stays Spark-side " +
+      "(collation divergence)") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT 'AG', '/d' || (i % 7), 'f' || i, 'text/plain', " +
+        "NULL, TIMESTAMPTZ '2026-01-02 03:04:05.678901+00' + " +
+        "(i || ' s')::interval, i, " +
+        "CASE WHEN i % 5 = 0 THEN now() END " +
+        "FROM generate_series(1, 5000) g(i)")
+    }
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-pg").option("url", url)
+      .option("partitions", "4").load()
+      .filter(col("external_source") === "AG")
+      .agg(count(lit(1)).as("n"), count(col("deleted")).as("nd"),
+        min("size").as("mn"), max("size").as("mx"),
+        sum("size").as("sm"), max("modified").as("mm"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [count(*), count(deleted), " +
+      "min(size), max(size), CAST(sum(size) AS BIGINT), max(modified)]"),
+      s"aggregates pushed:\n$plan")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 5000L)
+    assert(r.getLong(1) == 1000L, "count(col) skips NULLs remotely")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 5000L)
+    assert(r.getLong(4) == 5000L * 5001L / 2L)
+    assert(r.getTimestamp(5).toInstant ==
+      java.time.Instant.parse("2026-01-02T03:04:05.678901Z")
+        .plusSeconds(5000L))
+    // a TEXT min/max must NOT push (PG collation != Spark binary order):
+    // the whole aggregation stays Spark-side and still answers right
+    val tdf = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "AG")
+      .agg(min("filename").as("f"))
+    val tplan = tdf.queryExecution.executedPlan.toString
+    assert(!tplan.contains("PushedAggregation"), tplan)
+    assert(tdf.collect()(0).getString(0) == "f1")
+    // empty slice: pushed partials merge to count 0 / NULL min
+    val e = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "NOPE")
+      .agg(count(lit(1)), min("size")).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg reads 10^6 rows through COPY TO STDOUT with equality " +
       "to readCurrentWire, partition-count control, and no leaked " +
       "connections") {
