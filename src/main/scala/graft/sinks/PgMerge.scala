@@ -302,7 +302,7 @@ object PgMerge {
     }
 
   /** The scan columns COPY stages, in staging order. */
-  private val scanCols =
+  private[graft] val scanCols =
     Seq("external_source", "filename", "path", "mime_type", "created",
       "modified", "size")
 
@@ -311,6 +311,14 @@ object PgMerge {
   private val copyTsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS'+00'")
     .withZone(java.time.ZoneOffset.UTC)
+
+  /** Catalyst-micros → UTC `timestamptz` COPY literal (micros
+    * preserved; floor-division keeps pre-1970 instants exact). Runs on
+    * executors (the V2 write path's InternalRow rendering). */
+  private[graft] def tsLiteralFromMicros(micros: Long): String =
+    copyTsFmt.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L))
 
   /** Render one scan row as COPY text fields: timestamps as UTC
     * `timestamptz` literals (micros preserved), everything else via

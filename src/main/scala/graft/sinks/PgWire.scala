@@ -576,6 +576,16 @@ final class PgWireClient(host: String, port: Int, user: String,
     * STDIN`; returns the copied-row count. Rows are batched into ~64 KiB
     * CopyData messages. */
   def copyIn(sql: String, lines: Iterator[String]): Long = {
+    val ch = copyInStart(sql)
+    lines.foreach(ch.write)
+    ch.finish()
+  }
+
+  /** PUSH-style COPY FROM STDIN — the shape a V2 [[org.apache.spark.sql
+    * .connector.write.DataWriter]] needs (rows arrive one write() call
+    * at a time; [[copyIn]] is the pull form built on this). One channel
+    * per in-flight COPY; `finish` or `fail` closes the protocol cycle. */
+  final class CopyInChannel private[PgWireClient] (sql: String) {
     inCycle = true
     send('Q', sql.getBytes(UTF_8) :+ 0.toByte)
     out.flush()
@@ -590,35 +600,63 @@ final class PgWireClient(host: String, port: Int, user: String,
       case (t, _) =>
         throw new java.io.IOException(s"expected CopyInResponse, got '$t'")
     }
-    val buf = new java.io.ByteArrayOutputStream(1 << 16)
-    def flushChunk(): Unit = if (buf.size() > 0) {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    private def flushChunk(): Unit = if (buf.size() > 0) {
       send('d', buf.toByteArray)
       buf.reset()
     }
-    lines.foreach { line =>
+
+    /** One pre-formatted COPY text row (no trailing newline); batched
+      * into ~64 KiB CopyData messages. */
+    def write(line: String): Unit = {
       buf.write(line.getBytes(UTF_8))
       buf.write('\n')
       if (buf.size() >= (1 << 16)) flushChunk()
     }
-    flushChunk()
-    send('c', Array.emptyByteArray) // CopyDone
-    out.flush()
-    var copied = 0L
-    var err: Option[String] = None
-    var done = false
-    while (!done) read() match {
-      case ('C', body) =>
-        copied = cstrings(body).headOption.getOrElse("").split(' ')
-          .lastOption.flatMap(_.toLongOption).getOrElse(0L)
-      case ('E', body) => err = err.orElse(Some(errorText(body)))
-      case ('N', _) | ('S', _) => ()
-      case ('Z', _) => done = true
-      case (t, _) =>
-        throw new java.io.IOException(s"unexpected post-COPY message '$t'")
+
+    private def drain(): (Long, Option[String]) = {
+      var copied = 0L
+      var err: Option[String] = None
+      var done = false
+      while (!done) read() match {
+        case ('C', body) =>
+          copied = cstrings(body).headOption.getOrElse("").split(' ')
+            .lastOption.flatMap(_.toLongOption).getOrElse(0L)
+        case ('E', body) => err = err.orElse(Some(errorText(body)))
+        case ('N', _) | ('S', _) => ()
+        case ('Z', _) => done = true
+        case (t, _) =>
+          throw new java.io.IOException(s"unexpected post-COPY message '$t'")
+      }
+      (copied, err)
     }
-    err.foreach(m => throw new java.sql.SQLException(m))
-    copied
+
+    /** CopyDone → the copied-row count; raises on ErrorResponse after
+      * draining to ReadyForQuery (connection stays usable). */
+    def finish(): Long = {
+      flushChunk()
+      send('c', Array.emptyByteArray) // CopyDone
+      out.flush()
+      val (copied, err) = drain()
+      err.foreach(m => throw new java.sql.SQLException(m))
+      copied
+    }
+
+    /** CopyFail — the backend ABANDONS the copy (and raises 57014-style
+      * on its side); the cycle drains clean so a following ROLLBACK can
+      * run on this connection. Never throws: this IS the error path. */
+    def fail(reason: String): Unit = {
+      try {
+        send('f', reason.getBytes(UTF_8) :+ 0.toByte)
+        out.flush()
+        drain()
+        ()
+      } catch { case _: Throwable => () }
+    }
   }
+
+  /** Start a push-style COPY FROM STDIN cycle. */
+  def copyInStart(sql: String): CopyInChannel = new CopyInChannel(sql)
 
   // --- COPY TO STDOUT (text format) ---------------------------------------
 

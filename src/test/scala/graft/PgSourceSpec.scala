@@ -146,6 +146,106 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("graft-pg WRITE: df.write.format(graft-pg) runs the full " +
+      "transactional scan publish (upsert + mime preservation + " +
+      "tombstone + resurrect) under the plan-enforced connection budget") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val t1 = ts("2026-01-01T00:00:00Z")
+    val t2 = ts("2026-02-02T00:00:00.123456Z")
+    withClient { c =>
+      createTable(c)
+      // pre-existing state: a corrected mime, a tombstoned row, a row
+      // that will vanish — the PgWireSpec live-check shapes
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('W', '/d', 'same.txt', 'text/corrected', " +
+        " TIMESTAMPTZ '2026-01-01 00:00:00+00', " +
+        " TIMESTAMPTZ '2026-01-01 00:00:00+00', 10, NULL), " +
+        "('W', '/d', 'undead.txt', 'text/plain', NULL, " +
+        " TIMESTAMPTZ '2026-01-01 00:00:00+00', 5, now()), " +
+        "('W', '/d', 'gone.txt', 'text/plain', NULL, " +
+        " TIMESTAMPTZ '2026-01-01 00:00:00+00', 7, NULL), " +
+        "('OTHER', '/d', 'keep.txt', 'text/plain', NULL, " +
+        " TIMESTAMPTZ '2026-01-01 00:00:00+00', 1, NULL)")
+    }
+    val scan = Seq(
+      ("W", "/d", "same.txt", "text/plain", t1, t1, 10L), // unchanged
+      ("W", "/d", "undead.txt", "text/plain",
+        null.asInstanceOf[java.sql.Timestamp], t1, 5L), // resurrects
+      ("W", "/d", "new.txt", "text/markdown", t2, t2, 9L)) // insert
+      .toDF("external_source", "path", "filename", "mime_type",
+        "created", "modified", "size")
+      .repartition(8) // the WRITE must repartition down to the budget
+    PgWireClient.resetPeak()
+    scan.write.format("graft-pg").option("url", url)
+      .option("source", "W").mode("append").save()
+    assert(PgWireClient.peak <= 2,
+      s"K1: plan-enforced maxConnections (writers are sequential with " +
+        s"the driver's scratch/epilogue connections): ${PgWireClient.peak}")
+    val back = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "W").collect()
+      .map(r => r.getString(2) -> r).toMap
+    assert(back.size == 4)
+    assert(back("same.txt").getString(3) == "text/corrected",
+      "unchanged row keeps its corrected mime (db.rs:88-90)")
+    assert(back("undead.txt").isNullAt(7), "reappeared row resurrected")
+    assert(back("new.txt").getString(3) == "text/markdown" &&
+      back("new.txt").getTimestamp(4).toInstant == t2.toInstant,
+      "insert lands micros-exact")
+    assert(!back("gone.txt").isNullAt(7), "vanished key tombstoned (J2)")
+    // cross-source isolation: OTHER untouched
+    val other = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "OTHER").collect()
+    assert(other.length == 1 && other(0).isNullAt(7))
+    // plan-time validation, BEFORE any connection opens: a mistyped
+    // column fails Spark's ANSI store-assignment against the table
+    // schema (a MISSING nullable column is legitimately padded with
+    // NULL by byName append resolution — the writer's own fieldIdx
+    // check is defense-in-depth behind that), and a missing 'source'
+    // option fails the builder
+    val badType = intercept[org.apache.spark.sql.AnalysisException](
+      Seq(("W", "/d", "f.txt", "text/plain", "not-a-long"))
+        .toDF("external_source", "path", "filename", "mime_type", "size")
+        .write.format("graft-pg").option("url", url)
+        .option("source", "W").mode("append").save())
+    assert(badType.getMessage.toLowerCase.contains("cast") ||
+      badType.getMessage.contains("INCOMPATIBLE"), badType.getMessage)
+    val noSrc = intercept[Exception](
+      scan.write.format("graft-pg").option("url", url)
+        .mode("append").save())
+    assert(noSrc.getMessage.contains("'source'"), noSrc.getMessage)
+    // FAILED publish: a same-key CONTRADICTORY pair survives the staged
+    // dedup (rows differ) and fails the upsert with PostgreSQL 21000 —
+    // the merge transaction rolls back, the scratch is dropped, and the
+    // published state is untouched (K2 atomicity through the V2 sink)
+    val before = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "W").collect()
+      .map(_.toString).sorted.toSeq
+    val bad = Seq(
+      ("W", "/d", "dup.txt", "text/plain", t1, t1, 1L),
+      ("W", "/d", "dup.txt", "text/plain", t1, t1, 2L))
+      .toDF("external_source", "path", "filename", "mime_type",
+        "created", "modified", "size")
+    val failed = intercept[Exception](bad.write.format("graft-pg")
+      .option("url", url).option("source", "W").mode("append").save())
+    assert(failed.getMessage.contains("21000") ||
+      Option(failed.getCause).exists(_.getMessage.contains("21000")),
+      s"the contradictory pair surfaced loudly: $failed")
+    withClient { c =>
+      assert(c.queryOne("SELECT count(*) FROM pg_tables " +
+        "WHERE tablename LIKE 'graft_scan_%'") == Some("0"),
+        "abort dropped the scratch")
+    }
+    val after = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "W").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before, "a failed publish changes NOTHING")
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg reads 10^6 rows through COPY TO STDOUT with equality " +
       "to readCurrentWire, partition-count control, and no leaked " +
       "connections") {
