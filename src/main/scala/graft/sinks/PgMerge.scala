@@ -383,7 +383,8 @@ object PgMerge {
     * overflows int4. */
   private[graft] def shardCopySql(externalSource: Option[String], n: Int,
       shard: Int,
-      columns: Seq[String] = readSchema.fieldNames.toSeq): String = {
+      columns: Seq[String] = readSchema.fieldNames.toSeq,
+      limit: Int = -1): String = {
     val srcPred = externalSource.fold("")(s =>
       s"external_source = ${PgWireClient.sqlLit(s)} AND ")
     // column PRUNING reaches the server: a 2-column projection reads 2
@@ -393,10 +394,14 @@ object PgMerge {
     val known = readSchema.fieldNames.toSet
     columns.foreach(c => require(known(c), s"unknown column '$c'"))
     val select = if (columns.isEmpty) "1" else columns.mkString(", ")
+    // PARTIAL limit (Spark re-applies the global one): `LIMIT n` per
+    // shard lets the server stop scanning — a `.limit(10)` peek at a
+    // 10⁸-row source costs ~n rows per shard, not a full slice
+    val lim = if (limit >= 0) s" LIMIT $limit" else ""
     s"""COPY (SELECT $select
        |FROM $table
        |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
-       |    coalesce(filename, ''))::bigint) % $n = $shard) TO STDOUT"""
+       |    coalesce(filename, ''))::bigint) % $n = $shard$lim) TO STDOUT"""
       .stripMargin
   }
 

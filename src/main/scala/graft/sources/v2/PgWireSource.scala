@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
@@ -154,12 +154,20 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
 
 private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var source: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PgMerge.readSchema
   private var aggExprs: Seq[String] = Nil
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown (Spark re-applies the global limit): each
+    * shard's remote statement gains `LIMIT n`, so the server stops
+    * scanning after n rows per shard — the "peek at a huge table"
+    * query stops being a full slice. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
 
   /** Accept exactly the predicates the remote statement can evaluate —
     * `external_source = '…'` ([[PgMerge.shardCopySql]]) and, once that
@@ -213,6 +221,7 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (limit >= 0) return false
     if (aggregation.groupByExpressions.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -249,17 +258,17 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
   }
 
   override def build(): Scan =
-    new PgWireScan(conn, source, partitions, required, aggExprs)
+    new PgWireScan(conn, source, partitions, required, aggExprs, limit)
 }
 
 private[v2] case class PgShardPartition(conn: PgConnInfo,
     source: Option[String], n: Int, shard: Int,
     columns: Seq[String], schema: StructType,
-    aggExprs: Seq[String]) extends InputPartition
+    aggExprs: Seq[String], limit: Int) extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
     partitions: Int, required: StructType,
-    aggExprs: Seq[String] = Nil) extends Scan with Batch {
+    aggExprs: Seq[String] = Nil, limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -268,12 +277,14 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
       (if (aggExprs.nonEmpty)
         s"PushedAggregation: [${aggExprs.mkString(", ")}] "
        else s"ReadColumns: [${required.fieldNames.mkString(", ")}] ") +
+      (if (limit >= 0) s"PushedLimit: $limit " else "") +
       s"PushedFilters: [${source.fold("")(s => s"external_source = $s")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until partitions)
       .map(i => PgShardPartition(conn, source, partitions, i,
-        required.fieldNames.toSeq, required, aggExprs): InputPartition)
+        required.fieldNames.toSeq, required, aggExprs, limit)
+        : InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -282,7 +293,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
 
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val PgShardPartition(conn, source, n, shard, columns, schema, aggExprs) = p
+    val PgShardPartition(conn, source, n, shard, columns, schema,
+      aggExprs, limit) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
@@ -290,7 +302,7 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
       client.exec("SET TIME ZONE 'UTC'")
       private val rows = client.copyOut(
         if (aggExprs.nonEmpty) PgMerge.shardAggSql(source, n, shard, aggExprs)
-        else PgMerge.shardCopySql(source, n, shard, columns))
+        else PgMerge.shardCopySql(source, n, shard, columns, limit))
       private var current: InternalRow = _
 
       private def micros(v: Option[String]): AnyRef = v match {
@@ -435,10 +447,17 @@ private[v2] class PgWireWriterFactory(conn: PgConnInfo, scratch: String,
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
         conn.sslRootCert)
-      client.exec("BEGIN")
-      private val copy = client.copyInStart(
-        s"COPY $scratch (${PgMerge.scanCols.mkString(", ")}) FROM STDIN")
+      // a failure between connect and a usable COPY channel must not
+      // leak the socket: Spark never close()es a writer whose
+      // construction threw
+      private val copy =
+        try {
+          client.exec("BEGIN")
+          client.copyInStart(
+            s"COPY $scratch (${PgMerge.scanCols.mkString(", ")}) FROM STDIN")
+        } catch { case e: Throwable => client.close(); throw e }
       private var rows = 0L
+      private var copyDone = false
 
       private def field(row: InternalRow, col: Int, i: Int)
           : Option[String] =
@@ -457,13 +476,19 @@ private[v2] class PgWireWriterFactory(conn: PgConnInfo, scratch: String,
       }
 
       override def commit(): WriterCommitMessage = {
-        val n = copy.finish()
+        // finish() closes the COPY cycle whether it returns or throws
+        // (it drains to ReadyForQuery first), so either way CopyFail
+        // must not follow it
+        val n = try copy.finish() finally copyDone = true
         client.exec("COMMIT")
         PgWriteCommit(n)
       }
 
       override def abort(): Unit = {
-        copy.fail("task aborted")
+        // abort may follow a FAILED commit whose COPY cycle already
+        // closed — CopyFail then would be a protocol violation on a
+        // connection we still want the ROLLBACK to reach
+        if (!copyDone) { copy.fail("task aborted"); copyDone = true }
         try client.exec("ROLLBACK") catch { case _: Throwable => () }
       }
 

@@ -85,6 +85,12 @@ class PgSourceSpec extends AnyFunSuite {
     // the empty projection (count(*)) ships a constant marker per row
     assert(reader.load().filter(col("external_source") === "P2")
       .count() == 1000)
+    // PARTIAL limit pushdown: the remote statement gains LIMIT n, the
+    // plan says so, and the global limit still holds exactly
+    val lim = reader.load().filter(col("external_source") === "P0").limit(7)
+    val lplan = lim.queryExecution.executedPlan.toString
+    assert(lplan.contains("PushedLimit: 7"), s"limit pushed:\n$lplan")
+    assert(lim.collect().length == 7)
     // NO filter: the whole table crosses (all three sources)
     assert(reader.load().count() == 3000)
     // hostile source name travels safely as a COPY literal
