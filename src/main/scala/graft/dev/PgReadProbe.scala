@@ -48,6 +48,16 @@ object PgReadProbe {
       val copy = run("copy", () => c.copyOut(s"COPY ($select) TO STDOUT"))
       println(f"best-of-3: datarow ${dataRow}%.3f s, copy ${copy}%.3f s " +
         f"-> COPY is ${dataRow / copy}%.2fx the DataRow throughput")
+      // column pruning: the same rows, 2 of 6 columns — the byte and
+      // wall-clock delta a pruned graft-pg projection keeps off the wire
+      val b0 = c.bytesReceived
+      val t0 = System.nanoTime()
+      var n = 0L
+      c.copyOut("COPY (SELECT f, n FROM pg_read_probe) TO STDOUT")
+        .foreach(_ => n += 1)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n == 1000000L)
+      println(f"  pruned(2/6) $sec%6.3f s  ${(c.bytesReceived - b0) / 1e6}%7.1f MB")
       c.exec("DROP TABLE pg_read_probe")
     } finally c.close()
   }

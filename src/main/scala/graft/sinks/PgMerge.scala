@@ -413,14 +413,21 @@ object PgMerge {
     * column/function pairs), evaluated inside the same source+shard
     * predicate as the row reads, so partials merge exactly. */
   private[graft] def shardAggSql(externalSource: Option[String], n: Int,
-      shard: Int, aggExprs: Seq[String]): String = {
-    require(aggExprs.nonEmpty, "empty aggregate list")
+      shard: Int, aggExprs: Seq[String],
+      groupCols: Seq[String] = Nil): String = {
+    require(aggExprs.nonEmpty || groupCols.nonEmpty, "empty aggregate list")
+    val known = readSchema.fieldNames.toSet
+    groupCols.foreach(c => require(known(c), s"unknown group column '$c'"))
     val srcPred = externalSource.fold("")(s =>
       s"external_source = ${PgWireClient.sqlLit(s)} AND ")
-    s"""COPY (SELECT ${aggExprs.mkString(", ")}
+    val select = (groupCols ++ aggExprs).mkString(", ")
+    val grp =
+      if (groupCols.isEmpty) ""
+      else s"\nGROUP BY ${groupCols.mkString(", ")}"
+    s"""COPY (SELECT $select
        |FROM $table
        |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
-       |    coalesce(filename, ''))::bigint) % $n = $shard) TO STDOUT"""
+       |    coalesce(filename, ''))::bigint) % $n = $shard$grp) TO STDOUT"""
       .stripMargin
   }
 

@@ -161,6 +161,7 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PgMerge.readSchema
   private var aggExprs: Seq[String] = Nil
+  private var groupCols: Seq[String] = Nil
   private var limit: Int = -1
 
   /** PARTIAL limit pushdown (Spark re-applies the global limit): each
@@ -222,16 +223,27 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (limit >= 0) return false
-    if (aggregation.groupByExpressions.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+          if nr.fieldNames.length == 1 &&
+            PgMerge.readSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
       case _ => None
     }
     val ordered = Set("size", "created", "modified", "deleted")
     def typeOf(c: String) =
       PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c)).dataType
+    // GROUP BY pushdown rides the same partial contract: grouping needs
+    // only EQUALITY semantics, which are engine-identical here — text
+    // equality is byte equality under PostgreSQL's deterministic
+    // collations (the engine's own DDL never opts into nondeterministic
+    // ones), and the other columns are exact types. ORDERING of text is
+    // what diverges (collation vs binary UTF-8), which is why min/max
+    // stay numeric/timestamp-only.
+    val groups: Seq[Option[String]] =
+      aggregation.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return false
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max => AMax, Min => AMin, Sum => ASum}
     val parsed: Seq[Option[(String, org.apache.spark.sql.types.DataType)]] =
       aggregation.aggregateExpressions().toSeq.map {
@@ -246,36 +258,44 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
           case "size" => ("CAST(sum(size) AS BIGINT)", LongType) }
         case _ => None
       }
-    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
+    if ((parsed.isEmpty && groups.isEmpty) || parsed.exists(_.isEmpty)) false
     else {
+      groupCols = groups.flatten
       aggExprs = parsed.flatten.map(_._1)
-      required = StructType(parsed.flatten.zipWithIndex.map {
-        case ((expr, dt), i) =>
+      required = StructType(
+        groupCols.map(c =>
+          PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c))) ++
+        parsed.flatten.zipWithIndex.map { case ((expr, dt), i) =>
           StructField(s"agg_$i", dt, nullable = !expr.startsWith("count"))
-      })
+        })
       true
     }
   }
 
   override def build(): Scan =
-    new PgWireScan(conn, source, partitions, required, aggExprs, limit)
+    new PgWireScan(conn, source, partitions, required, aggExprs, limit,
+      groupCols)
 }
 
 private[v2] case class PgShardPartition(conn: PgConnInfo,
     source: Option[String], n: Int, shard: Int,
     columns: Seq[String], schema: StructType,
-    aggExprs: Seq[String], limit: Int) extends InputPartition
+    aggExprs: Seq[String], limit: Int,
+    groupCols: Seq[String]) extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
     partitions: Int, required: StructType,
-    aggExprs: Seq[String] = Nil, limit: Int = -1) extends Scan with Batch {
+    aggExprs: Seq[String] = Nil, limit: Int = -1,
+    groupCols: Seq[String] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-pg ${conn.host}:${conn.port}/${conn.database} " +
-      (if (aggExprs.nonEmpty)
-        s"PushedAggregation: [${aggExprs.mkString(", ")}] "
+      (if (aggExprs.nonEmpty || groupCols.nonEmpty)
+        s"PushedAggregation: [${aggExprs.mkString(", ")}] " +
+          (if (groupCols.nonEmpty)
+            s"PushedGroupBy: [${groupCols.mkString(", ")}] " else "")
        else s"ReadColumns: [${required.fieldNames.mkString(", ")}] ") +
       (if (limit >= 0) s"PushedLimit: $limit " else "") +
       s"PushedFilters: [${source.fold("")(s => s"external_source = $s")}]"
@@ -283,7 +303,7 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
   override def planInputPartitions(): Array[InputPartition] =
     (0 until partitions)
       .map(i => PgShardPartition(conn, source, partitions, i,
-        required.fieldNames.toSeq, required, aggExprs, limit)
+        required.fieldNames.toSeq, required, aggExprs, limit, groupCols)
         : InputPartition)
       .toArray
 
@@ -294,14 +314,15 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val PgShardPartition(conn, source, n, shard, columns, schema,
-      aggExprs, limit) = p
+      aggExprs, limit, groupCols) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
         conn.sslRootCert)
       client.exec("SET TIME ZONE 'UTC'")
       private val rows = client.copyOut(
-        if (aggExprs.nonEmpty) PgMerge.shardAggSql(source, n, shard, aggExprs)
+        if (aggExprs.nonEmpty || groupCols.nonEmpty)
+          PgMerge.shardAggSql(source, n, shard, aggExprs, groupCols)
         else PgMerge.shardCopySql(source, n, shard, columns, limit))
       private var current: InternalRow = _
 

@@ -135,6 +135,24 @@ class PgSourceSpec extends AnyFunSuite {
     assert(r.getTimestamp(5).toInstant ==
       java.time.Instant.parse("2026-01-02T03:04:05.678901Z")
         .plusSeconds(5000L))
+    // GROUP BY pushdown: grouped partials fold remotely per shard and
+    // Spark merges them — equality-only semantics, so text group KEYS
+    // are safe where text min/max is not
+    val gdf = spark.read.format("graft-pg").option("url", url)
+      .option("partitions", "4").load()
+      .filter(col("external_source") === "AG")
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), sum("size").as("sm"))
+    val gplan = gdf.queryExecution.executedPlan.toString
+    assert(gplan.contains("PushedGroupBy: [path]") &&
+      gplan.contains("PushedAggregation: [count(*), " +
+        "CAST(sum(size) AS BIGINT)]"), s"grouped pushdown:\n$gplan")
+    val g = gdf.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(g.size == 7)
+    // i % 7 == 3 -> 714 rows (3, 10, ..., 4994); sum = sum of that series
+    assert(g("/d3")._1 == 714L)
+    assert(g("/d3")._2 == (3 to 4994 by 7).map(_.toLong).sum)
     // a TEXT min/max must NOT push (PG collation != Spark binary order):
     // the whole aggregation stays Spark-side and still answers right
     val tdf = spark.read.format("graft-pg").option("url", url).load()
