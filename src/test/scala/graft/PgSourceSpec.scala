@@ -153,6 +153,15 @@ class PgSourceSpec extends AnyFunSuite {
     // i % 7 == 3 -> 714 rows (3, 10, ..., 4994); sum = sum of that series
     assert(g("/d3")._1 == 714L)
     assert(g("/d3")._2 == (3 to 4994 by 7).map(_.toLong).sum)
+    // pushed DISTINCT: a group-by with no aggregates ships one row per
+    // distinct key per shard
+    val ddf = spark.read.format("graft-pg").option("url", url).load()
+      .filter(col("external_source") === "AG")
+      .select("path").distinct()
+    assert(ddf.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [path]"))
+    assert(ddf.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 7).map(i => s"/d$i"))
     // a TEXT min/max must NOT push (PG collation != Spark binary order):
     // the whole aggregation stays Spark-side and still answers right
     val tdf = spark.read.format("graft-pg").option("url", url).load()
