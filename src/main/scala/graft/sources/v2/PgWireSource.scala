@@ -215,9 +215,9 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     * numeric/timestamp columns (NOT text — PostgreSQL orders text by
     * collation, Spark by binary UTF-8; pushing a text min/max could
     * diverge), SUM(size) (CAST to BIGINT remotely: a sum past int8
-    * fails LOUDLY server-side instead of silently wrapping). No
-    * group-by (a text group key is safe only under deterministic
-    * collations — left unpushed rather than guessed). */
+    * fails LOUDLY server-side instead of silently wrapping), and
+    * GROUP BY / DISTINCT keys over any column (equality-only
+    * semantics — see the collation note in the body). */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     false
 
