@@ -552,6 +552,36 @@ class PgWireSpec extends AnyFunSuite {
     } finally c2.close()
   }
 
+  test("property (offline): copyDecodeRow inverts copyRow over seeded " +
+      "adversarial field values — the COPY text codec is its own inverse") {
+    val rnd = new scala.util.Random(20260815L)
+    val pool = Seq("\t", "\n", "\r", "\\", "\\N", "\b", "\f", "\u000b",
+      "'", "\"", "é", "漢", new String(Character.toChars(0x1F642)),
+      " ", "", "a", "0", "\\\\", "n", "N")
+    (0 until 500).foreach { i =>
+      val fields: Seq[Option[String]] = (0 until 1 + rnd.nextInt(6)).map {
+        _ =>
+          if (rnd.nextInt(10) == 0) None
+          else Some((0 until rnd.nextInt(8))
+            .map(_ => pool(rnd.nextInt(pool.length))).mkString)
+      }
+      val line = PgWireClient.copyRow(fields)
+      // an encoded row never contains a RAW delimiter the framing
+      // could misread as structure… except \b/\f/VT, which the
+      // WRITE side passes raw (legal COPY input; only COPY TO escapes
+      // them) — so strip those before asserting
+      val structural = line.filter(c => c == '\n' || c == '\r')
+      assert(structural.isEmpty, s"case $i leaked a raw row delimiter")
+      assert(PgWireClient.copyDecodeRow(line) == fields.toVector,
+        s"case $i: $fields through '$line'")
+    }
+    // the NULL marker is unambiguous: a LITERAL backslash-N value
+    // encodes as \\N and decodes back as the string, never as NULL
+    assert(PgWireClient.copyRow(Seq(Some("\\N"))) == "\\\\N")
+    assert(PgWireClient.copyDecodeRow("\\\\N") == Vector(Some("\\N")))
+    assert(PgWireClient.copyDecodeRow("\\N") == Vector(None))
+  }
+
   test("cancel: CancelRequest stops a running query (57014) and a " +
       "cancelled shard-read backend leaves pg_stat_activity") {
     assume(live, s"no PostgreSQL server at $host:$port")
