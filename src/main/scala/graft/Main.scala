@@ -307,9 +307,17 @@ object Main {
         // silently IGNORE it on a resume, so an existing checkpoint is
         // refused loudly instead.
         val eventsDir = s"$out/events/$sub"
+        // path checks go through Hadoop's FileSystem, not java.nio
+        // (ADVICE r15): with a non-local --out (hdfs://, s3a://) a
+        // java.nio check on the raw string silently passes — the exact
+        // silent-ignore trap this require() exists to refuse
+        val hadoopConf = spark.sessionState.newHadoopConf()
+        def hExists(s: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(s)
+          p.getFileSystem(hadoopConf).exists(p)
+        }
         val initial = if (rebuildState) {
-          require(!java.nio.file.Files.exists(
-            java.nio.file.Path.of(s"$out/.events-checkpoint/$sub")),
+          require(!hExists(s"$out/.events-checkpoint/$sub"),
             s"--rebuild-state replays the log into a FRESH checkpoint; " +
               s"remove $out/.events-checkpoint/$sub first")
           Some(spark.read.parquet(eventsDir))
@@ -325,15 +333,16 @@ object Main {
         // max-struct compaction ([[streaming.ScrapeTws.snapshotOf]])
         // absorbs: a crash-replayed batch re-appends bit-identical rows
         // that compact away.
-        val legacyMeta = java.nio.file.Path.of(s"$eventsDir/_spark_metadata")
-        if (java.nio.file.Files.exists(legacyMeta)) {
+        val legacyMeta = new org.apache.hadoop.fs.Path(
+          s"$eventsDir/_spark_metadata")
+        val legacyFs = legacyMeta.getFileSystem(hadoopConf)
+        if (legacyFs.exists(legacyMeta)) {
           // a pre-r15 FileStreamSink log would HIDE plain appends from
           // readers (metadata-listed files win on single-path reads)
           println(s"$src: removing legacy _spark_metadata from $eventsDir " +
             "(the event log is plain parquet now)")
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(legacyMeta).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.delete)
+          legacyFs.delete(legacyMeta, true)
+          ()
         }
         val q = streaming.ScrapeTws.changeStream(spark, scans, src, initial)
           .writeStream

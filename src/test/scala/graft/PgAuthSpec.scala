@@ -511,6 +511,180 @@ class PgAuthSpec extends AnyFunSuite {
     }
   }
 
+  test("CancelRequest travels under the session's channel policy " +
+      "(in-JVM TLS backend): verify-full carries the packet over TLS, " +
+      "and an SSL refusal on the cancel socket aborts WITHOUT a " +
+      "plaintext packet") {
+    // a real TLS identity for the fake backend (keytool ships with the
+    // JDK): self-signed CN=127.0.0.1 with the IP SAN verify-full needs
+    val dir = Files.createTempDirectory("graft_cancel_tls")
+    val ks = dir.resolve("ks.p12")
+    val pem = dir.resolve("server.pem")
+    import scala.sys.process._
+    assume(Seq("keytool", "-genkeypair", "-keyalg", "RSA", "-keysize",
+      "2048", "-alias", "t", "-keystore", ks.toString, "-storetype",
+      "PKCS12", "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1", "-validity", "2").! == 0,
+      "keytool unavailable")
+    assume(Seq("keytool", "-exportcert", "-rfc", "-alias", "t",
+      "-keystore", ks.toString, "-storepass", "changeit",
+      "-file", pem.toString).! == 0)
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val kin = Files.newInputStream(ks)
+    try kstore.load(kin, "changeit".toCharArray) finally kin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kstore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+
+    val pid = 4242
+    val secret = 0x5ec2e7
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var refuseSsl = false
+    val srv = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+
+    def trustStartup(in: java.io.DataInputStream,
+        out: java.io.DataOutputStream, startupLen: Int): Unit = {
+      in.skipBytes(startupLen - 8)
+      out.writeByte('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
+      out.writeByte('K'); out.writeInt(12) // BackendKeyData
+      out.writeInt(pid); out.writeInt(secret)
+      out.writeByte('Z'); out.writeInt(5); out.writeByte('I')
+      out.flush()
+    }
+    def handle(raw: java.net.Socket): Unit = {
+      val din = new java.io.DataInputStream(raw.getInputStream)
+      val len = din.readInt()
+      din.readInt() match {
+        case 80877102 => // plaintext CancelRequest — the forbidden path
+          events.add(s"plaintext-cancel:${din.readInt()}:${din.readInt()}")
+          ()
+        case 196608 => // plaintext startup (the sslmode=disable contrast)
+          trustStartup(din, new java.io.DataOutputStream(
+            raw.getOutputStream), len)
+          try while (din.read() >= 0) () catch { case _: Throwable => () }
+        case 80877103 if refuseSsl =>
+          raw.getOutputStream.write('N'); raw.getOutputStream.flush()
+          // under verify-* NOTHING may follow the refusal — a byte here
+          // would be the secret leaving in plaintext
+          val extra = try din.read() catch { case _: Throwable => -1 }
+          events.add(if (extra < 0) "ssl-refused-clean"
+            else "ssl-refused-then-bytes")
+          ()
+        case 80877103 =>
+          raw.getOutputStream.write('S'); raw.getOutputStream.flush()
+          val ssl = ctx.getSocketFactory.createSocket(raw, "127.0.0.1",
+            raw.getPort, true).asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          ssl.startHandshake()
+          val sin = new java.io.DataInputStream(ssl.getInputStream)
+          val sout = new java.io.DataOutputStream(ssl.getOutputStream)
+          val l2 = sin.readInt()
+          sin.readInt() match {
+            case 196608 =>
+              trustStartup(sin, sout, l2)
+              events.add("tls-startup")
+              try while (sin.read() >= 0) () catch { case _: Throwable => () }
+            case 80877102 =>
+              events.add(s"tls-cancel:${sin.readInt()}:${sin.readInt()}")
+              ()
+            case other => events.add(s"unexpected-tls:$other")
+          }
+          ssl.close()
+        case other => events.add(s"unexpected:$other")
+      }
+      raw.close()
+    }
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val s = srv.accept()
+        new Thread(() => try handle(s)
+          catch { case _: Throwable => try s.close() catch {
+            case _: Throwable => () } }).start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    def await(pred: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 10000L
+      while (!pred && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      pred
+    }
+    try {
+      import scala.jdk.CollectionConverters._
+      // verify-full session against the fake: startup runs over TLS and
+      // BackendKeyData arrives
+      val c = new PgWireClient("127.0.0.1", srv.getLocalPort, "u", "d",
+        None, "verify-full", Some(pem.toString))
+      assert(c.tls && await(events.asScala.exists(_ == "tls-startup")))
+      // 1) the cancel packet arrives OVER TLS with the session's key data
+      c.cancel()
+      assert(await(events.asScala.exists(_ == s"tls-cancel:$pid:$secret")),
+        s"cancel crossed encrypted with the right key data: $events")
+      // 2) SSL refused on the cancel socket: verify-full ABORTS — the
+      // refusal is followed by zero bytes, and no plaintext CancelRequest
+      // ever appears
+      refuseSsl = true
+      c.cancel()
+      assert(await(events.asScala.exists(_ == "ssl-refused-clean")),
+        s"refusal left the socket clean: $events")
+      assert(!events.asScala.exists(_.startsWith("plaintext-cancel")),
+        s"NO plaintext packet under verify-full: $events")
+      assert(!events.asScala.exists(_ == "ssl-refused-then-bytes"),
+        s"nothing followed the refusal: $events")
+      c.close()
+      // 3) contrast: a disable session's cancel is the plaintext packet
+      // (the pre-TLS protocol shape, still correct for plaintext sessions)
+      refuseSsl = false
+      val p = new PgWireClient("127.0.0.1", srv.getLocalPort, "u", "d")
+      p.cancel()
+      assert(await(events.asScala.exists(
+        _ == s"plaintext-cancel:$pid:$secret")),
+        s"disable still cancels in plaintext: $events")
+      p.close()
+    } finally srv.close()
+  }
+
+  test("CancelRequest live over verify-full: the TLS-negotiated cancel " +
+      "packet stops a running query (57014) on an encrypted session") {
+    assume(authReady, s"no bootstrappable PostgreSQL server at $host:$port")
+    assume(tlsReady, "TLS bootstrap unavailable (openssl or ssl=on failed)")
+    assume(host == "127.0.0.1", "IP-SAN scenario is pinned to loopback")
+    val root = serverCrt.toString
+    val c = new PgWireClient("127.0.0.1", port, "graft_scram", db,
+      Some(scramPw), "verify-full", Some(root))
+    try {
+      assert(c.tls)
+      assert(c.queryOne("SELECT ssl FROM pg_stat_ssl " +
+        "WHERE pid = pg_backend_pid()") == Some("t"),
+        "the session to be cancelled is encrypted")
+      val marker = "graft_vfull_cancel_probe"
+      @volatile var failure: Option[Throwable] = None
+      val runner = new Thread(() => {
+        try { c.query(s"SELECT pg_sleep(30) /* $marker */"); () }
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      runner.start()
+      withSuper { probe =>
+        var tries = 0
+        while (tries < 100 && probe.queryOne("SELECT count(*) FROM " +
+          "pg_stat_activity WHERE query LIKE '%" + marker +
+          "%' AND state = 'active' AND pid <> pg_backend_pid()")
+          != Some("1")) { Thread.sleep(100L); tries += 1 }
+        assert(tries < 100, "pg_sleep query never showed up as active")
+      }
+      c.cancel()
+      runner.join(10000L)
+      assert(!runner.isAlive, "cancelled query returned")
+      assert(failure.exists(_.getMessage.contains("57014")),
+        s"query died with 'canceling statement': $failure")
+      // the verify-full session itself survives its cancel
+      assert(c.queryOne("SELECT 9") == Some("9"))
+    } finally c.close()
+  }
+
   test("queryStream is INCREMENTAL: the first row surfaces after a " +
       "bounded socket read while the result is ~27 MB; the cycle drains " +
       "clean and errors still recover the connection") {
