@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, IsNotNull, IsNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -187,46 +187,15 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
     * query stops being a full slice. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  private def colType(c: String): Option[
-      org.apache.spark.sql.types.DataType] =
-    PgMerge.readSchema.fields.find(_.name == c).map(_.dataType)
-
-  /** Remote SQL for one Spark filter — accepted only where the two
-    * engines agree EXACTLY: null-ness tests on any column (engine-
-    * identical by definition), and equality on text/bigint columns
-    * (text `=` is byte equality under PostgreSQL's deterministic
-    * collations, matching Spark's binary semantics — it's text ORDERING
-    * that diverges, which is why range predicates stay Spark-side).
-    * Literals quote through [[PgWireClient.sqlLit]] under the
-    * `standard_conforming_strings = on` every reader connection pins.
-    * The headline accept is `deleted IS NULL` (VERDICT r15 #2): "live
-    * files only" is the query every real consumer runs — without it
-    * each scan ships the full tombstone history forever. */
-  private def sqlOf(f: Filter): Option[String] = f match {
-    case IsNull(c) if colType(c).isDefined => Some(s"$c IS NULL")
-    case IsNotNull(c) if colType(c).isDefined => Some(s"$c IS NOT NULL")
-    case EqualTo(c, v: String) if colType(c).contains(StringType) =>
-      Some(s"$c = ${PgWireClient.sqlLit(v)}")
-    case EqualNullSafe(c, v: String) if colType(c).contains(StringType) =>
-      Some(s"$c IS NOT DISTINCT FROM ${PgWireClient.sqlLit(v)}")
-    case EqualTo(c, v: Long) if colType(c).contains(LongType) =>
-      Some(s"$c = $v")
-    case EqualTo(c, v: Int) if colType(c).contains(LongType) =>
-      Some(s"$c = $v")
-    case EqualNullSafe(c, v: Long) if colType(c).contains(LongType) =>
-      Some(s"$c IS NOT DISTINCT FROM $v")
-    case _ => None
-  }
-
   /** Accept the predicates the remote statement can evaluate with
-    * identical semantics ([[sqlOf]]); everything else comes back for
-    * Spark to evaluate post-scan. An accepted filter is NOT returned as
-    * residual: re-checking a fact the server guaranteed would force its
-    * column into the read schema for nothing. */
+    * identical semantics ([[PgFilterSql.sqlOf]]); everything else comes
+    * back for Spark to evaluate post-scan. An accepted filter is NOT
+    * returned as residual: re-checking a fact the server guaranteed
+    * would force its column into the read schema for nothing. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (acc, rest) = filters.partition(f => sqlOf(f).isDefined)
+    val (acc, rest) = filters.partition(f => PgFilterSql.sqlOf(f).isDefined)
     pushed = acc
-    predSqls = acc.toSeq.flatMap(sqlOf)
+    predSqls = acc.toSeq.flatMap(PgFilterSql.sqlOf)
     rest
   }
 
@@ -317,6 +286,60 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
       groupCols, shardMode)
 }
 
+/** Remote SQL for Spark [[Filter]]s — accepted only where the two
+  * engines agree EXACTLY: null-ness tests on any column (engine-
+  * identical by definition), and equality/IN on text/bigint columns
+  * (text `=` is byte equality under PostgreSQL's deterministic
+  * collations, matching Spark's binary semantics — it's text ORDERING
+  * that diverges, which is why range predicates stay Spark-side).
+  * Literals quote through [[PgWireClient.sqlLit]] under the
+  * `standard_conforming_strings = on` every reader connection pins.
+  * The headline accept is `deleted IS NULL` (VERDICT r15 #2): "live
+  * files only" is the query every real consumer runs — without it
+  * each scan ships the full tombstone history forever. Shared by the
+  * plan-time pushdown ([[PgWireScanBuilder.pushFilters]]) and the
+  * RUNTIME pushdown ([[PgWireScan.filter]] — join-key IN lists). */
+private[v2] object PgFilterSql {
+
+  /** IN lists larger than this are dropped (the join re-applies them
+    * anyway): a megabyte-scale statement burns remote parse time for a
+    * filter that has stopped being selective. */
+  val maxInList = 1000
+
+  private def colType(c: String): Option[
+      org.apache.spark.sql.types.DataType] =
+    PgMerge.readSchema.fields.find(_.name == c).map(_.dataType)
+
+  def sqlOf(f: Filter): Option[String] = f match {
+    case IsNull(c) if colType(c).isDefined => Some(s"$c IS NULL")
+    case IsNotNull(c) if colType(c).isDefined => Some(s"$c IS NOT NULL")
+    case EqualTo(c, v: String) if colType(c).contains(StringType) =>
+      Some(s"$c = ${PgWireClient.sqlLit(v)}")
+    case EqualNullSafe(c, v: String) if colType(c).contains(StringType) =>
+      Some(s"$c IS NOT DISTINCT FROM ${PgWireClient.sqlLit(v)}")
+    case EqualTo(c, v: Long) if colType(c).contains(LongType) =>
+      Some(s"$c = $v")
+    case EqualTo(c, v: Int) if colType(c).contains(LongType) =>
+      Some(s"$c = $v")
+    case EqualNullSafe(c, v: Long) if colType(c).contains(LongType) =>
+      Some(s"$c IS NOT DISTINCT FROM $v")
+    case In(c, vs) if vs.length <= maxInList && vs.nonEmpty &&
+        (colType(c).contains(StringType) &&
+          vs.forall(_.isInstanceOf[String]) ||
+         colType(c).contains(LongType) &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int])) =>
+      // SQL IN never matches NULL on either side — exactly Spark's In
+      // with non-null values; a NULL in the value list falls through
+      // to the _ case (three-valued logic differs on non-matches)
+      val lits =
+        if (colType(c).contains(StringType))
+          vs.map(v => PgWireClient.sqlLit(v.asInstanceOf[String]))
+        else vs.map(_.toString)
+      Some(s"$c IN (${lits.mkString(", ")})")
+    case _ => None
+  }
+}
+
 /** One shard's work order: `preds` = the pushed filter SQL fragments
   * plus this shard's split predicate (hash residue or ctid block
   * range), all evaluated inside the remote COPY statement. */
@@ -329,7 +352,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     partitions: Int, required: StructType,
     aggExprs: Seq[String] = Nil, limit: Int = -1,
     groupCols: Seq[String] = Nil, shardMode: String = "auto")
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -343,6 +367,30 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
       (if (limit >= 0) s"PushedLimit: $limit " else "") +
       s"ShardMode: $shardMode " +
       s"PushedFilters: [${predSqls.mkString(", ")}]"
+
+  // --- RUNTIME filtering (dynamic pruning): a broadcast join against
+  // this table hands the scan its join-key values once the build side
+  // materializes; the IN list lands in the remote statements, so the
+  // server reads only matching rows (an index on the key turns N full
+  // shard ranges into a handful of probes). Purely an optimization —
+  // the join re-applies the predicate — so an over-long list is
+  // DROPPED ([[PgFilterSql.maxInList]]) rather than shipped.
+  @volatile private var runtimePreds: Seq[String] = Nil
+
+  /** Only columns present in this scan's (possibly pruned) OUTPUT —
+    * Spark resolves these against the relation, so naming a pruned-out
+    * column fails ANY query over the scan at analysis time; a join key
+    * is necessarily in the output anyway. Aggregate-pushdown outputs
+    * (`agg_i` partials) keep only their group keys filterable. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val filterable = Set("external_source", "path", "filename", "size")
+    required.fieldNames.filter(filterable).map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimePreds = filters.toSeq.flatMap(PgFilterSql.sqlOf)
 
   private def fetchShape(): PgMerge.TableShape =
     PgMerge.fetchTableShape(conn.host, conn.port, conn.user, conn.database,
@@ -420,7 +468,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
           case None => hashPreds
         }
     }
-    shardPreds.map(sp => PgShardPartition(conn, predSqls :+ sp,
+    shardPreds.map(sp => PgShardPartition(conn,
+      (predSqls ++ runtimePreds) :+ sp,
       required.fieldNames.toSeq, required, aggExprs, limit, groupCols)
       : InputPartition).toArray
   }

@@ -502,6 +502,72 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("graft-pg runtime filtering (SupportsRuntimeFiltering): a " +
+      "broadcast join's key values land in the remote statement and an " +
+      "indexed key collapses the remote read") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT 'RF', '/r' || (i % 13), 'f' || i, 'text/plain', " +
+        "NULL, now(), i, NULL FROM generate_series(1, 200000) g(i)")
+      c.exec(s"CREATE INDEX graft_rf_filename ON ${PgMerge.table} " +
+        "(filename)")
+    }
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def big = spark.read.format("graft-pg").option("url", url)
+      .option("partitions", "4").load()
+      .filter(col("external_source") === "RF")
+    def blocksTouched[A](run: => A): Long = {
+      withClient(_.queryOne("SELECT pg_stat_reset()"))
+      run
+      def counter: Long = withClient(_.queryOne(
+        "SELECT coalesce(heap_blks_read + heap_blks_hit, 0) " +
+          s"FROM pg_statio_user_tables WHERE relname = '${PgMerge.table}'")
+        .map(_.toLong).getOrElse(0L))
+      val deadline = System.currentTimeMillis() + 20000L
+      var prev = -1L
+      var cur = counter
+      while ((cur == 0L || cur != prev) &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(500L); prev = cur; cur = counter
+      }
+      cur
+    }
+    // the full-slice read, for scale: every heap page once (ctid shards)
+    val fullBlocks = blocksTouched {
+      assert(big.count() == 200000L)
+    }
+    // broadcast join on the indexed key: the DPP rule hands the scan
+    // the build side's filename values at runtime ([[PgWireScan.filter]]).
+    // The build side must keep a SELECTIVE FILTER in the optimized plan
+    // (a local Seq constant-folds to a bare LocalRelation and the rule
+    // sees nothing to prune with) — Range + filter survives.
+    val dim = spark.range(1L, 200001L)
+      .filter((col("id") % 40000L) === 10L)
+      .select(concat(lit("f"), col("id")).as("filename"))
+    val joined = big.join(broadcast(dim), Seq("filename"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+      s"the scan carries a NON-EMPTY runtime filter:\n$planStr")
+    val expect = Set("f10", "f40010", "f80010", "f120010", "f160010")
+    val rfBlocks = blocksTouched {
+      val rows = joined.collect()
+      assert(rows.length == 5 &&
+        rows.map(_.getAs[String]("filename")).toSet == expect,
+        "the join result is exact")
+    }
+    // with the IN list pushed and the index probing it, the remote read
+    // touches a handful of heap pages, not the whole slice
+    assert(rfBlocks > 0 && rfBlocks * 10 < fullBlocks,
+      s"runtime IN collapsed the remote read: full=$fullBlocks " +
+        s"filtered=$rfBlocks")
+    info(s"heap blocks: full=$fullBlocks runtime-filtered=$rfBlocks")
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg micro-batch streaming (VERDICT r15 #4): a PG-backed " +
       "external_file watches like an S3 bucket — inserts surface next " +
       "trigger, a tombstone becomes a ScrapeTws delete event") {
