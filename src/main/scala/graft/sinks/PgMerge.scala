@@ -404,6 +404,24 @@ object PgMerge {
   private[graft] def ctidRangePred(lo: Long, hi: Option[Long]): String =
     s"ctid >= '($lo,0)'" + hi.fold("")(h => s" AND ctid < '($h,0)'")
 
+  /** Carve `[0, pages)` into at most `partitions` block ranges (PURE —
+    * offline-testable): ranges tile the space disjointly, never exceed
+    * the page count in number, and the LAST is unbounded above so rows
+    * appended between planning and reading land in exactly one shard.
+    * `pages == 0` still yields the one unbounded range (an empty table
+    * may grow before the read executes). */
+  private[graft] def ctidRanges(pages: Long,
+      partitions: Int): Seq[(Long, Option[Long])] = {
+    require(partitions >= 1 && pages >= 0)
+    if (pages == 0L) Seq((0L, None))
+    else {
+      val n = math.min(partitions.toLong, pages).toInt
+      val per = (pages + n - 1) / n
+      (0 until n).map(i =>
+        (i * per, if (i == n - 1) None else Some((i + 1) * per)))
+    }
+  }
+
   /** One shard's remote statement: every predicate (the pushed filters
     * AND the shard split) is evaluated REMOTELY, wrapped in
     * `COPY (…) TO STDOUT` — bulk text frames instead of per-row DataRow

@@ -299,7 +299,7 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
   * each scan ships the full tombstone history forever. Shared by the
   * plan-time pushdown ([[PgWireScanBuilder.pushFilters]]) and the
   * RUNTIME pushdown ([[PgWireScan.filter]] — join-key IN lists). */
-private[v2] object PgFilterSql {
+private[graft] object PgFilterSql {
 
   /** IN lists larger than this are dropped (the join re-applies them
     * anyway): a megabyte-scale statement burns remote parse time for a
@@ -452,13 +452,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
           catch { case e: Throwable => if (mode == "ctid") throw e else None }
         shape match {
           case Some(s) if s.serverVersionNum >= 140000 =>
-            if (s.pages == 0L) Seq(PgMerge.ctidRangePred(0L, None))
-            else {
-              val n = math.min(partitions.toLong, s.pages).toInt
-              val per = (s.pages + n - 1) / n
-              (0 until n).map(i => PgMerge.ctidRangePred(i * per,
-                if (i == n - 1) None else Some((i + 1) * per)))
-            }
+            PgMerge.ctidRanges(s.pages, partitions)
+              .map { case (lo, hi) => PgMerge.ctidRangePred(lo, hi) }
           case Some(s) =>
             require(mode != "ctid",
               s"graft-pg: shardmode=ctid needs PostgreSQL >= 14 (TID " +

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.sinks.PgMerge
+import graft.sources.v2.PgFilterSql
+
+/** OFFLINE coverage for the `graft-pg` planning pieces that need no
+  * server: the ctid block-range carving (pure function behind VERDICT
+  * r15 #1 — the live 8.0× heap-block measurement rides on these
+  * boundaries being airtight) and the filter→remote-SQL whitelist
+  * shared by plan-time pushdown and runtime (DPP) filtering. The
+  * PG-less CI path would otherwise skip every shard-planning property
+  * behind `assume(live)`. */
+class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
+
+  test("ctidRanges: disjoint, tiling, last-unbounded — for every " +
+      "(pages, partitions) shape including the degenerate ones") {
+    val shapes = for {
+      pages <- Seq(0L, 1L, 2L, 3L, 5L, 7L, 8L, 9L, 63L, 64L, 65L,
+        1000L, 999983L)
+      partitions <- Seq(1, 2, 3, 4, 8, 16, 100)
+    } yield (pages, partitions)
+    shapes.foreach { case (pages, partitions) =>
+      val rs = PgMerge.ctidRanges(pages, partitions)
+      val label = s"pages=$pages partitions=$partitions → $rs"
+      // never more shards than pages (a shard with zero possible blocks
+      // would be a wasted connection), never more than asked
+      assert(rs.nonEmpty && rs.length <= partitions, label)
+      if (pages > 0) assert(rs.length <= pages, label)
+      // exactly one unbounded range, and it is the last — growth between
+      // planning and reading lands in exactly one shard
+      assert(rs.count(_._2.isEmpty) == 1 && rs.last._2.isEmpty, label)
+      // contiguous tiling from block 0: each range starts where the
+      // previous ended — no hole, no overlap, for ANY future page
+      assert(rs.head._1 == 0L, label)
+      rs.sliding(2).foreach {
+        case Seq((_, Some(hi)), (lo2, _)) => assert(hi == lo2, label)
+        case _ => ()
+      }
+      // every bounded range is non-empty, and existing pages all fall
+      // inside the bounded prefix or the unbounded tail
+      rs.foreach { case (lo, hi) =>
+        hi.foreach(h => assert(h > lo, label))
+      }
+      // a sample of page numbers lands in exactly ONE range each
+      Seq(0L, 1L, pages / 2, math.max(0L, pages - 1), pages, pages + 17)
+        .foreach { p =>
+          val owners = rs.count { case (lo, hi) =>
+            p >= lo && hi.forall(p < _) }
+          assert(owners == 1, s"$label page=$p owners=$owners")
+        }
+    }
+    // the rendered predicate pins the documented TID literal shape
+    assert(PgMerge.ctidRangePred(0L, Some(7L)) ==
+      "ctid >= '(0,0)' AND ctid < '(7,0)'")
+    assert(PgMerge.ctidRangePred(21L, None) == "ctid >= '(21,0)'")
+  }
+
+  test("PgFilterSql whitelist: accepted shapes render exact remote SQL; " +
+      "everything semantics-divergent or oversized is refused") {
+    import org.apache.spark.sql.sources._
+    def sql(f: Filter): Option[String] = PgFilterSql.sqlOf(f)
+    // null-ness on any table column
+    assert(sql(IsNull("deleted")) == Some("deleted IS NULL"))
+    assert(sql(IsNotNull("external_source")) ==
+      Some("external_source IS NOT NULL"))
+    // equality on text and bigint, with sqlLit quoting (the hostile
+    // name is the PgSourceSpec live fixture's)
+    assert(sql(EqualTo("path", "/d'1")) == Some("path = '/d''1'"))
+    assert(sql(EqualTo("size", 42L)) == Some("size = 42"))
+    assert(sql(EqualNullSafe("mime_type", "a'b")) ==
+      Some("mime_type IS NOT DISTINCT FROM 'a''b'"))
+    // IN: the runtime (DPP) shape — quoted, order-preserving
+    assert(sql(In("filename", Array[Any]("f1", "o'k"))) ==
+      Some("filename IN ('f1', 'o''k')"))
+    assert(sql(In("size", Array[Any](1L, 2L, 3L))) ==
+      Some("size IN (1, 2, 3)"))
+    // refusals: unknown column, ordering comparisons (text collation
+    // divergence), timestamps, NULL inside IN (three-valued logic
+    // differs on non-matches), empty IN, oversized IN
+    assert(sql(IsNull("nope")).isEmpty)
+    assert(sql(GreaterThan("size", 1L)).isEmpty)
+    assert(sql(LessThan("path", "/z")).isEmpty)
+    assert(sql(EqualTo("modified",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).isEmpty)
+    assert(sql(In("filename", Array[Any]("a", null))).isEmpty)
+    assert(sql(In("filename", Array.empty[Any])).isEmpty)
+    assert(sql(In("filename",
+      Array.fill[Any](PgFilterSql.maxInList + 1)("x"))).isEmpty)
+    assert(sql(In("filename",
+      Array.fill[Any](PgFilterSql.maxInList)("x"))).isDefined)
+    // type/column mismatches refuse rather than coerce
+    assert(sql(EqualTo("size", "42")).isEmpty)
+    assert(sql(EqualTo("path", 42L)).isEmpty)
+  }
+}
