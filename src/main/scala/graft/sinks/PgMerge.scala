@@ -430,7 +430,7 @@ object PgMerge {
     * shapes and quotes literals — never raw user SQL). */
   private[graft] def shardCopySql(preds: Seq[String],
       columns: Seq[String] = readSchema.fieldNames.toSeq,
-      limit: Int = -1): String = {
+      limit: Int = -1, orderBy: Seq[String] = Nil): String = {
     // column PRUNING reaches the server: a 2-column projection reads 2
     // columns' text off the wire, not 8 (the V2 table's
     // SupportsPushDownRequiredColumns lands here). An empty projection
@@ -438,11 +438,18 @@ object PgMerge {
     val known = readSchema.fieldNames.toSet
     columns.foreach(c => require(known(c), s"unknown column '$c'"))
     val select = if (columns.isEmpty) "1" else columns.mkString(", ")
-    // PARTIAL limit (Spark re-applies the global one): `LIMIT n` per
-    // shard lets the server stop scanning — a `.limit(10)` peek at a
-    // 10⁸-row source costs ~n rows per shard, not a full slice
+    // PARTIAL top-N/limit (Spark re-applies the global one): `ORDER BY …
+    // LIMIT n` per shard ships ~n rows per shard instead of the slice —
+    // the "newest 50 files" query stops being a full-table read. The
+    // ORDER BY terms are engine-generated (direction + explicit NULLS
+    // placement + COLLATE "C" on text, so the remote comparator IS
+    // Spark's comparator); ORDER BY may name pruned-out columns (SQL
+    // resolves them against FROM, not the projection).
+    val ord =
+      if (orderBy.isEmpty) "" else s"\nORDER BY ${orderBy.mkString(", ")}"
     val lim = if (limit >= 0) s" LIMIT $limit" else ""
-    s"COPY (SELECT $select\nFROM $table${whereClause(preds)}$lim) TO STDOUT"
+    s"COPY (SELECT $select\nFROM $table${whereClause(preds)}$ord$lim) " +
+      "TO STDOUT"
   }
 
   private def whereClause(preds: Seq[String]): String =

@@ -172,7 +172,8 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
     shardMode: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var predSqls: Seq[String] = Nil
@@ -180,12 +181,57 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
   private var aggExprs: Seq[String] = Nil
   private var groupCols: Seq[String] = Nil
   private var limit: Int = -1
+  private var topNOrder: Seq[String] = Nil
 
   /** PARTIAL limit pushdown (Spark re-applies the global limit): each
     * shard's remote statement gains `LIMIT n`, so the server stops
     * scanning after n rows per shard — the "peek at a huge table"
     * query stops being a full slice. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
+
+  /** PARTIAL top-N pushdown — `ORDER BY … LIMIT n` per shard, so the
+    * "newest 50 files" query ships ~n rows per shard instead of the
+    * slice. Accepted only when the remote comparator IS Spark's for
+    * every sort key: numerics/timestamps are engine-identical, text
+    * orders via `COLLATE "C"` (memcmp == binary UTF-8), and the NULLS
+    * placement is rendered EXPLICITLY — Spark defaults to NULLS FIRST
+    * on ASC where PostgreSQL defaults to NULLS LAST, so relying on
+    * either default would silently misplace the NULL `created` rows at
+    * the boundary. Partial: shards sort locally; Spark keeps the global
+    * sort+limit, for which each shard's local top-n provably contains
+    * its contribution. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (aggExprs.nonEmpty || groupCols.nonEmpty || orders.isEmpty)
+      return false
+    val terms = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            PgMerge.readSchema.fieldNames.contains(nr.fieldNames()(0)) =>
+          val c = nr.fieldNames()(0)
+          val expr =
+            if (PgMerge.readSchema(PgMerge.readSchema.fieldIndex(c))
+              .dataType == StringType) s"""$c COLLATE "C"""" else c
+          val dir =
+            if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+          val nulls =
+            if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+            else "NULLS LAST"
+          Some(s"$expr $dir $nulls")
+        case _ => None
+      }
+    }
+    if (terms.exists(_.isEmpty)) false
+    else {
+      topNOrder = terms.flatten
+      limit = n
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept the predicates the remote statement can evaluate with
     * identical semantics ([[PgFilterSql.sqlOf]]); everything else comes
@@ -283,7 +329,7 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
 
   override def build(): Scan =
     new PgWireScan(conn, predSqls, partitions, required, aggExprs, limit,
-      groupCols, shardMode)
+      groupCols, shardMode, topNOrder)
 }
 
 /** Remote SQL for Spark [[Filter]]s — accepted only where the two
@@ -346,12 +392,14 @@ private[graft] object PgFilterSql {
 private[v2] case class PgShardPartition(conn: PgConnInfo,
     preds: Seq[String], columns: Seq[String], schema: StructType,
     aggExprs: Seq[String], limit: Int,
-    groupCols: Seq[String]) extends InputPartition
+    groupCols: Seq[String], orderBy: Seq[String] = Nil)
+    extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     partitions: Int, required: StructType,
     aggExprs: Seq[String] = Nil, limit: Int = -1,
-    groupCols: Seq[String] = Nil, shardMode: String = "auto")
+    groupCols: Seq[String] = Nil, shardMode: String = "auto",
+    orderBy: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -364,6 +412,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
           (if (groupCols.nonEmpty)
             s"PushedGroupBy: [${groupCols.mkString(", ")}] " else "")
        else s"ReadColumns: [${required.fieldNames.mkString(", ")}] ") +
+      (if (orderBy.nonEmpty) s"PushedTopN: [${orderBy.mkString(", ")}] "
+       else "") +
       (if (limit >= 0) s"PushedLimit: $limit " else "") +
       s"ShardMode: $shardMode " +
       s"PushedFilters: [${predSqls.mkString(", ")}]"
@@ -465,8 +515,8 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     }
     shardPreds.map(sp => PgShardPartition(conn,
       (predSqls ++ runtimePreds) :+ sp,
-      required.fieldNames.toSeq, required, aggExprs, limit, groupCols)
-      : InputPartition).toArray
+      required.fieldNames.toSeq, required, aggExprs, limit, groupCols,
+      orderBy): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -502,7 +552,7 @@ private[v2] class PgWireMicroBatchStream(scan: PgWireScan)
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val PgShardPartition(conn, preds, columns, schema,
-      aggExprs, limit, groupCols) = p
+      aggExprs, limit, groupCols, orderBy) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
@@ -520,7 +570,7 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
           client.copyOut(
             if (aggExprs.nonEmpty || groupCols.nonEmpty)
               PgMerge.shardAggSql(preds, aggExprs, groupCols)
-            else PgMerge.shardCopySql(preds, columns, limit))
+            else PgMerge.shardCopySql(preds, columns, limit, orderBy))
         } catch { case e: Throwable => client.close(); throw e }
       private var current: InternalRow = _
 

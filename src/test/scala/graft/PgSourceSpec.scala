@@ -502,6 +502,75 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("graft-pg top-N pushdown: ORDER BY … LIMIT n folds per shard " +
+      "with Spark's EXACT comparator — explicit NULLS placement (Spark " +
+      "ASC is NULLS FIRST, PG's default is NULLS LAST) and COLLATE \"C\" " +
+      "text order") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    withClient { c =>
+      createTable(c)
+      // created is NULL on every 3rd row — the NULLS-placement fixture
+      c.exec(s"INSERT INTO ${PgMerge.table} " +
+        "SELECT 'TN', '/t', 'f' || i, 'text/plain', " +
+        "CASE WHEN i % 3 = 0 THEN NULL ELSE " +
+        "TIMESTAMPTZ '2026-01-02 03:04:05+00' + (i || ' s')::interval END, " +
+        "TIMESTAMPTZ '2026-01-02 03:04:05+00' + (i || ' s')::interval, " +
+        "i, NULL FROM generate_series(1, 100000) g(i)")
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('TN', '/x', 'Zebra.txt', 'text/plain', NULL, now(), 0, NULL), " +
+        "('TN', '/x', 'AAA.txt', 'text/plain', NULL, now(), 0, NULL), " +
+        "('TN', '/x', 'Éclair.txt', 'text/plain', NULL, now(), 0, NULL)")
+    }
+    import org.apache.spark.sql.functions._
+    def df = spark.read.format("graft-pg").option("url", url)
+      .option("partitions", "4").load()
+      .filter(col("external_source") === "TN")
+    // numeric DESC: the "newest/biggest first" query ships ~n rows per
+    // shard instead of the 100k slice
+    val top = df.orderBy(col("size").desc).limit(7)
+    val tplan = top.queryExecution.executedPlan.toString
+    assert(tplan.contains("PushedTopN: [size DESC NULLS LAST]") &&
+      tplan.contains("PushedLimit: 7"), s"topN pushed:\n$tplan")
+    assert(top.collect().map(_.getLong(6)).toSeq ==
+      (100000L to 99994L by -1L))
+    // ASC on a nullable timestamp: Spark puts NULLS FIRST — the remote
+    // statement must say so explicitly or PG's NULLS-LAST default would
+    // return the wrong 5 rows entirely
+    val nf = df.orderBy(col("created").asc).limit(5)
+    assert(nf.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [created ASC NULLS FIRST]"))
+    val nfr = nf.collect()
+    assert(nfr.length == 5 && nfr.forall(_.isNullAt(4)),
+      "ASC over a nullable key returns the NULL rows first, like Spark")
+    // DESC = NULLS LAST: the true maxima (i=100000; 99999 is a NULL row)
+    val nd = df.orderBy(col("created").desc).limit(2).collect()
+    assert(nd.map(_.getString(2)).toSeq == Seq("f100000", "f99998"))
+    // text via COLLATE "C": byte order, not the server's collation
+    val tx = df.orderBy(col("filename").asc).limit(2)
+    assert(tx.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [filename COLLATE \"C\" ASC NULLS FIRST]"))
+    assert(tx.collect().map(_.getString(2)).toSeq ==
+      Seq("AAA.txt", "Zebra.txt"))
+    assert(df.orderBy(col("filename").desc).limit(1)
+      .collect()(0).getString(2) == "Éclair.txt")
+    // cross-mode equality: hash shards return the same top-N
+    val viaHash = spark.read.format("graft-pg").option("url", url)
+      .option("partitions", "4").option("shardmode", "hash").load()
+      .filter(col("external_source") === "TN")
+      .orderBy(col("size").desc).limit(7)
+      .collect().map(_.getLong(6)).toSeq
+    assert(viaHash == (100000L to 99994L by -1L))
+    // a multi-key order pushes too, and ties break by the second key
+    val mk = df.orderBy(col("size").asc, col("filename").desc).limit(2)
+    assert(mk.queryExecution.executedPlan.toString.contains(
+      "PushedTopN: [size ASC NULLS FIRST, filename COLLATE \"C\" DESC " +
+        "NULLS LAST]"))
+    assert(mk.collect().map(_.getString(2)).toSeq ==
+      Seq("Éclair.txt", "Zebra.txt"), "size-0 ties break on byte-DESC name")
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg runtime filtering (SupportsRuntimeFiltering): a " +
       "broadcast join's key values land in the remote statement and an " +
       "indexed key collapses the remote read") {
