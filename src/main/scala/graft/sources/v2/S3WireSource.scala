@@ -76,11 +76,57 @@ private[v2] class S3WireTable(options: CaseInsensitiveStringMap)
     val source = merged.getOrElse("identifier", url)
     val maxKeys = merged.get("maxkeys").map(_.toInt).getOrElse(1000)
     val maxDepth = merged.get("maxdepth").map(_.toInt).getOrElse(2)
-    new ScanBuilder {
-      override def build(): Scan =
-        new S3WireScan(conf, bucket, prefix, source, maxKeys, maxDepth)
-    }
+    new S3WireScanBuilder(conf, bucket, prefix, source, maxKeys, maxDepth)
   }
+}
+
+/** Prefix pushdown for the LISTING (the S3 analog of the `graft-pg`
+  * predicate pushdown): a `path` StartsWith/equality narrows the REST
+  * `prefix=` parameter, so `--s3-wire` over `s3://bucket` with
+  * `.filter(col("path").startsWith("/img/2024"))` lists ~that subtree
+  * instead of the bucket. The refinement is a strict SUPERSET prune —
+  * `path.startsWith("/c")` implies `key.startsWith("c")` because
+  * `key = dir + "/" + name` — and every filter is RETURNED AS RESIDUAL
+  * for Spark to re-apply, so boundary shapes (a root object, a sibling
+  * dir sharing the string prefix) stay exact. Incompatible prefixes
+  * (filter names a subtree outside the table's url prefix) yield an
+  * EMPTY scan, not a full listing. */
+private[v2] class S3WireScanBuilder(conf: S3Conf, bucket: String,
+    tablePrefix: String, source: String, maxKeys: Int, maxDepth: Int)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+
+  private var pushed: Array[Filter] = Array.empty
+  private var effective: Option[String] = Some(tablePrefix)
+
+  private def candidateOf(f: Filter): Option[String] = f match {
+    case StringStartsWith("path", p) if p.startsWith("/") =>
+      Some(p.stripPrefix("/"))
+    case EqualTo("path", p: String) if p.startsWith("/") =>
+      Some(p.stripPrefix("/") + "/")
+    case _ => None
+  }
+
+  // two string key-prefixes intersect to the longer when nested,
+  // otherwise to the empty set (disjoint subtrees)
+  private def intersect(c: String): Unit =
+    effective = effective.flatMap { p =>
+      if (c.startsWith(p)) Some(c)
+      else if (p.startsWith(c)) Some(p)
+      else None
+    }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => candidateOf(f).isDefined)
+    pushed.flatMap(candidateOf).foreach(intersect)
+    filters // all residual: the listing refinement is a superset prune
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new S3WireScan(conf, bucket, effective, source, maxKeys, maxDepth)
 }
 
 private[v2] case class S3LeafPartition(conf: S3Conf, bucket: String,
@@ -88,24 +134,31 @@ private[v2] case class S3LeafPartition(conf: S3Conf, bucket: String,
 private[v2] case class S3RootPartition(
     rows: Seq[(String, Long, Long)]) extends InputPartition
 
-private[v2] class S3WireScan(conf: S3Conf, bucket: String, prefix: String,
-    source: String, maxKeys: Int, maxDepth: Int = 2) extends Scan with Batch {
+private[v2] class S3WireScan(conf: S3Conf, bucket: String,
+    prefix: Option[String], source: String, maxKeys: Int,
+    maxDepth: Int = 2) extends Scan with Batch {
 
   override def readSchema(): StructType = FilesSource.SCHEMA
   override def toBatch: Batch = this
-  override def description(): String = s"graft-s3 $bucket/$prefix"
+  override def description(): String =
+    s"graft-s3 $bucket/${prefix.getOrElse("<disjoint: empty>")} " +
+      s"ListPrefix: ${prefix.fold("∅")(p => s"'$p'")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // recursive bounded shard planning ([[S3Wire.planShards]]): hot
-    // prefixes re-delimit into child cursors, pre-listed objects ride
-    // maxKeys-sized row partitions (the r13 root-partition split)
-    val plan = S3Wire.planShards(conf, bucket, prefix, maxKeys, maxDepth)
-    val preParts: Array[InputPartition] =
-      S3Wire.chunkPreListed(plan.preListed, maxKeys)
-        .map(chunk => S3RootPartition(chunk.map(o =>
-          (o.key, o.modifiedMs, o.size)))).toArray
-    preParts ++ plan.leaves.map(s =>
-      S3LeafPartition(conf, bucket, s, maxKeys))
+  override def planInputPartitions(): Array[InputPartition] = prefix match {
+    // a pushed path prefix disjoint from the table's url prefix: the
+    // intersection is provably empty — list NOTHING
+    case None => Array.empty
+    case Some(pre) =>
+      // recursive bounded shard planning ([[S3Wire.planShards]]): hot
+      // prefixes re-delimit into child cursors, pre-listed objects ride
+      // maxKeys-sized row partitions (the r13 root-partition split)
+      val plan = S3Wire.planShards(conf, bucket, pre, maxKeys, maxDepth)
+      val preParts: Array[InputPartition] =
+        S3Wire.chunkPreListed(plan.preListed, maxKeys)
+          .map(chunk => S3RootPartition(chunk.map(o =>
+            (o.key, o.modifiedMs, o.size)))).toArray
+      preParts ++ plan.leaves.map(s =>
+        S3LeafPartition(conf, bucket, s, maxKeys))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

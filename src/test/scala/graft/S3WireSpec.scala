@@ -138,6 +138,10 @@ class S3WireSpec extends AnyFunSuite {
     * documented S3 throttle) before normal service resumes. */
   private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
   private val requestCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Every `prefix=` the server was asked to list — the observable the
+    * prefix-pushdown test pins (the pruning must happen SERVER-side). */
+  private val seenListPrefixes =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def handle(ex: HttpExchange, port: Int): Unit = {
     requestCount.incrementAndGet()
@@ -191,6 +195,7 @@ class S3WireSpec extends AnyFunSuite {
     }
     require(ex.getRequestURI.getPath == s"/$bucket", "path-style bucket")
     val prefix = params.getOrElse("prefix", "")
+    seenListPrefixes.add(prefix)
     val delim = params.get("delimiter")
     val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
     // start-after behaves exactly like an initial continuation token in
@@ -552,6 +557,64 @@ class S3WireSpec extends AnyFunSuite {
         .load()
       assert(flat.rdd.getNumPartitions == 2, "root chunk + the one hot/ cursor")
       assert(flat.count() == 61)
+    }
+  }
+
+  test("graft-s3 prefix pushdown: a path StartsWith/equality narrows " +
+      "the REST listing SERVER-side (observed prefixes), stays exact " +
+      "via the residual filter, and a disjoint prefix lists NOTHING") {
+    withServer { conf =>
+      import org.apache.spark.sql.functions.col
+      def reader = spark.read.format("graft-s3")
+        .option("url", s"s3://$bucket")
+        .option("endpoint", conf.endpoint)
+        .option("accessKey", accessKey).option("secretKey", secretKey)
+        .load()
+      // StartsWith: only the logs/ subtree is LISTED, not post-filtered
+      seenListPrefixes.clear()
+      val logs = reader.filter(col("path").startsWith("/logs"))
+      val lplan = logs.queryExecution.executedPlan.toString
+      assert(lplan.contains("ListPrefix: 'logs'"), lplan)
+      assert(logs.count() == 7)
+      import scala.jdk.CollectionConverters._
+      assert(seenListPrefixes.asScala.nonEmpty &&
+        seenListPrefixes.asScala.forall(_.startsWith("logs")),
+        s"every server-side listing was subtree-scoped: $seenListPrefixes")
+      // equality form: prefix narrows to 'docs/'; the residual filter
+      // keeps the semantics exact (a deeper dir would list but not match)
+      seenListPrefixes.clear()
+      val docs = reader.filter(col("path") === "/docs")
+      assert(docs.queryExecution.executedPlan.toString
+        .contains("ListPrefix: 'docs/'"))
+      assert(docs.count() == 1)
+      assert(seenListPrefixes.asScala.forall(_.startsWith("docs/")))
+      // the residual really is applied: a DEEPER key lists under prefix
+      // 'docs/' (superset) but its path '/docs/sub' fails the equality —
+      // without the residual the count would read 2
+      served = fixture :+ S3Object("docs/sub/deep.txt", 1700000009000L, 3L)
+      assert(reader.filter(col("path") === "/docs").count() == 1,
+        "the deeper key lists under the refined prefix but the residual " +
+          "equality drops it")
+      served = fixture
+      // a filter subtree DISJOINT from the table's url prefix: empty
+      // scan, zero listing requests
+      seenListPrefixes.clear()
+      val disjoint = spark.read.format("graft-s3")
+        .option("url", s"s3://$bucket/logs")
+        .option("endpoint", conf.endpoint)
+        .option("accessKey", accessKey).option("secretKey", secretKey)
+        .load()
+        .filter(col("path").startsWith("/data"))
+      assert(disjoint.count() == 0)
+      assert(seenListPrefixes.asScala.isEmpty,
+        s"disjoint prefixes never hit the server: $seenListPrefixes")
+      // nested prefixes intersect to the LONGER one
+      val nested = reader
+        .filter(col("path").startsWith("/logs"))
+        .filter(col("path").startsWith("/logs/2024"))
+      assert(nested.queryExecution.executedPlan.toString
+        .contains("ListPrefix: 'logs/2024'"))
+      assert(nested.count() == 7)
     }
   }
 
