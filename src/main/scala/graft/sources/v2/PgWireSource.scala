@@ -442,16 +442,19 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
   override def filter(filters: Array[Filter]): Unit =
     runtimePreds = filters.toSeq.flatMap(PgFilterSql.sqlOf)
 
-  private def fetchShape(): PgMerge.TableShape =
-    PgMerge.fetchTableShape(conn.host, conn.port, conn.user, conn.database,
-      conn.password, conn.sslMode, conn.sslRootCert)
+  private def fetchShape(): Either[Throwable, PgMerge.TableShape] =
+    try Right(PgMerge.fetchTableShape(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert))
+    catch { case e: Throwable => Left(e) }
 
-  // one catalog row, fetched lazily and swallowed to "unknown" on
-  // failure: statistics inform the PLANNER (broadcast-vs-shuffle); an
-  // unreachable server at optimization time must not fail a plan the
-  // read itself will fail loudly anyway
-  private lazy val statsShape: Option[PgMerge.TableShape] =
-    try Some(fetchShape()) catch { case _: Throwable => None }
+  // ONE catalog row per batch scan, shared by estimateStatistics and
+  // planInputPartitions (a batch query pays one extra connection, not
+  // two); the error is held, not swallowed — explicit shardmode=ctid
+  // re-raises it at planning while `auto`/stats degrade gracefully.
+  // The micro-batch stream bypasses this cache ([[planPartitionsWith]]
+  // with a fresh fetch): its table grows between triggers.
+  private lazy val cachedShape: Either[Throwable, PgMerge.TableShape] =
+    fetchShape()
 
   /** Table-level size/rows from the catalog ([[PgMerge.fetchTableShape]]):
     * `pg_relation_size` bytes (exact) and `reltuples` (the planner's
@@ -460,11 +463,14 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     * in a join while a huge one can never be under-estimated into an
     * executor-OOM broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
+    // an unreachable server at optimization time must not fail a plan
+    // the read itself will fail loudly anyway — degrade to "unknown"
+    private def shape = cachedShape.toOption
     override def sizeInBytes(): java.util.OptionalLong =
-      statsShape.map(s => java.util.OptionalLong.of(math.max(1L, s.bytes)))
+      shape.map(s => java.util.OptionalLong.of(math.max(1L, s.bytes)))
         .getOrElse(java.util.OptionalLong.empty())
     override def numRows(): java.util.OptionalLong =
-      statsShape.filter(_.relTuples >= 0)
+      shape.filter(_.relTuples >= 0)
         .map(s => java.util.OptionalLong.of(s.relTuples.toLong))
         .getOrElse(java.util.OptionalLong.empty())
   }
@@ -488,29 +494,37 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     * statements is equally missed.
     *
     * `hash`: version-independent fallback, and the explicit opt-out. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    planPartitionsWith(cachedShape)
+
+  /** The per-trigger form ([[PgWireMicroBatchStream]]): a FRESH catalog
+    * fetch — the watched table grows between triggers. */
+  private[v2] def planInputPartitionsFresh(): Array[InputPartition] =
+    planPartitionsWith(fetchShape())
+
+  private def planPartitionsWith(
+      shape: Either[Throwable, PgMerge.TableShape]): Array[InputPartition] = {
     def hashPreds: Seq[String] =
       (0 until partitions).map(PgMerge.hashShardPred(partitions, _))
     val shardPreds: Seq[String] = shardMode match {
       case "hash" => hashPreds
       case mode => // "auto" | "ctid"
-        val shape =
-          // auto: an unreachable catalog falls back to hash planning
-          // (zero driver connections, like pre-r16) and the READ then
-          // surfaces the real error; explicit ctid propagates it
-          try Some(fetchShape())
-          catch { case e: Throwable => if (mode == "ctid") throw e else None }
         shape match {
-          case Some(s) if s.serverVersionNum >= 140000 =>
+          case Right(s) if s.serverVersionNum >= 140000 =>
             PgMerge.ctidRanges(s.pages, partitions)
               .map { case (lo, hi) => PgMerge.ctidRangePred(lo, hi) }
-          case Some(s) =>
+          case Right(s) =>
             require(mode != "ctid",
               s"graft-pg: shardmode=ctid needs PostgreSQL >= 14 (TID " +
                 s"Range Scan); server is ${s.serverVersionNum} — use " +
                 "shardmode=hash or auto")
             hashPreds
-          case None => hashPreds
+          case Left(e) =>
+            // auto: an unreachable catalog falls back to hash planning
+            // (zero driver connections, like pre-r16) and the READ then
+            // surfaces the real error; explicit ctid propagates it
+            if (mode == "ctid") throw e
+            hashPreds
         }
     }
     shardPreds.map(sp => PgShardPartition(conn,
@@ -542,7 +556,7 @@ private[v2] class PgWireMicroBatchStream(scan: PgWireScan)
   override def deserializeOffset(json: String): Offset =
     GenOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = scan.planInputPartitions()
+      end: Offset): Array[InputPartition] = scan.planInputPartitionsFresh()
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
   override def commit(end: Offset): Unit = ()
