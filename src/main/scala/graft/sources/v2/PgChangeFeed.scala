@@ -1,0 +1,387 @@
+package graft.sources.v2
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.{PgMerge, PgWireClient}
+
+/** INCREMENTAL change feed over `external_file` — PostgreSQL logical
+  * decoding (the public `pgoutput` plugin + replication-slot SQL
+  * functions) as a Spark micro-batch source, the O(changes) complement
+  * to the `graft-pg` rescan watch (VERDICT r15 #4 shipped the rescan;
+  * this closes its scale hole: a 10⁸-row table costs a full read per
+  * trigger under rescan, but only its CHANGED rows here).
+  *
+  *   spark.readStream.format("graft-pg")
+  *     .option("url", …).option("mode", "changefeed").load()
+  *
+  * Offsets are WAL positions (LSNs): `latestOffset` is
+  * `pg_current_wal_lsn()`, each batch drains the slot up to its end
+  * LSN via `pg_logical_slot_peek_binary_changes` (PEEK — replaying a
+  * failed batch re-reads the same changes), and `commit` advances the
+  * slot (`pg_replication_slot_advance`), releasing WAL. Delivery is
+  * at-least-once on the commit edge (a crash between Spark's commit
+  * and the slot advance re-delivers one batch — the same contract as
+  * the rescan watch, absorbed by consumer-side compaction).
+  *
+  * The feed decodes the pgoutput binary stream from its PUBLIC wire
+  * spec ("Logical Streaming Replication Message Formats", protocol
+  * version 1 — tuple values arrive in TEXT form, so the existing
+  * column converters apply). Transactions surface in COMMIT order;
+  * `action` is insert/update/delete/truncate, row columns carry the
+  * NEW image (updates/inserts) or the OLD image (deletes — complete,
+  * because the bootstrap sets `REPLICA IDENTITY FULL`: the table's
+  * unique constraint has nullable columns, which PostgreSQL rejects
+  * as an identity index).
+  *
+  * Bootstrap (idempotent, at stream start): a publication for the
+  * table, `REPLICA IDENTITY FULL`, and the named logical slot. Needs
+  * `wal_level=logical` and a role with REPLICATION — both documented
+  * server-side requirements, checked loudly. An UNUSED slot retains
+  * WAL forever: drop it (`pg_drop_replication_slot`) when the watch is
+  * decommissioned.
+  */
+private[graft] object PgChangeFeed {
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("action", StringType, nullable = false),
+      StructField("lsn", LongType, nullable = false),
+      StructField("committed", TimestampType)) ++ PgMerge.readSchema.fields)
+
+  /** `X/Y` (two hex words) ↔ the 64-bit WAL position. */
+  def parseLsn(s: String): Long = {
+    val (hi, lo) = s.span(_ != '/')
+    (java.lang.Long.parseLong(hi, 16) << 32) |
+      java.lang.Long.parseLong(lo.tail, 16)
+  }
+
+  def formatLsn(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%X"
+
+  def fromHex(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, s"odd hex length ${s.length}")
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4) |
+        Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** One decoded change of the watched table: the action, the commit
+    * timestamp (unix micros) of its transaction, and the column values
+    * by name (TEXT form, None = SQL NULL; empty for truncate). */
+  final case class Change(action: String, commitTsMicros: Long,
+      values: Map[String, Option[String]])
+
+  /** Stateful pgoutput (protocol version 1) message decoder — PURE
+    * (offline-testable against captured frames): Relation messages
+    * register column layouts, Begin carries the transaction's commit
+    * timestamp, Insert/Update/Delete/Truncate emit [[Change]]s for
+    * relations named `tableName`. Unknown message tags fail LOUDLY —
+    * silent protocol drift would silently drop changes. */
+  final class Decoder(tableName: String) {
+    private val relations = mutable.Map.empty[Int, (String, Vector[String])]
+    private var commitTs = 0L // unix micros of the current tx's commit
+
+    // pgoutput timestamps are micros since 2000-01-01T00:00:00Z
+    private val pgEpochMicros = 946684800000000L
+
+    private final class Cursor(b: Array[Byte]) {
+      var i = 0
+      def u8(): Int = { val v = b(i) & 0xff; i += 1; v }
+      def i16(): Int = { (u8() << 8) | u8() }
+      def i32(): Int = { (i16() << 16) | (i16() & 0xffff) }
+      def i64(): Long = { ((i32().toLong) << 32) | (i32().toLong & 0xffffffffL) }
+      def cstr(): String = {
+        val start = i
+        while (b(i) != 0) i += 1
+        val s = new String(b, start, i - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+        s
+      }
+      def bytes(n: Int): Array[Byte] = {
+        val out = java.util.Arrays.copyOfRange(b, i, i + n); i += n; out
+      }
+      def hasMore: Boolean = i < b.length
+    }
+
+    /** TupleData: Int16 ncols, then per column `n` (NULL), `u`
+      * (unchanged TOASTed value — not shipped; surfaces as None), or
+      * `t` + Int32 length + that many bytes of TEXT. */
+    private def tuple(c: Cursor): Vector[Option[String]] = {
+      val n = c.i16()
+      Vector.fill(n) {
+        c.u8().toChar match {
+          case 'n' | 'u' => None
+          case 't' =>
+            val len = c.i32()
+            Some(new String(c.bytes(len),
+              java.nio.charset.StandardCharsets.UTF_8))
+          case other => throw new IllegalStateException(
+            s"pgoutput: unknown tuple column kind '$other'")
+        }
+      }
+    }
+
+    private def named(relId: Int,
+        vals: Vector[Option[String]]): Option[Map[String, Option[String]]] =
+      relations.get(relId) match {
+        case Some((name, cols)) if name == tableName =>
+          Some(cols.zip(vals).toMap)
+        case Some(_) => None // another published table: not this feed's
+        case None => throw new IllegalStateException(
+          s"pgoutput: change for unregistered relation $relId " +
+            "(Relation message not seen)")
+      }
+
+    /** Decode ONE pgoutput message; emits 0 or 1 [[Change]]. */
+    def feed(data: Array[Byte]): Option[Change] = {
+      val c = new Cursor(data)
+      c.u8().toChar match {
+        case 'B' => // Begin: final_lsn(8) commit_ts(8) xid(4)
+          c.i64()
+          commitTs = c.i64() + pgEpochMicros
+          None
+        case 'C' => None // Commit: flags/lsns/ts — nothing to emit
+        case 'R' => // Relation: oid ns relname replident ncols cols…
+          val oid = c.i32()
+          c.cstr() // namespace
+          val name = c.cstr()
+          c.u8() // replica identity
+          val ncols = c.i16()
+          val cols = Vector.fill(ncols) {
+            c.u8() // per-column flags
+            val col = c.cstr()
+            c.i32(); c.i32() // type oid, typmod
+            col
+          }
+          relations(oid) = (name, cols)
+          None
+        case 'I' => // Insert: oid 'N' tuple
+          val oid = c.i32()
+          require(c.u8().toChar == 'N', "pgoutput: Insert without new tuple")
+          named(oid, tuple(c)).map(Change("insert", commitTs, _))
+        case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' tuple
+          val oid = c.i32()
+          var kind = c.u8().toChar
+          if (kind == 'K' || kind == 'O') { tuple(c); kind = c.u8().toChar }
+          require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
+          named(oid, tuple(c)).map(Change("update", commitTs, _))
+        case 'D' => // Delete: oid ('K'|'O') old-tuple
+          val oid = c.i32()
+          val kind = c.u8().toChar
+          require(kind == 'K' || kind == 'O',
+            s"pgoutput: Delete tuple kind '$kind'")
+          named(oid, tuple(c)).map(Change("delete", commitTs, _))
+        case 'T' => // Truncate: nrels(4) options(1) oids…
+          val nrels = c.i32()
+          c.u8()
+          val oids = Vector.fill(nrels)(c.i32())
+          if (oids.exists(o => relations.get(o).exists(_._1 == tableName)))
+            Some(Change("truncate", commitTs, Map.empty))
+          else None
+        case 'Y' | 'O' | 'M' => None // Type / Origin / Message: skip
+        case other => throw new IllegalStateException(
+          s"pgoutput: unknown message tag '$other' — protocol drift " +
+            "must be loud, not silently dropped")
+      }
+    }
+  }
+
+  /** Valid slot/publication identifier (travels into engine-generated
+    * SQL): PostgreSQL replication-slot charset. */
+  private[graft] def checkedName(kind: String, n: String): String = {
+    require(n.nonEmpty && n.forall(ch =>
+      ch == '_' || Character.isLetterOrDigit(ch) && ch < 0x80) &&
+      !Character.isDigit(n.head) && n == n.toLowerCase,
+      s"graft-pg changefeed: $kind name must be lower_snake_case " +
+        s"([a-z0-9_], not starting with a digit), got '$n'")
+    n
+  }
+}
+
+private[v2] case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
+}
+
+private[v2] class PgChangeFeedScan(conn: PgConnInfo, slot: String,
+    pub: String) extends Scan {
+  override def readSchema(): StructType = PgChangeFeed.schema
+  override def description(): String =
+    s"graft-pg changefeed ${conn.host}:${conn.port}/${conn.database} " +
+      s"slot=$slot publication=$pub"
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new PgChangeFeedStream(conn, slot, pub)
+}
+
+/** LSN-offset micro-batch stream over the logical slot. The driver
+  * holds ONE control connection (offsets, slot bootstrap, advance);
+  * each batch's single partition drains the slot on an executor
+  * connection. One partition by design: logical decoding is a single
+  * ordered stream — sharding happens downstream of the feed. */
+private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
+    pub: String) extends MicroBatchStream {
+
+  private var client: PgWireClient = _
+
+  private def ctl: PgWireClient = synchronized {
+    if (client == null)
+      client = PgWireClient.connect(conn.host, conn.port, conn.user,
+        conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    client
+  }
+
+  private def one(sql: String): Option[String] = ctl.queryOne(sql)
+
+  /** Idempotent feed bootstrap, run once per stream (start OR resume):
+    * wal_level gate, publication, REPLICA IDENTITY FULL, the slot. */
+  private lazy val ready: Unit = {
+    val c = ctl
+    require(c.queryOne("SHOW wal_level").contains("logical"),
+      "graft-pg changefeed needs wal_level=logical " +
+        "(ALTER SYSTEM SET wal_level='logical' + restart)")
+    if (c.queryOne("SELECT count(*) FROM pg_publication " +
+      s"WHERE pubname = ${PgWireClient.sqlLit(pub)}").contains("0"))
+      c.exec(s"CREATE PUBLICATION $pub FOR TABLE ${PgMerge.table}")
+    // U/D events need an old image; the unique constraint's columns are
+    // nullable, so FULL is the only identity PostgreSQL accepts here
+    if (!c.queryOne("SELECT relreplident FROM pg_class WHERE oid = " +
+      s"'${PgMerge.table}'::regclass").contains("f"))
+      c.exec(s"ALTER TABLE ${PgMerge.table} REPLICA IDENTITY FULL")
+    if (c.queryOne("SELECT count(*) FROM pg_replication_slots " +
+      s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("0")) {
+      c.query("SELECT pg_create_logical_replication_slot(" +
+        s"${PgWireClient.sqlLit(slot)}, 'pgoutput')")
+      ()
+    }
+  }
+
+  override def initialOffset(): Offset = {
+    ready
+    LsnOffset(PgChangeFeed.parseLsn(one(
+      "SELECT confirmed_flush_lsn FROM pg_replication_slots " +
+        s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").get))
+  }
+
+  override def latestOffset(): Offset = {
+    ready
+    LsnOffset(PgChangeFeed.parseLsn(
+      one("SELECT pg_current_wal_lsn()").get))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LsnOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    Array(PgCdcPartition(conn, slot, pub,
+      end.asInstanceOf[LsnOffset].lsn))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgCdcReaderFactory
+
+  /** Spark committed the batch: release the WAL up to its end (the
+    * PEEK in the batch itself consumed nothing). Guarded — advancing
+    * backwards is a server error, and an already-current slot needs
+    * no call. */
+  override def commit(end: Offset): Unit = {
+    val lsn = PgChangeFeed.formatLsn(end.asInstanceOf[LsnOffset].lsn)
+    one("SELECT CASE WHEN confirmed_flush_lsn < " +
+      s"'$lsn'::pg_lsn THEN pg_replication_slot_advance(" +
+      s"${PgWireClient.sqlLit(slot)}, '$lsn'::pg_lsn)::text END " +
+      s"FROM pg_replication_slots WHERE slot_name = " +
+      PgWireClient.sqlLit(slot))
+    ()
+  }
+
+  override def stop(): Unit = synchronized {
+    if (client != null) { client.close(); client = null }
+  }
+}
+
+private[v2] case class PgCdcPartition(conn: PgConnInfo, slot: String,
+    pub: String, endLsn: Long) extends InputPartition
+
+private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val PgCdcPartition(conn, slot, pub, endLsn) = p
+    new PartitionReader[InternalRow] {
+      private val client = PgWireClient.connect(conn.host, conn.port,
+        conn.user, conn.database, conn.password, conn.sslMode,
+        conn.sslRootCert)
+      private val rows =
+        try {
+          client.exec("SET TIME ZONE 'UTC'")
+          // PEEK (not get): a replayed batch re-reads the same changes;
+          // the slot only moves on the driver's commit-time advance.
+          // encode(...,'hex') keeps the transport independent of the
+          // server's bytea_output setting.
+          client.queryStream(
+            "SELECT lsn, encode(data, 'hex') FROM " +
+              s"pg_logical_slot_peek_binary_changes(" +
+              s"${PgWireClient.sqlLit(slot)}, " +
+              s"'${PgChangeFeed.formatLsn(endLsn)}'::pg_lsn, NULL, " +
+              "'proto_version', '1', 'publication_names', " +
+              s"${PgWireClient.sqlLit(pub)})")
+        } catch { case e: Throwable => client.close(); throw e }
+
+      private val decoder = new PgChangeFeed.Decoder(PgMerge.table)
+      private val tableCols = PgMerge.readSchema.fields
+      private var current: InternalRow = _
+
+      private def toRow(lsnText: String,
+          ch: PgChangeFeed.Change): InternalRow = {
+        val vals = new Array[Any](3 + tableCols.length)
+        vals(0) = UTF8String.fromString(ch.action)
+        vals(1) = Long.box(PgChangeFeed.parseLsn(lsnText))
+        vals(2) = Long.box(ch.commitTsMicros)
+        var i = 0
+        while (i < tableCols.length) {
+          val f = tableCols(i)
+          val v = ch.values.getOrElse(f.name, None)
+          vals(3 + i) = f.dataType match {
+            case StringType => v.map(UTF8String.fromString).orNull
+            case TimestampType => v.map { s =>
+              val inst = PgWireClient.parsePgTimestamp(s).toInstant
+              Long.box(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+            }.orNull
+            case LongType => v.map(s => Long.box(s.toLong)).orNull
+            case other => throw new IllegalStateException(
+              s"unhandled changefeed type $other")
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next()
+          val decoded = decoder.feed(PgChangeFeed.fromHex(r(1).get))
+          decoded match {
+            case Some(ch) => current = toRow(r(0).get, ch); return true
+            case None => () // Begin/Commit/Relation/foreign relation
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = {
+        client.cancelIfActive()
+        client.close()
+      }
+    }
+  }
+}

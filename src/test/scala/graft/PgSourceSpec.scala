@@ -637,6 +637,99 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("graft-pg changefeed (logical decoding): inserts/updates/deletes " +
+      "stream INCREMENTALLY through a pgoutput slot — O(changes) per " +
+      "trigger, delete events carry the OLD row, quiet triggers never " +
+      "touch the table") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    assume(withClient(_.queryOne("SHOW wal_level")) == Some("logical"),
+      "changefeed needs wal_level=logical on the harness server")
+    val slot = "graft_cdc_spec"
+    val pubName = "graft_cdc_spec_pub"
+    def dropFeed(): Unit = withClient { c =>
+      if (c.queryOne("SELECT count(*) FROM pg_replication_slots WHERE " +
+        s"slot_name = '$slot'") == Some("1"))
+        c.query(s"SELECT pg_drop_replication_slot('$slot')")
+      c.exec(s"DROP PUBLICATION IF EXISTS $pubName")
+    }
+    withClient { c =>
+      createTable(c)
+      // a PRE-EXISTING row: the feed starts at slot creation — history
+      // is the batch read's job, the feed is changes-from-now
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('CDC', '/w', 'old.txt', 'text/plain', NULL, now(), 1, NULL)")
+    }
+    dropFeed()
+    import org.apache.spark.sql.functions._
+    val q = spark.readStream.format("graft-pg")
+      .option("url", url).option("mode", "changefeed")
+      .option("slot", slot).option("publication", pubName)
+      .load()
+      .writeStream.format("memory").queryName("pg_cdc_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000L
+      // DML must land AFTER the slot exists (the bootstrap runs at
+      // stream start) or it predates the feed's consistent point
+      while (withClient(_.queryOne("SELECT count(*) FROM " +
+        s"pg_replication_slots WHERE slot_name = '$slot'")) != Some("1") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      withClient { c =>
+        c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+          "('CDC', '/w', 'a.txt', 'text/plain', NULL, " +
+          "TIMESTAMPTZ '2026-01-02 03:04:05.678901+00', 7, NULL), " +
+          "('CDC', '/w', 'b.txt', 'text/plain', NULL, now(), 8, NULL)")
+        c.exec(s"UPDATE ${PgMerge.table} SET size = 9 " +
+          "WHERE filename = 'a.txt'")
+        c.exec(s"DELETE FROM ${PgMerge.table} WHERE filename = 'b.txt'")
+      }
+      def events = spark.table("pg_cdc_out")
+      while (events.count() < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      val all = events.orderBy(col("lsn")).collect()
+      assert(all.length == 4,
+        s"exactly the four changes, no duplicates, no history: " +
+          s"${all.mkString("; ")}")
+      assert(all.map(_.getString(0)).toSeq ==
+        Seq("insert", "insert", "update", "delete"),
+        "commit order preserved")
+      assert(!all.map(_.getAs[String]("filename")).contains("old.txt"),
+        "the pre-existing row is NOT in the feed")
+      val ins = all(0)
+      assert(ins.getAs[String]("filename") == "a.txt" &&
+        ins.getAs[Long]("size") == 7L &&
+        ins.getAs[java.sql.Timestamp]("modified").toInstant ==
+          java.time.Instant.parse("2026-01-02T03:04:05.678901Z"),
+        "insert carries the full new image, micros-exact")
+      assert(all(2).getAs[Long]("size") == 9L, "update carries the new image")
+      val del = all(3)
+      assert(del.getAs[String]("filename") == "b.txt" &&
+        del.getAs[Long]("size") == 8L,
+        "delete carries the complete OLD row (REPLICA IDENTITY FULL) — " +
+          "the thing a rescan watch has to infer from state")
+      assert(all.forall(r => !r.isNullAt(2)), "commit timestamps present")
+      assert(all.map(_.getLong(1)).distinct.length > 0, "LSNs populated")
+      // O(changes): with DML quiet, triggers keep firing (WAL advances
+      // server-wide) but the TABLE is never touched — zero scans, zero
+      // heap blocks, while the rescan watch would read 3 rows per 250ms
+      withClient(_.queryOne("SELECT pg_stat_reset()"))
+      Thread.sleep(2000L)
+      val scans = withClient(_.queryOne(
+        "SELECT coalesce(seq_scan, 0) + coalesce(idx_scan, 0) " +
+          s"FROM pg_stat_user_tables WHERE relname = '${PgMerge.table}'"))
+      assert(scans == Some("0"),
+        s"quiet triggers never scan the table (got $scans scans)")
+    } finally {
+      try spark.streams.active
+        .filter(_.name == "pg_cdc_out").foreach(_.stop())
+      finally dropFeed() // an abandoned slot retains WAL forever
+    }
+    assert(PgWireClient.live == 0, "no leaked connections after stop")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg micro-batch streaming (VERDICT r15 #4): a PG-backed " +
       "external_file watches like an S3 bucket — inserts surface next " +
       "trigger, a tombstone becomes a ScrapeTws delete event") {
