@@ -46,7 +46,7 @@ import graft.sinks.{PgMerge, PgWireClient}
   * WAL forever: drop it (`pg_drop_replication_slot`) when the watch is
   * decommissioned.
   */
-private[graft] object PgChangeFeed {
+object PgChangeFeed {
 
   val schema: StructType = StructType(
     Seq(
@@ -196,6 +196,34 @@ private[graft] object PgChangeFeed {
             "must be loud, not silently dropped")
       }
     }
+  }
+
+  /** Compact a (batch-read) changefeed frame into current row state:
+    * last change per file identity in LSN order wins, deletes drop the
+    * row, and a TRUNCATE resets everything before it — one hash
+    * exchange at any feed size, the changefeed twin of
+    * [[graft.streaming.ScrapeTws.snapshotOf]]. The result carries the
+    * table columns only (current live rows as of the feed's horizon);
+    * rows never touched since the slot was created are NOT in the feed
+    * — union with a batch read for full state. */
+  def compact(feed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tl = feed.filter(col("action") === "truncate")
+      .agg(max("lsn").as("graft_trunc_lsn"))
+    val alive = feed.crossJoin(broadcast(tl))
+      .filter(col("action") =!= "truncate" &&
+        (col("graft_trunc_lsn").isNull ||
+          col("lsn") > col("graft_trunc_lsn")))
+      .drop("graft_trunc_lsn")
+    val w = Window
+      .partitionBy("external_source", "path", "filename")
+      .orderBy(col("lsn").desc)
+    alive
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1 && col("action") =!= "delete")
+      .drop("graft_rn", "action", "lsn", "committed")
   }
 
   /** Valid slot/publication identifier (travels into engine-generated

@@ -721,6 +721,19 @@ class PgSourceSpec extends AnyFunSuite {
           s"FROM pg_stat_user_tables WHERE relname = '${PgMerge.table}'"))
       assert(scans == Some("0"),
         s"quiet triggers never scan the table (got $scans scans)")
+      // the feed COMPACTS to current state: last change per identity
+      // wins, the delete drops b.txt — equal to the batch read for
+      // every touched key (union with a batch read covers history)
+      val compacted = graft.sources.v2.PgChangeFeed.compact(events)
+        .collect().map(r => r.getAs[String]("filename") ->
+          r.getAs[Long]("size")).toMap
+      assert(compacted == Map("a.txt" -> 9L),
+        s"compact(feed) = live touched rows: $compacted")
+      val batchNow = spark.read.format("graft-pg").option("url", url)
+        .load().filter(col("external_source") === "CDC")
+        .collect().map(_.getAs[String]("filename")).toSet
+      assert(batchNow == Set("old.txt", "a.txt"),
+        "…consistent with the table: b.txt gone, old.txt only in batch")
     } finally {
       try spark.streams.active
         .filter(_.name == "pg_cdc_out").foreach(_.stop())
