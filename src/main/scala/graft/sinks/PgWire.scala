@@ -55,7 +55,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class PgWireClient(host: String, port: Int, user: String,
     database: String, password: Option[String] = None,
-    sslMode: String = "disable", sslRootCert: Option[String] = None)
+    sslMode: String = "disable", sslRootCert: Option[String] = None,
+    extraStartupParams: Seq[(String, String)] = Nil)
     extends AutoCloseable {
 
   require(Set("disable", "prefer", "require", "verify-ca", "verify-full")(
@@ -246,6 +247,15 @@ final class PgWireClient(host: String, port: Int, user: String,
     // identifies engine connections in pg_stat_activity
     d.write("application_name".getBytes(UTF_8)); d.writeByte(0)
     d.write("graft".getBytes(UTF_8)); d.writeByte(0)
+    // caller-requested session parameters; the one the engine uses is
+    // `replication=database` (protocol docs "Streaming Replication
+    // Protocol"): the session becomes a logical walsender that accepts
+    // replication commands — CREATE_REPLICATION_SLOT with its exported
+    // snapshot — alongside plain SQL
+    extraStartupParams.foreach { case (k, v) =>
+      d.write(k.getBytes(UTF_8)); d.writeByte(0)
+      d.write(v.getBytes(UTF_8)); d.writeByte(0)
+    }
     d.writeByte(0)
     send(0, buf.toByteArray)
     out.flush()

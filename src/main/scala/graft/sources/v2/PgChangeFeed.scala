@@ -44,7 +44,11 @@ import graft.sinks.{PgMerge, PgWireClient}
   * `wal_level=logical` and a role with REPLICATION — both documented
   * server-side requirements, checked loudly. An UNUSED slot retains
   * WAL forever: drop it (`pg_drop_replication_slot`) when the watch is
-  * decommissioned.
+  * decommissioned. For a CONSISTENT start (state + changes with no
+  * loss and no double-count), create the slot with
+  * [[PgChangeFeed.bootstrapSnapshot]] and batch-read under its
+  * exported snapshot first. `maxchangespertrigger` bounds each batch
+  * at commit boundaries — a backlog drains as N bounded batches.
   */
 object PgChangeFeed {
 
@@ -226,6 +230,90 @@ object PgChangeFeed {
       .drop("graft_rn", "action", "lsn", "committed")
   }
 
+  /** The feed's server-side prerequisites, idempotent — shared by the
+    * stream bootstrap and the snapshot handoff (which must run these
+    * BEFORE its slot exists: REPLICA IDENTITY decides what the handoff
+    * window's UPDATE/DELETE statements log, and PostgreSQL rejects
+    * UPDATE/DELETE outright on a published table with no identity). */
+  private[v2] def ensureFeedObjects(c: PgWireClient, pub: String): Unit = {
+    require(c.queryOne("SHOW wal_level").contains("logical"),
+      "graft-pg changefeed needs wal_level=logical " +
+        "(ALTER SYSTEM SET wal_level='logical' + restart)")
+    if (c.queryOne("SELECT count(*) FROM pg_publication " +
+      s"WHERE pubname = ${PgWireClient.sqlLit(pub)}").contains("0"))
+      c.exec(s"CREATE PUBLICATION $pub FOR TABLE ${PgMerge.table}")
+    // U/D events need an old image; the unique constraint's columns are
+    // nullable, so FULL is the only identity PostgreSQL accepts here
+    if (!c.queryOne("SELECT relreplident FROM pg_class WHERE oid = " +
+      s"'${PgMerge.table}'::regclass").contains("f"))
+      c.exec(s"ALTER TABLE ${PgMerge.table} REPLICA IDENTITY FULL")
+  }
+
+  /** A consistent batch↔changefeed handoff (the CDC bootstrap problem):
+    * a slot created AFTER a batch read misses the window's changes; one
+    * created before double-counts them. [[bootstrapSnapshot]] closes the
+    * window exactly — the slot is created through the REPLICATION
+    * protocol's `CREATE_REPLICATION_SLOT … EXPORT_SNAPSHOT` (protocol
+    * docs "Streaming Replication Protocol"), which EXPORTS the slot's
+    * consistent snapshot: while this handle stays open, any number of
+    * sessions — including every shard of a `graft-pg` batch read via
+    * `.option("snapshot", handle.snapshotName)` — adopt it with `SET
+    * TRANSACTION SNAPSHOT` and see EXACTLY the state the feed starts
+    * after. state(snapshot) + changes(slot) loses nothing and doubles
+    * nothing, by the server's own MVCC guarantee rather than by timing.
+    *
+    * The exported snapshot lives until this handle closes (and the
+    * handle's connection must execute nothing else — the server
+    * invalidates the export on its next command), so: bootstrap →
+    * batch-read under the snapshot → close → stream the slot. The slot
+    * itself persists for the changefeed. */
+  final class SnapshotHandle private[v2] (repl: PgWireClient,
+      val slot: String, val snapshotName: String, val consistentPoint: Long)
+      extends AutoCloseable {
+    override def close(): Unit = repl.close()
+  }
+
+  /** Create a NEW changefeed slot with its exported consistent snapshot.
+    * `options` is the same map the `graft-pg` reader takes (`url` +
+    * credential/TLS overrides, `slot`, `publication`). Fails loudly when
+    * the slot already exists: an existing slot's horizon is already
+    * fixed, so a consistent handoff can only start from a fresh one. */
+  def bootstrapSnapshot(options: Map[String, String]): SnapshotHandle = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
+    val pub = checkedName("publication",
+      merged.getOrElse("publication", "graft_pub"))
+    val ctl = PgWireClient.connect(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    try {
+      ensureFeedObjects(ctl, pub)
+      require(ctl.queryOne("SELECT count(*) FROM pg_replication_slots " +
+        s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("0"),
+        s"graft-pg changefeed: slot '$slot' already exists — the " +
+          "snapshot bootstrap hands off from a FRESH slot (drop the old " +
+          "one with pg_drop_replication_slot, or resume the existing " +
+          "feed without a bootstrap)")
+    } finally ctl.close()
+    // the walsender session: CREATE_REPLICATION_SLOT responds over the
+    // normal result-set messages, so the plain query path reads it
+    val repl = new PgWireClient(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert,
+      extraStartupParams = Seq("replication" -> "database"))
+    try {
+      // legacy keyword form: accepted by every version with logical
+      // decoding (the option-list form only appeared in PG 15)
+      val row = repl.query(
+        s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput EXPORT_SNAPSHOT")
+        .head
+      // slot_name, consistent_point, snapshot_name, output_plugin
+      new SnapshotHandle(repl, slot,
+        row(2).getOrElse(throw new IllegalStateException(
+          "CREATE_REPLICATION_SLOT returned no snapshot name")),
+        parseLsn(row(1).get))
+    } catch { case e: Throwable => repl.close(); throw e }
+  }
+
   /** Valid slot/publication identifier (travels into engine-generated
     * SQL): PostgreSQL replication-slot charset. */
   private[graft] def checkedName(kind: String, n: String): String = {
@@ -243,23 +331,67 @@ private[v2] case class LsnOffset(lsn: Long) extends Offset {
 }
 
 private[v2] class PgChangeFeedScan(conn: PgConnInfo, slot: String,
-    pub: String) extends Scan {
+    pub: String, maxChanges: Option[Long]) extends Scan {
   override def readSchema(): StructType = PgChangeFeed.schema
   override def description(): String =
     s"graft-pg changefeed ${conn.host}:${conn.port}/${conn.database} " +
-      s"slot=$slot publication=$pub"
+      s"slot=$slot publication=$pub" +
+      maxChanges.map(n => s" maxChangesPerTrigger=$n").getOrElse("")
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new PgChangeFeedStream(conn, slot, pub)
+    new PgChangeFeedStream(conn, slot, pub, maxChanges)
 }
 
 /** LSN-offset micro-batch stream over the logical slot. The driver
   * holds ONE control connection (offsets, slot bootstrap, advance);
   * each batch's single partition drains the slot on an executor
   * connection. One partition by design: logical decoding is a single
-  * ordered stream — sharding happens downstream of the feed. */
+  * ordered stream — sharding happens downstream of the feed.
+  *
+  * Admission control: `maxchangespertrigger` bounds each micro-batch —
+  * after a long stop (or against a hot table) the backlog arrives as N
+  * bounded batches instead of one arbitrarily large one. The bound is
+  * found with a `upto_nchanges` PEEK whose max row LSN is, by
+  * construction, the LAST COMPLETE transaction's commit LSN (the server
+  * finishes the transaction it is decoding before honoring the bound,
+  * and a subsequent `upto_lsn` peek includes exactly the transactions
+  * committing at-or-before that LSN — both pinned live by the spec), so
+  * batches always cut at commit boundaries. Approximate by design: one
+  * transaction larger than the bound still arrives whole, and the count
+  * includes the begin/commit/relation protocol rows. Costs one extra
+  * server-side decode of the bounded window per trigger. */
 private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
-    pub: String) extends MicroBatchStream {
+    pub: String, maxChanges: Option[Long]) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxChanges.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ready
+    limit match {
+      case mr: ReadMaxRows =>
+        // the peek always reads from the slot's confirmed position, but
+        // Spark only calls commit() when a NEW batch runs — and under a
+        // bound, "new data exists" is itself answered by this peek. Left
+        // at the old position the peek re-counts the last batch forever
+        // and the stream deadlocks after one batch. Advance to `start`
+        // first: everything at-or-before it is durably processed (it is
+        // the completed end of the previous batch — a replayed batch
+        // re-peeks (start, end], which this never releases).
+        advanceTo(start.asInstanceOf[LsnOffset].lsn)
+        one("SELECT max(lsn)::text FROM pg_logical_slot_peek_binary_changes(" +
+          s"${PgWireClient.sqlLit(slot)}, NULL, ${mr.maxRows}, " +
+          "'proto_version', '1', 'publication_names', " +
+          s"${PgWireClient.sqlLit(pub)})") match {
+          case Some(lsn) => LsnOffset(PgChangeFeed.parseLsn(lsn))
+          case None => start // nothing pending: no batch
+        }
+      case _ => latestOffset()
+    }
+  }
 
   private var client: PgWireClient = _
 
@@ -273,20 +405,12 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
   private def one(sql: String): Option[String] = ctl.queryOne(sql)
 
   /** Idempotent feed bootstrap, run once per stream (start OR resume):
-    * wal_level gate, publication, REPLICA IDENTITY FULL, the slot. */
+    * wal_level gate, publication, REPLICA IDENTITY FULL, the slot. A
+    * slot already created by [[PgChangeFeed.bootstrapSnapshot]] is left
+    * exactly where its consistent point pinned it. */
   private lazy val ready: Unit = {
     val c = ctl
-    require(c.queryOne("SHOW wal_level").contains("logical"),
-      "graft-pg changefeed needs wal_level=logical " +
-        "(ALTER SYSTEM SET wal_level='logical' + restart)")
-    if (c.queryOne("SELECT count(*) FROM pg_publication " +
-      s"WHERE pubname = ${PgWireClient.sqlLit(pub)}").contains("0"))
-      c.exec(s"CREATE PUBLICATION $pub FOR TABLE ${PgMerge.table}")
-    // U/D events need an old image; the unique constraint's columns are
-    // nullable, so FULL is the only identity PostgreSQL accepts here
-    if (!c.queryOne("SELECT relreplident FROM pg_class WHERE oid = " +
-      s"'${PgMerge.table}'::regclass").contains("f"))
-      c.exec(s"ALTER TABLE ${PgMerge.table} REPLICA IDENTITY FULL")
+    PgChangeFeed.ensureFeedObjects(c, pub)
     if (c.queryOne("SELECT count(*) FROM pg_replication_slots " +
       s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("0")) {
       c.query("SELECT pg_create_logical_replication_slot(" +
@@ -319,19 +443,23 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new PgCdcReaderFactory
 
-  /** Spark committed the batch: release the WAL up to its end (the
-    * PEEK in the batch itself consumed nothing). Guarded — advancing
-    * backwards is a server error, and an already-current slot needs
-    * no call. */
-  override def commit(end: Offset): Unit = {
-    val lsn = PgChangeFeed.formatLsn(end.asInstanceOf[LsnOffset].lsn)
+  /** Advance the slot's confirmed position, releasing WAL up to `lsn`.
+    * Guarded — advancing backwards is a server error, and an
+    * already-current slot needs no call. */
+  private def advanceTo(lsn: Long): Unit = {
+    val t = PgChangeFeed.formatLsn(lsn)
     one("SELECT CASE WHEN confirmed_flush_lsn < " +
-      s"'$lsn'::pg_lsn THEN pg_replication_slot_advance(" +
-      s"${PgWireClient.sqlLit(slot)}, '$lsn'::pg_lsn)::text END " +
+      s"'$t'::pg_lsn THEN pg_replication_slot_advance(" +
+      s"${PgWireClient.sqlLit(slot)}, '$t'::pg_lsn)::text END " +
       s"FROM pg_replication_slots WHERE slot_name = " +
       PgWireClient.sqlLit(slot))
     ()
   }
+
+  /** Spark committed the batch: release the WAL up to its end (the
+    * PEEK in the batch itself consumed nothing). */
+  override def commit(end: Offset): Unit =
+    advanceTo(end.asInstanceOf[LsnOffset].lsn)
 
   override def stop(): Unit = synchronized {
     if (client != null) { client.close(); client = null }

@@ -40,7 +40,11 @@ import graft.sinks.{PgMerge, PgWireClient}
   *    row per shard — all visible in the scan description. The table
   *    also reports catalog statistics (`pg_relation_size`/`reltuples`)
   *    so a small side broadcasts in joins, and reads as a MICRO-BATCH
-  *    stream (complete rescan per trigger, `graft-s3` parity).
+  *    stream (complete rescan per trigger, `graft-s3` parity). A batch
+  *    read may adopt an exported snapshot (`snapshot` option — see
+  *    [[PgChangeFeed.bootstrapSnapshot]]): all shards then see exactly
+  *    the state a changefeed slot starts after, the consistent half of
+  *    a batch↔changefeed handoff.
   *  - WRITE: `df.write.format("graft-pg").option("source", s)
   *    .mode("append")` — NOT a row append: the reference's
   *    transactional scan publish (upsert J3 / tombstone J2 / K2
@@ -128,8 +132,12 @@ private[v2] class PgChangeFeedTable(options: CaseInsensitiveStringMap)
       merged.getOrElse("slot", "graft_slot"))
     val pub = PgChangeFeed.checkedName("publication",
       merged.getOrElse("publication", "graft_pub"))
+    val maxChanges = merged.get("maxchangespertrigger").map(_.toLong)
+    maxChanges.foreach(n => require(n >= 1,
+      s"graft-pg changefeed: maxchangespertrigger must be >= 1, got $n"))
     new ScanBuilder {
-      override def build(): Scan = new PgChangeFeedScan(conn, slot, pub)
+      override def build(): Scan =
+        new PgChangeFeedScan(conn, slot, pub, maxChanges)
     }
   }
 }
@@ -160,7 +168,16 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
     val shardMode = merged.getOrElse("shardmode", "auto")
     require(Set("auto", "ctid", "hash")(shardMode),
       s"graft-pg: shardmode must be auto, ctid, or hash (got '$shardMode')")
-    new PgWireScanBuilder(connOf(merged), partitions, shardMode)
+    // an exported snapshot name ([[PgChangeFeed.bootstrapSnapshot]]):
+    // every shard adopts it, so the N shard statements read ONE
+    // consistent state — the batch half of a batch↔changefeed handoff
+    val snapshot = merged.get("snapshot").map { s =>
+      require(s.nonEmpty && s.forall(ch =>
+        ch == '-' || Character.isLetterOrDigit(ch) && ch < 0x80),
+        s"graft-pg: malformed snapshot name '$s'")
+      s
+    }
+    new PgWireScanBuilder(connOf(merged), partitions, shardMode, snapshot)
   }
 
   /** `df.write.format("graft-pg").option("url", …).option("source", s)
@@ -213,7 +230,7 @@ private[v2] class PgWireTable(options: CaseInsensitiveStringMap)
 }
 
 private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
-    shardMode: String)
+    shardMode: String, snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit
@@ -373,7 +390,7 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
 
   override def build(): Scan =
     new PgWireScan(conn, predSqls, partitions, required, aggExprs, limit,
-      groupCols, shardMode, topNOrder)
+      groupCols, shardMode, topNOrder, snapshot)
 }
 
 /** Remote SQL for Spark [[Filter]]s — accepted only where the two
@@ -436,14 +453,15 @@ private[graft] object PgFilterSql {
 private[v2] case class PgShardPartition(conn: PgConnInfo,
     preds: Seq[String], columns: Seq[String], schema: StructType,
     aggExprs: Seq[String], limit: Int,
-    groupCols: Seq[String], orderBy: Seq[String] = Nil)
+    groupCols: Seq[String], orderBy: Seq[String] = Nil,
+    snapshot: Option[String] = None)
     extends InputPartition
 
 private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     partitions: Int, required: StructType,
     aggExprs: Seq[String] = Nil, limit: Int = -1,
     groupCols: Seq[String] = Nil, shardMode: String = "auto",
-    orderBy: Seq[String] = Nil)
+    orderBy: Seq[String] = Nil, snapshot: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -460,6 +478,7 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
        else "") +
       (if (limit >= 0) s"PushedLimit: $limit " else "") +
       s"ShardMode: $shardMode " +
+      snapshot.map(s => s"Snapshot: $s ").getOrElse("") +
       s"PushedFilters: [${predSqls.mkString(", ")}]"
 
   // --- RUNTIME filtering (dynamic pruning): a broadcast join against
@@ -574,15 +593,21 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
     shardPreds.map(sp => PgShardPartition(conn,
       (predSqls ++ runtimePreds) :+ sp,
       required.fieldNames.toSeq, required, aggExprs, limit, groupCols,
-      orderBy): InputPartition).toArray
+      orderBy, snapshot): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PgWireReaderFactory
 
   override def toMicroBatchStream(
-      checkpointLocation: String): MicroBatchStream =
+      checkpointLocation: String): MicroBatchStream = {
+    // a frozen snapshot under a RESCAN watch would re-read the same
+    // state forever (and the export dies with its bootstrap handle) —
+    // the streaming half of a handoff is mode=changefeed on the slot
+    require(snapshot.isEmpty, "graft-pg: the 'snapshot' option is " +
+      "batch-only — stream the handoff's slot with mode=changefeed")
     new PgWireMicroBatchStream(this)
+  }
 }
 
 /** Micro-batch parity with `graft-s3` (VERDICT r15 #4): the streaming
@@ -610,7 +635,7 @@ private[v2] class PgWireMicroBatchStream(scan: PgWireScan)
 private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val PgShardPartition(conn, preds, columns, schema,
-      aggExprs, limit, groupCols, orderBy) = p
+      aggExprs, limit, groupCols, orderBy, snapshot) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
@@ -625,6 +650,17 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
           // pins sqlLit's literal quoting in the pushed predicates
           client.exec("SET TIME ZONE 'UTC'")
           client.exec("SET standard_conforming_strings = on")
+          // a handoff read adopts the bootstrap's exported snapshot:
+          // every shard — each its own connection — sees the SAME state,
+          // the one the changefeed's slot starts after. Adoption needs
+          // REPEATABLE READ and a live export (the bootstrap handle must
+          // still be open — the server fails loudly here otherwise).
+          // Read-only, never committed: close() discards it.
+          snapshot.foreach { name =>
+            client.exec("BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY")
+            client.exec(
+              s"SET TRANSACTION SNAPSHOT ${PgWireClient.sqlLit(name)}")
+          }
           client.copyOut(
             if (aggExprs.nonEmpty || groupCols.nonEmpty)
               PgMerge.shardAggSql(preds, aggExprs, groupCols)
