@@ -314,6 +314,56 @@ object PgChangeFeed {
     } catch { case e: Throwable => repl.close(); throw e }
   }
 
+  /** The feed in the engine's CHANGE-EVENT dialect — the exact schema
+    * [[graft.streaming.ScrapeTws.changeStream]] emits — so a PG-backed
+    * watch swaps from the rescan daemon (O(table) per trigger) to the
+    * changefeed (O(changes)) without touching any consumer: the same
+    * parquet event log, the same [[graft.streaming.ScrapeTws.snapshotOf]]
+    * compaction.
+    *
+    * Mapping: actions reflect the ROW outcome — a new image carrying a
+    * tombstone IS a "delete" (the publish path tombstones by UPDATE),
+    * and a physical DELETE (old image, REPLICA IDENTITY FULL) becomes a
+    * tombstone AT its commit time; "insert"/"update" otherwise (the
+    * stateless adapter labels the row operation, not the seen-set
+    * transition — compaction only orders by `(event_ms, event_seq)` and
+    * reads `deleted_ms`, so the snapshot is identical either way).
+    * `event_ms` is the transaction commit time; `event_seq` is the LSN,
+    * globally monotone hence per-key monotone — commit order IS the
+    * compaction order. `uuid_external_file` is the engine's
+    * deterministic surrogate (bit-identical to the batch and daemon
+    * paths). TRUNCATE has no per-file expression: it fails the stream
+    * LOUDLY instead of silently un-recording a table wipe. Rows of
+    * other sources are dropped — run one adapted feed per source,
+    * exactly like the daemon's one-query-per-source contract. */
+  def asScrapeEvents(feed: org.apache.spark.sql.DataFrame,
+      source: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    feed
+      .filter(when(col("action") === "truncate", raise_error(lit(
+        "PgChangeFeed.asScrapeEvents: TRUNCATE of the watched table " +
+          "cannot be expressed as per-file change events — rebuild " +
+          "consumers from a fresh snapshot handoff")))
+        .otherwise(col("external_source") === lit(source)))
+      .select(
+        // ScrapeTws.genUuid, the md5-over-joined-triple surrogate
+        concat(lit("gen_"), md5(concat_ws("\u001f",
+          col("external_source"), col("path"), col("filename"))))
+          .as("uuid_external_file"),
+        col("external_source"), col("path"), col("filename"),
+        col("mime_type"),
+        unix_millis(col("created")).as("created_ms"),
+        unix_millis(col("modified")).as("modified_ms"),
+        col("size"),
+        when(col("action") === "delete",
+          coalesce(unix_millis(col("deleted")), unix_millis(col("committed"))))
+          .otherwise(unix_millis(col("deleted"))).as("deleted_ms"),
+        when(col("action") === "delete" || col("deleted").isNotNull,
+          "delete").otherwise(col("action")).as("action"),
+        unix_millis(col("committed")).as("event_ms"),
+        col("lsn").as("event_seq"))
+  }
+
   /** Valid slot/publication identifier (travels into engine-generated
     * SQL): PostgreSQL replication-slot charset. */
   private[graft] def checkedName(kind: String, n: String): String = {

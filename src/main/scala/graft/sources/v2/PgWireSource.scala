@@ -133,8 +133,10 @@ private[v2] class PgChangeFeedTable(options: CaseInsensitiveStringMap)
     val pub = PgChangeFeed.checkedName("publication",
       merged.getOrElse("publication", "graft_pub"))
     val maxChanges = merged.get("maxchangespertrigger").map(_.toLong)
-    maxChanges.foreach(n => require(n >= 1,
-      s"graft-pg changefeed: maxchangespertrigger must be >= 1, got $n"))
+    maxChanges.foreach(n => require(n >= 1 && n <= Int.MaxValue,
+      "graft-pg changefeed: maxchangespertrigger must be in " +
+        s"[1, ${Int.MaxValue}] (the server's upto_nchanges is an int), " +
+        s"got $n"))
     new ScanBuilder {
       override def build(): Scan =
         new PgChangeFeedScan(conn, slot, pub, maxChanges)

@@ -119,7 +119,7 @@ object ScrapeTws {
     * match the batch path, and a separator-embedding collision here
     * collides the uuid in BOTH paths equally (reference-parity
     * surrogate semantics), never the state slot. */
-  private[streaming] def genUuid(source: String, path: String,
+  private[graft] def genUuid(source: String, path: String,
       filename: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytes = md.digest(

@@ -734,6 +734,16 @@ class PgSourceSpec extends AnyFunSuite {
         .collect().map(_.getAs[String]("filename")).toSet
       assert(batchNow == Set("old.txt", "a.txt"),
         "…consistent with the table: b.txt gone, old.txt only in batch")
+      // the adapter re-expresses the feed in the daemon's change-event
+      // dialect; the daemon-side compaction agrees on the live rows and
+      // surfaces the physical DELETE as a commit-time tombstone
+      val snap = graft.streaming.ScrapeTws.snapshotOf(
+        graft.sources.v2.PgChangeFeed.asScrapeEvents(events, "CDC"))
+        .collect().map(r => r.getAs[String]("filename") ->
+          (r.getAs[Long]("size"),
+            r.getAs[java.sql.Timestamp]("deleted"))).toMap
+      assert(snap("a.txt") == ((9L, null)) && snap("b.txt")._2 != null,
+        s"snapshotOf(asScrapeEvents(feed)) matches the table: $snap")
     } finally {
       try spark.streams.active
         .filter(_.name == "pg_cdc_out").foreach(_.stop())
