@@ -19,6 +19,8 @@ import graft.sources.FileListing
   *    the reference's exact env contract, main.rs:48)
   * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
   * graft.Main query list                        // enumerate query names
+  * graft.Main --watch-pg ADDR [--out DIR] [--interval SEC]
+  *            [--max-changes N] SOURCE [SOURCE...]   // changefeed watch
   * }}}
   *
   * `--s3-wire` lists `s3://` paths over the built-in REST client
@@ -78,6 +80,8 @@ object Main {
     var streamEvents = false
     var rebuildState = false
     var interval: Option[Long] = None
+    var watchPg: Option[String] = None
+    var maxChanges: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -92,10 +96,14 @@ object Main {
         case "--stream-events" => streamEvents = true; i += 1
         case "--rebuild-state" => rebuildState = true; i += 1
         case "--interval" => interval = Some(args(i + 1).toLong); i += 2
+        case "--watch-pg" => watchPg = Some(args(i + 1)); i += 2
+        case "--max-changes" => maxChanges = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
       }
     }
-    require(paths.nonEmpty, "at least one PATH required")
+    require(paths.nonEmpty, if (watchPg.isDefined)
+      "at least one SOURCE required (--watch-pg watches the named " +
+        "external_source slices)" else "at least one PATH required")
     require(jdbc.isEmpty || pg.isEmpty, "--jdbc and --pg are exclusive sinks")
     // the reference's one env contract (`main.rs:48`): DATABASE_URL is
     // the sink when no sink flag names one (the reference has no flags
@@ -121,6 +129,14 @@ object Main {
       pg.map(sinks.PgMerge.parsePgTarget)
     require(!(streamEvents && (jdbc.nonEmpty || pg.nonEmpty)),
       "--stream-events emits parquet change events; use --out")
+    require(watchPg.isEmpty || !(streamEvents || rebuildState || s3Wire ||
+      jdbc.nonEmpty || pg.nonEmpty),
+      "--watch-pg is its own mode (changefeed -> event log); it takes " +
+        "--out, --interval, --max-changes and SOURCE args only")
+    require(maxChanges.isEmpty || watchPg.nonEmpty,
+      "--max-changes bounds the --watch-pg changefeed triggers")
+    // validate the watch address at parse time, like --pg
+    watchPg.foreach(sinks.PgMerge.parsePgTarget)
     val outDir = out.getOrElse("./scan_out")
     // --interval with a batch sink is the reference's poll-sleep daemon
     // (`main.rs:64-96`: list → merge → sleep → repeat); with
@@ -161,6 +177,13 @@ object Main {
 
     require(!rebuildState || streamEvents,
       "--rebuild-state applies to the --stream-events checkpoint")
+
+    if (watchPg.isDefined) {
+      runWatchPg(spark, watchPg.get, paths.toSeq, outDir, interval,
+        maxChanges)
+      if (!preexisting) spark.stop()
+      return
+    }
 
     if (streamEvents) {
       runStreamEvents(spark, paths.toSeq, identifier, outDir, interval,
@@ -386,6 +409,96 @@ object Main {
           stateRows.fold("")(r => s" (seen-set: $r files)"))
       }
     }
+
+  /** `--watch-pg ADDR SOURCE [SOURCE...]`: watch a PG-backed
+    * `external_file` through the LOGICAL-DECODING changefeed and append
+    * change events under `OUT/events/<source>/` — the same log layout,
+    * schema, and `snapshotOf` compaction as `--stream-events`, at
+    * O(changes) per trigger instead of a full table read.
+    *
+    * First run per source (no slot yet): the CONSISTENT handoff —
+    * [[graft.sources.v2.PgChangeFeed.bootstrapSnapshot]] creates the
+    * slot, the table's current slice is read UNDER its exported
+    * snapshot and seeded into the log (`(originMs, 0)`-stamped, so
+    * every feed event out-compacts it), then the feed streams from the
+    * slot: no change lost, none doubled. Resumes use the slot as the
+    * cursor. A MISSING slot over an EXISTING log refuses loudly —
+    * changes since the log's horizon would be silently unrecoverable.
+    * One query per source (slot `graft_cf_<md5-prefix>`); one-shot
+    * (`Trigger.AvailableNow`) composes across invocations, `--interval`
+    * daemonizes; `--max-changes` bounds each trigger at commit
+    * boundaries. */
+  private def runWatchPg(spark: SparkSession, addr: String,
+      sources: Seq[String], out: String, interval: Option[Long],
+      maxChanges: Option[Long]): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.v2.PgChangeFeed
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def hExists(s: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(hadoopConf).exists(p)
+    }
+    val queries = sources.map { src =>
+      val sub = java.net.URLEncoder.encode(src, "UTF-8")
+      val eventsDir = s"$out/events/$sub"
+      // slot names are [a-z0-9_]: key on the source's digest
+      val slot = "graft_cf_" + java.security.MessageDigest
+        .getInstance("MD5").digest(src.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val opts = Map("url" -> addr, "slot" -> slot)
+      if (!PgChangeFeed.slotExists(opts)) {
+        require(!hExists(eventsDir),
+          s"$src: no changefeed slot '$slot' but $eventsDir exists — " +
+            "changes since the log's horizon are unrecoverable; remove " +
+            "the log to restart from a fresh snapshot handoff")
+        val h = PgChangeFeed.bootstrapSnapshot(opts)
+        try {
+          val state = spark.read.format("graft-pg").option("url", addr)
+            .option("snapshot", h.snapshotName).load()
+            .filter(col("external_source") === lit(src))
+          PgChangeFeed.stateAsScrapeEvents(state, h.originMs)
+            .write.mode("append").parquet(eventsDir)
+          println(s"$src: seeded $eventsDir from the slot's consistent " +
+            s"snapshot (slot $slot)")
+        } finally h.close()
+      } else if (!hExists(eventsDir))
+        // legitimate (a pruned log) but worth one visible line: history
+        // before the slot's current position is not in this log
+        println(s"$src: resuming slot '$slot' into an empty $eventsDir " +
+          "— the log starts at the slot's position, not table history")
+      val feed = maxChanges.foldLeft(
+        spark.readStream.format("graft-pg").option("url", addr)
+          .option("mode", "changefeed").option("slot", slot))(
+        (r, n) => r.option("maxchangespertrigger", n.toString)).load()
+      val q = PgChangeFeed.asScrapeEvents(feed, src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(eventsDir)
+          ()
+        }
+        .option("checkpointLocation", s"$out/.changefeed-checkpoint/$sub")
+        .outputMode("append")
+        .trigger(interval.fold[org.apache.spark.sql.streaming.Trigger](
+          Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))
+        .start()
+      (src, sub, q)
+    }
+    // same await contract as --stream-events: one-shot runs every query
+    // to completion; the daemon fails loudly on ANY query's death
+    if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
+    else spark.streams.awaitAnyTermination()
+    queries.foreach { case (src, sub, _) =>
+      val n =
+        try spark.read.parquet(s"$out/events/$sub").count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(c =>
+                c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                  c.startsWith("PATH_NOT_FOUND")) => 0L
+        }
+      println(s"$src: $n change events at $out/events/$sub")
+    }
+  }
 
   /** `graft.Main query NAME SF_DIR [--out DIR | --explain]`: run one
     * registered analytics query over a fixture/table dir; parquet to

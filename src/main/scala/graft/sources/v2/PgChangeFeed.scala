@@ -267,8 +267,14 @@ object PgChangeFeed {
     * invalidates the export on its next command), so: bootstrap →
     * batch-read under the snapshot → close → stream the slot. The slot
     * itself persists for the changefeed. */
+  /** `originMs`: a server-clock instant taken at-or-before the slot's
+    * consistent point — seed events stamped with it (and `event_seq` 0)
+    * compact strictly BELOW every feed event, whose `event_ms` is a
+    * commit time at-or-after the consistent point and whose LSN breaks
+    * a same-millisecond tie. */
   final class SnapshotHandle private[v2] (repl: PgWireClient,
-      val slot: String, val snapshotName: String, val consistentPoint: Long)
+      val slot: String, val snapshotName: String, val consistentPoint: Long,
+      val originMs: Long)
       extends AutoCloseable {
     override def close(): Unit = repl.close()
   }
@@ -286,15 +292,19 @@ object PgChangeFeed {
       merged.getOrElse("publication", "graft_pub"))
     val ctl = PgWireClient.connect(conn.host, conn.port, conn.user,
       conn.database, conn.password, conn.sslMode, conn.sslRootCert)
-    try {
-      ensureFeedObjects(ctl, pub)
-      require(ctl.queryOne("SELECT count(*) FROM pg_replication_slots " +
-        s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("0"),
-        s"graft-pg changefeed: slot '$slot' already exists — the " +
-          "snapshot bootstrap hands off from a FRESH slot (drop the old " +
-          "one with pg_drop_replication_slot, or resume the existing " +
-          "feed without a bootstrap)")
-    } finally ctl.close()
+    val originMs =
+      try {
+        ensureFeedObjects(ctl, pub)
+        require(ctl.queryOne("SELECT count(*) FROM pg_replication_slots " +
+          s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("0"),
+          s"graft-pg changefeed: slot '$slot' already exists — the " +
+            "snapshot bootstrap hands off from a FRESH slot (drop the old " +
+            "one with pg_drop_replication_slot, or resume the existing " +
+            "feed without a bootstrap)")
+        // server clock BEFORE the slot exists: every feed commit is later
+        ctl.queryOne(
+          "SELECT (extract(epoch FROM now()) * 1000)::bigint").get.toLong
+      } finally ctl.close()
     // the walsender session: CREATE_REPLICATION_SLOT responds over the
     // normal result-set messages, so the plain query path reads it
     val repl = new PgWireClient(conn.host, conn.port, conn.user,
@@ -310,8 +320,30 @@ object PgChangeFeed {
       new SnapshotHandle(repl, slot,
         row(2).getOrElse(throw new IllegalStateException(
           "CREATE_REPLICATION_SLOT returned no snapshot name")),
-        parseLsn(row(1).get))
+        parseLsn(row(1).get), originMs)
     } catch { case e: Throwable => repl.close(); throw e }
+  }
+
+  /** Does the named slot exist? The resume-vs-handoff decision for a
+    * changefeed consumer (same option map as the reader/bootstrap). */
+  def slotExists(options: Map[String, String]): Boolean = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
+    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    try c.queryOne("SELECT count(*) FROM pg_replication_slots " +
+      s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("1")
+    finally c.close()
+  }
+
+  /** [[graft.streaming.ScrapeTws.genUuid]] as a column — the
+    * md5-over-joined-triple deterministic surrogate, bit-identical to
+    * the batch and daemon paths. */
+  private def uuidCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("gen_"), md5(concat_ws("\u001f",
+      col("external_source"), col("path"), col("filename"))))
   }
 
   /** The feed in the engine's CHANGE-EVENT dialect — the exact schema
@@ -346,10 +378,7 @@ object PgChangeFeed {
           "consumers from a fresh snapshot handoff")))
         .otherwise(col("external_source") === lit(source)))
       .select(
-        // ScrapeTws.genUuid, the md5-over-joined-triple surrogate
-        concat(lit("gen_"), md5(concat_ws("\u001f",
-          col("external_source"), col("path"), col("filename"))))
-          .as("uuid_external_file"),
+        uuidCol.as("uuid_external_file"),
         col("external_source"), col("path"), col("filename"),
         col("mime_type"),
         unix_millis(col("created")).as("created_ms"),
@@ -362,6 +391,30 @@ object PgChangeFeed {
           "delete").otherwise(col("action")).as("action"),
         unix_millis(col("committed")).as("event_ms"),
         col("lsn").as("event_seq"))
+  }
+
+  /** A batch-read STATE frame ([[PgMerge.readSchema]] shape — e.g. the
+    * snapshot-handoff read) as seed rows of the same change-event log
+    * [[asScrapeEvents]] appends to: live rows become "insert" events,
+    * tombstoned rows "delete" events, all stamped `(originMs, seq 0)`
+    * ([[SnapshotHandle.originMs]]) so every subsequent feed event
+    * out-compacts them. `snapshotOf(seed ∪ feed)` then equals the
+    * table — history AND changes, one log. */
+  def stateAsScrapeEvents(state: org.apache.spark.sql.DataFrame,
+      originMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    state.select(
+      uuidCol.as("uuid_external_file"),
+      col("external_source"), col("path"), col("filename"),
+      col("mime_type"),
+      unix_millis(col("created")).as("created_ms"),
+      unix_millis(col("modified")).as("modified_ms"),
+      col("size"),
+      unix_millis(col("deleted")).as("deleted_ms"),
+      when(col("deleted").isNotNull, "delete").otherwise("insert")
+        .as("action"),
+      lit(originMs).as("event_ms"),
+      lit(0L).as("event_seq"))
   }
 
   /** Valid slot/publication identifier (travels into engine-generated

@@ -941,6 +941,84 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("--watch-pg CLI: first run seeds the event log from a consistent " +
+      "snapshot handoff, later one-shot runs append only the changes, " +
+      "and a missing slot over an existing log refuses loudly") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    assume(withClient(_.queryOne("SHOW wal_level")) == Some("logical"),
+      "changefeed needs wal_level=logical on the harness server")
+    val src = "WP"
+    val slot = "graft_cf_" + java.security.MessageDigest
+      .getInstance("MD5").digest(src.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    def dropFeed(): Unit = withClient { c =>
+      if (c.queryOne("SELECT count(*) FROM pg_replication_slots WHERE " +
+        s"slot_name = '$slot'") == Some("1"))
+        c.query(s"SELECT pg_drop_replication_slot('$slot')")
+      c.exec("DROP PUBLICATION IF EXISTS graft_pub")
+    }
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('WP', '/w', 'a.txt', 'text/plain', NULL, now(), 1, NULL), " +
+        "('WP', '/w', 'b.txt', 'text/plain', NULL, now(), 2, NULL), " +
+        "('WP', '/w', 'dead.txt', 'text/plain', NULL, now(), 3, now()), " +
+        "('OTHER', '/o', 'x.txt', 'text/plain', NULL, now(), 9, NULL)")
+    }
+    dropFeed()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_watchpg").toString
+    import org.apache.spark.sql.functions._
+    def log = spark.read.parquet(s"$out/events/$src")
+    try {
+      // run 1: no slot yet → handoff seed + drain (no changes pending)
+      Main.main(Array("--watch-pg", url, "--out", out, src))
+      val seed = log.collect()
+      assert(seed.length == 3, s"the WP slice seeded (OTHER excluded): " +
+        s"${seed.mkString("; ")}")
+      assert(seed.forall(_.getAs[Long]("event_seq") == 0L),
+        "seed rows carry the below-every-feed-event stamp")
+      assert(seed.map(r => r.getAs[String]("filename") ->
+        r.getAs[String]("action")).toMap ==
+        Map("a.txt" -> "insert", "b.txt" -> "insert",
+          "dead.txt" -> "delete"))
+      // changes between invocations: insert, tombstoning update,
+      // physical delete
+      withClient { c =>
+        c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+          "('WP', '/w', 'new.txt', 'text/markdown', NULL, now(), 4, NULL)")
+        c.exec(s"UPDATE ${PgMerge.table} SET deleted = now() " +
+          "WHERE filename = 'a.txt'")
+        c.exec(s"DELETE FROM ${PgMerge.table} WHERE filename = 'b.txt'")
+      }
+      // run 2: the slot is the cursor — exactly the 3 changes append
+      Main.main(Array("--watch-pg", url, "--out", out, src))
+      assert(log.count() == 6L, "3 seeds + exactly 3 change events")
+      assert(log.filter(col("event_seq") > 0L).count() == 3L)
+      // the compacted log tracks the table: live rows match; the
+      // PHYSICAL delete lives on as a tombstone (the log remembers
+      // what the table dropped)
+      val snap = graft.streaming.ScrapeTws.snapshotOf(log)
+        .collect().map(r => r.getAs[String]("filename") ->
+          Option(r.getAs[java.sql.Timestamp]("deleted")).isEmpty).toMap
+      assert(snap == Map("a.txt" -> false, "b.txt" -> false,
+        "dead.txt" -> false, "new.txt" -> true), s"got $snap")
+      // quiet third run: nothing new, nothing doubled
+      Main.main(Array("--watch-pg", url, "--out", out, src))
+      assert(log.count() == 6L)
+      // a dropped slot over a surviving log cannot resume silently
+      dropFeed()
+      val e = intercept[IllegalArgumentException](
+        Main.main(Array("--watch-pg", url, "--out", out, src)))
+      assert(e.getMessage.contains("unrecoverable"), e.getMessage)
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      dropFeed()
+    }
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg micro-batch streaming (VERDICT r15 #4): a PG-backed " +
       "external_file watches like an S3 bucket — inserts surface next " +
       "trigger, a tombstone becomes a ScrapeTws delete event") {
