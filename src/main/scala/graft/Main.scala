@@ -113,7 +113,7 @@ object Main {
     val envUrl = sys.props.get("graft.databaseUrl")
       .orElse(sys.env.get("DATABASE_URL")).filter(_.nonEmpty)
     if (pg.isEmpty && jdbc.isEmpty && out.isEmpty && !streamEvents
-        && envUrl.nonEmpty) {
+        && watchPg.isEmpty && envUrl.nonEmpty) {
       pg = envUrl
       // an env var silently rerouting the scan from the local parquet
       // default to a REMOTE database deserves one visible line — the
@@ -135,8 +135,15 @@ object Main {
         "--out, --interval, --max-changes and SOURCE args only")
     require(maxChanges.isEmpty || watchPg.nonEmpty,
       "--max-changes bounds the --watch-pg changefeed triggers")
-    // validate the watch address at parse time, like --pg
-    watchPg.foreach(sinks.PgMerge.parsePgTarget)
+    // validate the watch address at parse time, like --pg; duplicate
+    // SOURCE args would collide on one log/checkpoint — fail up front
+    // with the duplicates named (same contract as --stream-events)
+    watchPg.foreach { a =>
+      sinks.PgMerge.parsePgTarget(a)
+      val dup = paths.groupBy(identity).filter(_._2.size > 1).keys
+      require(dup.isEmpty,
+        s"duplicate --watch-pg SOURCE args: ${dup.mkString(", ")}")
+    }
     val outDir = out.getOrElse("./scan_out")
     // --interval with a batch sink is the reference's poll-sleep daemon
     // (`main.rs:64-96`: list → merge → sleep → repeat); with
@@ -388,19 +395,7 @@ object Main {
       if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
       else spark.streams.awaitAnyTermination()
       queries.foreach { case (src, sub, q) =>
-        // an empty tree yields a sink dir with no data files (only the
-        // _spark_metadata log), where schema inference fails — that's
-        // zero events, not an error; any OTHER read failure (corrupt
-        // sink, permissions) must propagate, not print "0 change events"
-        // (ADVICE r12)
-        val n =
-          try spark.read.parquet(s"$out/events/$sub").count()
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition).exists(c =>
-                  c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
-                    c.startsWith("PATH_NOT_FOUND")) => 0L
-          }
+        val n = countEvents(spark, s"$out/events/$sub")
         // seen-set size straight from the engine's state metrics — the
         // number an operator watches for unbounded-state drift
         val stateRows = q.recentProgress
@@ -408,6 +403,20 @@ object Main {
         println(s"$src: $n change events at $out/events/$sub" +
           stateRows.fold("")(r => s" (seen-set: $r files)"))
       }
+    }
+
+  /** Row count of a plain-parquet event log: an empty/missing dir
+    * (no data files to infer a schema from) is ZERO events, not an
+    * error; any OTHER read failure (corrupt sink, permissions) must
+    * propagate, never print a silent zero (ADVICE r12). Shared by the
+    * --stream-events and --watch-pg epilogues. */
+  private def countEvents(spark: SparkSession, dir: String): Long =
+    try spark.read.parquet(dir).count()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+              c.startsWith("PATH_NOT_FOUND")) => 0L
     }
 
   /** `--watch-pg ADDR SOURCE [SOURCE...]`: watch a PG-backed
@@ -438,34 +447,80 @@ object Main {
       val p = new org.apache.hadoop.fs.Path(s)
       p.getFileSystem(hadoopConf).exists(p)
     }
+    def fsOf(s: String) =
+      new org.apache.hadoop.fs.Path(s).getFileSystem(hadoopConf)
     val queries = sources.map { src =>
       val sub = java.net.URLEncoder.encode(src, "UTF-8")
       val eventsDir = s"$out/events/$sub"
-      // slot names are [a-z0-9_]: key on the source's digest
-      val slot = "graft_cf_" + java.security.MessageDigest
+      // the marker is the handoff's COMMIT POINT (review r16): written
+      // only after the seed lands, holding the log's slot name. Without
+      // it, a crash between slot creation and seed completion would
+      // leave a resumable-looking slot whose log silently misses all
+      // pre-slot history; and a slot keyed on the source alone would be
+      // SHARED by two --out dirs watching the same source, each
+      // advance stealing the other's changes. Underscore prefix: parquet
+      // readers ignore it.
+      val markerPath = new org.apache.hadoop.fs.Path(
+        s"$eventsDir/_graft_changefeed")
+      val fs = fsOf(eventsDir)
+      val marker: Option[String] =
+        if (fs.exists(markerPath)) {
+          val in = fs.open(markerPath)
+          try Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            "UTF-8").trim)
+          finally in.close()
+        } else None
+      // slot charset is [a-z0-9_]: source digest prefix (groups a
+      // source's slots for the orphan warning below) + a random token
+      // (each LOG is its own consumer cursor)
+      val srcDigest = java.security.MessageDigest
         .getInstance("MD5").digest(src.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val opts = Map("url" -> addr, "slot" -> slot)
-      if (!PgChangeFeed.slotExists(opts)) {
+        .map("%02x".format(_)).mkString.take(8)
+      val slot = marker.getOrElse {
         require(!hExists(eventsDir),
-          s"$src: no changefeed slot '$slot' but $eventsDir exists — " +
-            "changes since the log's horizon are unrecoverable; remove " +
-            "the log to restart from a fresh snapshot handoff")
-        val h = PgChangeFeed.bootstrapSnapshot(opts)
-        try {
-          val state = spark.read.format("graft-pg").option("url", addr)
-            .option("snapshot", h.snapshotName).load()
-            .filter(col("external_source") === lit(src))
-          PgChangeFeed.stateAsScrapeEvents(state, h.originMs)
-            .write.mode("append").parquet(eventsDir)
-          println(s"$src: seeded $eventsDir from the slot's consistent " +
-            s"snapshot (slot $slot)")
-        } finally h.close()
-      } else if (!hExists(eventsDir))
-        // legitimate (a pruned log) but worth one visible line: history
-        // before the slot's current position is not in this log
-        println(s"$src: resuming slot '$slot' into an empty $eventsDir " +
-          "— the log starts at the slot's position, not table history")
+          s"$src: $eventsDir exists without a completed-handoff marker " +
+            "— an interrupted first run (or a foreign log) cannot be " +
+            "resumed without silently losing pre-slot history; remove " +
+            s"the log dir and drop any stale graft_cf_${srcDigest}_* " +
+            "slot, then rerun for a fresh snapshot handoff")
+        "graft_cf_" + srcDigest + "_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      }
+      val opts = Map("url" -> addr, "slot" -> slot)
+      marker match {
+        case Some(_) =>
+          require(PgChangeFeed.slotExists(opts),
+            s"$src: the log at $eventsDir names slot '$slot' but the " +
+              "server has no such slot — changes since the log's " +
+              "horizon are unrecoverable; remove the log to restart " +
+              "from a fresh snapshot handoff")
+        case None =>
+          // other slots for this source = other logs' cursors or
+          // orphans of removed logs; an orphan retains WAL forever, so
+          // name them once, visibly (only the OTHER logs' markers know
+          // which is which — never auto-drop)
+          val siblings = PgChangeFeed.siblingSlots(opts,
+            s"graft_cf_${srcDigest}_")
+          if (siblings.nonEmpty)
+            println(s"$src: note — existing slots for this source: " +
+              s"${siblings.mkString(", ")} (other logs' cursors, or " +
+              "orphans retaining WAL; drop orphans with " +
+              "pg_drop_replication_slot)")
+          val h = PgChangeFeed.bootstrapSnapshot(opts)
+          try {
+            val state = spark.read.format("graft-pg").option("url", addr)
+              .option("snapshot", h.snapshotName).load()
+              .filter(col("external_source") === lit(src))
+            PgChangeFeed.stateAsScrapeEvents(state, h.originMs)
+              .write.mode("append").parquet(eventsDir)
+            // the commit point: seed durable -> the log claims its slot
+            val o = fs.create(markerPath, false)
+            try o.write(slot.getBytes("UTF-8")) finally o.close()
+            println(s"$src: seeded $eventsDir from the slot's " +
+              s"consistent snapshot (slot $slot)")
+          } finally h.close()
+      }
       val feed = maxChanges.foldLeft(
         spark.readStream.format("graft-pg").option("url", addr)
           .option("mode", "changefeed").option("slot", slot))(
@@ -488,15 +543,8 @@ object Main {
     if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
     else spark.streams.awaitAnyTermination()
     queries.foreach { case (src, sub, _) =>
-      val n =
-        try spark.read.parquet(s"$out/events/$sub").count()
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if Option(e.getCondition).exists(c =>
-                c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
-                  c.startsWith("PATH_NOT_FOUND")) => 0L
-        }
-      println(s"$src: $n change events at $out/events/$sub")
+      println(s"$src: ${countEvents(spark, s"$out/events/$sub")} " +
+        s"change events at $out/events/$sub")
     }
   }
 

@@ -810,13 +810,14 @@ object PgWireClient {
   def connect(host: String, port: Int, user: String, database: String,
       password: Option[String] = None, sslMode: String = "disable",
       sslRootCert: Option[String] = None, attempts: Int = 3,
-      backoffMs: Long = 250): PgWireClient = {
+      backoffMs: Long = 250,
+      extraStartupParams: Seq[(String, String)] = Nil): PgWireClient = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return new PgWireClient(host, port, user, database, password,
-        sslMode, sslRootCert)
+        sslMode, sslRootCert, extraStartupParams)
       catch {
         case e: java.sql.SQLException => throw e // auth/startup rejection
         case e: IllegalArgumentException => throw e // bad configuration

@@ -307,7 +307,9 @@ object PgChangeFeed {
       } finally ctl.close()
     // the walsender session: CREATE_REPLICATION_SLOT responds over the
     // normal result-set messages, so the plain query path reads it
-    val repl = new PgWireClient(conn.host, conn.port, conn.user,
+    // (connect(): the same bounded connect-phase retry as every other
+    // engine connection)
+    val repl = PgWireClient.connect(conn.host, conn.port, conn.user,
       conn.database, conn.password, conn.sslMode, conn.sslRootCert,
       extraStartupParams = Seq("replication" -> "database"))
     try {
@@ -334,6 +336,22 @@ object PgChangeFeed {
       conn.database, conn.password, conn.sslMode, conn.sslRootCert)
     try c.queryOne("SELECT count(*) FROM pg_replication_slots " +
       s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("1")
+    finally c.close()
+  }
+
+  /** Existing slots whose name starts with `prefix` (`starts_with`, not
+    * LIKE — a slot-charset prefix is full of `_` wildcards) — the
+    * other-logs'-cursors / orphaned-slot visibility surface for
+    * per-log slot naming. */
+  def siblingSlots(options: Map[String, String],
+      prefix: String): Seq[String] = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    try c.query("SELECT slot_name FROM pg_replication_slots " +
+      s"WHERE starts_with(slot_name, ${PgWireClient.sqlLit(prefix)}) " +
+      "ORDER BY slot_name").flatMap(_.headOption.flatten)
     finally c.close()
   }
 
@@ -466,14 +484,37 @@ private[v2] class PgChangeFeedScan(conn: PgConnInfo, slot: String,
 private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
     pub: String, maxChanges: Option[Long]) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   override def getDefaultReadLimit: ReadLimit =
     maxChanges.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
+  // Trigger.AvailableNow (review r16): WITHOUT this interface Spark
+  // falls back to a SINGLE unbounded batch (SingleBatchExecutor pairs
+  // the source with ReadLimit.allAvailable), silently bypassing
+  // maxchangespertrigger in exactly the one-shot mode a backlog drain
+  // uses. With it, batches stay bounded and the run terminates at the
+  // WAL horizon captured here — changes committing after the capture
+  // wait for the next invocation.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    ready
+    availableNowTarget = Some(PgChangeFeed.parseLsn(
+      one("SELECT pg_current_wal_lsn()").get))
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     ready
+    val startLsn = start.asInstanceOf[LsnOffset].lsn
+    // under AvailableNow every end offset is capped at the prepared
+    // horizon, and the run terminates when it is reached (no-progress)
+    def capped(end: Long): Offset =
+      LsnOffset(availableNowTarget.fold(end)(t =>
+        math.max(math.min(end, t), startLsn)))
     limit match {
       case mr: ReadMaxRows =>
         // the peek always reads from the slot's confirmed position, but
@@ -484,15 +525,20 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
         // first: everything at-or-before it is durably processed (it is
         // the completed end of the previous batch — a replayed batch
         // re-peeks (start, end], which this never releases).
-        advanceTo(start.asInstanceOf[LsnOffset].lsn)
+        advanceTo(startLsn)
         one("SELECT max(lsn)::text FROM pg_logical_slot_peek_binary_changes(" +
           s"${PgWireClient.sqlLit(slot)}, NULL, ${mr.maxRows}, " +
           "'proto_version', '1', 'publication_names', " +
           s"${PgWireClient.sqlLit(pub)})") match {
-          case Some(lsn) => LsnOffset(PgChangeFeed.parseLsn(lsn))
-          case None => start // nothing pending: no batch
+          case Some(lsn) => capped(PgChangeFeed.parseLsn(lsn))
+          case None =>
+            // nothing pending: no batch — except under AvailableNow,
+            // where the horizon must still be REACHED to terminate
+            // (one empty batch when unrelated WAL advanced past start)
+            availableNowTarget.fold(start)(capped(_))
         }
-      case _ => latestOffset()
+      case _ =>
+        availableNowTarget.fold(latestOffset())(capped(_))
     }
   }
 

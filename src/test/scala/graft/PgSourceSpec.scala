@@ -935,8 +935,41 @@ class PgSourceSpec extends AnyFunSuite {
     } finally {
       try spark.streams.active
         .filter(_.name == "admctl_cdc").foreach(_.stop())
-      finally dropFeed()
+      finally ()
     }
+    // Trigger.AvailableNow honors the SAME bound (review r16: without
+    // SupportsTriggerAvailableNow Spark silently falls back to ONE
+    // unbounded batch — the OOM the flag exists to prevent, in exactly
+    // the one-shot backlog-drain mode): a fresh 4-transaction backlog
+    // drains as multiple bounded batches AND the query terminates at
+    // the prepared WAL horizon
+    withClient { c =>
+      (6 until 10).foreach { t =>
+        c.exec(s"INSERT INTO ${PgMerge.table} " +
+          s"SELECT 'AC', '/a', 'f' || (${t * 5} + j), 'text/plain', " +
+          "NULL, now(), j, NULL FROM generate_series(0, 4) g(j)")
+      }
+    }
+    try {
+      val q2 = spark.readStream.format("graft-pg")
+        .option("url", url).option("mode", "changefeed")
+        .option("slot", slot).option("publication", pubName)
+        .option("maxchangespertrigger", "8")
+        .load()
+        .writeStream.format("memory").queryName("admctl_an")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q2.awaitTermination(60000L), "AvailableNow terminates")
+      val names2 = spark.table("admctl_an")
+        .collect().map(_.getAs[String]("filename")).toSeq
+      assert(names2.length == 20 && names2.distinct.length == 20,
+        s"the whole backlog drained exactly once (got ${names2.length})")
+      val sizes2 = q2.recentProgress.toSeq.map(_.numInputRows)
+        .filter(_ > 0L)
+      assert(sizes2.length >= 2 && sizes2.max <= 10L,
+        s"AvailableNow batches stay BOUNDED: $sizes2")
+    } finally dropFeed()
     assert(PgWireClient.live == 0, "no leaked connections")
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
@@ -948,13 +981,18 @@ class PgSourceSpec extends AnyFunSuite {
     assume(withClient(_.queryOne("SHOW wal_level")) == Some("logical"),
       "changefeed needs wal_level=logical on the harness server")
     val src = "WP"
-    val slot = "graft_cf_" + java.security.MessageDigest
+    // slots are per-LOG (random token behind the source-digest prefix);
+    // the test addresses them by prefix, like the CLI's orphan warning
+    val slotPrefix = "graft_cf_" + java.security.MessageDigest
       .getInstance("MD5").digest(src.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+      .map("%02x".format(_)).mkString.take(8) + "_"
+    def slots(): Seq[String] = withClient(_.query(
+      "SELECT slot_name FROM pg_replication_slots WHERE " +
+        s"starts_with(slot_name, '$slotPrefix')")
+      .flatMap(_.headOption.flatten))
     def dropFeed(): Unit = withClient { c =>
-      if (c.queryOne("SELECT count(*) FROM pg_replication_slots WHERE " +
-        s"slot_name = '$slot'") == Some("1"))
-        c.query(s"SELECT pg_drop_replication_slot('$slot')")
+      slots().foreach(n =>
+        c.query(s"SELECT pg_drop_replication_slot('$n')"))
       c.exec("DROP PUBLICATION IF EXISTS graft_pub")
     }
     withClient { c =>
@@ -1006,7 +1044,32 @@ class PgSourceSpec extends AnyFunSuite {
       // quiet third run: nothing new, nothing doubled
       Main.main(Array("--watch-pg", url, "--out", out, src))
       assert(log.count() == 6L)
-      // a dropped slot over a surviving log cannot resume silently
+      // the log claims its slot through the committed-handoff marker
+      assert(slots().size == 1, s"one per-log slot: ${slots()}")
+      // a second log of the SAME source is its own consumer: fresh
+      // slot, fresh handoff — the first log's cursor is never shared
+      // (review r16: a source-keyed slot let two --out dirs silently
+      // steal each other's changes)
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft_watchpg2").toString
+      Main.main(Array("--watch-pg", url, "--out", out2, src))
+      assert(slots().size == 2, s"per-log slots: ${slots()}")
+      assert(spark.read.parquet(s"$out2/events/$src").count() == 3L,
+        "the second log seeds from CURRENT state (new.txt live; a.txt " +
+          "and dead.txt tombstoned; the physically-deleted b.txt is " +
+          "not in the table, hence not in a FRESH handoff)")
+      // an events dir WITHOUT the marker (interrupted first run, or a
+      // foreign log) refuses loudly instead of resuming with silently
+      // missing pre-slot history
+      val out3 = java.nio.file.Files
+        .createTempDirectory("graft_watchpg3").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(s"$out3/events/$src"))
+      val e3 = intercept[IllegalArgumentException](
+        Main.main(Array("--watch-pg", url, "--out", out3, src)))
+      assert(e3.getMessage.contains("marker"), e3.getMessage)
+      // a dropped slot over a surviving (marker-committed) log cannot
+      // resume silently
       dropFeed()
       val e = intercept[IllegalArgumentException](
         Main.main(Array("--watch-pg", url, "--out", out, src)))
