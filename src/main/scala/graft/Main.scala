@@ -425,18 +425,23 @@ object Main {
     * schema, and `snapshotOf` compaction as `--stream-events`, at
     * O(changes) per trigger instead of a full table read.
     *
-    * First run per source (no slot yet): the CONSISTENT handoff —
+    * The SOURCE args form one WATCH GROUP sharing one slot and one
+    * stream — logical decoding pays the table's WAL once per slot, so
+    * per-source slots would decode it N times over; each decoded batch
+    * fans out to the per-source logs instead. First run (no markers):
+    * the CONSISTENT handoff —
     * [[graft.sources.v2.PgChangeFeed.bootstrapSnapshot]] creates the
-    * slot, the table's current slice is read UNDER its exported
-    * snapshot and seeded into the log (`(originMs, 0)`-stamped, so
-    * every feed event out-compacts it), then the feed streams from the
-    * slot: no change lost, none doubled. Resumes use the slot as the
-    * cursor. A MISSING slot over an EXISTING log refuses loudly —
-    * changes since the log's horizon would be silently unrecoverable.
-    * One query per source (slot `graft_cf_<md5-prefix>`); one-shot
-    * (`Trigger.AvailableNow`) composes across invocations, `--interval`
-    * daemonizes; `--max-changes` bounds each trigger at commit
-    * boundaries. */
+    * slot, every source's slice is read UNDER the one exported
+    * snapshot and seeded into its log (`(originMs, 0)`-stamped, so
+    * every feed event out-compacts it), and the markers (slot + group
+    * membership) commit the handoff only after ALL seeds landed: no
+    * change lost, none doubled, no resumable-looking half-state.
+    * Resumes use the slot as the cursor and REQUIRE the same group (a
+    * subset run would silently starve the missing logs while the
+    * shared slot advances). A missing slot over existing logs refuses
+    * loudly. One-shot (`Trigger.AvailableNow`) composes across
+    * invocations, `--interval` daemonizes; `--max-changes` bounds each
+    * trigger at commit boundaries. */
   private def runWatchPg(spark: SparkSession, addr: String,
       sources: Seq[String], out: String, interval: Option[Long],
       maxChanges: Option[Long]): Unit = {
@@ -449,102 +454,145 @@ object Main {
     }
     def fsOf(s: String) =
       new org.apache.hadoop.fs.Path(s).getFileSystem(hadoopConf)
-    val queries = sources.map { src =>
-      val sub = java.net.URLEncoder.encode(src, "UTF-8")
-      val eventsDir = s"$out/events/$sub"
-      // the marker is the handoff's COMMIT POINT (review r16): written
-      // only after the seed lands, holding the log's slot name. Without
-      // it, a crash between slot creation and seed completion would
-      // leave a resumable-looking slot whose log silently misses all
-      // pre-slot history; and a slot keyed on the source alone would be
-      // SHARED by two --out dirs watching the same source, each
-      // advance stealing the other's changes. Underscore prefix: parquet
-      // readers ignore it.
-      val markerPath = new org.apache.hadoop.fs.Path(
-        s"$eventsDir/_graft_changefeed")
-      val fs = fsOf(eventsDir)
-      val marker: Option[String] =
-        if (fs.exists(markerPath)) {
-          val in = fs.open(markerPath)
-          try Some(new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            "UTF-8").trim)
-          finally in.close()
-        } else None
-      // slot charset is [a-z0-9_]: source digest prefix (groups a
-      // source's slots for the orphan warning below) + a random token
-      // (each LOG is its own consumer cursor)
-      val srcDigest = java.security.MessageDigest
-        .getInstance("MD5").digest(src.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(8)
-      val slot = marker.getOrElse {
-        require(!hExists(eventsDir),
-          s"$src: $eventsDir exists without a completed-handoff marker " +
-            "— an interrupted first run (or a foreign log) cannot be " +
-            "resumed without silently losing pre-slot history; remove " +
-            s"the log dir and drop any stale graft_cf_${srcDigest}_* " +
-            "slot, then rerun for a fresh snapshot handoff")
-        "graft_cf_" + srcDigest + "_" +
-          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      }
-      val opts = Map("url" -> addr, "slot" -> slot)
-      marker match {
-        case Some(_) =>
-          require(PgChangeFeed.slotExists(opts),
-            s"$src: the log at $eventsDir names slot '$slot' but the " +
-              "server has no such slot — changes since the log's " +
-              "horizon are unrecoverable; remove the log to restart " +
-              "from a fresh snapshot handoff")
-        case None =>
-          // other slots for this source = other logs' cursors or
-          // orphans of removed logs; an orphan retains WAL forever, so
-          // name them once, visibly (only the OTHER logs' markers know
-          // which is which — never auto-drop)
-          val siblings = PgChangeFeed.siblingSlots(opts,
-            s"graft_cf_${srcDigest}_")
-          if (siblings.nonEmpty)
-            println(s"$src: note — existing slots for this source: " +
-              s"${siblings.mkString(", ")} (other logs' cursors, or " +
-              "orphans retaining WAL; drop orphans with " +
-              "pg_drop_replication_slot)")
-          val h = PgChangeFeed.bootstrapSnapshot(opts)
-          try {
-            val state = spark.read.format("graft-pg").option("url", addr)
-              .option("snapshot", h.snapshotName).load()
-              .filter(col("external_source") === lit(src))
-            PgChangeFeed.stateAsScrapeEvents(state, h.originMs)
-              .write.mode("append").parquet(eventsDir)
-            // the commit point: seed durable -> the log claims its slot
-            val o = fs.create(markerPath, false)
-            try o.write(slot.getBytes("UTF-8")) finally o.close()
-            println(s"$src: seeded $eventsDir from the slot's " +
-              s"consistent snapshot (slot $slot)")
-          } finally h.close()
-      }
-      val feed = maxChanges.foldLeft(
-        spark.readStream.format("graft-pg").option("url", addr)
-          .option("mode", "changefeed").option("slot", slot))(
-        (r, n) => r.option("maxchangespertrigger", n.toString)).load()
-      val q = PgChangeFeed.asScrapeEvents(feed, src)
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(eventsDir)
-          ()
-        }
-        .option("checkpointLocation", s"$out/.changefeed-checkpoint/$sub")
-        .outputMode("append")
-        .trigger(interval.fold[org.apache.spark.sql.streaming.Trigger](
-          Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))
-        .start()
-      (src, sub, q)
+    val entries = sources.map { src =>
+      (src, java.net.URLEncoder.encode(src, "UTF-8"))
     }
-    // same await contract as --stream-events: one-shot runs every query
-    // to completion; the daemon fails loudly on ANY query's death
-    if (interval.isEmpty) queries.foreach(_._3.awaitTermination())
+    def eventsDir(sub: String) = s"$out/events/$sub"
+
+    // ONE slot for the whole watch group: logical decoding pays the
+    // table's full WAL once per SLOT, so per-source slots would decode
+    // it N times over; one stream fans the decoded batch out to the
+    // per-source logs instead. The marker (_graft_changefeed inside
+    // each log, written only after EVERY seed landed — the handoff's
+    // COMMIT POINT) records the slot AND the group membership: slot
+    // per-log-group (a random token behind the group digest) so two
+    // --out dirs never share a cursor, and membership pinned so a
+    // subset rerun cannot silently starve the missing sources' logs
+    // while the shared slot advances past their changes.
+    def markerPathOf(sub: String) = new org.apache.hadoop.fs.Path(
+      s"${eventsDir(sub)}/_graft_changefeed")
+    def readMarker(sub: String): Option[(String, Seq[String])] = {
+      val mp = markerPathOf(sub)
+      val fs = fsOf(eventsDir(sub))
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val lines =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            "UTF-8").linesIterator.toVector
+          finally in.close()
+        Some((lines.head, lines.tail))
+      }
+    }
+    val groupDigest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(sources.sorted.mkString("\u001f").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+    val markers = entries.map { case (src, sub) => src -> readMarker(sub) }
+    val slot: String = markers.flatMap(_._2).map(_._1).distinct match {
+      case Seq() => // no log claims a slot: a FRESH group handoff
+        entries.foreach { case (src, sub) =>
+          require(!hExists(eventsDir(sub)),
+            s"$src: ${eventsDir(sub)} exists without a completed-" +
+              "handoff marker — an interrupted first run (or a foreign " +
+              "log) cannot be resumed without silently losing pre-slot " +
+              "history; remove the group's log dirs and drop any stale " +
+              s"graft_cf_${groupDigest}_* slot, then rerun for a fresh " +
+              "snapshot handoff")
+        }
+        "graft_cf_" + groupDigest + "_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      case Seq(one) =>
+        markers.collect { case (src, None) => src } match {
+          case Seq() =>
+            val group = markers.flatMap(_._2).map(_._2).distinct
+            require(group == Seq(sources.sorted),
+              s"the logs at $out were handed off for watch group " +
+                s"${group.flatten.mkString(", ")} — a changed group " +
+                "cannot resume the shared slot (missing members' logs " +
+                "would silently starve); watch new sources into their " +
+                "own --out, or remove the group's logs and slot to redo")
+            one
+          case missing => throw new IllegalArgumentException(
+            s"watch group partially handed off: no marker for " +
+              s"${missing.mkString(", ")} while other logs claim slot " +
+              s"'$one' — remove the group's log dirs and drop the slot " +
+              "to redo the handoff")
+        }
+      case many => throw new IllegalArgumentException(
+        s"the logs at $out name DIFFERENT slots (${many.mkString(", ")})" +
+          " — they are not one watch group; run them from their " +
+          "original --out dirs")
+    }
+    val opts = Map("url" -> addr, "slot" -> slot)
+
+    if (markers.forall(_._2.isEmpty)) {
+      // other slots with this group's digest = other logs' cursors or
+      // orphans of removed logs; an orphan retains WAL forever, so name
+      // them once, visibly (never auto-drop: only the OTHER logs'
+      // markers know which is which)
+      val siblings = PgChangeFeed.siblingSlots(opts,
+        s"graft_cf_${groupDigest}_")
+      if (siblings.nonEmpty)
+        println(s"note — existing slots for this watch group: " +
+          s"${siblings.mkString(", ")} (other logs' cursors, or orphans " +
+          "retaining WAL; drop orphans with pg_drop_replication_slot)")
+      val h = PgChangeFeed.bootstrapSnapshot(opts)
+      try {
+        // every source's seed reads the SAME exported snapshot — one
+        // consistent point for the whole group
+        entries.foreach { case (src, sub) =>
+          val state = spark.read.format("graft-pg").option("url", addr)
+            .option("snapshot", h.snapshotName).load()
+            .filter(col("external_source") === lit(src))
+          PgChangeFeed.stateAsScrapeEvents(state, h.originMs)
+            .write.mode("append").parquet(eventsDir(sub))
+        }
+        // the commit point: all seeds durable -> every log claims the
+        // slot (a crash before this leaves NO marker anywhere, and the
+        // rerun refuses with the group-wide redo guidance above)
+        val content = (slot +: sources.sorted).mkString("\n")
+        entries.foreach { case (_, sub) =>
+          val o = fsOf(eventsDir(sub)).create(markerPathOf(sub), false)
+          try o.write(content.getBytes("UTF-8")) finally o.close()
+        }
+        println(s"seeded ${sources.size} log(s) under $out/events from " +
+          s"the slot's consistent snapshot (slot $slot)")
+      } finally h.close()
+    } else
+      require(PgChangeFeed.slotExists(opts),
+        s"the logs at $out name slot '$slot' but the server has no " +
+          "such slot — changes since the logs' horizon are " +
+          "unrecoverable; remove the logs to restart from a fresh " +
+          "snapshot handoff")
+
+    // ONE stream, decoded once; each batch fans out to the per-source
+    // logs (the adapter drops the other sources' rows per pass)
+    val feed = maxChanges.foldLeft(
+      spark.readStream.format("graft-pg").option("url", addr)
+        .option("mode", "changefeed").option("slot", slot))(
+      (r, n) => r.option("maxchangespertrigger", n.toString)).load()
+    val q = feed.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.persist()
+        try entries.foreach { case (src, sub) =>
+          PgChangeFeed.asScrapeEvents(batch, src)
+            .write.mode("append").parquet(eventsDir(sub))
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", s"$out/.changefeed-checkpoint/_group")
+      .outputMode("append")
+      .trigger(interval.fold[org.apache.spark.sql.streaming.Trigger](
+        Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))
+      .start()
+    // one-shot runs to completion; the daemon fails loudly on death
+    if (interval.isEmpty) q.awaitTermination()
     else spark.streams.awaitAnyTermination()
-    queries.foreach { case (src, sub, _) =>
-      println(s"$src: ${countEvents(spark, s"$out/events/$sub")} " +
-        s"change events at $out/events/$sub")
+    entries.foreach { case (src, sub) =>
+      println(s"$src: ${countEvents(spark, eventsDir(sub))} " +
+        s"change events at ${eventsDir(sub)}")
     }
   }
 

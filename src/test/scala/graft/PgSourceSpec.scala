@@ -986,12 +986,13 @@ class PgSourceSpec extends AnyFunSuite {
     val slotPrefix = "graft_cf_" + java.security.MessageDigest
       .getInstance("MD5").digest(src.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8) + "_"
-    def slots(): Seq[String] = withClient(_.query(
+    def slotsBy(prefix: String): Seq[String] = withClient(_.query(
       "SELECT slot_name FROM pg_replication_slots WHERE " +
-        s"starts_with(slot_name, '$slotPrefix')")
+        s"starts_with(slot_name, '$prefix')")
       .flatMap(_.headOption.flatten))
+    def slots(): Seq[String] = slotsBy(slotPrefix)
     def dropFeed(): Unit = withClient { c =>
-      slots().foreach(n =>
+      slotsBy("graft_cf_").foreach(n =>
         c.query(s"SELECT pg_drop_replication_slot('$n')"))
       c.exec("DROP PUBLICATION IF EXISTS graft_pub")
     }
@@ -1068,6 +1069,33 @@ class PgSourceSpec extends AnyFunSuite {
       val e3 = intercept[IllegalArgumentException](
         Main.main(Array("--watch-pg", url, "--out", out3, src)))
       assert(e3.getMessage.contains("marker"), e3.getMessage)
+      // a GROUP watch: two sources share ONE slot and one stream —
+      // logical decoding pays the WAL once, each batch fans out to the
+      // per-source logs
+      val out4 = java.nio.file.Files
+        .createTempDirectory("graft_watchpg4").toString
+      val allBefore = slotsBy("graft_cf_").size
+      Main.main(Array("--watch-pg", url, "--out", out4, src, "OTHER"))
+      assert(slotsBy("graft_cf_").size == allBefore + 1,
+        "ONE slot for the whole group")
+      assert(spark.read.parquet(s"$out4/events/WP").count() == 3L &&
+        spark.read.parquet(s"$out4/events/OTHER").count() == 1L,
+        "both members seeded from the one exported snapshot")
+      // changes fan out of one decoded batch into the right logs
+      withClient { c =>
+        c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+          "('WP', '/w', 'wp2.txt', 'text/plain', NULL, now(), 5, NULL), " +
+          "('OTHER', '/o', 'o2.txt', 'text/plain', NULL, now(), 6, NULL)")
+      }
+      Main.main(Array("--watch-pg", url, "--out", out4, src, "OTHER"))
+      assert(spark.read.parquet(s"$out4/events/WP").count() == 4L &&
+        spark.read.parquet(s"$out4/events/OTHER").count() == 2L,
+        "each source's change lands in ITS log only")
+      // a subset rerun refuses: the missing member's log would silently
+      // starve while the shared slot advances
+      val eSub = intercept[IllegalArgumentException](
+        Main.main(Array("--watch-pg", url, "--out", out4, src)))
+      assert(eSub.getMessage.contains("group"), eSub.getMessage)
       // a dropped slot over a surviving (marker-committed) log cannot
       // resume silently
       dropFeed()
