@@ -552,11 +552,19 @@ object Main {
         }
         // the commit point: all seeds durable -> every log claims the
         // slot (a crash before this leaves NO marker anywhere, and the
-        // rerun refuses with the group-wide redo guidance above)
+        // rerun refuses with the group-wide redo guidance above).
+        // Write-then-RENAME: the marker appears complete or not at all —
+        // a crash mid-write must not leave a half-marker that a resume
+        // would read as a garbage slot name
         val content = (slot +: sources.sorted).mkString("\n")
         entries.foreach { case (_, sub) =>
-          val o = fsOf(eventsDir(sub)).create(markerPathOf(sub), false)
+          val fs = fsOf(eventsDir(sub))
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"${eventsDir(sub)}/._graft_changefeed.tmp")
+          val o = fs.create(tmp, true)
           try o.write(content.getBytes("UTF-8")) finally o.close()
+          require(fs.rename(tmp, markerPathOf(sub)),
+            s"could not commit the handoff marker at ${markerPathOf(sub)}")
         }
         println(s"seeded ${sources.size} log(s) under $out/events from " +
           s"the slot's consistent snapshot (slot $slot)")

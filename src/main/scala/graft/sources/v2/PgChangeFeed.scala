@@ -37,7 +37,11 @@ import graft.sinks.{PgMerge, PgWireClient}
   * NEW image (updates/inserts) or the OLD image (deletes — complete,
   * because the bootstrap sets `REPLICA IDENTITY FULL`: the table's
   * unique constraint has nullable columns, which PostgreSQL rejects
-  * as an identity index).
+  * as an identity index). The old image is USED, not just carried: an
+  * update that moves the file identity (rename) emits delete(old) +
+  * update(new) so compaction never keeps a phantom row, and an
+  * unchanged out-of-line (TOASTed) value arriving as `u` resolves
+  * from it instead of aliasing to SQL NULL ([[PgChangeFeed.Decoder]]).
   *
   * Bootstrap (idempotent, at stream start): a publication for the
   * table, `REPLICA IDENTITY FULL`, and the named logical slot. Needs
@@ -89,11 +93,24 @@ object PgChangeFeed {
   /** Stateful pgoutput (protocol version 1) message decoder — PURE
     * (offline-testable against captured frames): Relation messages
     * register column layouts, Begin carries the transaction's commit
-    * timestamp, Insert/Update/Delete/Truncate emit [[Change]]s for
-    * relations named `tableName`. Unknown message tags fail LOUDLY —
-    * silent protocol drift would silently drop changes. */
-  final class Decoder(tableName: String) {
-    private val relations = mutable.Map.empty[Int, (String, Vector[String])]
+    * timestamp, Insert/Update/Delete/Truncate emit [[Change]]s for the
+    * relation `namespace.tableName` (BOTH matched — a same-named table
+    * in another schema published alongside would otherwise feed its
+    * rows in silently, review r16). Unknown message tags fail LOUDLY —
+    * silent protocol drift would silently drop changes.
+    *
+    * Update semantics (review r16): the REPLICA IDENTITY FULL old
+    * image is USED, not discarded — (a) an unchanged out-of-line
+    * (TOASTed) column arrives as `u` in the NEW image and is resolved
+    * from the old one (aliasing it to SQL NULL would corrupt state
+    * downstream); (b) an update that CHANGES a key column (`keyCols` —
+    * the file identity) emits TWO changes, a delete of the old
+    * identity then the update under the new one, so a rename never
+    * leaves a phantom live row in the compacted state. */
+  final class Decoder(tableName: String, namespace: String = "public",
+      keyCols: Seq[String] = Seq("external_source", "path", "filename")) {
+    private val relations =
+      mutable.Map.empty[Int, (String, String, Vector[String])]
     private var commitTs = 0L // unix micros of the current tx's commit
 
     // pgoutput timestamps are micros since 2000-01-01T00:00:00Z
@@ -119,17 +136,23 @@ object PgChangeFeed {
       def hasMore: Boolean = i < b.length
     }
 
+    private sealed trait Cell
+    private case object CNull extends Cell
+    private case object CUnchanged extends Cell
+    private final case class CText(v: String) extends Cell
+
     /** TupleData: Int16 ncols, then per column `n` (NULL), `u`
-      * (unchanged TOASTed value — not shipped; surfaces as None), or
-      * `t` + Int32 length + that many bytes of TEXT. */
-    private def tuple(c: Cursor): Vector[Option[String]] = {
+      * (unchanged out-of-line value — NOT a NULL: resolved from the
+      * old image by the caller), or `t` + Int32 length + TEXT bytes. */
+    private def tuple(c: Cursor): Vector[Cell] = {
       val n = c.i16()
       Vector.fill(n) {
         c.u8().toChar match {
-          case 'n' | 'u' => None
+          case 'n' => CNull
+          case 'u' => CUnchanged
           case 't' =>
             val len = c.i32()
-            Some(new String(c.bytes(len),
+            CText(new String(c.bytes(len),
               java.nio.charset.StandardCharsets.UTF_8))
           case other => throw new IllegalStateException(
             s"pgoutput: unknown tuple column kind '$other'")
@@ -137,29 +160,49 @@ object PgChangeFeed {
       }
     }
 
-    private def named(relId: Int,
-        vals: Vector[Option[String]]): Option[Map[String, Option[String]]] =
+    /** Resolve cells to values; `u` carries FORWARD from `old` (the
+      * complete REPLICA IDENTITY FULL image) and fails loudly when no
+      * usable old image exists — silently aliasing an unchanged TOAST
+      * value to SQL NULL would corrupt every consumer downstream. */
+    private def resolved(cells: Vector[Cell],
+        old: Option[Vector[Option[String]]]): Vector[Option[String]] =
+      cells.zipWithIndex.map {
+        case (CText(v), _) => Some(v)
+        case (CNull, _) => None
+        case (CUnchanged, i) => old match {
+          case Some(o) => o(i)
+          case None => throw new IllegalStateException(
+            "pgoutput: unchanged-TOAST column with no complete old " +
+              "image — the feed requires REPLICA IDENTITY FULL")
+        }
+      }
+
+    private def isWatched(relId: Int): Boolean =
       relations.get(relId) match {
-        case Some((name, cols)) if name == tableName =>
-          Some(cols.zip(vals).toMap)
-        case Some(_) => None // another published table: not this feed's
+        case Some((ns, name, _)) => name == tableName && ns == namespace
         case None => throw new IllegalStateException(
           s"pgoutput: change for unregistered relation $relId " +
             "(Relation message not seen)")
       }
 
-    /** Decode ONE pgoutput message; emits 0 or 1 [[Change]]. */
-    def feed(data: Array[Byte]): Option[Change] = {
+    private def named(relId: Int,
+        vals: Vector[Option[String]]): Map[String, Option[String]] =
+      relations(relId)._3.zip(vals).toMap
+
+    /** Decode ONE pgoutput message; emits 0, 1, or 2 [[Change]]s (2:
+      * an identity-changing update = delete of the old identity + the
+      * update under the new one). */
+    def feed(data: Array[Byte]): Seq[Change] = {
       val c = new Cursor(data)
       c.u8().toChar match {
         case 'B' => // Begin: final_lsn(8) commit_ts(8) xid(4)
           c.i64()
           commitTs = c.i64() + pgEpochMicros
-          None
-        case 'C' => None // Commit: flags/lsns/ts — nothing to emit
+          Nil
+        case 'C' => Nil // Commit: flags/lsns/ts — nothing to emit
         case 'R' => // Relation: oid ns relname replident ncols cols…
           val oid = c.i32()
-          c.cstr() // namespace
+          val ns = c.cstr()
           val name = c.cstr()
           c.u8() // replica identity
           val ncols = c.i16()
@@ -169,32 +212,63 @@ object PgChangeFeed {
             c.i32(); c.i32() // type oid, typmod
             col
           }
-          relations(oid) = (name, cols)
-          None
+          relations(oid) = (ns, name, cols)
+          Nil
         case 'I' => // Insert: oid 'N' tuple
           val oid = c.i32()
           require(c.u8().toChar == 'N', "pgoutput: Insert without new tuple")
-          named(oid, tuple(c)).map(Change("insert", commitTs, _))
-        case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' tuple
+          val cells = tuple(c)
+          if (!isWatched(oid)) Nil
+          else Seq(Change("insert", commitTs, named(oid,
+            resolved(cells, None))))
+        case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' new-tuple
           val oid = c.i32()
           var kind = c.u8().toChar
-          if (kind == 'K' || kind == 'O') { tuple(c); kind = c.u8().toChar }
+          // 'O' = the complete old row (REPLICA IDENTITY FULL); 'K' =
+          // key-only (identity index form): usable for neither TOAST
+          // carry-forward nor an honest old-identity delete image, so
+          // only 'O' feeds `old`
+          val old: Option[Vector[Option[String]]] =
+            if (kind == 'K' || kind == 'O') {
+              val o = kind == 'O'
+              val cells = tuple(c)
+              kind = c.u8().toChar
+              if (o) Some(resolved(cells, None)) else None
+            } else None
           require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
-          named(oid, tuple(c)).map(Change("update", commitTs, _))
+          val cells = tuple(c)
+          if (!isWatched(oid)) Nil
+          else {
+            val now = resolved(cells, old)
+            val nowMap = named(oid, now)
+            val renamed = old.exists { o =>
+              val oldMap = named(oid, o)
+              keyCols.exists(k =>
+                oldMap.getOrElse(k, None) != nowMap.getOrElse(k, None))
+            }
+            if (renamed)
+              Seq(Change("delete", commitTs, named(oid, old.get)),
+                Change("update", commitTs, nowMap))
+            else Seq(Change("update", commitTs, nowMap))
+          }
         case 'D' => // Delete: oid ('K'|'O') old-tuple
           val oid = c.i32()
           val kind = c.u8().toChar
           require(kind == 'K' || kind == 'O',
             s"pgoutput: Delete tuple kind '$kind'")
-          named(oid, tuple(c)).map(Change("delete", commitTs, _))
+          val cells = tuple(c)
+          if (!isWatched(oid)) Nil
+          else Seq(Change("delete", commitTs,
+            named(oid, resolved(cells, None))))
         case 'T' => // Truncate: nrels(4) options(1) oids…
           val nrels = c.i32()
           c.u8()
           val oids = Vector.fill(nrels)(c.i32())
-          if (oids.exists(o => relations.get(o).exists(_._1 == tableName)))
-            Some(Change("truncate", commitTs, Map.empty))
-          else None
-        case 'Y' | 'O' | 'M' => None // Type / Origin / Message: skip
+          if (oids.exists(o => relations.get(o).exists(r =>
+            r._2 == tableName && r._1 == namespace)))
+            Seq(Change("truncate", commitTs, Map.empty))
+          else Nil
+        case 'Y' | 'O' | 'M' => Nil // Type / Origin / Message: skip
         case other => throw new IllegalStateException(
           s"pgoutput: unknown message tag '$other' — protocol drift " +
             "must be loud, not silently dropped")
@@ -568,6 +642,17 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
     }
   }
 
+  /** The watched table's actual schema, resolved ONCE driver-side
+    * (search_path decides where the unqualified name lives): the
+    * decoder matches namespace+relname, so a same-named table in
+    * another schema published alongside never feeds rows in. */
+  private lazy val tableNamespace: String = {
+    ready
+    one("SELECT n.nspname FROM pg_class c " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      s"WHERE c.oid = '${PgMerge.table}'::regclass").get
+  }
+
   override def initialOffset(): Offset = {
     ready
     LsnOffset(PgChangeFeed.parseLsn(one(
@@ -587,7 +672,7 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] =
     Array(PgCdcPartition(conn, slot, pub,
-      end.asInstanceOf[LsnOffset].lsn))
+      end.asInstanceOf[LsnOffset].lsn, tableNamespace))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PgCdcReaderFactory
@@ -616,11 +701,11 @@ private[v2] class PgChangeFeedStream(conn: PgConnInfo, slot: String,
 }
 
 private[v2] case class PgCdcPartition(conn: PgConnInfo, slot: String,
-    pub: String, endLsn: Long) extends InputPartition
+    pub: String, endLsn: Long, namespace: String) extends InputPartition
 
 private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val PgCdcPartition(conn, slot, pub, endLsn) = p
+    val PgCdcPartition(conn, slot, pub, endLsn, namespace) = p
     new PartitionReader[InternalRow] {
       private val client = PgWireClient.connect(conn.host, conn.port,
         conn.user, conn.database, conn.password, conn.sslMode,
@@ -641,9 +726,17 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
               s"${PgWireClient.sqlLit(pub)})")
         } catch { case e: Throwable => client.close(); throw e }
 
-      private val decoder = new PgChangeFeed.Decoder(PgMerge.table)
+      private val decoder = new PgChangeFeed.Decoder(PgMerge.table,
+        namespace)
       private val tableCols = PgMerge.readSchema.fields
+      // the schema-driven text→InternalRow converters, shared with the
+      // batch reader ([[PgTextCodec]] — one timestamp-parse fix lands
+      // in both paths)
+      private val convert = PgTextCodec.converters(PgMerge.readSchema)
       private var current: InternalRow = _
+      // one message can emit up to TWO changes (an identity-changing
+      // update = delete + update): drain them before the next message
+      private var pending: List[(String, PgChangeFeed.Change)] = Nil
 
       private def toRow(lsnText: String,
           ch: PgChangeFeed.Change): InternalRow = {
@@ -653,18 +746,8 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
         vals(2) = Long.box(ch.commitTsMicros)
         var i = 0
         while (i < tableCols.length) {
-          val f = tableCols(i)
-          val v = ch.values.getOrElse(f.name, None)
-          vals(3 + i) = f.dataType match {
-            case StringType => v.map(UTF8String.fromString).orNull
-            case TimestampType => v.map { s =>
-              val inst = PgWireClient.parsePgTimestamp(s).toInstant
-              Long.box(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
-            }.orNull
-            case LongType => v.map(s => Long.box(s.toLong)).orNull
-            case other => throw new IllegalStateException(
-              s"unhandled changefeed type $other")
-          }
+          vals(3 + i) = convert(i)(
+            ch.values.getOrElse(tableCols(i).name, None))
           i += 1
         }
         InternalRow.fromSeq(
@@ -672,15 +755,23 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
       }
 
       override def next(): Boolean = {
-        while (rows.hasNext) {
-          val r = rows.next()
-          val decoded = decoder.feed(PgChangeFeed.fromHex(r(1).get))
-          decoded match {
-            case Some(ch) => current = toRow(r(0).get, ch); return true
-            case None => () // Begin/Commit/Relation/foreign relation
-          }
+        pending match {
+          case (lsn, ch) :: rest =>
+            pending = rest
+            current = toRow(lsn, ch)
+            true
+          case Nil =>
+            while (rows.hasNext) {
+              val r = rows.next()
+              val decoded = decoder.feed(PgChangeFeed.fromHex(r(1).get))
+              if (decoded.nonEmpty) {
+                pending = decoded.toList.map(ch => (r(0).get, ch))
+                return next()
+              }
+              // else: Begin/Commit/Relation/foreign relation
+            }
+            false
         }
-        false
       }
       override def get(): InternalRow = current
       override def close(): Unit = {

@@ -395,6 +395,32 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
       groupCols, shardMode, topNOrder, snapshot)
 }
 
+/** The PostgreSQL TEXT-form → InternalRow value converters, one per
+  * column of a read schema — shared by the batch shard reader and the
+  * changefeed reader so a timestamp-parse or type fix can never land
+  * in one transport and not the other (review r16). */
+private[v2] object PgTextCodec {
+  private def micros(v: Option[String]): AnyRef = v match {
+    case None => null
+    case Some(s) =>
+      val i = PgWireClient.parsePgTimestamp(s).toInstant
+      Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+  }
+
+  def converters(schema: StructType): Array[Option[String] => AnyRef] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case StringType =>
+          (v: Option[String]) => v.map(UTF8String.fromString).orNull
+        case TimestampType => micros _
+        case LongType =>
+          (v: Option[String]) => v.map(s => Long.box(s.toLong)).orNull
+        case other => throw new IllegalStateException(
+          s"unhandled read-schema type $other for '${f.name}'")
+      }
+    }
+}
+
 /** Remote SQL for Spark [[Filter]]s — accepted only where the two
   * engines agree EXACTLY: null-ness tests on any column (engine-
   * identical by definition), and equality/IN on text/bigint columns
@@ -670,27 +696,11 @@ private[v2] class PgWireReaderFactory extends PartitionReaderFactory {
         } catch { case e: Throwable => client.close(); throw e }
       private var current: InternalRow = _
 
-      private def micros(v: Option[String]): AnyRef = v match {
-        case None => null
-        case Some(s) =>
-          val i = PgWireClient.parsePgTimestamp(s).toInstant
-          Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      }
       // one converter per result column, resolved from the scan's read
       // schema (pruned columns or aggregate partials — the field order
-      // is the remote select order either way)
-      private val convert: Array[Option[String] => AnyRef] =
-        schema.fields.map { f =>
-          f.dataType match {
-            case StringType =>
-              (v: Option[String]) => v.map(UTF8String.fromString).orNull
-            case TimestampType => micros _
-            case LongType =>
-              (v: Option[String]) => v.map(s => Long.box(s.toLong)).orNull
-            case other => throw new IllegalStateException(
-              s"unhandled read-schema type $other for '${f.name}'")
-          }
-        }
+      // is the remote select order either way); shared with the
+      // changefeed reader ([[PgTextCodec]])
+      private val convert = PgTextCodec.converters(schema)
 
       override def next(): Boolean =
         if (!rows.hasNext) false

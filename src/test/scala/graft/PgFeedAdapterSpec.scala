@@ -107,6 +107,29 @@ class PgFeedAdapterSpec extends AnyFunSuite {
         t4.getTime, "a physical delete is a tombstone at commit time")
   }
 
+  test("a rename's delete+update pair (same LSN, different keys) " +
+      "compacts with no phantom: the old identity drops, the new one " +
+      "lives — in compact() and in the adapted snapshotOf alike") {
+    val feed = feedOf(Seq(
+      ("insert", 10L, t1, "S", "/p", "a.txt", "text/plain", t1, t1,
+        Long.box(5L), nullTs),
+      // the decoder's rename fan-out: one UPDATE emitted as two changes
+      // sharing the commit's change LSN
+      ("delete", 50L, t5, "S", "/p", "a.txt", "text/plain", t1, t1,
+        Long.box(5L), nullTs),
+      ("update", 50L, t5, "S", "/p", "b.txt", "text/plain", t1, t5,
+        Long.box(5L), nullTs)))
+    val compacted = PgChangeFeed.compact(feed)
+      .collect().map(_.getAs[String]("filename")).toSeq
+    assert(compacted == Seq("b.txt"),
+      s"no phantom a.txt after the rename: $compacted")
+    val snap = ScrapeTws.snapshotOf(PgChangeFeed.asScrapeEvents(feed, "S"))
+      .collect().map(r => r.getAs[String]("filename") ->
+        (r.getAs[java.sql.Timestamp]("deleted") == null)).toMap
+    assert(snap == Map("a.txt" -> false, "b.txt" -> true),
+      s"the event dialect agrees (a.txt tombstoned, b.txt live): $snap")
+  }
+
   test("TRUNCATE fails the adapted stream loudly — a table wipe has no " +
       "per-file expression and must not be silently dropped") {
     val feed = feedOf(Seq(

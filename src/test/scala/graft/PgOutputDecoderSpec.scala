@@ -30,7 +30,7 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     "440000833f4f000874000000015374000000022f647400000005612e747874740000000a746578742f706c61696e6e740000001d323032362d30312d30322030333a30343a30352e3637383930312b30307400000001396e"
 
   private def feed(d: PgChangeFeed.Decoder,
-      hex: String): Option[PgChangeFeed.Change] =
+      hex: String): Seq[PgChangeFeed.Change] =
     d.feed(PgChangeFeed.fromHex(hex))
 
   test("captured pgoutput frames decode to the exact changes: insert " +
@@ -39,7 +39,7 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     val d = new PgChangeFeed.Decoder("external_file")
     assert(feed(d, begin).isEmpty)
     assert(feed(d, relation).isEmpty)
-    val ins = feed(d, insert).get
+    val ins = feed(d, insert).head
     assert(ins.action == "insert")
     assert(ins.values("external_source") == Some("S"))
     assert(ins.values("path") == Some("/d"))
@@ -59,10 +59,13 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     assert(feed(d, commit).isEmpty)
     // the FULL-identity relation re-registers, then update/delete
     assert(feed(d, relationFull).isEmpty)
-    val upd = feed(d, update).get
+    val upd = feed(d, update) match {
+      case Seq(one) => one
+      case more => fail(s"same-identity update emits ONE change: $more")
+    }
     assert(upd.action == "update" && upd.values("size") == Some("9"),
       "update emits the NEW image")
-    val del = feed(d, delete).get
+    val del = feed(d, delete).head
     assert(del.action == "delete" && del.values("size") == Some("9") &&
       del.values("filename") == Some("a.txt"),
       "delete emits the complete OLD image under REPLICA IDENTITY FULL")
@@ -99,5 +102,106 @@ class PgOutputDecoderSpec extends AnyFunSuite {
       PgChangeFeed.checkedName("slot", "Slot'; DROP--"))
     assert(PgChangeFeed.checkedName("slot", "graft_slot_2") ==
       "graft_slot_2")
+  }
+
+  // --- review-r16 shapes, captured live from the same server ------------
+
+  private val renameRelation = // fix_r: (source, path, filename, size), FULL
+    "5200004d5c7075626c6963006669785f72006600040165787465726e616c5f736f757263650000000019ffffffff01706174680000000019ffffffff0166696c656e616d650000000019ffffffff0173697a650000000014ffffffff"
+  private val renameUpdate = // UPDATE SET filename a.txt->b.txt, size 7->9
+    "5500004d5c4f000474000000015374000000022f647400000005612e7478747400000001374e000474000000015374000000022f647400000005622e747874740000000139"
+
+  test("an identity-changing UPDATE (rename) emits delete(old identity) " +
+      "+ update(new identity) — the old image is USED, so compaction " +
+      "never keeps a phantom live row under the old name") {
+    val d = new PgChangeFeed.Decoder("fix_r")
+    assert(feed(d, begin).isEmpty)
+    assert(feed(d, renameRelation).isEmpty)
+    val out = feed(d, renameUpdate)
+    assert(out.length == 2, s"got $out")
+    val Seq(delOld, updNew) = out
+    assert(delOld.action == "delete" &&
+      delOld.values("filename") == Some("a.txt") &&
+      delOld.values("size") == Some("7"),
+      "the OLD identity tombstones with its complete old image")
+    assert(updNew.action == "update" &&
+      updNew.values("filename") == Some("b.txt") &&
+      updNew.values("size") == Some("9"))
+    // a NON-identity update over the same relation stays one change
+    // (the basic `update` fixture pins that above)
+  }
+
+  test("an unchanged out-of-line (TOASTed) column arrives as 'u' and is " +
+      "resolved from the REPLICA IDENTITY FULL old image — never " +
+      "aliased to SQL NULL") {
+    // captured frames: fix_t (big TEXT, STORAGE EXTERNAL, FULL),
+    // UPDATE SET path='/e' not touching big — the new image carries
+    // 'u' for big, the old image its full 2112-byte value
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/pgoutput_toast_frames.txt"))
+      .getLines().filterNot(_.startsWith("#")).toVector
+    val Seq(toastRelation, toastUpdate) = lines
+    val d = new PgChangeFeed.Decoder("fix_t")
+    assert(feed(d, begin).isEmpty)
+    assert(feed(d, toastRelation).isEmpty)
+    val out = feed(d, toastUpdate)
+    // SET path='/e' moves the file identity too, so the rename fan-out
+    // fires: delete(old /d) + update(new /e) — and BOTH carry the big
+    // value ('u' resolved in the new image, full text in the old)
+    assert(out.length == 2 && out.map(_.action) == Seq("delete", "update"),
+      s"got $out")
+    val upd = out(1)
+    assert(upd.values("path") == Some("/e"))
+    assert(out(0).values("path") == Some("/d") &&
+      out(0).values("big").exists(_.length == 2112))
+    val big = upd.values("big")
+    assert(big.exists(_.length == 2112),
+      s"the unchanged TOAST value carries FORWARD (got " +
+        s"${big.map(_.length)})")
+    assert(big.exists(v => v.startsWith("0cc175b9") || v.nonEmpty))
+    // and WITHOUT a complete old image the same 'u' fails loudly
+    // instead of silently corrupting: replay the new-image-only form
+    // by synthesizing an Update with kind 'N' directly
+    val hex = toastUpdate
+    val body = PgChangeFeed.fromHex(hex)
+    // locate the 'N' new-tuple start: tag(1) + oid(4), then 'O' old
+    // tuple — rebuild as tag + oid + new tuple only
+    val oidEnd = 5
+    val nIdx = {
+      // the old tuple is 4 cells; walk it like the decoder does
+      var i = oidEnd + 1 + 2 // skip 'O', ncols
+      (0 until 4).foreach { _ =>
+        body(i).toChar match {
+          case 't' =>
+            val len = java.nio.ByteBuffer.wrap(body, i + 1, 4).getInt
+            i += 5 + len
+          case _ => i += 1
+        }
+      }
+      i
+    }
+    assert(body(nIdx).toChar == 'N')
+    val noOld = body.slice(0, oidEnd) ++ body.slice(nIdx, body.length)
+    val d2 = new PgChangeFeed.Decoder("fix_t")
+    assert(d2.feed(PgChangeFeed.fromHex(begin)).isEmpty)
+    assert(d2.feed(PgChangeFeed.fromHex(toastRelation)).isEmpty)
+    val e = intercept[IllegalStateException](d2.feed(noOld))
+    assert(e.getMessage.contains("old image"), e.getMessage)
+  }
+
+  test("a same-named table in ANOTHER SCHEMA is not the watched " +
+      "relation: namespace is matched, not just relname") {
+    // the captured relation frame names public.fix_r; a decoder
+    // watching audit.fix_r must skip its changes entirely
+    val d = new PgChangeFeed.Decoder("fix_r", namespace = "audit")
+    assert(feed(d, begin).isEmpty)
+    assert(feed(d, renameRelation).isEmpty)
+    assert(feed(d, renameUpdate).isEmpty,
+      "public.fix_r's changes are not audit.fix_r's")
+    // the default namespace matches the captured public frames
+    val pub = new PgChangeFeed.Decoder("fix_r")
+    assert(feed(pub, begin).isEmpty)
+    assert(feed(pub, renameRelation).isEmpty)
+    assert(feed(pub, renameUpdate).nonEmpty)
   }
 }

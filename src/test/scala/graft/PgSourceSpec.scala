@@ -710,7 +710,9 @@ class PgSourceSpec extends AnyFunSuite {
         "delete carries the complete OLD row (REPLICA IDENTITY FULL) — " +
           "the thing a rescan watch has to infer from state")
       assert(all.forall(r => !r.isNullAt(2)), "commit timestamps present")
-      assert(all.map(_.getLong(1)).distinct.length > 0, "LSNs populated")
+      assert(all.map(_.getLong(1)).distinct.length == 4 &&
+        all.forall(_.getLong(1) > 0L),
+        "four changes carry four distinct, populated LSNs")
       // O(changes): with DML quiet, triggers keep firing (WAL advances
       // server-wide) but the TABLE is never touched — zero scans, zero
       // heap blocks, while the rescan watch would read 3 rows per 250ms
