@@ -346,6 +346,13 @@ object Main {
           val p = new org.apache.hadoop.fs.Path(s)
           p.getFileSystem(hadoopConf).exists(p)
         }
+        // a changefeed-claimed log (--watch-pg) must not take rescan
+        // appends: the two dialects' event_seq spaces (LSN vs per-key
+        // apply index) would mis-order same-millisecond compaction ties
+        require(!hExists(s"$eventsDir/_graft_changefeed"),
+          s"$src: $eventsDir belongs to a --watch-pg changefeed " +
+            "(marker present) — one log, one producer; use a " +
+            "different --out for the rescan daemon")
         val initial = if (rebuildState) {
           require(!hExists(s"$out/.events-checkpoint/$sub"),
             s"--rebuild-state replays the log into a FRESH checkpoint; " +

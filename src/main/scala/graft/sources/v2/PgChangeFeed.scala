@@ -224,22 +224,26 @@ object PgChangeFeed {
         case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' new-tuple
           val oid = c.i32()
           var kind = c.u8().toChar
-          // 'O' = the complete old row (REPLICA IDENTITY FULL); 'K' =
-          // key-only (identity index form): usable for neither TOAST
-          // carry-forward nor an honest old-identity delete image, so
-          // only 'O' feeds `old`
+          // 'O' = the complete old row (REPLICA IDENTITY FULL — what
+          // this feed bootstraps); 'K' = key-only (identity-index
+          // form, reachable only if the identity is flipped
+          // mid-stream): its key columns still drive the rename
+          // fan-out (PG sends 'K' precisely when key columns changed),
+          // but its absent columns are NOT values, so it never feeds
+          // the `u` carry-forward
+          val oldKind = kind
           val old: Option[Vector[Option[String]]] =
             if (kind == 'K' || kind == 'O') {
-              val o = kind == 'O'
               val cells = tuple(c)
               kind = c.u8().toChar
-              if (o) Some(resolved(cells, None)) else None
+              Some(resolved(cells, None))
             } else None
+          val oldFull = old.filter(_ => oldKind == 'O')
           require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
           else {
-            val now = resolved(cells, old)
+            val now = resolved(cells, oldFull)
             val nowMap = named(oid, now)
             val renamed = old.exists { o =>
               val oldMap = named(oid, o)

@@ -129,6 +129,18 @@ class PgOutputDecoderSpec extends AnyFunSuite {
       updNew.values("size") == Some("9"))
     // a NON-identity update over the same relation stays one change
     // (the basic `update` fixture pins that above)
+
+    // the key-only ('K') old-tuple form — reachable if the replica
+    // identity is flipped mid-stream — still drives the fan-out: PG
+    // sends 'K' precisely when key columns changed
+    val kForm = renameUpdate.replaceFirst("4f", "4b") // 'O' -> 'K'
+    val dk = new PgChangeFeed.Decoder("fix_r")
+    assert(feed(dk, begin).isEmpty)
+    assert(feed(dk, renameRelation).isEmpty)
+    val kOut = feed(dk, kForm)
+    assert(kOut.length == 2 && kOut.map(_.action) == Seq("delete", "update"),
+      s"got $kOut")
+    assert(kOut(0).values("filename") == Some("a.txt"))
   }
 
   test("an unchanged out-of-line (TOASTed) column arrives as 'u' and is " +
