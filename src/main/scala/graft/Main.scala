@@ -489,6 +489,10 @@ object Main {
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
             "UTF-8").linesIterator.toVector
           finally in.close()
+        require(lines.headOption.exists(_.nonEmpty),
+          s"corrupt handoff marker at $mp (empty) — remove the " +
+            "group's log dirs and drop its slot, then rerun for a " +
+            "fresh snapshot handoff")
         Some((lines.head, lines.tail))
       }
     }
@@ -514,8 +518,15 @@ object Main {
       case Seq(one) =>
         markers.collect { case (src, None) => src } match {
           case Seq() =>
-            val group = markers.flatMap(_._2).map(_._2).distinct
-            require(group == Seq(sources.sorted),
+            // an early marker carries no membership lines: accept it
+            // (its slot is the cursor either way) with one visible line
+            // rather than demanding the log's destruction
+            val group = markers.flatMap(_._2).map(_._2)
+              .filter(_.nonEmpty).distinct
+            if (group.isEmpty)
+              println(s"note — legacy marker(s) without recorded group " +
+                s"membership at $out; resuming slot '$one' as-is")
+            else require(group == Seq(sources.sorted),
               s"the logs at $out were handed off for watch group " +
                 s"${group.flatten.mkString(", ")} — a changed group " +
                 "cannot resume the shared slot (missing members' logs " +
@@ -525,8 +536,11 @@ object Main {
           case missing => throw new IllegalArgumentException(
             s"watch group partially handed off: no marker for " +
               s"${missing.mkString(", ")} while other logs claim slot " +
-              s"'$one' — remove the group's log dirs and drop the slot " +
-              "to redo the handoff")
+              s"'$one'. If you meant to ADD sources to this group, " +
+              "watch the new ones into their own --out instead (group " +
+              "membership is fixed at handoff); if a first run was " +
+              "interrupted, remove the group's log dirs and drop the " +
+              "slot to redo the handoff")
         }
       case many => throw new IllegalArgumentException(
         s"the logs at $out name DIFFERENT slots (${many.mkString(", ")})" +
@@ -597,7 +611,12 @@ object Main {
             .write.mode("append").parquet(eventsDir(sub))
         } finally { batch.unpersist(); () }
       }
-      .option("checkpointLocation", s"$out/.changefeed-checkpoint/_group")
+      // keyed by the GROUP (review r16): one shared checkpoint let a
+      // second group under the same --out adopt the first's offsets —
+      // and the bounded path's advance-to-start would then release the
+      // first group's undelivered WAL
+      .option("checkpointLocation",
+        s"$out/.changefeed-checkpoint/_group_$groupDigest")
       .outputMode("append")
       .trigger(interval.fold[org.apache.spark.sql.streaming.Trigger](
         Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))

@@ -225,25 +225,27 @@ object PgChangeFeed {
           val oid = c.i32()
           var kind = c.u8().toChar
           // 'O' = the complete old row (REPLICA IDENTITY FULL — what
-          // this feed bootstraps); 'K' = key-only (identity-index
-          // form, reachable only if the identity is flipped
-          // mid-stream): its key columns still drive the rename
-          // fan-out (PG sends 'K' precisely when key columns changed),
-          // but its absent columns are NOT values, so it never feeds
-          // the `u` carry-forward
-          val oldKind = kind
+          // this feed bootstraps and depends on). A key-only 'K' old
+          // tuple means the identity was flipped mid-stream: its
+          // absent columns are indistinguishable from SQL NULL, so
+          // continuing risks either a phantom old row (ignore it) or a
+          // null-identity tombstone (use it) — fail LOUDLY instead
+          // (review r16; restarting the stream re-bootstraps FULL)
+          if (kind == 'K') throw new IllegalStateException(
+            "pgoutput: key-only old image — the watched table's " +
+              "REPLICA IDENTITY is no longer FULL (flipped " +
+              "mid-stream?); restart the stream to re-bootstrap it")
           val old: Option[Vector[Option[String]]] =
-            if (kind == 'K' || kind == 'O') {
+            if (kind == 'O') {
               val cells = tuple(c)
               kind = c.u8().toChar
               Some(resolved(cells, None))
             } else None
-          val oldFull = old.filter(_ => oldKind == 'O')
           require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
           else {
-            val now = resolved(cells, oldFull)
+            val now = resolved(cells, old)
             val nowMap = named(oid, now)
             val renamed = old.exists { o =>
               val oldMap = named(oid, o)
@@ -258,8 +260,14 @@ object PgChangeFeed {
         case 'D' => // Delete: oid ('K'|'O') old-tuple
           val oid = c.i32()
           val kind = c.u8().toChar
-          require(kind == 'K' || kind == 'O',
-            s"pgoutput: Delete tuple kind '$kind'")
+          // same contract as Update: a key-only old image would emit a
+          // delete with null identity columns, which the adapters drop
+          // SILENTLY — a missed deletion, not a degraded one
+          if (kind == 'K') throw new IllegalStateException(
+            "pgoutput: key-only old image — the watched table's " +
+              "REPLICA IDENTITY is no longer FULL (flipped " +
+              "mid-stream?); restart the stream to re-bootstrap it")
+          require(kind == 'O', s"pgoutput: Delete tuple kind '$kind'")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
           else Seq(Change("delete", commitTs,

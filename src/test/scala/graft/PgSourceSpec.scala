@@ -1098,6 +1098,25 @@ class PgSourceSpec extends AnyFunSuite {
       val eSub = intercept[IllegalArgumentException](
         Main.main(Array("--watch-pg", url, "--out", out4, src)))
       assert(eSub.getMessage.contains("group"), eSub.getMessage)
+      // two DIFFERENT groups under the SAME --out stay fully isolated:
+      // per-group checkpoints and slots (review r16 — one shared
+      // checkpoint let a later group's offsets advance an earlier
+      // group's slot past undelivered changes)
+      val out5 = java.nio.file.Files
+        .createTempDirectory("graft_watchpg5").toString
+      Main.main(Array("--watch-pg", url, "--out", out5, src))
+      Main.main(Array("--watch-pg", url, "--out", out5, "OTHER"))
+      assert(spark.read.parquet(s"$out5/events/WP").count() == 4L &&
+        spark.read.parquet(s"$out5/events/OTHER").count() == 2L,
+        "both groups seeded from current state")
+      withClient(_.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('OTHER', '/o', 'o3.txt', 'text/plain', NULL, now(), 7, NULL)"))
+      Main.main(Array("--watch-pg", url, "--out", out5, "OTHER"))
+      Main.main(Array("--watch-pg", url, "--out", out5, src))
+      assert(spark.read.parquet(s"$out5/events/OTHER").count() == 3L,
+        "the OTHER group's change arrived despite the earlier WP runs")
+      assert(spark.read.parquet(s"$out5/events/WP").count() == 4L,
+        "the WP group is untouched by the OTHER group's activity")
       // a dropped slot over a surviving (marker-committed) log cannot
       // resume silently
       dropFeed()
