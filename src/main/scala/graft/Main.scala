@@ -553,13 +553,31 @@ object Main {
       // other slots with this group's digest = other logs' cursors or
       // orphans of removed logs; an orphan retains WAL forever, so name
       // them once, visibly (never auto-drop: only the OTHER logs'
-      // markers know which is which)
+      // markers know which is which — `graft.Main slots` cross-checks
+      // and garbage-collects them safely)
       val siblings = PgChangeFeed.siblingSlots(opts,
         s"graft_cf_${groupDigest}_")
       if (siblings.nonEmpty)
         println(s"note — existing slots for this watch group: " +
           s"${siblings.mkString(", ")} (other logs' cursors, or orphans " +
-          "retaining WAL; drop orphans with pg_drop_replication_slot)")
+          "retaining WAL; `graft.Main slots ADDR --out DIR…` finds and " +
+          "drops provable orphans)")
+      // the fresh handoff is NOT idempotent mid-flight (ADVICE r16):
+      // two simultaneous first runs would both pass the no-marker
+      // check, bootstrap two slots, and double-seed the logs — the
+      // marker rename picks one winner but the loser's slot leaks. An
+      // ATOMIC lock create under --out admits exactly one bootstrapper;
+      // a crash leaves the lock behind, caught by the same remove-and-
+      // redo guidance every interrupted handoff already gets.
+      val lockPath = new org.apache.hadoop.fs.Path(
+        s"$out/._graft_handoff_$groupDigest.lock")
+      val lockFs = lockPath.getFileSystem(hadoopConf)
+      require(lockFs.createNewFile(lockPath),
+        s"another --watch-pg handoff for this group is in progress at " +
+          s"$out (or a crashed one left $lockPath behind) — wait for " +
+          "it, or remove the group's log dirs, any stale " +
+          s"graft_cf_${groupDigest}_* slot, and the lock file, then " +
+          "rerun for a fresh snapshot handoff")
       val h = PgChangeFeed.bootstrapSnapshot(opts)
       try {
         // every source's seed reads the SAME exported snapshot — one
@@ -589,7 +607,18 @@ object Main {
         }
         println(s"seeded ${sources.size} log(s) under $out/events from " +
           s"the slot's consistent snapshot (slot $slot)")
-      } finally h.close()
+      } catch { case e: Throwable =>
+        // a CLEAN failure (not a crash) drops its own just-created slot
+        // — no marker claims it yet, and leaving it would retain WAL
+        // forever; best-effort (the failure may BE the lost server)
+        try { h.close(); PgChangeFeed.dropSlot(opts) }
+        catch { case _: Throwable => () }
+        throw e
+      } finally {
+        h.close()
+        try { lockFs.delete(lockPath, false); () }
+        catch { case _: Throwable => () }
+      }
     } else
       require(PgChangeFeed.slotExists(opts),
         s"the logs at $out name slot '$slot' but the server has no " +
@@ -611,12 +640,16 @@ object Main {
             .write.mode("append").parquet(eventsDir(sub))
         } finally { batch.unpersist(); () }
       }
-      // keyed by the GROUP (review r16): one shared checkpoint let a
-      // second group under the same --out adopt the first's offsets —
-      // and the bounded path's advance-to-start would then release the
-      // first group's undelivered WAL
+      // keyed by the SLOT, not the group digest (ADVICE r16): the slot
+      // name carries the handoff's random token, so a REDONE group
+      // (logs removed, slot dropped, fresh handoff) structurally gets a
+      // fresh checkpoint — a digest-keyed path survived the redo and
+      // fed the new slot foreign offsets, which the bounded path's
+      // advance-to-start could push past the new consistent point.
+      // Distinct groups under one --out stay isolated a fortiori
+      // (distinct slots ⊃ distinct digests, review r16).
       .option("checkpointLocation",
-        s"$out/.changefeed-checkpoint/_group_$groupDigest")
+        s"$out/.changefeed-checkpoint/_slot_$slot")
       .outputMode("append")
       .trigger(interval.fold[org.apache.spark.sql.streaming.Trigger](
         Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))

@@ -136,6 +136,22 @@ object PgChangeFeed {
       def hasMore: Boolean = i < b.length
     }
 
+    // the REAL remediation, not "restart" (ADVICE r16): key-only
+    // frames already logged before the identity was restored to FULL
+    // sit at-or-past confirmed_flush_lsn and re-decode on every
+    // restart — a restart alone crash-loops on this same error. The
+    // slot has to move PAST the offending window, accepting a fresh
+    // handoff for the skipped changes.
+    private def keyOnlyMsg: String =
+      "pgoutput: key-only old image — the watched table's REPLICA " +
+        "IDENTITY is no longer FULL (flipped mid-stream?). " +
+        "Restarting alone CANNOT recover: these frames are already in " +
+        "the WAL and re-decode on every restart. Skip them by " +
+        "advancing the slot past the offending window " +
+        "(pg_replication_slot_advance to pg_current_wal_lsn()) or drop " +
+        "the slot and redo a fresh snapshot handoff — either way the " +
+        "skipped window's changes must come from a re-seed, not the feed"
+
     private sealed trait Cell
     private case object CNull extends Cell
     private case object CUnchanged extends Cell
@@ -230,11 +246,11 @@ object PgChangeFeed {
           // absent columns are indistinguishable from SQL NULL, so
           // continuing risks either a phantom old row (ignore it) or a
           // null-identity tombstone (use it) — fail LOUDLY instead
-          // (review r16; restarting the stream re-bootstraps FULL)
-          if (kind == 'K') throw new IllegalStateException(
-            "pgoutput: key-only old image — the watched table's " +
-              "REPLICA IDENTITY is no longer FULL (flipped " +
-              "mid-stream?); restart the stream to re-bootstrap it")
+          // (review r16). Remediation (ADVICE r16): re-bootstrapping
+          // FULL only affects FUTURE WAL — the key-only frames already
+          // past confirmed_flush_lsn re-decode on every restart, so a
+          // plain restart crash-loops; the slot must skip them.
+          if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
           val old: Option[Vector[Option[String]]] =
             if (kind == 'O') {
               val cells = tuple(c)
@@ -263,10 +279,7 @@ object PgChangeFeed {
           // same contract as Update: a key-only old image would emit a
           // delete with null identity columns, which the adapters drop
           // SILENTLY — a missed deletion, not a degraded one
-          if (kind == 'K') throw new IllegalStateException(
-            "pgoutput: key-only old image — the watched table's " +
-              "REPLICA IDENTITY is no longer FULL (flipped " +
-              "mid-stream?); restart the stream to re-bootstrap it")
+          if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
           require(kind == 'O', s"pgoutput: Delete tuple kind '$kind'")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
@@ -422,6 +435,21 @@ object PgChangeFeed {
       conn.database, conn.password, conn.sslMode, conn.sslRootCert)
     try c.queryOne("SELECT count(*) FROM pg_replication_slots " +
       s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("1")
+    finally c.close()
+  }
+
+  /** Drop the named slot if it exists (releasing its retained WAL) —
+    * the failed-handoff cleanup and the orphan-GC primitive. Returns
+    * whether a slot was dropped. */
+  def dropSlot(options: Map[String, String]): Boolean = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
+    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    try c.queryOne("SELECT count(pg_drop_replication_slot(slot_name)) " +
+      "FROM pg_replication_slots WHERE slot_name = " +
+      PgWireClient.sqlLit(slot)).contains("1")
     finally c.close()
   }
 

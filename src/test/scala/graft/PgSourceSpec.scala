@@ -1123,6 +1123,40 @@ class PgSourceSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](
         Main.main(Array("--watch-pg", url, "--out", out, src)))
       assert(e.getMessage.contains("unrecoverable"), e.getMessage)
+      // the documented REDO (ADVICE r16): remove the group's logs (the
+      // slot is already dropped) and rerun — the checkpoint is keyed by
+      // SLOT, so the old incarnation's still-on-disk checkpoint cannot
+      // feed the fresh slot foreign offsets; the handoff re-seeds from
+      // current table state
+      def rmr(s: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true)
+        ()
+      }
+      rmr(s"$out/events")
+      assert(new java.io.File(s"$out/.changefeed-checkpoint").exists,
+        "the stale checkpoint deliberately survives into the redo")
+      Main.main(Array("--watch-pg", url, "--out", out, src))
+      assert(log.count() == 4L,
+        "the redone handoff seeds CURRENT state (a.txt + dead.txt " +
+          "tombstoned, new.txt + wp2.txt live) despite the stale " +
+          "checkpoint on disk: " + log.collect().mkString("; "))
+      // the handoff concurrency guard (ADVICE r16): an existing lock
+      // admits no second bootstrapper; a completed run leaves no lock
+      val digest = slotPrefix.stripPrefix("graft_cf_").stripSuffix("_")
+      assert(!new java.io.File(
+        s"$out/._graft_handoff_$digest.lock").exists,
+        "a completed handoff removes its lock")
+      val out6 = java.nio.file.Files
+        .createTempDirectory("graft_watchpg6").toString
+      java.nio.file.Files.createFile(java.nio.file.Path.of(
+        s"$out6/._graft_handoff_$digest.lock"))
+      val eLock = intercept[IllegalArgumentException](
+        Main.main(Array("--watch-pg", url, "--out", out6, src)))
+      assert(eLock.getMessage.contains("handoff"), eLock.getMessage)
+      assert(!new java.io.File(s"$out6/events").exists,
+        "a lock-refused run seeds nothing and creates no slot")
     } finally {
       spark.streams.active.foreach(_.stop())
       dropFeed()
