@@ -94,12 +94,19 @@ object CdcProbe {
     val fed = q.recentProgress.map(_.numInputRows).sum
     require(fed == nRows, s"drained $fed of $nRows")
 
-    // the rescan comparator: one full batch read of the same table
+    // the rescan comparator: one full batch read of the same table —
+    // hash() over every column defeats the aggregate/count pushdown
+    // (which would otherwise fold the "read" into ONE server-side
+    // count row shipping nothing, r17: the r16 runtime-pushdown work
+    // made a bare .count() measure the server's aggregate, not the
+    // transport this comparator exists to price)
     def scanOnce(): Double = {
       val t = System.nanoTime()
-      val n = spark.read.format("graft-pg").option("url", url)
+      val df = spark.read.format("graft-pg").option("url", url)
         .option("partitions", "8").load()
-        .filter(col("external_source") === "probe").count()
+        .filter(col("external_source") === "probe")
+      val n = df.select(hash(df.columns.map(col).toSeq: _*).as("h"))
+        .agg(count("h")).collect()(0).getLong(0)
       require(n == nRows, s"scan read $n")
       (System.nanoTime() - t) / 1e9
     }

@@ -467,8 +467,14 @@ final class PgWireClient(host: String, port: Int, user: String,
     * binds its source as `$1`). `None` binds SQL NULL. On error the
     * backend skips to Sync and the cycle still closes with
     * ReadyForQuery, so the connection stays usable (consumers raise
-    * after the drain, like [[exec]]). */
-  private def sendExtended(sql: String, params: Seq[Option[String]]): Unit = {
+    * after the drain, like [[exec]]).
+    *
+    * `binaryResults` requests BINARY result format for every column
+    * (one Bind format code applying to all, per the protocol docs'
+    * "Formats and Format Codes") — the transport [[queryStreamRaw]]
+    * exposes for bytea-heavy reads. */
+  private def sendExtended(sql: String, params: Seq[Option[String]],
+      binaryResults: Boolean = false): Unit = {
     inCycle = true
     val buf = new java.io.ByteArrayOutputStream()
     val d = new DataOutputStream(buf)
@@ -478,7 +484,7 @@ final class PgWireClient(host: String, port: Int, user: String,
     d.write(sql.getBytes(UTF_8)); d.writeByte(0)
     d.writeShort(0)
     send('P', buf.toByteArray); buf.reset()
-    // Bind: unnamed portal ← unnamed statement, all-text params/results
+    // Bind: unnamed portal ← unnamed statement, text params
     d.writeByte(0) // portal ""
     d.writeByte(0) // statement ""
     d.writeShort(0) // parameter format codes: default text
@@ -489,7 +495,8 @@ final class PgWireClient(host: String, port: Int, user: String,
         val b = v.getBytes(UTF_8)
         d.writeInt(b.length); d.write(b)
     }
-    d.writeShort(0) // result format codes: default text
+    if (binaryResults) { d.writeShort(1); d.writeShort(1) } // all binary
+    else d.writeShort(0) // result format codes: default text
     send('B', buf.toByteArray); buf.reset()
     // Execute: unnamed portal, no row limit
     d.writeByte(0)
@@ -554,6 +561,60 @@ final class PgWireClient(host: String, port: Int, user: String,
       params: Seq[Option[String]]): Iterator[Vector[Option[String]]] = {
     sendExtended(sql, params)
     rowIterator()
+  }
+
+  /** RAW-BYTES streaming query through the extended protocol with
+    * BINARY result format for every column (VERDICT r16 #1): a `bytea`
+    * column arrives as its exact bytes — no `encode(…,'hex')` doubling
+    * the wire volume plus a decode pass per row, which on the
+    * changefeed's single ordered connection was ~half the drain cost.
+    * Callers own the per-type binary decode (`pg_lsn`/`int8` = 8-byte
+    * big-endian, `bytea` = the raw value — the formats the protocol
+    * docs define as each type's binary send form). Rows stream
+    * incrementally; the cycle drains to ReadyForQuery like the text
+    * forms. */
+  def queryStreamRaw(sql: String, params: Seq[Option[String]] = Nil)
+      : Iterator[Vector[Option[Array[Byte]]]] = {
+    sendExtended(sql, params, binaryResults = true)
+    new scala.collection.AbstractIterator[Vector[Option[Array[Byte]]]] {
+      private var nextRow: Vector[Option[Array[Byte]]] = _
+      private var done = false
+      private var err: Option[String] = None
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && !done) read() match {
+          case ('D', body) =>
+            val bb = java.nio.ByteBuffer.wrap(body)
+            val n = bb.getShort.toInt
+            val r = Vector.newBuilder[Option[Array[Byte]]]
+            (0 until n).foreach { _ =>
+              val len = bb.getInt
+              if (len < 0) r += None
+              else {
+                val v = new Array[Byte](len)
+                bb.get(v)
+                r += Some(v)
+              }
+            }
+            nextRow = r.result()
+          case ('T', _) | ('C', _) | ('N', _) | ('S', _) | ('A', _) |
+               ('I', _) | ('1', _) | ('2', _) | ('s', _) => ()
+          case ('E', body) => err = err.orElse(Some(errorText(body)))
+          case ('Z', _) => done = true
+          case (t, _) => throw new java.io.IOException(
+            s"unexpected backend message '$t' in raw streaming query")
+        }
+        if (done) err.foreach(m => throw new java.sql.SQLException(m))
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Vector[Option[Array[Byte]]] = {
+        if (nextRow == null) throw new NoSuchElementException
+        val r = nextRow
+        advance()
+        r
+      }
+    }
   }
 
   /** Incremental row pump shared by both protocols: the extended form's

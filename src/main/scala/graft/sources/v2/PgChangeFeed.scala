@@ -86,9 +86,20 @@ object PgChangeFeed {
 
   /** One decoded change of the watched table: the action, the commit
     * timestamp (unix micros) of its transaction, and the column values
-    * by name (TEXT form, None = SQL NULL; empty for truncate). */
+    * POSITIONALLY against `cols` (the relation's column layout — one
+    * shared Vector instance per Relation message, so consumers can
+    * cache layout-derived indices on reference identity). TEXT form,
+    * None = SQL NULL; both empty for truncate. Positional, not a Map
+    * (r17): building + probing an 8-entry string-keyed Map per change
+    * was measured as a significant slice of the single-connection
+    * drain's per-row cost. */
   final case class Change(action: String, commitTsMicros: Long,
-      values: Map[String, Option[String]])
+      cols: Vector[String], colVals: Vector[Option[String]]) {
+    /** Column values by name — adapter/spec convenience; the hot reader
+      * path indexes `colVals` through a cached layout mapping instead. */
+    def values: Map[String, Option[String]] =
+      cols.iterator.zip(colVals.iterator).toMap
+  }
 
   /** Stateful pgoutput (protocol version 1) message decoder — PURE
     * (offline-testable against captured frames): Relation messages
@@ -109,8 +120,10 @@ object PgChangeFeed {
     * leaves a phantom live row in the compacted state. */
   final class Decoder(tableName: String, namespace: String = "public",
       keyCols: Seq[String] = Seq("external_source", "path", "filename")) {
+    // oid → (namespace, relname, column layout, key-column indices —
+    // the positions of `keyCols` in the layout, -1 when absent)
     private val relations =
-      mutable.Map.empty[Int, (String, String, Vector[String])]
+      mutable.Map.empty[Int, (String, String, Vector[String], Array[Int])]
     private var commitTs = 0L // unix micros of the current tx's commit
 
     // pgoutput timestamps are micros since 2000-01-01T00:00:00Z
@@ -195,15 +208,11 @@ object PgChangeFeed {
 
     private def isWatched(relId: Int): Boolean =
       relations.get(relId) match {
-        case Some((ns, name, _)) => name == tableName && ns == namespace
+        case Some((ns, name, _, _)) => name == tableName && ns == namespace
         case None => throw new IllegalStateException(
           s"pgoutput: change for unregistered relation $relId " +
             "(Relation message not seen)")
       }
-
-    private def named(relId: Int,
-        vals: Vector[Option[String]]): Map[String, Option[String]] =
-      relations(relId)._3.zip(vals).toMap
 
     /** Decode ONE pgoutput message; emits 0, 1, or 2 [[Change]]s (2:
       * an identity-changing update = delete of the old identity + the
@@ -228,15 +237,15 @@ object PgChangeFeed {
             c.i32(); c.i32() // type oid, typmod
             col
           }
-          relations(oid) = (ns, name, cols)
+          relations(oid) = (ns, name, cols, keyCols.map(cols.indexOf).toArray)
           Nil
         case 'I' => // Insert: oid 'N' tuple
           val oid = c.i32()
           require(c.u8().toChar == 'N', "pgoutput: Insert without new tuple")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
-          else Seq(Change("insert", commitTs, named(oid,
-            resolved(cells, None))))
+          else Seq(Change("insert", commitTs, relations(oid)._3,
+            resolved(cells, None)))
         case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' new-tuple
           val oid = c.i32()
           var kind = c.u8().toChar
@@ -261,17 +270,14 @@ object PgChangeFeed {
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
           else {
+            val (_, _, cols, keyIdx) = relations(oid)
             val now = resolved(cells, old)
-            val nowMap = named(oid, now)
-            val renamed = old.exists { o =>
-              val oldMap = named(oid, o)
-              keyCols.exists(k =>
-                oldMap.getOrElse(k, None) != nowMap.getOrElse(k, None))
-            }
+            val renamed = old.exists(o =>
+              keyIdx.exists(i => i >= 0 && o(i) != now(i)))
             if (renamed)
-              Seq(Change("delete", commitTs, named(oid, old.get)),
-                Change("update", commitTs, nowMap))
-            else Seq(Change("update", commitTs, nowMap))
+              Seq(Change("delete", commitTs, cols, old.get),
+                Change("update", commitTs, cols, now))
+            else Seq(Change("update", commitTs, cols, now))
           }
         case 'D' => // Delete: oid ('K'|'O') old-tuple
           val oid = c.i32()
@@ -283,15 +289,15 @@ object PgChangeFeed {
           require(kind == 'O', s"pgoutput: Delete tuple kind '$kind'")
           val cells = tuple(c)
           if (!isWatched(oid)) Nil
-          else Seq(Change("delete", commitTs,
-            named(oid, resolved(cells, None))))
+          else Seq(Change("delete", commitTs, relations(oid)._3,
+            resolved(cells, None)))
         case 'T' => // Truncate: nrels(4) options(1) oids…
           val nrels = c.i32()
           c.u8()
           val oids = Vector.fill(nrels)(c.i32())
           if (oids.exists(o => relations.get(o).exists(r =>
             r._2 == tableName && r._1 == namespace)))
-            Seq(Change("truncate", commitTs, Map.empty))
+            Seq(Change("truncate", commitTs, Vector.empty, Vector.empty))
           else Nil
         case 'Y' | 'O' | 'M' => Nil // Type / Origin / Message: skip
         case other => throw new IllegalStateException(
@@ -755,10 +761,15 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
           client.exec("SET TIME ZONE 'UTC'")
           // PEEK (not get): a replayed batch re-reads the same changes;
           // the slot only moves on the driver's commit-time advance.
-          // encode(...,'hex') keeps the transport independent of the
-          // server's bytea_output setting.
-          client.queryStream(
-            "SELECT lsn, encode(data, 'hex') FROM " +
+          // BINARY result format (VERDICT r16 #1): `data` ships as its
+          // raw bytes — the hex transport doubled the WAL volume on
+          // this single ordered connection and paid a decode pass per
+          // message (measured ~45k rows/s end-to-end; the drain rate
+          // sets the feed's rescan break-even). Binary is also
+          // independent of the server's bytea_output setting, which is
+          // what the hex encode existed to guarantee.
+          client.queryStreamRaw(
+            "SELECT lsn, data FROM " +
               s"pg_logical_slot_peek_binary_changes(" +
               s"${PgWireClient.sqlLit(slot)}, " +
               s"'${PgChangeFeed.formatLsn(endLsn)}'::pg_lsn, NULL, " +
@@ -776,18 +787,40 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
       private var current: InternalRow = _
       // one message can emit up to TWO changes (an identity-changing
       // update = delete + update): drain them before the next message
-      private var pending: List[(String, PgChangeFeed.Change)] = Nil
+      private var pending: List[(Long, PgChangeFeed.Change)] = Nil
 
-      private def toRow(lsnText: String,
+      // pg_lsn's binary send form: one 8-byte big-endian word — the
+      // same 64-bit position parseLsn derives from the X/Y text form
+      private def lsnOf(b: Array[Byte]): Long =
+        java.nio.ByteBuffer.wrap(b).getLong
+
+      // schema-index → change-layout-index mapping, cached on the
+      // layout Vector's REFERENCE (one instance per Relation message —
+      // recomputed only when the server re-sends the relation): the
+      // per-change name→value Map this replaces was a measured slice
+      // of the single-connection drain's per-row cost (r17)
+      private var cachedLayout: Vector[String] = null
+      private var layoutIdx: Array[Int] = null
+      private def idxFor(cols: Vector[String]): Array[Int] = {
+        if (cols ne cachedLayout) {
+          cachedLayout = cols
+          layoutIdx = tableCols.map(f => cols.indexOf(f.name))
+        }
+        layoutIdx
+      }
+
+      private def toRow(lsn: Long,
           ch: PgChangeFeed.Change): InternalRow = {
         val vals = new Array[Any](3 + tableCols.length)
         vals(0) = UTF8String.fromString(ch.action)
-        vals(1) = Long.box(PgChangeFeed.parseLsn(lsnText))
+        vals(1) = Long.box(lsn)
         vals(2) = Long.box(ch.commitTsMicros)
+        val idx = idxFor(ch.cols)
         var i = 0
         while (i < tableCols.length) {
+          val src = idx(i)
           vals(3 + i) = convert(i)(
-            ch.values.getOrElse(tableCols(i).name, None))
+            if (src < 0) None else ch.colVals(src))
           i += 1
         }
         InternalRow.fromSeq(
@@ -803,9 +836,9 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
           case Nil =>
             while (rows.hasNext) {
               val r = rows.next()
-              val decoded = decoder.feed(PgChangeFeed.fromHex(r(1).get))
+              val decoded = decoder.feed(r(1).get)
               if (decoded.nonEmpty) {
-                pending = decoded.toList.map(ch => (r(0).get, ch))
+                pending = decoded.toList.map(ch => (lsnOf(r(0).get), ch))
                 return next()
               }
               // else: Begin/Commit/Relation/foreign relation
