@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -423,12 +423,19 @@ private[v2] object PgTextCodec {
 
 /** Remote SQL for Spark [[Filter]]s — accepted only where the two
   * engines agree EXACTLY: null-ness tests on any column (engine-
-  * identical by definition), and equality/IN on text/bigint columns
-  * (text `=` is byte equality under PostgreSQL's deterministic
-  * collations, matching Spark's binary semantics — it's text ORDERING
-  * that diverges, which is why range predicates stay Spark-side).
-  * Literals quote through [[PgWireClient.sqlLit]] under the
-  * `standard_conforming_strings = on` every reader connection pins.
+  * identical by definition), equality/IN on text/bigint/timestamptz
+  * columns (text `=` is byte equality under PostgreSQL's deterministic
+  * collations, matching Spark's binary semantics; bigint and
+  * micros-precision timestamptz are exact types on both engines —
+  * VERDICT r16 #5), and RANGE comparisons on bigint/timestamptz
+  * (total orders both engines share; "files modified since X" is the
+  * incremental-scan predicate). Text RANGES stay Spark-side — text
+  * ordering is where collation diverges from Spark's binary UTF-8
+  * order. Literals quote through [[PgWireClient.sqlLit]] under the
+  * `standard_conforming_strings = on` every reader connection pins;
+  * timestamps render micros-exact UTC literals
+  * ([[PgMerge.tsLiteralFromMicros]] — the same rendering the write
+  * path round-trips micros-exact through the live fuzz spec).
   * The headline accept is `deleted IS NULL` (VERDICT r15 #2): "live
   * files only" is the query every real consumer runs — without it
   * each scan ships the full tombstone history forever. Shared by the
@@ -445,6 +452,35 @@ private[graft] object PgFilterSql {
       org.apache.spark.sql.types.DataType] =
     PgMerge.readSchema.fields.find(_.name == c).map(_.dataType)
 
+  /** Catalyst hands timestamp literals to V2 filters as
+    * [[java.sql.Timestamp]] (or [[java.time.Instant]] under the java8
+    * datetime API) — both carry the exact micros. */
+  private def tsLit(v: Any): Option[String] = {
+    val micros = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    micros.map(m => s"TIMESTAMPTZ '${PgMerge.tsLiteralFromMicros(m)}'")
+  }
+
+  /** The comparable literal for column `c`'s type, if `v` matches it:
+    * bigint as-is, timestamptz via [[tsLit]]. Text deliberately absent
+    * — callers decide equality-only (accepted) vs range (refused). */
+  private def orderedLit(c: String, v: Any): Option[String] =
+    colType(c) match {
+      case Some(LongType) => v match {
+        case l: Long => Some(l.toString)
+        case i: Int => Some(i.toString)
+        case _ => None
+      }
+      case Some(TimestampType) => tsLit(v)
+      case _ => None
+    }
+
   def sqlOf(f: Filter): Option[String] = f match {
     case IsNull(c) if colType(c).isDefined => Some(s"$c IS NULL")
     case IsNotNull(c) if colType(c).isDefined => Some(s"$c IS NOT NULL")
@@ -452,24 +488,31 @@ private[graft] object PgFilterSql {
       Some(s"$c = ${PgWireClient.sqlLit(v)}")
     case EqualNullSafe(c, v: String) if colType(c).contains(StringType) =>
       Some(s"$c IS NOT DISTINCT FROM ${PgWireClient.sqlLit(v)}")
-    case EqualTo(c, v: Long) if colType(c).contains(LongType) =>
-      Some(s"$c = $v")
-    case EqualTo(c, v: Int) if colType(c).contains(LongType) =>
-      Some(s"$c = $v")
-    case EqualNullSafe(c, v: Long) if colType(c).contains(LongType) =>
-      Some(s"$c IS NOT DISTINCT FROM $v")
+    case EqualTo(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c = ${orderedLit(c, v).get}")
+    case EqualNullSafe(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c IS NOT DISTINCT FROM ${orderedLit(c, v).get}")
+    // ranges on the exact-ordered types (bigint, micros timestamptz);
+    // text ranges never push (collation vs binary UTF-8 order)
+    case GreaterThan(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c > ${orderedLit(c, v).get}")
+    case GreaterThanOrEqual(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c >= ${orderedLit(c, v).get}")
+    case LessThan(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c < ${orderedLit(c, v).get}")
+    case LessThanOrEqual(c, v) if orderedLit(c, v).isDefined =>
+      Some(s"$c <= ${orderedLit(c, v).get}")
     case In(c, vs) if vs.length <= maxInList && vs.nonEmpty &&
         (colType(c).contains(StringType) &&
           vs.forall(_.isInstanceOf[String]) ||
-         colType(c).contains(LongType) &&
-          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int])) =>
+         vs.forall(v => v != null && orderedLit(c, v).isDefined)) =>
       // SQL IN never matches NULL on either side — exactly Spark's In
       // with non-null values; a NULL in the value list falls through
       // to the _ case (three-valued logic differs on non-matches)
       val lits =
         if (colType(c).contains(StringType))
           vs.map(v => PgWireClient.sqlLit(v.asInstanceOf[String]))
-        else vs.map(_.toString)
+        else vs.map(v => orderedLit(c, v).get)
       Some(s"$c IN (${lits.mkString(", ")})")
     case _ => None
   }

@@ -77,15 +77,36 @@ class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
       Some("filename IN ('f1', 'o''k')"))
     assert(sql(In("size", Array[Any](1L, 2L, 3L))) ==
       Some("size IN (1, 2, 3)"))
-    // refusals: unknown column, ordering comparisons (text collation
-    // divergence), timestamps, NULL inside IN (three-valued logic
+    // bigint RANGES push (VERDICT r16 #5: total order shared exactly)
+    assert(sql(GreaterThan("size", 1L)) == Some("size > 1"))
+    assert(sql(GreaterThanOrEqual("size", 2L)) == Some("size >= 2"))
+    assert(sql(LessThan("size", 3L)) == Some("size < 3"))
+    assert(sql(LessThanOrEqual("size", 4)) == Some("size <= 4"))
+    // timestamptz equality / IN / ranges push, rendered micros-exact
+    // through the same literal form the write path round-trips
+    // ("files modified since X" is the incremental-scan predicate)
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))
+    val tsSql = "TIMESTAMPTZ '2026-01-02 03:04:05.678901+00'"
+    assert(sql(EqualTo("modified", ts)) == Some(s"modified = $tsSql"))
+    assert(sql(EqualNullSafe("deleted", ts)) ==
+      Some(s"deleted IS NOT DISTINCT FROM $tsSql"))
+    assert(sql(GreaterThanOrEqual("modified", ts)) ==
+      Some(s"modified >= $tsSql"))
+    assert(sql(LessThan("created",
+      java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))) ==
+      Some(s"created < $tsSql"), "java8 Instant literals render too")
+    assert(sql(In("modified", Array[Any](ts))) ==
+      Some(s"modified IN ($tsSql)"))
+    // refusals: unknown column, TEXT ordering comparisons (collation
+    // vs binary UTF-8 divergence), NULL inside IN (three-valued logic
     // differs on non-matches), empty IN, oversized IN
     assert(sql(IsNull("nope")).isEmpty)
-    assert(sql(GreaterThan("size", 1L)).isEmpty)
+    assert(sql(GreaterThan("nope", 1L)).isEmpty)
     assert(sql(LessThan("path", "/z")).isEmpty)
-    assert(sql(EqualTo("modified",
-      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).isEmpty)
+    assert(sql(GreaterThan("filename", "a")).isEmpty)
     assert(sql(In("filename", Array[Any]("a", null))).isEmpty)
+    assert(sql(In("size", Array[Any](1L, null))).isEmpty)
     assert(sql(In("filename", Array.empty[Any])).isEmpty)
     assert(sql(In("filename",
       Array.fill[Any](PgFilterSql.maxInList + 1)("x"))).isEmpty)

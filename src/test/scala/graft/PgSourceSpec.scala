@@ -48,7 +48,8 @@ class PgSourceSpec extends AnyFunSuite {
       createTable(c)
       c.exec(s"INSERT INTO ${PgMerge.table} " +
         "SELECT 'P' || (i % 3), '/d' || (i % 7), 'f' || i, 'text/plain', " +
-        "NULL, TIMESTAMPTZ '2026-01-02 03:04:05.678901+00', i, " +
+        "NULL, TIMESTAMPTZ '2026-01-02 03:04:05.678901+00' " +
+        "  + make_interval(secs => i), i, " +
         "CASE WHEN i % 10 = 0 THEN now() END " +
         "FROM generate_series(1, 3000) g(i)")
     }
@@ -56,13 +57,16 @@ class PgSourceSpec extends AnyFunSuite {
     val reader = spark.read.format("graft-pg").option("url", url)
     val df = reader.load()
       .filter(col("external_source") === "P1")
-      .filter(col("size") <= 100) // NOT pushable: must apply post-scan
+      .filter(col("size") <= 100) // bigint range: PUSHES (VERDICT r16 #5)
+      .filter(col("path") < "/z") // TEXT range: must stay Spark-side
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("external_source = 'P1'"),
       s"pushdown visible in the plan:\n$plan")
-    assert(!plan.contains("size <="),
-      s"the range predicate stays Spark-side (text ORDERING-class " +
-        s"semantics are not pushed):\n$plan")
+    assert(plan.contains("size <= 100"),
+      s"the bigint range predicate reaches the remote statement:\n$plan")
+    assert(!plan.contains("path < '/z'"),
+      s"the TEXT range stays Spark-side (collation vs binary UTF-8 " +
+        s"ordering divergence):\n$plan")
     val rows = df.collect()
     // i % 3 == 1 && i <= 100 → i in {1,4,…,100}: 34 rows
     assert(rows.length == 34, s"got ${rows.length}")
@@ -72,8 +76,27 @@ class PgSourceSpec extends AnyFunSuite {
     val all = reader.load().filter(col("external_source") === "P0").collect()
     assert(all.length == 1000)
     assert(all.count(!_.isNullAt(7)) == 100, "every 10th row tombstoned")
-    assert(all.head.getTimestamp(5).toInstant ==
-      java.time.Instant.parse("2026-01-02T03:04:05.678901Z"))
+    assert(all.map(_.getTimestamp(5).toInstant).min ==
+      java.time.Instant.parse("2026-01-02T03:04:08.678901Z"),
+      "micros-exact timestamps (P0 = i%3==0, first i=3)")
+    // timestamp RANGE pushdown (VERDICT r16 #5), value-exact vs the
+    // residual form: the same predicate evaluated Spark-side over the
+    // full slice must select the identical rows
+    val cut = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-02T03:29:05.678901Z")) // +1500s
+    val pushedTs = reader.load()
+      .filter(col("external_source") === "P2" && col("modified") >= cut)
+    val tsPlan = pushedTs.queryExecution.executedPlan.toString
+    assert(tsPlan.contains(
+      "modified >= TIMESTAMPTZ '2026-01-02 03:29:05.678901+00'"),
+      s"timestamp range reaches the remote statement:\n$tsPlan")
+    val pushedRows = pushedTs.collect().map(_.getString(2)).sorted.toSeq
+    val residualRows = reader.load()
+      .filter(col("external_source") === "P2").collect()
+      .filter(r => !r.getTimestamp(5).before(cut))
+      .map(_.getString(2)).sorted.toSeq
+    assert(pushedRows == residualRows && pushedRows.length == 500,
+      s"pushed=${pushedRows.length} residual=${residualRows.length}")
     // `deleted IS NULL` PUSHES (VERDICT r15 #2 — "live files only" is
     // the query every real consumer runs): the tombstone history stays
     // server-side, the plan says so, and the rows are value-exact
