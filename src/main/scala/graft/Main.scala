@@ -21,6 +21,8 @@ import graft.sources.FileListing
   * graft.Main query list                        // enumerate query names
   * graft.Main --watch-pg ADDR [--out DIR] [--interval SEC]
   *            [--max-changes N] SOURCE [SOURCE...]   // changefeed watch
+  * graft.Main slots ADDR [--out DIR]... [--drop-orphans]
+  *                               // replication-slot lifecycle / orphan GC
   * }}}
   *
   * `--s3-wire` lists `s3://` paths over the built-in REST client
@@ -70,6 +72,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("query")) { runQuery(args.drop(1)); return }
     if (args.headOption.contains("audit")) { runAudit(args.drop(1)); return }
+    if (args.headOption.contains("slots")) { runSlots(args.drop(1)); return }
     var identifier: Option[String] = None
     var verbosity = 0
     var out: Option[String] = None // default ./scan_out when no sink given
@@ -661,6 +664,117 @@ object Main {
       println(s"$src: ${countEvents(spark, eventsDir(sub))} " +
         s"change events at ${eventsDir(sub)}")
     }
+  }
+
+  /** `graft.Main slots ADDR [--out DIR]... [--drop-orphans]`: the
+    * replication-slot lifecycle surface (VERDICT r16 #2 — an orphaned
+    * `graft_cf_*` slot retains WAL FOREVER; PostgreSQL never drops one
+    * on its own, and the watch path deliberately never auto-drops
+    * either, because only the logs' markers know which slot is whose).
+    *
+    * Lists every `graft_cf_*` slot on the server with its retained-WAL
+    * lag, cross-checks each against the `_graft_changefeed` markers
+    * under the given `--out` dirs' event logs, and — ONLY with the
+    * explicit `--drop-orphans` flag — drops the slots no marker
+    * claims. A claimed slot is never dropped, and orphan-hood is only
+    * provable relative to the dirs given: the command says so loudly,
+    * since a log dir not listed here still owns its slot. */
+  private def runSlots(args: Array[String]): Unit = {
+    import graft.sources.v2.PgChangeFeed
+    var addr: Option[String] = None
+    var outs = Vector.empty[String]
+    var dropOrphans = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--out" => outs :+= args(i + 1); i += 2
+        case "--drop-orphans" => dropOrphans = true; i += 1
+        case a if addr.isEmpty => addr = Some(a); i += 1
+        case a => throw new IllegalArgumentException(
+          s"slots: unexpected argument '$a' " +
+            "(usage: slots ADDR [--out DIR]... [--drop-orphans])")
+      }
+    }
+    val t = sinks.PgMerge.parsePgTarget(addr.getOrElse(throw
+      new IllegalArgumentException("slots: ADDR required " +
+        "(HOST:PORT/DB or postgres://…)")))
+    val user = t.user.orElse(sys.env.get("PGUSER").filter(_.nonEmpty))
+      .getOrElse("postgres")
+    val pass = t.password.orElse(sys.env.get("PGPASSWORD").filter(_.nonEmpty))
+    // which slots do the given logs CLAIM? marker layout:
+    // $out/events/<sub>/_graft_changefeed, first line = slot name
+    val hadoopConf = new org.apache.hadoop.conf.Configuration()
+    val claims: Map[String, Seq[String]] = outs.flatMap { out =>
+      val events = new org.apache.hadoop.fs.Path(s"$out/events")
+      val fs = events.getFileSystem(hadoopConf)
+      if (!fs.exists(events)) {
+        println(s"note — $out/events does not exist (no logs, no claims)")
+        Nil
+      } else fs.listStatus(events).toSeq.filter(_.isDirectory).flatMap {
+        st =>
+          val mp = new org.apache.hadoop.fs.Path(st.getPath,
+            "_graft_changefeed")
+          if (!fs.exists(mp)) Nil
+          else {
+            val in = fs.open(mp)
+            val slot =
+              try new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                "UTF-8").linesIterator.toVector.headOption.getOrElse("")
+              finally in.close()
+            if (slot.isEmpty) Nil else Seq(slot -> st.getPath.toString)
+          }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val c = sinks.PgWireClient.connect(t.host, t.port, user, t.database,
+      pass, t.sslMode, t.sslRootCert)
+    try {
+      val rows = c.query(
+        "SELECT slot_name, active::text, coalesce(pg_size_pretty(" +
+          "pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)), '?') " +
+          "FROM pg_replication_slots " +
+          "WHERE starts_with(slot_name, 'graft_cf_') ORDER BY slot_name")
+      if (rows.isEmpty || rows.head.isEmpty) {
+        println("no graft_cf_* slots on this server")
+        return
+      }
+      val orphans = rows.flatMap { r =>
+        val (slot, active, lag) = (r(0).get, r(1).get, r(2).get)
+        claims.get(slot) match {
+          case Some(dirs) =>
+            println(s"$slot  CLAIMED by ${dirs.mkString(", ")}  " +
+              s"retained-wal $lag  active $active")
+            None
+          case None =>
+            println(s"$slot  ORPHAN (no marker in the given --out dirs) " +
+              s" retained-wal $lag  active $active")
+            Some(slot)
+        }
+      }
+      // claims that point at slots the server no longer has are worth a
+      // line too (the watch path refuses them loudly at its next run)
+      claims.keySet.diff(rows.map(_(0).get).toSet).foreach { s =>
+        println(s"$s  MISSING on server but claimed by " +
+          claims(s).mkString(", "))
+      }
+      if (orphans.isEmpty) ()
+      else if (!dropOrphans)
+        println(s"${orphans.size} orphan(s) retaining WAL — rerun with " +
+          "--drop-orphans to drop them. CAUTION: orphan-hood is only " +
+          "provable against the --out dirs listed; a watch log NOT " +
+          "passed here still owns its slot")
+      else orphans.foreach { s =>
+        // an ACTIVE slot is being streamed right now — PostgreSQL
+        // refuses the drop server-side; surface that instead of dying
+        try {
+          c.query(s"SELECT pg_drop_replication_slot(" +
+            s"${sinks.PgWireClient.sqlLit(s)})")
+          println(s"dropped $s")
+        } catch { case e: java.sql.SQLException =>
+          println(s"could not drop $s: ${e.getMessage}")
+        }
+      }
+    } finally c.close()
   }
 
   /** `graft.Main query NAME SF_DIR [--out DIR | --explain]`: run one

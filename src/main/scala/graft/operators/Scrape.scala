@@ -369,12 +369,86 @@ object Scrape {
     up.unionByName(del).orderBy("path", "filename")
   }
 
+  // ---------------------------------------------------------------------
+  // The CHANGEFEED dialect as an oracled row (VERDICT r16 #3): a
+  // deterministic pgoutput-shaped change log — inserts, metadata
+  // updates, tombstoning updates (the publish path deletes by UPDATE),
+  // physical deletes (old image, deleted_ms = commit time), the
+  // decoder's rename delete+update pairs, and a foreign-source row the
+  // adapter must drop — replayed through the REAL --watch-pg dataflow:
+  // stateAsScrapeEvents (the snapshot-handoff seed, stamped strictly
+  // below every feed event) ∪ asScrapeEvents (the feed) → snapshotOf.
+  // The DuckDB oracle re-derives the snapshot relationally (last
+  // (event_ms, event_seq) per identity wins).
+  // ---------------------------------------------------------------------
+
+  private val cdcOriginMs = 1767225600000L // 2026-01-01T00:00:00Z
+
+  def qCdcFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.PgChangeFeed
+    val src = "pgdemo"
+    val base = orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_orderstatus"), col("o_totalprice"))
+    def tm(c: Column) = timestamp_millis(c)
+    val path = concat(lit("/cdc/"), col("o_orderstatus"))
+    val fname = concat(lit("f_"), col("k").cast("string"), lit(".txt"))
+    val createdC = when(col("k") % 3 === 0, lit(null).cast("timestamp"))
+      .otherwise(tm(col("k") * 1000L))
+    val sizeC = when(col("k") % 29 === 0, lit(null).cast("bigint"))
+      .otherwise(cents(col("o_totalprice")))
+    // the handoff's batch-read state: PgMerge.readSchema shape
+    val seed = base.filter(col("k") % 7 < 5).select(
+      lit(src).as("external_source"), path.as("path"),
+      fname.as("filename"),
+      when(col("k") % 11 === 0, "text/corrected").otherwise("text/plain")
+        .as("mime_type"),
+      createdC.as("created"), tm(col("k") * 2000L).as("modified"),
+      sizeC.as("size"),
+      when(col("k") % 17 === 0, tm(lit(1700000000000L)))
+        .otherwise(lit(null).cast("timestamp")).as("deleted"))
+    // one decoded change row (the graft-pg mode=changefeed schema)
+    def change(cond: Column, action: String, lsnBase: Long, phaseMs: Long,
+        mime: Column, modifiedMs: Column, size: Column, deleted: Column,
+        source: String = src, fn: Column = fname): DataFrame =
+      base.filter(cond).select(
+        lit(action).as("action"),
+        (lit(lsnBase) + col("k")).cast("bigint").as("lsn"),
+        tm(lit(cdcOriginMs + phaseMs) + col("k")).as("committed"),
+        lit(source).as("external_source"), path.as("path"),
+        fn.as("filename"), mime.as("mime_type"),
+        createdC.as("created"), tm(modifiedMs).as("modified"),
+        size.as("size"), deleted.as("deleted"))
+    val nullTs = lit(null).cast("timestamp")
+    val feed = change(col("k") % 7 >= 5, "insert", 10000000L, 1000000L,
+        lit("text/plain"), col("k") * 2000L, sizeC, nullTs)
+      .unionByName(change(col("k") % 5 === 0, "update", 20000000L,
+        2000000L, lit("text/markdown"), col("k") * 2000L + 777L,
+        sizeC + 7L, nullTs))
+      .unionByName(change(col("k") % 11 === 0, "update", 30000000L,
+        3000000L, lit("text/plain"), col("k") * 2000L, sizeC,
+        tm(lit(cdcOriginMs + 3000000L) + col("k"))))
+      .unionByName(change(col("k") % 13 === 0, "delete", 40000000L,
+        4000000L, lit("text/plain"), col("k") * 2000L, sizeC, nullTs))
+      .unionByName(change(col("k") % 19 === 0, "delete", 50000000L,
+        5000000L, lit("text/plain"), col("k") * 2000L, sizeC, nullTs))
+      .unionByName(change(col("k") % 19 === 0, "update", 55000000L,
+        5000000L, lit("text/plain"), col("k") * 2000L, sizeC, nullTs,
+        fn = concat(lit("r_"), col("k").cast("string"), lit(".txt"))))
+      .unionByName(change(col("k") % 23 === 0, "insert", 60000000L,
+        6000000L, lit("text/plain"), col("k") * 2000L, sizeC, nullTs,
+        source = "othersrc"))
+    graft.streaming.ScrapeTws.snapshotOf(
+      PgChangeFeed.stateAsScrapeEvents(seed, cdcOriginMs)
+        .unionByName(PgChangeFeed.asScrapeEvents(feed, src)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scrape_upsert" -> qUpsert,
     "q_scrape_deletions" -> qDeletions,
     "q_scrape_seen" -> qSeen,
     "q_scrape_snapshot" -> qScrapeSnapshot,
     "q_scrape_s3" -> qScrapeS3,
+    "q_cdc_feed" -> qCdcFeed,
   )
 
   /** Shared CTE text for the DuckDB oracles — must mirror
@@ -550,5 +624,73 @@ object Scrape {
         |    ON n.external_source = c.external_source AND n.path = c.path AND n.filename = c.filename
         |   AND n.size IS NOT DISTINCT FROM c.size)
         |ORDER BY path, filename""".stripMargin),
+    // the changefeed dialect: seed (handoff batch state, stamped at the
+    // origin instant / seq 0) ∪ feed events (commit-time event_ms, LSN
+    // event_seq; tombstoning updates and physical deletes both land as
+    // delete events — the physical delete's deleted_ms IS its commit
+    // time; renames arrive as delete(old identity) + update(new));
+    // foreign-source rows never enter. Compaction = last (event_ms,
+    // event_seq) per identity, the window form of snapshotOf's
+    // max-struct fold.
+    "q_cdc_feed" ->
+      """WITH cols AS (
+        |  SELECT o_orderkey AS k,
+        |    '/cdc/' || o_orderstatus AS path,
+        |    'f_' || CAST(o_orderkey AS VARCHAR) || '.txt' AS filename,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE o_orderkey * 1000 END AS created_ms,
+        |    CASE WHEN o_orderkey % 29 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice*100) AS BIGINT) END AS size
+        |  FROM orders),
+        |ev AS (
+        |  SELECT path, filename,
+        |    CASE WHEN k % 11 = 0 THEN 'text/corrected'
+        |         ELSE 'text/plain' END AS mime_type,
+        |    created_ms, k*2000 AS modified_ms, size,
+        |    CASE WHEN k % 17 = 0 THEN 1700000000000 END AS deleted_ms,
+        |    1767225600000 AS event_ms, CAST(0 AS BIGINT) AS event_seq
+        |  FROM cols WHERE k % 7 < 5
+        |  UNION ALL
+        |  SELECT path, filename, 'text/plain', created_ms, k*2000, size,
+        |    NULL, 1767225600000 + 1000000 + k, 10000000 + k
+        |  FROM cols WHERE k % 7 >= 5
+        |  UNION ALL
+        |  SELECT path, filename, 'text/markdown', created_ms,
+        |    k*2000 + 777, size + 7,
+        |    NULL, 1767225600000 + 2000000 + k, 20000000 + k
+        |  FROM cols WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT path, filename, 'text/plain', created_ms, k*2000, size,
+        |    1767225600000 + 3000000 + k,
+        |    1767225600000 + 3000000 + k, 30000000 + k
+        |  FROM cols WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT path, filename, 'text/plain', created_ms, k*2000, size,
+        |    1767225600000 + 4000000 + k,
+        |    1767225600000 + 4000000 + k, 40000000 + k
+        |  FROM cols WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT path, filename, 'text/plain', created_ms, k*2000, size,
+        |    1767225600000 + 5000000 + k,
+        |    1767225600000 + 5000000 + k, 50000000 + k
+        |  FROM cols WHERE k % 19 = 0
+        |  UNION ALL
+        |  SELECT path, 'r_' || CAST(k AS VARCHAR) || '.txt', 'text/plain',
+        |    created_ms, k*2000, size,
+        |    NULL, 1767225600000 + 5000000 + k, 55000000 + k
+        |  FROM cols WHERE k % 19 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY path, filename
+        |    ORDER BY event_ms DESC, event_seq DESC) AS rn
+        |  FROM ev)
+        |SELECT 'gen_' || md5('pgdemo' || chr(31) || path || chr(31)
+        |    || filename) AS uuid_external_file,
+        |  'pgdemo' AS external_source, path, filename, mime_type,
+        |  epoch_ms(created_ms) AS created,
+        |  epoch_ms(modified_ms) AS modified, size,
+        |  epoch_ms(deleted_ms) AS deleted
+        |FROM ranked WHERE rn = 1
+        |ORDER BY path, filename""".stripMargin,
   )
 }

@@ -1249,6 +1249,73 @@ class PgSourceSpec extends AnyFunSuite {
     withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
   }
 
+  test("slots command (VERDICT r16 #2): lists graft_cf_* slots with " +
+      "claims cross-checked against the given logs' markers, drops " +
+      "ONLY provable orphans and only under --drop-orphans, and " +
+      "reports claimed-but-missing slots") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    assume(withClient(_.queryOne("SHOW wal_level")) == Some("logical"),
+      "changefeed needs wal_level=logical on the harness server")
+    def allSlots(): Seq[String] = withClient(_.query(
+      "SELECT slot_name FROM pg_replication_slots WHERE " +
+        "starts_with(slot_name, 'graft_cf_')").flatMap(_.headOption.flatten))
+    def dropAll(): Unit = withClient { c =>
+      allSlots().foreach(n =>
+        c.query(s"SELECT pg_drop_replication_slot('$n')"))
+      c.exec("DROP PUBLICATION IF EXISTS graft_pub")
+    }
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('WP', '/w', 'a.txt', 'text/plain', NULL, now(), 1, NULL), " +
+        "('OTHER', '/o', 'x.txt', 'text/plain', NULL, now(), 9, NULL)")
+    }
+    dropAll()
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (outA, outB, outC) = (tmp("graft_slA"), tmp("graft_slB"),
+      tmp("graft_slC"))
+    def runSlots(extra: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf))(
+        Main.main(Array("slots", url, "--out", outA, "--out", outB) ++
+          extra))
+      new String(buf.toByteArray, "UTF-8")
+    }
+    try {
+      // two live watch groups + one orphan (its log dir deleted — the
+      // exact fleet accident the command exists for)
+      Main.main(Array("--watch-pg", url, "--out", outA, "WP"))
+      Main.main(Array("--watch-pg", url, "--out", outB, "OTHER"))
+      Main.main(Array("--watch-pg", url, "--out", outC, "WP"))
+      val p = new org.apache.hadoop.fs.Path(outC)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      assert(allSlots().size == 3, s"three slots: ${allSlots()}")
+      // listing only: all three named, none dropped
+      val listing = runSlots()
+      assert(listing.linesIterator.count(_.contains("CLAIMED")) == 2 &&
+        listing.linesIterator.count(_.contains("ORPHAN")) == 1 &&
+        listing.contains("--drop-orphans"), s"got:\n$listing")
+      assert(allSlots().size == 3, "listing drops nothing")
+      // the GC: exactly the orphan goes; both claimed slots survive
+      val claimed = runSlots().linesIterator
+        .filter(_.contains("CLAIMED")).map(_.split("  ")(0)).toSet
+      val gc = runSlots("--drop-orphans")
+      assert(gc.linesIterator.count(_.startsWith("dropped ")) == 1,
+        s"got:\n$gc")
+      assert(allSlots().toSet == claimed,
+        "claimed slots survive, the orphan is gone")
+      // a claim whose slot vanished server-side is reported (the watch
+      // path refuses it loudly at its next run)
+      withClient(c => claimed.take(1).foreach(s =>
+        c.query(s"SELECT pg_drop_replication_slot('$s')")))
+      assert(runSlots().contains("MISSING on server but claimed"),
+        "claimed-but-missing slots surface in the listing")
+    } finally dropAll()
+    assert(PgWireClient.live == 0, "no leaked connections")
+    withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
+  }
+
   test("graft-pg micro-batch streaming (VERDICT r15 #4): a PG-backed " +
       "external_file watches like an S3 bucket — inserts surface next " +
       "trigger, a tombstone becomes a ScrapeTws delete event") {
