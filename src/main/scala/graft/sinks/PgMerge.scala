@@ -422,6 +422,27 @@ object PgMerge {
     }
   }
 
+  /** The ctid carve assumes roughly uniform live-row density per page
+    * (pages are carved evenly; live rows are what the shards actually
+    * ship). A heavily bloated or partially-vacuumed table breaks that:
+    * ranges still TILE (correctness holds), but the dense pages' shards
+    * do most of the work — a wall-clock skew that would otherwise be a
+    * bench mystery (VERDICT r16 #7). PURE detector: a note when the
+    * catalog shape implies > `factor`× the expected bytes-per-live-row;
+    * `relTuples < 0` (never analyzed) stays silent — no estimate, no
+    * claim. */
+  private[graft] def bloatNote(shape: TableShape,
+      rowWidthEstimate: Long = 150L, factor: Long = 3L): Option[String] = {
+    val t = shape.relTuples
+    if (t < 0 || shape.bytes <= factor * rowWidthEstimate * math.max(t, 1.0))
+      None
+    else Some(f"graft-pg: planning note — $table is ${shape.bytes}%d " +
+      f"bytes for ~${t.toLong}%d live rows (~${shape.bytes / math.max(t, 1.0)}%.0f " +
+      f"bytes/row vs ~$rowWidthEstimate%d expected): heavy bloat. " +
+      "Evenly-carved ctid shards will skew toward the dense pages; " +
+      "VACUUM (FULL) or pg_repack to rebalance")
+  }
+
   /** One shard's remote statement: every predicate (the pushed filters
     * AND the shard split) is evaluated REMOTELY, wrapped in
     * `COPY (…) TO STDOUT` — bulk text frames instead of per-row DataRow

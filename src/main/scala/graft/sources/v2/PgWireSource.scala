@@ -645,6 +645,10 @@ private[v2] class PgWireScan(conn: PgConnInfo, predSqls: Seq[String],
       case mode => // "auto" | "ctid"
         shape match {
           case Right(s) if s.serverVersionNum >= 140000 =>
+            // one visible line when the carve's uniform-density
+            // assumption is provably off (VERDICT r16 #7): shards stay
+            // correct (ranges tile), wall-clock may skew
+            PgMerge.bloatNote(s).foreach(System.err.println)
             PgMerge.ctidRanges(s.pages, partitions)
               .map { case (lo, hi) => PgMerge.ctidRangePred(lo, hi) }
           case Right(s) =>

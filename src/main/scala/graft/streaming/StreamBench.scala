@@ -225,6 +225,75 @@ object StreamBench {
     ScrapeTws.changeStream(s, src, "bench")
   }
 
+  /** The logical-decoding changefeed as a measured row (VERDICT r16 #4):
+    * seed `nRows` single-source inserts in 1000-row transactions on the
+    * harness PostgreSQL behind a fresh slot, then drain them through the
+    * `graft-pg mode=changefeed` stream (server-side pgoutput decode →
+    * binary wire transport → message decode → InternalRows) to the noop
+    * sink under `Trigger.AvailableNow`. Feed throughput regressions in
+    * transport/decoder work become visible the round they land instead
+    * of only in a one-off probe. State rows/bytes are 0 by construction
+    * (the source is stateless; offsets live in the slot). Returns None
+    * — and the artifact omits the row — when no server with
+    * `wal_level=logical` is reachable. */
+  def changefeedStats(s: SparkSession, nRows: Long): Option[OpStats] = {
+    import graft.sinks.{PgMerge, PgWireClient}
+    val host = sys.env.getOrElse("PGWIRE_HOST", "127.0.0.1")
+    val port = sys.env.get("PGPORT").flatMap(_.toIntOption).getOrElse(54329)
+    val url = s"$host:$port/postgres"
+    val slot = "graft_cf_streambench"
+    val pub = "graft_streambench_pub"
+    def withClient[A](f: PgWireClient => A): A = {
+      val c = new PgWireClient(host, port, "postgres", "postgres")
+      try f(c) finally c.close()
+    }
+    val usable =
+      try withClient(_.queryOne("SHOW wal_level").contains("logical"))
+      catch { case _: Throwable => false }
+    if (!usable) return None
+    def dropFeedObjects(c: PgWireClient): Unit = {
+      if (c.queryOne("SELECT count(*) FROM pg_replication_slots WHERE " +
+        s"slot_name = '$slot'").contains("1"))
+        c.query(s"SELECT pg_drop_replication_slot('$slot')")
+      c.exec(s"DROP PUBLICATION IF EXISTS $pub")
+    }
+    withClient { c =>
+      c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
+      c.exec(
+        s"""CREATE TABLE ${PgMerge.table} (
+           |  external_source TEXT, path TEXT, filename TEXT,
+           |  mime_type TEXT, created TIMESTAMPTZ, modified TIMESTAMPTZ,
+           |  size BIGINT, deleted TIMESTAMPTZ,
+           |  CONSTRAINT ${PgMerge.constraint}
+           |    UNIQUE (external_source, path, filename))""".stripMargin)
+      dropFeedObjects(c)
+    }
+    try {
+      graft.sources.v2.PgChangeFeed.bootstrapSnapshot(Map(
+        "url" -> url, "slot" -> slot, "publication" -> pub)).close()
+      withClient { c =>
+        var lo = 0L
+        while (lo < nRows) {
+          val hi = math.min(nRows, lo + 1000L)
+          c.exec(s"INSERT INTO ${PgMerge.table} " +
+            "SELECT 'bench', '/p' || (i % 97), 'f' || i, 'text/plain', " +
+            "NULL, TIMESTAMPTZ '2026-01-02 03:04:05+00', i, NULL " +
+            s"FROM generate_series(${lo + 1}, $hi) g(i)")
+          lo = hi
+        }
+      }
+      val feed = s.readStream.format("graft-pg").option("url", url)
+        .option("mode", "changefeed").option("slot", slot)
+        .option("publication", pub).load()
+      val st = runOp(s, feed, "append")
+      require(st.rows == nRows, s"changefeed drained ${st.rows} of $nRows")
+      Some(st)
+    } finally withClient { c =>
+      dropFeedObjects(c)
+      c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
+    }
+  }
+
   /** The full suite over a fresh synthetic stream; returns op → stats.
     * `nRows` events over 4 h span / 500 users in `nFiles` micro-batches.
     *
@@ -294,7 +363,13 @@ object StreamBench {
             }
             case None => name -> runOp(s, build(), mode)
           }
-        }
+        } ++
+          // the changefeed drain at half the event volume (the single
+          // ordered CDC connection is slower by design than the sharded
+          // ops above; half keeps the suite's wall time in budget while
+          // the rps stays a steady-state number)
+          changefeedStats(s, math.max(50000L, nRows / 2L))
+            .map("changefeed" -> _)
       }
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // best-effort cleanup of the temp stream dirs + checkpoints

@@ -58,6 +58,30 @@ class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(PgMerge.ctidRangePred(21L, None) == "ctid >= '(21,0)'")
   }
 
+  test("bloat note (VERDICT r16 #7): a catalog shape implying heavy " +
+      "bloat yields one visible planning note; healthy and " +
+      "never-analyzed shapes stay silent") {
+    import PgMerge.{TableShape, bloatNote}
+    // healthy: 1M rows at ~120 B/row
+    assert(bloatNote(
+      TableShape(150000, 14649L, 120000000L, 1000000.0)).isEmpty)
+    // boundary: exactly 3x the 150 B estimate is still silent
+    assert(bloatNote(
+      TableShape(150000, 54932L, 450000000L, 1000000.0)).isEmpty)
+    // bloated: 1M live rows spread over 1 GB of heap
+    val note = bloatNote(TableShape(150000, 131072L, 1073741824L,
+      1000000.0))
+    assert(note.exists(n => n.contains("heavy bloat") &&
+      n.contains("ctid shards will skew") && n.contains("1073741824") &&
+      n.contains("~1074 bytes/row")), s"got $note")
+    // never analyzed (-1): no estimate, no claim — silent
+    assert(bloatNote(
+      TableShape(150000, 131072L, 1073741824L, -1.0)).isEmpty)
+    // estimated empty but large on disk: maximal bloat, says so
+    assert(bloatNote(TableShape(150000, 131072L, 1073741824L, 0.0))
+      .exists(_.contains("heavy bloat")))
+  }
+
   test("PgFilterSql whitelist: accepted shapes render exact remote SQL; " +
       "everything semantics-divergent or oversized is refused") {
     import org.apache.spark.sql.sources._
