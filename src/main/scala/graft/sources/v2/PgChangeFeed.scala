@@ -782,8 +782,9 @@ private[v2] class PgCdcReaderFactory extends PartitionReaderFactory {
           // BINARY result format (VERDICT r16 #1): `data` ships as its
           // raw bytes — the hex transport doubled the WAL volume on
           // this single ordered connection and paid a decode pass per
-          // message (measured ~45k rows/s end-to-end; the drain rate
-          // sets the feed's rescan break-even). Binary is also
+          // message (measured +8% drain rate on localhost; the bigger
+          // r17 win was the positional decoder, +30% — CdcDecodeProbe
+          // holds the layer-by-layer numbers). Binary is also
           // independent of the server's bytea_output setting, which is
           // what the hex encode existed to guarantee.
           client.queryStreamRaw(
