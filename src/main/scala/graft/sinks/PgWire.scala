@@ -1034,4 +1034,77 @@ object PgWireClient {
       else t
     java.sql.Timestamp.from(java.time.OffsetDateTime.parse(iso).toInstant)
   }
+
+  /** Epoch MICROS of the same rendering — the per-row hot-loop form
+    * (COPY shard reads decode two timestamps per row; the changefeed
+    * one per change): the overwhelmingly common exact shape
+    * `yyyy-MM-dd HH:mm:ss[.f{1,6}]+00` parses with integer arithmetic
+    * only (no formatter, no java.time allocation); anything else — BC
+    * dates, non-UTC offsets, `infinity` — falls through to
+    * [[parsePgTimestamp]]. Bit-equality with the general path is
+    * property-pinned (PgShardPlanSpec) and the live fuzz suites cover
+    * it end-to-end against real server output. */
+  def pgTimestampMicros(s: String): Long = {
+    val fast = tryFastUtcMicros(s)
+    if (fast != Long.MinValue) fast
+    else {
+      val i = parsePgTimestamp(s).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+  }
+
+  /** `Long.MinValue` = shape mismatch (the sentinel is year −290308 —
+    * outside PostgreSQL's 4713 BC..294276 AD range, unreachable). */
+  private def tryFastUtcMicros(s: String): Long = {
+    val len = s.length
+    if (len < 22 || s.charAt(len - 3) != '+' ||
+      s.charAt(len - 2) != '0' || s.charAt(len - 1) != '0')
+      return Long.MinValue
+    var i = 0
+    def d(at: Int): Int = {
+      val c = s.charAt(at)
+      if (c < '0' || c > '9') -1 else c - '0'
+    }
+    // year: >= 4 digits (years past 9999 print with more)
+    var year = 0
+    while (i < len && d(i) >= 0) { year = year * 10 + d(i); i += 1 }
+    if (i < 4 || i + 15 > len - 3 || s.charAt(i) != '-')
+      return Long.MinValue
+    def two(at: Int): Int = {
+      val hi = d(at); val lo = d(at + 1)
+      if (hi < 0 || lo < 0) -1 else hi * 10 + lo
+    }
+    val mo = two(i + 1)
+    val day = two(i + 4)
+    val h = two(i + 7)
+    val mi = two(i + 10)
+    val sec = two(i + 13)
+    if (mo < 0 || day < 0 || h < 0 || mi < 0 || sec < 0 ||
+      s.charAt(i + 3) != '-' || s.charAt(i + 6) != ' ' ||
+      s.charAt(i + 9) != ':' || s.charAt(i + 12) != ':')
+      return Long.MinValue
+    var frac = 0L
+    var fi = i + 15
+    if (fi < len - 3) {
+      // fractional seconds: '.' + 1..6 digits (PG trims trailing zeros)
+      if (s.charAt(fi) != '.') return Long.MinValue
+      fi += 1
+      var scale = 100000L
+      while (fi < len - 3) {
+        val dd = d(fi)
+        if (dd < 0 || scale == 0L) return Long.MinValue
+        frac += dd * scale
+        scale /= 10L
+        fi += 1
+      }
+    }
+    // days-from-civil (the standard proleptic-Gregorian closed form)
+    val y = if (mo <= 2) year - 1 else year
+    val era = Math.floorDiv(y, 400)
+    val yoe = y - era * 400
+    val doy = (153 * (if (mo > 2) mo - 3 else mo + 9) + 2) / 5 + day - 1
+    val doe = yoe.toLong * 365 + yoe / 4 - yoe / 100 + doy
+    val days = era * 146097L + doe - 719468L
+    days * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L + frac
+  }
 }

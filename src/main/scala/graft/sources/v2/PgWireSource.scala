@@ -402,9 +402,9 @@ private[v2] class PgWireScanBuilder(conn: PgConnInfo, partitions: Int,
 private[v2] object PgTextCodec {
   private def micros(v: Option[String]): AnyRef = v match {
     case None => null
-    case Some(s) =>
-      val i = PgWireClient.parsePgTimestamp(s).toInstant
-      Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    // the integer-arithmetic fast path (r17): two of these per row on
+    // the COPY shard read, one per change on the feed
+    case Some(s) => Long.box(PgWireClient.pgTimestampMicros(s))
   }
 
   def converters(schema: StructType): Array[Option[String] => AnyRef] =

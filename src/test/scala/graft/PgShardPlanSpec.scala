@@ -58,6 +58,58 @@ class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(PgMerge.ctidRangePred(21L, None) == "ctid >= '(21,0)'")
   }
 
+  test("pgTimestampMicros fast path: bit-equal to the general ISO " +
+      "parser over the full PG range incl. trimmed fractional digits, " +
+      "pre-1970, 5-digit years, and non-UTC offsets (fallback)") {
+    import graft.sinks.PgWireClient.{parsePgTimestamp, pgTimestampMicros}
+    def microsVia(s: String): Long = {
+      val i = parsePgTimestamp(s).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    // PG trims trailing zeros in the fractional part and omits it when
+    // zero — render exactly that
+    def pgRender(micros: Long): String = {
+      val sec = Math.floorDiv(micros, 1000000L)
+      val frac = Math.floorMod(micros, 1000000L)
+      // java.time signs years wider than 4 digits ('+19999'); PG
+      // prints them bare
+      val base = fmt.format(java.time.Instant.ofEpochSecond(sec))
+        .stripPrefix("+")
+      val f =
+        if (frac == 0L) ""
+        else "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+      s"$base$f+00"
+    }
+    val rnd = new scala.util.Random(17)
+    // 0001-01-01..9999-12-31 plus a band of 5-digit years
+    val loMicros = -62135596800000000L
+    val hiMicros = 253402300799000000L
+    (1 to 20000).foreach { _ =>
+      val m = loMicros + math.abs(rnd.nextLong() % (hiMicros - loMicros))
+      val s = pgRender(m)
+      assert(pgTimestampMicros(s) == m, s"render round-trip at '$s'")
+      assert(pgTimestampMicros(s) == microsVia(s), s"vs general at '$s'")
+    }
+    // exact fraction-width edges
+    Seq("2026-01-02 03:04:05+00", "2026-01-02 03:04:05.5+00",
+      "2026-01-02 03:04:05.25+00", "2026-01-02 03:04:05.678901+00",
+      "1969-12-31 23:59:59.999999+00", "0001-01-01 00:00:00+00")
+      .foreach(s => assert(pgTimestampMicros(s) == microsVia(s), s))
+    // 5-digit years: the fast path covers them where the general ISO
+    // parser never could (ISO demands a '+' era prefix PG doesn't
+    // print) — pin via the render round-trip instead
+    val farMicros = java.time.LocalDate.of(19999, 6, 15).toEpochDay *
+      86400000000L + 1L // 19999-06-15 00:00:00.000001Z
+    assert(pgRender(farMicros) == "19999-06-15 00:00:00.000001+00")
+    assert(pgTimestampMicros(pgRender(farMicros)) == farMicros)
+    // non-UTC whole-hour offset: falls through to the general path,
+    // same instant either way
+    assert(pgTimestampMicros("2026-01-02 08:34:05.678901+05") ==
+      microsVia("2026-01-02 08:34:05.678901+05"))
+  }
+
   test("bloat note (VERDICT r16 #7): a catalog shape implying heavy " +
       "bloat yields one visible planning note; healthy and " +
       "never-analyzed shapes stay silent") {
