@@ -734,10 +734,8 @@ object Main {
           "pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)), '?') " +
           "FROM pg_replication_slots " +
           "WHERE starts_with(slot_name, 'graft_cf_') ORDER BY slot_name")
-      if (rows.isEmpty || rows.head.isEmpty) {
-        println("no graft_cf_* slots on this server")
-        return
-      }
+        .filter(_.nonEmpty)
+      if (rows.isEmpty) println("no graft_cf_* slots on this server")
       val orphans = rows.flatMap { r =>
         val (slot, active, lag) = (r(0).get, r(1).get, r(2).get)
         claims.get(slot) match {
