@@ -566,13 +566,13 @@ final class PgWireClient(host: String, port: Int, user: String,
   /** RAW-BYTES streaming query through the extended protocol with
     * BINARY result format for every column (VERDICT r16 #1): a `bytea`
     * column arrives as its exact bytes — no `encode(…,'hex')` doubling
-    * the wire volume plus a decode pass per row, which on the
-    * changefeed's single ordered connection was ~half the drain cost.
-    * Callers own the per-type binary decode (`pg_lsn`/`int8` = 8-byte
-    * big-endian, `bytea` = the raw value — the formats the protocol
-    * docs define as each type's binary send form). Rows stream
-    * incrementally; the cycle drains to ReadyForQuery like the text
-    * forms. */
+    * the wire volume plus a decode pass per row (measured +8% drain
+    * rate on localhost, where bandwidth is cheap; the halved bytes
+    * matter more over a real network). Callers own the per-type binary
+    * decode (`pg_lsn`/`int8` = 8-byte big-endian, `bytea` = the raw
+    * value — the formats the protocol docs define as each type's
+    * binary send form). Rows stream incrementally; the cycle drains to
+    * ReadyForQuery like the text forms. */
   def queryStreamRaw(sql: String, params: Seq[Option[String]] = Nil)
       : Iterator[Vector[Option[Array[Byte]]]] = {
     sendExtended(sql, params, binaryResults = true)

@@ -1053,6 +1053,11 @@ class PgSourceSpec extends AnyFunSuite {
       val binBytes = viaBin.iterator.map(_(1).get.length).sum
       assert(binBytes * 2 == hexBytes,
         s"hex payload is exactly 2x: $hexBytes vs $binBytes")
+      // the dropSlot primitive (failed-handoff cleanup / orphan GC):
+      // true when a slot went, false when nothing was there to drop
+      import graft.sources.v2.PgChangeFeed
+      assert(PgChangeFeed.dropSlot(Map("url" -> url, "slot" -> slot)))
+      assert(!PgChangeFeed.dropSlot(Map("url" -> url, "slot" -> slot)))
     } finally {
       dropSlot()
       withClient(_.exec(s"DROP TABLE ${PgMerge.table}"))
