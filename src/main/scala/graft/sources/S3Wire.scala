@@ -222,7 +222,13 @@ object S3Wire extends Serializable {
 
   /** Namespaced-or-not tag reader: AWS responses use the S3 namespace;
     * match on local name. */
-  private def parseListXml(body: Array[Byte]): ListPage = {
+  // private[graft]: S3ListXmlSpec drives the parser contract directly
+  // (adversarial generated pages — escapes, namespaces, Owner subtrees,
+  // the echoed request <Prefix> that must not be collected). r17 note:
+  // a StAX rewrite was measured at parity (~2 ms per 1000-key page both
+  // ways — parse is ~2 µs/key of the ~12 µs/key listing loop) and
+  // reverted; the tree build is NOT the listing bottleneck.
+  private[graft] def parseListXml(body: Array[Byte]): ListPage = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     // no external entities: the response is data, not a document to trust
