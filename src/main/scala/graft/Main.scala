@@ -704,6 +704,20 @@ object Main {
     // which slots do the given logs CLAIM? marker layout:
     // $out/events/<sub>/_graft_changefeed, first line = slot name
     val hadoopConf = new org.apache.hadoop.conf.Configuration()
+    // an IN-PROGRESS handoff (lock taken, markers not yet committed)
+    // owns a slot that no marker claims yet — dropping it as an
+    // "orphan" would kill the handoff mid-seed. The lock file names
+    // the group digest; its slots are protected, never dropped.
+    val inProgressDigests: Set[String] = outs.flatMap { out =>
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("._graft_handoff_") &&
+            n.endsWith(".lock") =>
+          n.stripPrefix("._graft_handoff_").stripSuffix(".lock")
+      }
+    }.toSet
     val claims: Map[String, Seq[String]] = outs.flatMap { out =>
       val events = new org.apache.hadoop.fs.Path(s"$out/events")
       val fs = events.getFileSystem(hadoopConf)
@@ -738,10 +752,18 @@ object Main {
       if (rows.isEmpty) println("no graft_cf_* slots on this server")
       val orphans = rows.flatMap { r =>
         val (slot, active, lag) = (r(0).get, r(1).get, r(2).get)
+        val digestOf = slot.stripPrefix("graft_cf_").takeWhile(_ != '_')
         claims.get(slot) match {
           case Some(dirs) =>
             println(s"$slot  CLAIMED by ${dirs.mkString(", ")}  " +
               s"retained-wal $lag  active $active")
+            None
+          case None if inProgressDigests(digestOf) =>
+            // in-progress OR crashed-mid-handoff: either way the lock
+            // holder's redo guidance owns this slot's fate, not the GC
+            println(s"$slot  HANDOFF LOCK PRESENT (in progress, or a " +
+              "crashed first run — not droppable; remove the lock to " +
+              s"make it GC-able)  retained-wal $lag  active $active")
             None
           case None =>
             println(s"$slot  ORPHAN (no marker in the given --out dirs) " +

@@ -1310,6 +1310,29 @@ class PgSourceSpec extends AnyFunSuite {
         s"got:\n$gc")
       assert(allSlots().toSet == claimed,
         "claimed slots survive, the orphan is gone")
+      // an IN-PROGRESS handoff's slot has no marker YET — the lock file
+      // must protect it from the GC (dropping it would kill the handoff
+      // mid-seed); with the lock gone it becomes a plain orphan
+      val outD = tmp("graft_slD")
+      Main.main(Array("--watch-pg", url, "--out", outD, "WP"))
+      val pD = new org.apache.hadoop.fs.Path(outD)
+      pD.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(pD, true)
+      val wpDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest("WP".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      java.nio.file.Files.createFile(java.nio.file.Path.of(
+        s"$outA/._graft_handoff_$wpDigest.lock"))
+      try {
+        val gcLocked = runSlots("--drop-orphans")
+        assert(gcLocked.contains("HANDOFF LOCK PRESENT") &&
+          !gcLocked.linesIterator.exists(_.startsWith("dropped ")),
+          s"the locked group's slot survives the GC:\n$gcLocked")
+      } finally java.nio.file.Files.delete(java.nio.file.Path.of(
+        s"$outA/._graft_handoff_$wpDigest.lock"))
+      assert(runSlots("--drop-orphans").linesIterator
+        .count(_.startsWith("dropped ")) == 1,
+        "lock removed -> the same slot GCs as a plain orphan")
       // a claim whose slot vanished server-side is reported (the watch
       // path refuses it loudly at its next run)
       withClient(c => claimed.take(1).foreach(s =>
