@@ -23,8 +23,11 @@ import graft.sinks.{PgMerge, PgWireClient}
   */
 object CdcProbe {
   def main(args: Array[String]): Unit = {
-    val nRows = args.headOption.map(_.toLong).getOrElse(200000L)
-    val perTx = if (args.length > 1) args(1).toInt else 1000
+    // 1M default (r17): at 200k the ~3-4 s fixed stream-startup cost
+    // dominates and repeat runs swing ±20% — measure ≥1M for a
+    // steady-state drain number
+    val nRows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val perTx = if (args.length > 1) args(1).toInt else 2000
     val host = sys.env.getOrElse("PGWIRE_HOST", "127.0.0.1")
     val port = sys.env.get("PGPORT").flatMap(_.toIntOption).getOrElse(54329)
     val url = s"$host:$port/postgres"
