@@ -572,6 +572,9 @@ object Main {
       // ATOMIC lock create under --out admits exactly one bootstrapper;
       // a crash leaves the lock behind, caught by the same remove-and-
       // redo guidance every interrupted handoff already gets.
+      // (createNewFile is atomic on local/HDFS — the filesystems event
+      // logs live on; an object-store --out (s3a) only narrows the
+      // race, its create is HEAD-then-PUT.)
       val lockPath = new org.apache.hadoop.fs.Path(
         s"$out/._graft_handoff_$groupDigest.lock")
       val lockFs = lockPath.getFileSystem(hadoopConf)
