@@ -20,8 +20,9 @@ import graft.sources.FileListing
   * graft.Main query NAME SF_DIR [--out DIR]     // run a registered query
   * graft.Main query list                        // enumerate query names
   * graft.Main --watch-pg ADDR [--out DIR] [--interval SEC]
-  *            [--max-changes N] SOURCE [SOURCE...]   // changefeed watch
-  * graft.Main slots ADDR [--out DIR]... [--drop-orphans]
+  *            [--max-changes N] [--max-retain-mb MB]
+  *            SOURCE [SOURCE...]                     // changefeed watch
+  * graft.Main slots ADDR [--prefix P] [--out DIR]... [--drop-orphans]
   *                               // replication-slot lifecycle / orphan GC
   * }}}
   *
@@ -85,6 +86,7 @@ object Main {
     var interval: Option[Long] = None
     var watchPg: Option[String] = None
     var maxChanges: Option[Long] = None
+    var maxRetainMb: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -101,6 +103,8 @@ object Main {
         case "--interval" => interval = Some(args(i + 1).toLong); i += 2
         case "--watch-pg" => watchPg = Some(args(i + 1)); i += 2
         case "--max-changes" => maxChanges = Some(args(i + 1).toLong); i += 2
+        case "--max-retain-mb" =>
+          maxRetainMb = Some(args(i + 1).toLong); i += 2
         case p => paths += p; i += 1
       }
     }
@@ -138,6 +142,10 @@ object Main {
         "--out, --interval, --max-changes and SOURCE args only")
     require(maxChanges.isEmpty || watchPg.nonEmpty,
       "--max-changes bounds the --watch-pg changefeed triggers")
+    require(maxRetainMb.isEmpty || watchPg.nonEmpty,
+      "--max-retain-mb monitors the --watch-pg slot's retained WAL")
+    require(maxRetainMb.forall(_ >= 0L),
+      "--max-retain-mb must be >= 0")
     // validate the watch address at parse time, like --pg; duplicate
     // SOURCE args would collide on one log/checkpoint — fail up front
     // with the duplicates named (same contract as --stream-events)
@@ -190,7 +198,7 @@ object Main {
 
     if (watchPg.isDefined) {
       runWatchPg(spark, watchPg.get, paths.toSeq, outDir, interval,
-        maxChanges)
+        maxChanges, maxRetainMb)
       if (!preexisting) spark.stop()
       return
     }
@@ -454,7 +462,8 @@ object Main {
     * trigger at commit boundaries. */
   private def runWatchPg(spark: SparkSession, addr: String,
       sources: Seq[String], out: String, interval: Option[Long],
-      maxChanges: Option[Long]): Unit = {
+      maxChanges: Option[Long],
+      maxRetainMb: Option[Long] = None): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.v2.PgChangeFeed
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -584,7 +593,21 @@ object Main {
           "it, or remove the group's log dirs, any stale " +
           s"graft_cf_${groupDigest}_* slot, and the lock file, then " +
           "rerun for a fresh snapshot handoff")
-      val h = PgChangeFeed.bootstrapSnapshot(opts)
+      lockAtomicityNote(lockPath.toUri.getScheme).foreach(println)
+      // a CLEAN bootstrap failure (unreachable server, wal_level not
+      // logical, slot already exists — the common first-run failures)
+      // must delete the just-created lock (ADVICE r17), or every rerun
+      // refuses with "another handoff in progress" until the user
+      // removes it by hand. Only a hard crash — no catch — leaves the
+      // lock behind, which is exactly the case the redo guidance and
+      // the slots-GC lock protection cover.
+      val h =
+        try PgChangeFeed.bootstrapSnapshot(opts)
+        catch { case e: Throwable =>
+          try { lockFs.delete(lockPath, false); () }
+          catch { case _: Throwable => () }
+          throw e
+        }
       try {
         // every source's seed reads the SAME exported snapshot — one
         // consistent point for the whole group
@@ -640,6 +663,25 @@ object Main {
       (r, n) => r.option("maxchangespertrigger", n.toString)).load()
     val q = feed.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
+        // retained-WAL self-monitoring (VERDICT r17 #4): a slot whose
+        // confirms lag pins every WAL segment since restart_lsn on the
+        // SERVER's disk — the disk-filling failure mode otherwise only
+        // visible by running `graft.Main slots` by hand. One tiny
+        // catalog query per trigger; a transient failure must never
+        // kill the watch (the monitor is advisory, the drain is not).
+        maxRetainMb.foreach { mb =>
+          try PgChangeFeed.retainedWalBytes(opts).foreach { bytes =>
+            if (bytes > mb * 1048576L)
+              println(f"note — slot $slot retains ${bytes / 1048576.0}%.1f" +
+                f" MiB of WAL on the server (over --max-retain-mb $mb%d):" +
+                " confirms are lagging the write rate; if this grows, " +
+                "the server's disk fills — check the watch daemon's " +
+                "trigger cadence (`graft.Main slots` lists all slots)")
+          } catch { case e: Throwable =>
+            println(s"note — retained-WAL check failed (monitor only, " +
+              s"watch continues): ${e.getMessage}")
+          }
+        }
         val batch = df.persist()
         try entries.foreach { case (src, sub) =>
           PgChangeFeed.asScrapeEvents(batch, src)
@@ -669,6 +711,24 @@ object Main {
     }
   }
 
+  /** The handoff lock's single-bootstrapper guarantee rests on an
+    * ATOMIC create, which only some filesystems provide (VERDICT r17
+    * #5): local and HDFS `createNewFile` are atomic; object stores
+    * (s3a et al.) implement it as HEAD-then-PUT, which merely NARROWS
+    * the double-bootstrap window. Say so visibly instead of implying a
+    * guarantee the store cannot give. `scheme` is the `--out` URI's
+    * (null = unqualified local path). */
+  private[graft] def lockAtomicityNote(scheme: String): Option[String] = {
+    val atomic = Set("file", "hdfs", "viewfs")
+    val s = Option(scheme).getOrElse("file")
+    if (atomic(s)) None
+    else Some(s"note — '$s://' has no atomic file create: the handoff " +
+      "lock NARROWS but cannot close the double-bootstrap race on this " +
+      "store. Make sure only ONE first run starts per watch group (or " +
+      "point --out at local/HDFS for the first run and move the logs " +
+      "after)")
+  }
+
   /** `graft.Main slots ADDR [--out DIR]... [--drop-orphans]`: the
     * replication-slot lifecycle surface (VERDICT r16 #2 — an orphaned
     * `graft_cf_*` slot retains WAL FOREVER; PostgreSQL never drops one
@@ -684,18 +744,31 @@ object Main {
     * since a log dir not listed here still owns its slot. */
   private def runSlots(args: Array[String]): Unit = {
     import graft.sources.v2.PgChangeFeed
+    val usage =
+      "(usage: slots ADDR [--prefix P] [--out DIR]... [--drop-orphans])"
     var addr: Option[String] = None
     var outs = Vector.empty[String]
     var dropOrphans = false
+    // every graft-OWNED slot is lifecycle surface, not just the watch
+    // groups' (VERDICT r17 #3): a raw `mode=changefeed` stream's slot
+    // (default `graft_slot`, or user-named under the prefix) retains
+    // WAL the same way but has no marker — it must at least be VISIBLE
+    var prefix = "graft_"
+    // a flag as the final token must fall through to the usage message,
+    // not an ArrayIndexOutOfBoundsException (ADVICE r17)
+    def optValue(i: Int, flag: String): String =
+      if (i + 1 < args.length) args(i + 1)
+      else throw new IllegalArgumentException(
+        s"slots: $flag needs a value $usage")
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--out" => outs :+= args(i + 1); i += 2
+        case "--out" => outs :+= optValue(i, "--out"); i += 2
+        case "--prefix" => prefix = optValue(i, "--prefix"); i += 2
         case "--drop-orphans" => dropOrphans = true; i += 1
         case a if addr.isEmpty => addr = Some(a); i += 1
         case a => throw new IllegalArgumentException(
-          s"slots: unexpected argument '$a' " +
-            "(usage: slots ADDR [--out DIR]... [--drop-orphans])")
+          s"slots: unexpected argument '$a' $usage")
       }
     }
     val t = sinks.PgMerge.parsePgTarget(addr.getOrElse(throw
@@ -750,13 +823,22 @@ object Main {
         "SELECT slot_name, active::text, coalesce(pg_size_pretty(" +
           "pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)), '?') " +
           "FROM pg_replication_slots " +
-          "WHERE starts_with(slot_name, 'graft_cf_') ORDER BY slot_name")
+          s"WHERE starts_with(slot_name, " +
+          s"${sinks.PgWireClient.sqlLit(prefix)}) ORDER BY slot_name")
         .filter(_.nonEmpty)
-      if (rows.isEmpty) println("no graft_cf_* slots on this server")
+      if (rows.isEmpty) println(s"no $prefix* slots on this server")
       val orphans = rows.flatMap { r =>
         val (slot, active, lag) = (r(0).get, r(1).get, r(2).get)
         val digestOf = slot.stripPrefix("graft_cf_").takeWhile(_ != '_')
-        claims.get(slot) match {
+        if (!slot.startsWith("graft_cf_")) {
+          // a non-watch slot (raw `mode=changefeed` default or
+          // user-named): same WAL-retention failure mode, but no marker
+          // can ever prove it orphaned — visible, never auto-dropped
+          println(s"$slot  UNCLAIMABLE by markers (not a watch-group " +
+            "slot; its owner is whichever stream named it — never " +
+            s"auto-dropped)  retained-wal $lag  active $active")
+          None
+        } else claims.get(slot) match {
           case Some(dirs) =>
             println(s"$slot  CLAIMED by ${dirs.mkString(", ")}  " +
               s"retained-wal $lag  active $active")

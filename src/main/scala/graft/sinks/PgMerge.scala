@@ -432,9 +432,15 @@ object PgMerge {
     * `relTuples < 0` (never analyzed) stays silent — no estimate, no
     * claim. */
   private[graft] def bloatNote(shape: TableShape,
-      rowWidthEstimate: Long = 150L, factor: Long = 3L): Option[String] = {
+      rowWidthEstimate: Long = 150L, factor: Long = 3L,
+      minBytes: Long = 512L * 1024): Option[String] = {
     val t = shape.relTuples
-    if (t < 0 || shape.bytes <= factor * rowWidthEstimate * math.max(t, 1.0))
+    // the absolute floor (ADVICE r17): heap pages are 8kB quanta, so a
+    // healthy few-row table (relTuples 0..2, one page) always exceeds
+    // the per-row threshold — page-granularity rounding, not bloat.
+    // Below ~64 pages the carve has nothing to skew anyway.
+    if (t < 0 || shape.bytes < minBytes ||
+        shape.bytes <= factor * rowWidthEstimate * math.max(t, 1.0))
       None
     else Some(f"graft-pg: planning note — $table is ${shape.bytes}%d " +
       f"bytes for ~${t.toLong}%d live rows (~${shape.bytes / math.max(t, 1.0)}%.0f " +

@@ -1083,6 +1083,23 @@ object PgWireClient {
       s.charAt(i + 3) != '-' || s.charAt(i + 6) != ' ' ||
       s.charAt(i + 9) != ':' || s.charAt(i + 12) != ':')
       return Long.MinValue
+    // field RANGES, not just digit shapes (ADVICE r17): the contract is
+    // "bit-equal to the general parser or fall back" — a malformed-but-
+    // shaped '2026-13-40 25:70:99+00' must reach the general parser's
+    // exception, not silently convert via the civil-days arithmetic.
+    // Day is checked against the REAL month length (leap-aware): a
+    // '2026-02-30' would otherwise diverge (civil-days rolls to Mar 2,
+    // the general parser's SMART resolver clamps to Feb 28).
+    if (mo < 1 || mo > 12 || h > 23 || mi > 59 || sec > 59)
+      return Long.MinValue
+    val maxDay = mo match {
+      case 2 =>
+        if ((year % 4 == 0 && year % 100 != 0) || year % 400 == 0) 29
+        else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    if (day < 1 || day > maxDay) return Long.MinValue
     var frac = 0L
     var fi = i + 15
     if (fi < len - 3) {

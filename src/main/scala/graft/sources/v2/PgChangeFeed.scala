@@ -459,6 +459,25 @@ object PgChangeFeed {
     finally c.close()
   }
 
+  /** Retained-WAL bytes behind the named slot —
+    * `pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)` — the
+    * disk-filling failure-mode gauge (VERDICT r17 #4): a slot whose
+    * confirms lag pins every WAL segment since its `restart_lsn` on the
+    * SERVER's disk. None when the slot does not exist (or the column is
+    * unexpectedly null). */
+  def retainedWalBytes(options: Map[String, String]): Option[Long] = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
+    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
+      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
+    try c.query("SELECT pg_wal_lsn_diff(pg_current_wal_lsn(), " +
+      "restart_lsn)::text FROM pg_replication_slots WHERE slot_name = " +
+      PgWireClient.sqlLit(slot))
+      .headOption.flatMap(_.headOption.flatten).flatMap(_.toLongOption)
+    finally c.close()
+  }
+
   /** Existing slots whose name starts with `prefix` (`starts_with`, not
     * LIKE — a slot-charset prefix is full of `_` wildcards) — the
     * other-logs'-cursors / orphaned-slot visibility surface for

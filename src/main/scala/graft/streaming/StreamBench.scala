@@ -251,6 +251,28 @@ object StreamBench {
       try withClient(_.queryOne("SHOW wal_level").contains("logical"))
       catch { case _: Throwable => false }
     if (!usable) return None
+    // destructive-setup guard (VERDICT r17 #6): this helper DROPs and
+    // recreates the product table — correct on the disposable harness
+    // server (whose suites leave no external_file behind), ruinous on a
+    // server holding real data. A NON-EMPTY external_file is refused
+    // unless the operator opts in explicitly; mere reachability of a
+    // logical-WAL server is not consent.
+    val optIn = sys.env.get("GRAFT_BENCH_ALLOW_DROP").contains("1") ||
+      sys.props.get("graft.bench.allowDrop").contains("true")
+    val hasRows =
+      try withClient { c =>
+        c.queryOne("SELECT count(*) FROM pg_class WHERE relname = " +
+          s"'${PgMerge.table}' AND relkind = 'r'").contains("1") &&
+          !c.queryOne(s"SELECT count(*) FROM ${PgMerge.table}")
+            .contains("0")
+      } catch { case _: Throwable => false }
+    if (hasRows && !optIn) {
+      println(s"stream-bench: ${PgMerge.table} on $url is NON-EMPTY — " +
+        "refusing the changefeed bench's DROP/recreate (set " +
+        "GRAFT_BENCH_ALLOW_DROP=1 or -Dgraft.bench.allowDrop=true to " +
+        "opt in); changefeed row omitted")
+      return None
+    }
     def dropFeedObjects(c: PgWireClient): Unit = {
       if (c.queryOne("SELECT count(*) FROM pg_replication_slots WHERE " +
         s"slot_name = '$slot'").contains("1"))

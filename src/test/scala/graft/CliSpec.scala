@@ -237,4 +237,28 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"), e.getMessage)
     assert(e.getMessage.contains(tree.toString), e.getMessage)
   }
+
+  test("handoff lock honesty (VERDICT r17 #5): schemes without atomic " +
+      "create get a visible narrows-not-closes note; local/HDFS silent") {
+    assert(Main.lockAtomicityNote(null).isEmpty)
+    assert(Main.lockAtomicityNote("file").isEmpty)
+    assert(Main.lockAtomicityNote("hdfs").isEmpty)
+    assert(Main.lockAtomicityNote("viewfs").isEmpty)
+    Seq("s3a", "s3", "gs", "wasb", "abfs", "oss").foreach { s =>
+      val n = Main.lockAtomicityNote(s)
+      assert(n.exists(m => m.contains(s"'$s://'") && m.contains("NARROWS")
+        && m.contains("double-bootstrap")), s"scheme $s got $n")
+    }
+  }
+
+  test("slots arg parsing: a value-less trailing flag fails with the " +
+      "usage message, not ArrayIndexOutOfBounds (ADVICE r17)") {
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("slots", "127.0.0.1:1/db", "--out")))
+    assert(e.getMessage.contains("--out needs a value") &&
+      e.getMessage.contains("usage"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Main.main(Array("slots", "127.0.0.1:1/db", "--prefix")))
+    assert(e2.getMessage.contains("--prefix needs a value"), e2.getMessage)
+  }
 }

@@ -108,6 +108,23 @@ class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     // same instant either way
     assert(pgTimestampMicros("2026-01-02 08:34:05.678901+05") ==
       microsVia("2026-01-02 08:34:05.678901+05"))
+    // malformed-but-SHAPED strings (ADVICE r17): field ranges must push
+    // these to the general parser's exception, never silently convert
+    // via the civil-days arithmetic — incl. the leap-aware day check
+    // ('2026-02-30' would roll to Mar 2 fast vs throw general)
+    Seq("2026-13-40 25:70:99+00", "2026-00-02 03:04:05+00",
+      "2026-01-00 03:04:05+00", "2026-01-32 03:04:05+00",
+      "2026-02-30 03:04:05+00", "2025-02-29 03:04:05+00",
+      "2026-04-31 03:04:05+00", "2026-01-02 24:00:00+00",
+      "2026-01-02 03:60:05+00", "2026-01-02 03:04:60+00")
+      .foreach(s => intercept[java.time.format.DateTimeParseException] {
+        pgTimestampMicros(s); ()
+      })
+    // leap-day acceptance stays exact both ways
+    assert(pgTimestampMicros("2024-02-29 03:04:05+00") ==
+      microsVia("2024-02-29 03:04:05+00"))
+    assert(pgTimestampMicros("2000-02-29 03:04:05+00") ==
+      microsVia("2000-02-29 03:04:05+00"))
   }
 
   test("bloat note (VERDICT r16 #7): a catalog shape implying heavy " +
@@ -131,6 +148,15 @@ class PgShardPlanSpec extends AnyFunSuite with TableDrivenPropertyChecks {
       TableShape(150000, 131072L, 1073741824L, -1.0)).isEmpty)
     // estimated empty but large on disk: maximal bloat, says so
     assert(bloatNote(TableShape(150000, 131072L, 1073741824L, 0.0))
+      .exists(_.contains("heavy bloat")))
+    // tiny-but-analyzed (ADVICE r17): a freshly-truncated or few-row
+    // table occupies one 8kB heap page — page-granularity rounding,
+    // never bloat; silent below the absolute floor
+    assert(bloatNote(TableShape(150000, 1L, 8192L, 0.0)).isEmpty)
+    assert(bloatNote(TableShape(150000, 1L, 8192L, 2.0)).isEmpty)
+    assert(bloatNote(TableShape(150000, 32L, 262144L, 10.0)).isEmpty)
+    // at/above the floor with genuine per-row excess still notes
+    assert(bloatNote(TableShape(150000, 64L, 524288L, 10.0))
       .exists(_.contains("heavy bloat")))
   }
 
