@@ -32,8 +32,12 @@ object S3ShardProbe {
 
   /** Lean ListObjectsV2 semantics over a sorted key array: prefix,
     * delimiter grouping, max-keys, continuation-token == last covered
-    * key, start-after as an initial token. */
-  private def handle(served: Array[S3Object])(ex: HttpExchange): Unit = {
+    * key, start-after as an initial token. Takes a SUPPLIER so a caller
+    * can swap the namespace between listings ([[graft.ProductBench]]'s
+    * churn cycle); this probe's namespace is fixed. */
+  private[graft] def handle(servedNow: () => Array[S3Object])(
+      ex: HttpExchange): Unit = {
+    val served = servedNow()
     val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split("&").filter(_.nonEmpty).map { kv =>
         val Array(k, v) = kv.split("=", 2).padTo(2, "")
@@ -114,7 +118,7 @@ object S3ShardProbe {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
-      try handle(served)(ex) finally ex.close()
+      try handle(() => served)(ex) finally ex.close()
     })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(64)
     server.setExecutor(pool)
