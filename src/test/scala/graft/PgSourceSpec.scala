@@ -1525,6 +1525,115 @@ class PgSourceSpec extends AnyFunSuite {
     assert(PgWireClient.live == 0, "no leaked connections")
   }
 
+  test("changefeed kill-recovery under admission control: batch 1 " +
+      "commits and its WAL is released by the NEXT peek's " +
+      "advance-to-start, the crash on batch 2 replays ONLY batch 2, " +
+      "and the compaction absorbs the exact duplicates") {
+    assume(live, s"no PostgreSQL server at $host:$port")
+    assume(withClient(_.queryOne("SHOW wal_level")) == Some("logical"),
+      "changefeed needs wal_level=logical on the harness server")
+    import graft.sources.v2.PgChangeFeed
+    withClient { c =>
+      createTable(c)
+      c.exec(s"INSERT INTO ${PgMerge.table} VALUES " +
+        "('KB', '/b', 's1.txt', 'text/plain', NULL, now(), 1, NULL), " +
+        "('KB', '/b', 's2.txt', 'text/plain', NULL, now(), 2, NULL), " +
+        "('KB', '/b', 's3.txt', 'text/plain', NULL, now(), 3, NULL)")
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_killbnd").toString
+    try {
+      Main.main(Array("--watch-pg", url, "--out", out, "KB"))
+      // the backlog: 30 single-row transactions so maxchangespertrigger
+      // splits it into several bounded batches (each tx is B/row/C
+      // protocol rows; the bound cuts at commit boundaries)
+      withClient { c =>
+        (0 until 24).foreach(i => c.exec(
+          s"INSERT INTO ${PgMerge.table} VALUES ('KB', '/b', " +
+            f"'f$i%02d.txt', 'text/plain', NULL, now(), ${100 + i}%d, " +
+            "NULL)"))
+        c.exec(s"UPDATE ${PgMerge.table} SET size = 11 " +
+          "WHERE path = '/b' AND filename = 's1.txt'")
+        c.exec(s"UPDATE ${PgMerge.table} SET deleted = now() " +
+          "WHERE path = '/b' AND filename = 's2.txt'")
+        c.exec(s"DELETE FROM ${PgMerge.table} " +
+          "WHERE path = '/b' AND filename = 's3.txt'")
+      }
+      val eventsDir =
+        s"$out/events/${java.net.URLEncoder.encode("KB", "UTF-8")}"
+      val slotName = java.nio.file.Files.readString(java.nio.file.Path
+        .of(s"$eventsDir/_graft_changefeed")).linesIterator.next()
+      val lsn0 = withClient(_.queryOne(
+        "SELECT confirmed_flush_lsn::text FROM pg_replication_slots " +
+          s"WHERE slot_name = '$slotName'")).get
+      def advancedPast(lsn: String): Boolean = withClient(_.queryOne(
+        s"SELECT (confirmed_flush_lsn > '$lsn'::pg_lsn)::text FROM " +
+          s"pg_replication_slots WHERE slot_name = '$slotName'"))
+        .contains("true") // boolean::text renders 'true', not wire 't'
+      // crash on the SECOND bounded batch: batch 1 commits normally, so
+      // the next peek's advance-to-start releases batch 1's WAL while
+      // batch 2 is the planned-but-uncommitted one the restart replays
+      // count DATA batches only: the restored checkpoint replays the
+      // handoff run's final (empty) horizon batch first, which plans
+      // with no advance — the invariant under test needs two batches
+      // that carry changes
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val feed = spark.readStream.format("graft-pg").option("url", url)
+        .option("mode", "changefeed").option("slot", slotName)
+        .option("maxchangespertrigger", "20").load()
+      val q = feed.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          PgChangeFeed.asScrapeEvents(df, "KB")
+            .write.mode("append").parquet(eventsDir)
+          if (n > 0 && seen.incrementAndGet() >= 2)
+            sys.error("injected daemon death on bounded data batch 2")
+        }
+        .option("checkpointLocation",
+          s"$out/.changefeed-checkpoint/_slot_$slotName")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.awaitTermination())
+      assert(seen.get == 2, s"died on the second bounded DATA batch: " +
+        s"$seen")
+      // batch 1's WAL is RELEASED (the advance-to-start happened when
+      // batch 2's peek planned), but nothing of batch 2's window is:
+      // exactly the durably-processed prefix and no more
+      assert(advancedPast(lsn0),
+        "batch 1's commit releases its WAL via the next advance-to-start")
+      // restart with the SAME bound drains the replayed batch 2 plus
+      // the rest of the backlog; the replay lands as exact duplicates
+      Main.main(Array("--watch-pg", url, "--out", out,
+        "--max-changes", "20", "KB"))
+      val log = spark.read.parquet(eventsDir)
+      assert(log.count() > log.distinct().count(),
+        "the replayed bounded batch landed twice (exact duplicates)")
+      val snap = graft.streaming.ScrapeTws.snapshotOf(log)
+      val live = snap
+        .filter(org.apache.spark.sql.functions.col("deleted").isNull)
+        .select("filename", "size").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val expect = (0 until 24)
+        .map(i => (f"f$i%02d.txt", 100L + i)) :+ ("s1.txt", 11L)
+      assert(live == expect.sortBy(_._1),
+        s"snapshot equals the live table after bounded replay: $live")
+      val dead = snap
+        .filter(org.apache.spark.sql.functions.col("deleted").isNotNull)
+        .select("filename").collect().map(_.getString(0)).sorted.toSeq
+      assert(dead == Seq("s2.txt", "s3.txt"), s"dead rows: $dead")
+    } finally {
+      withClient { c =>
+        c.query("SELECT pg_drop_replication_slot(slot_name) FROM " +
+          "pg_replication_slots WHERE starts_with(slot_name, 'graft_cf_')")
+        c.exec("DROP PUBLICATION IF EXISTS graft_pub")
+        c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
+      }
+    }
+    assert(PgWireClient.live == 0, "no leaked connections")
+  }
+
   test("stream-bench changefeed guard (VERDICT r17 #6): a NON-EMPTY " +
       "external_file is never dropped by the bench without the " +
       "explicit opt-in — reachability is not consent") {
