@@ -857,11 +857,15 @@ object Main {
         }
       }
       // claims that point at slots the server no longer has are worth a
-      // line too (the watch path refuses them loudly at its next run)
-      claims.keySet.diff(rows.map(_(0).get).toSet).foreach { s =>
-        println(s"$s  MISSING on server but claimed by " +
-          claims(s).mkString(", "))
-      }
+      // line too (the watch path refuses them loudly at its next run).
+      // Only claims INSIDE the prefix: a narrowed --prefix filters the
+      // server listing, and a claim outside it would otherwise be
+      // reported missing while alive and well.
+      claims.keySet.filter(_.startsWith(prefix))
+        .diff(rows.map(_(0).get).toSet).foreach { s =>
+          println(s"$s  MISSING on server but claimed by " +
+            claims(s).mkString(", "))
+        }
       if (orphans.isEmpty) ()
       else if (!dropOrphans)
         println(s"${orphans.size} orphan(s) retaining WAL — rerun with " +

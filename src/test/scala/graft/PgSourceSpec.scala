@@ -1358,6 +1358,13 @@ class PgSourceSpec extends AnyFunSuite {
         // a narrower --prefix excludes it from the listing entirely
         val narrow = runSlots("--prefix", "graft_cf_")
         assert(!narrow.contains("graft_slot"), s"got:\n$narrow")
+        // a prefix narrower than a live claim must not report that
+        // claim as missing — it was filtered out, not dropped
+        val narrow2 = runSlots("--prefix", "graft_slot")
+        assert(narrow2.linesIterator.exists(l =>
+          l.startsWith("graft_slot") && l.contains("UNCLAIMABLE")) &&
+          !narrow2.contains("MISSING on server"),
+          s"claims outside the prefix stay unreported:\n$narrow2")
       } finally withClient { c =>
         c.query("SELECT pg_drop_replication_slot('graft_slot')"); ()
       }
