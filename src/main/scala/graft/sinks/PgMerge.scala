@@ -146,8 +146,16 @@ object PgMerge {
     props.setProperty("password", password)
     props.setProperty("driver", driverClass)
 
+    // repartition, NOT coalesce (round-18 scale finding): coalesce(2)
+    // pulls the ENTIRE upstream scan — the bucket listing's HTTP
+    // cursors, the stat calls, classify — into 2 tasks, silently
+    // serializing the scan to the connection cap. A round-robin
+    // exchange keeps the scan at its natural parallelism and only the
+    // staging write runs at `maxConnections` (the K1 budget is about
+    // connections, not scan tasks). Measured on the product cycle:
+    // 100k-object publish 5.8 s -> see PLANS r18.
     val staged = scan
-      .coalesce(maxConnections)
+      .repartition(maxConnections)
       .write
       .mode(SaveMode.Append)
       .option("batchsize", 1000)
@@ -660,7 +668,11 @@ object PgMerge {
         .stripMargin))
     try {
       val colList = scanCols.mkString(", ")
-      scan.selectExpr(scanCols: _*).coalesce(maxConnections)
+      // repartition, NOT coalesce — see publishScan: coalesce(2) would
+      // run the whole upstream scan (listing cursors, stats, classify)
+      // inside 2 tasks; the exchange keeps the scan parallel and caps
+      // only the COPY connections (K1, db.rs:28)
+      scan.selectExpr(scanCols: _*).repartition(maxConnections)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             val c = PgWireClient.connect(host, port, user, database,
