@@ -633,8 +633,9 @@ object PgMerge {
     *
     *  1. driver creates the per-scan scratch table,
     *  2. executors `COPY ... FROM STDIN` their partitions into it
-    *     (`coalesce(maxConnections)` caps parallel connections — the
-    *     reference pools 2, `db.rs:28`),
+    *     (`repartition(maxConnections)` caps parallel connections — the
+    *     reference pools 2, `db.rs:28` — without serializing the
+    *     upstream scan into those tasks),
     *  3. driver runs the single-transaction merge epilogue: BEGIN →
     *     upsert (J3) → tombstone (J2) → DROP scratch → COMMIT, with
     *     ROLLBACK on any failure (K2) and a best-effort scratch drop
