@@ -89,22 +89,37 @@ object Main {
     var maxRetainMb: Option[Long] = None
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
+    // a value-taking flag as the FINAL token must fail with a message
+    // naming the flag, not ArrayIndexOutOfBounds (ADVICE r17 for the
+    // slots parser; review r18 caught the same class here); numeric
+    // values likewise fail naming the flag, not a bare NumberFormat
+    def optValue(at: Int, flag: String): String =
+      if (at + 1 < args.length) args(at + 1)
+      else throw new IllegalArgumentException(s"$flag needs a value")
+    def optLong(at: Int, flag: String): Long = {
+      val v = optValue(at, flag)
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$flag needs a number, got '$v'"))
+    }
     while (i < args.length) {
       args(i) match {
-        case "-i" | "--identifier" => identifier = Some(args(i + 1)); i += 2
+        case f @ ("-i" | "--identifier") =>
+          identifier = Some(optValue(i, f)); i += 2
         case "-v" => verbosity += 1; i += 1
-        case "--out" => out = Some(args(i + 1)); i += 2
-        case "--jdbc" => jdbc = Some(args(i + 1)); i += 2
-        case "--pg" => pg = Some(args(i + 1)); i += 2
+        case f @ "--out" => out = Some(optValue(i, f)); i += 2
+        case f @ "--jdbc" => jdbc = Some(optValue(i, f)); i += 2
+        case f @ "--pg" => pg = Some(optValue(i, f)); i += 2
         case "--s3-wire" => s3Wire = true; i += 1
-        case "--s3-endpoint" => s3Endpoint = Some(args(i + 1)); i += 2
+        case f @ "--s3-endpoint" =>
+          s3Endpoint = Some(optValue(i, f)); i += 2
         case "--stream-events" => streamEvents = true; i += 1
         case "--rebuild-state" => rebuildState = true; i += 1
-        case "--interval" => interval = Some(args(i + 1).toLong); i += 2
-        case "--watch-pg" => watchPg = Some(args(i + 1)); i += 2
-        case "--max-changes" => maxChanges = Some(args(i + 1).toLong); i += 2
-        case "--max-retain-mb" =>
-          maxRetainMb = Some(args(i + 1).toLong); i += 2
+        case f @ "--interval" => interval = Some(optLong(i, f)); i += 2
+        case f @ "--watch-pg" => watchPg = Some(optValue(i, f)); i += 2
+        case f @ "--max-changes" =>
+          maxChanges = Some(optLong(i, f)); i += 2
+        case f @ "--max-retain-mb" =>
+          maxRetainMb = Some(optLong(i, f)); i += 2
         case p => paths += p; i += 1
       }
     }
@@ -604,6 +619,14 @@ object Main {
       val h =
         try PgChangeFeed.bootstrapSnapshot(opts)
         catch { case e: Throwable =>
+          // bootstrap can fail AFTER its CREATE_REPLICATION_SLOT
+          // succeeded (connection dying mid-response, snapshot-name
+          // parse) — the slot name carries THIS run's random token, so
+          // if it exists it is ours and would retain WAL with no marker
+          // ever claiming it (review r18); best-effort, like the
+          // seed-failure cleanup below
+          try { PgChangeFeed.dropSlot(opts); () }
+          catch { case _: Throwable => () }
           try { lockFs.delete(lockPath, false); () }
           catch { case _: Throwable => () }
           throw e

@@ -3,7 +3,7 @@ package graft
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
-import graft.sinks.{PgMerge, PgWireClient}
+import graft.sinks.PgMerge
 import graft.sources.S3Wire
 import graft.sources.S3Wire.{S3Conf, S3Object}
 
@@ -35,8 +35,12 @@ import graft.sources.S3Wire.{S3Conf, S3Object}
   * a server is not consent to DROP its table). */
 object ProductBench {
 
-  final case class CycleStats(rows: Long, c1Sec: Double, c2Sec: Double,
-      live: Long, dead: Long)
+  /** `rows` = objects listed in cycle 1 (the fresh namespace);
+    * `rows2` = objects listed in cycle 2 (kept + fresh — the honest
+    * divisor for the churn throughput, review r18: cycle 2 lists ~5%
+    * fewer objects than cycle 1). */
+  final case class CycleStats(rows: Long, rows2: Long, c1Sec: Double,
+      c2Sec: Double, live: Long, dead: Long)
 
   /** Deterministic namespace: hierarchical `logs/dayNN/` prefixes (25
     * children) so the listing exercises the recursive shard planner,
@@ -105,7 +109,8 @@ object ProductBench {
       run(spark, n) match {
         case Some(st) => println(f"[product-bench] rows=${st.rows}%d " +
           f"cycle1=${st.c1Sec}%.2fs (${st.rows / st.c1Sec}%.0f rows/s) " +
-          f"cycle2=${st.c2Sec}%.2fs (${st.rows / st.c2Sec}%.0f rows/s) " +
+          f"cycle2=${st.c2Sec}%.2fs over ${st.rows2}%d objs " +
+          f"(${st.rows2 / st.c2Sec}%.0f rows/s) " +
           f"live=${st.live}%d dead=${st.dead}%d")
         case None => println("[product-bench] row omitted (no server, " +
           "or non-empty table without opt-in)")
@@ -115,33 +120,14 @@ object ProductBench {
 
   def run(spark: SparkSession, nObjects: Int = 100000)
       : Option[CycleStats] = {
-    val host = sys.env.getOrElse("PGWIRE_HOST", "127.0.0.1")
-    val port = sys.env.get("PGPORT").flatMap(_.toIntOption).getOrElse(54329)
+    import graft.BenchPg.withClient
+    val (host, port) = (BenchPg.host, BenchPg.port)
     val src = "bench_s3"
-    def withClient[A](f: PgWireClient => A): A = {
-      val c = new PgWireClient(host, port, "postgres", "postgres")
-      try f(c) finally c.close()
-    }
-    val usable =
-      try withClient(_.queryOne("SELECT 1").contains("1"))
-      catch { case _: Throwable => false }
-    if (!usable) return None
-    // destructive-setup guard, same contract as the stream bench's
-    // changefeed row (VERDICT r17 #6)
-    val optIn = sys.env.get("GRAFT_BENCH_ALLOW_DROP").contains("1") ||
-      sys.props.get("graft.bench.allowDrop").contains("true")
-    val hasRows =
-      try withClient { c =>
-        c.queryOne("SELECT count(*) FROM pg_class WHERE relname = " +
-          s"'${PgMerge.table}' AND relkind = 'r'").contains("1") &&
-          !c.queryOne(s"SELECT count(*) FROM ${PgMerge.table}")
-            .contains("0")
-      } catch { case _: Throwable => false }
-    if (hasRows && !optIn) {
-      println(s"product-bench: ${PgMerge.table} on $host:$port is " +
-        "NON-EMPTY — refusing the DROP/recreate (set " +
-        "GRAFT_BENCH_ALLOW_DROP=1 or -Dgraft.bench.allowDrop=true to " +
-        "opt in); product_cycle row omitted")
+    if (!BenchPg.reachable) return None
+    // destructive-setup guard, FAIL-CLOSED and shared with the stream
+    // bench's changefeed row ([[BenchPg.mayDropTable]], review r18)
+    if (!BenchPg.mayDropTable) {
+      println(BenchPg.refusalNote("product-bench"))
       return None
     }
     @volatile var served: Array[S3Object] = namespace(nObjects,
@@ -155,16 +141,7 @@ object ProductBench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(64)
     server.setExecutor(pool)
     server.start()
-    withClient { c =>
-      c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
-      c.exec(
-        s"""CREATE TABLE ${PgMerge.table} (
-           |  external_source TEXT, path TEXT, filename TEXT,
-           |  mime_type TEXT, created TIMESTAMPTZ, modified TIMESTAMPTZ,
-           |  size BIGINT, deleted TIMESTAMPTZ,
-           |  CONSTRAINT ${PgMerge.constraint}
-           |    UNIQUE (external_source, path, filename))""".stripMargin)
-    }
+    withClient(BenchPg.createTable)
     try {
       val conf = S3Conf(s"http://127.0.0.1:${server.getAddress.getPort}",
         "us-east-1", "k", "s", pathStyle = true)
@@ -190,12 +167,17 @@ object ProductBench {
       served = namespace(nObjects, churned = true)
       val c2 = cycle()
       val (live2, dead2) = counts()
-      val expectLive = nObjects - nObjects / 10 + nObjects / 20
-      val expectDead = nObjects / 10
+      // vanished = i % 10 == 0 over [0, n) = ceil(n/10) keys (review
+      // r18: plain n/10 undercounts for n not divisible by 10); fresh
+      // = exactly n/20 ([n, n + n/20))
+      val expectDead = (nObjects + 9L) / 10L
+      val expectLive = nObjects - expectDead + nObjects / 20L
       require(live2 == expectLive && dead2 == expectDead,
         s"cycle 2 churn must leave live=$expectLive dead=$expectDead, " +
           s"got live=$live2 dead=$dead2")
-      Some(CycleStats(nObjects.toLong, c1, c2, live2, dead2))
+      // cycle 2 lists kept + fresh = expectLive objects — the honest
+      // throughput divisor
+      Some(CycleStats(nObjects.toLong, expectLive, c1, c2, live2, dead2))
     } finally {
       server.stop(0)
       pool.shutdownNow()

@@ -254,23 +254,11 @@ object StreamBench {
     // destructive-setup guard (VERDICT r17 #6): this helper DROPs and
     // recreates the product table — correct on the disposable harness
     // server (whose suites leave no external_file behind), ruinous on a
-    // server holding real data. A NON-EMPTY external_file is refused
-    // unless the operator opts in explicitly; mere reachability of a
-    // logical-WAL server is not consent.
-    val optIn = sys.env.get("GRAFT_BENCH_ALLOW_DROP").contains("1") ||
-      sys.props.get("graft.bench.allowDrop").contains("true")
-    val hasRows =
-      try withClient { c =>
-        c.queryOne("SELECT count(*) FROM pg_class WHERE relname = " +
-          s"'${PgMerge.table}' AND relkind = 'r'").contains("1") &&
-          !c.queryOne(s"SELECT count(*) FROM ${PgMerge.table}")
-            .contains("0")
-      } catch { case _: Throwable => false }
-    if (hasRows && !optIn) {
-      println(s"stream-bench: ${PgMerge.table} on $url is NON-EMPTY — " +
-        "refusing the changefeed bench's DROP/recreate (set " +
-        "GRAFT_BENCH_ALLOW_DROP=1 or -Dgraft.bench.allowDrop=true to " +
-        "opt in); changefeed row omitted")
+    // server holding real data. FAIL-CLOSED and shared with the product
+    // bench ([[graft.BenchPg.mayDropTable]], review r18): only positive
+    // proof of absent-or-empty (or the explicit opt-in) proceeds.
+    if (!graft.BenchPg.mayDropTable) {
+      println(graft.BenchPg.refusalNote("stream-bench changefeed"))
       return None
     }
     def dropFeedObjects(c: PgWireClient): Unit = {
@@ -280,14 +268,7 @@ object StreamBench {
       c.exec(s"DROP PUBLICATION IF EXISTS $pub")
     }
     withClient { c =>
-      c.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}")
-      c.exec(
-        s"""CREATE TABLE ${PgMerge.table} (
-           |  external_source TEXT, path TEXT, filename TEXT,
-           |  mime_type TEXT, created TIMESTAMPTZ, modified TIMESTAMPTZ,
-           |  size BIGINT, deleted TIMESTAMPTZ,
-           |  CONSTRAINT ${PgMerge.constraint}
-           |    UNIQUE (external_source, path, filename))""".stripMargin)
+      graft.BenchPg.createTable(c)
       dropFeedObjects(c)
     }
     try {

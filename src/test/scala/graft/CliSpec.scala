@@ -251,6 +251,22 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("main arg parsing: value-less trailing flags and non-numeric " +
+      "values fail naming the flag, not with a raw array/number " +
+      "exception (review r18)") {
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("--watch-pg", "h:1/db", "--out", "/tmp/x", "SRC",
+        "--max-retain-mb")))
+    assert(e.getMessage.contains("--max-retain-mb needs a value"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Main.main(Array("--interval", "soon", "/tmp")))
+    assert(e2.getMessage.contains("--interval needs a number"),
+      e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Main.main(Array("--pg")))
+    assert(e3.getMessage.contains("--pg needs a value"), e3.getMessage)
+  }
+
   test("slots arg parsing: a value-less trailing flag fails with the " +
       "usage message, not ArrayIndexOutOfBounds (ADVICE r17)") {
     val e = intercept[IllegalArgumentException](
