@@ -1662,6 +1662,23 @@ class PgSourceSpec extends AnyFunSuite {
         withClient(_.queryOne(s"SELECT path FROM ${PgMerge.table}"))
           .contains("/data"),
         "the guarded table keeps its real data")
+      // FAIL-CLOSED on ambiguity (review r18): a SECOND relation named
+      // external_file in another schema makes the catalog probe
+      // ambiguous — the guard must refuse even though the public table
+      // is about to be emptied, because it cannot PROVE which one the
+      // unqualified DROP would hit
+      withClient { c =>
+        c.exec("CREATE SCHEMA IF NOT EXISTS graft_guard_s2")
+        c.exec(s"CREATE TABLE graft_guard_s2.${PgMerge.table} (x INT)")
+        c.exec(s"DELETE FROM ${PgMerge.table}")
+      }
+      try {
+        assert(!BenchPg.mayDropTable,
+          "two same-named relations refuse without opt-in")
+        assert(streaming.StreamBench.changefeedStats(spark, 1000L).isEmpty,
+          "the ambiguous catalog omits the row")
+      } finally withClient(
+        _.exec("DROP SCHEMA graft_guard_s2 CASCADE"))
       // the explicit opt-in proceeds (drops, seeds, drains, cleans up)
       sys.props("graft.bench.allowDrop") = "true"
       try {
