@@ -684,6 +684,12 @@ object Main {
       spark.readStream.format("graft-pg").option("url", addr)
         .option("mode", "changefeed").option("slot", slot))(
       (r, n) => r.option("maxchangespertrigger", n.toString)).load()
+    // long-lived advisory monitor connection (review r18): the check
+    // runs per trigger, and a fresh TCP/TLS/auth handshake per trigger
+    // is churn for one catalog row — reuse one connection, reconnect
+    // on the next trigger after any error. Touched only on the stream
+    // thread; closed after termination (awaitTermination orders it).
+    var monitor: sinks.PgWireClient = null
     val q = feed.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         // retained-WAL self-monitoring (VERDICT r17 #4): a slot whose
@@ -693,14 +699,22 @@ object Main {
         // catalog query per trigger; a transient failure must never
         // kill the watch (the monitor is advisory, the drain is not).
         maxRetainMb.foreach { mb =>
-          try PgChangeFeed.retainedWalBytes(opts).foreach { bytes =>
-            if (bytes > mb * 1048576L)
-              println(f"note — slot $slot retains ${bytes / 1048576.0}%.1f" +
-                f" MiB of WAL on the server (over --max-retain-mb $mb%d):" +
-                " confirms are lagging the write rate; if this grows, " +
-                "the server's disk fills — check the watch daemon's " +
-                "trigger cadence (`graft.Main slots` lists all slots)")
+          try {
+            if (monitor == null)
+              monitor = PgChangeFeed.monitorConnection(opts)
+            PgChangeFeed.retainedWalBytes(monitor, slot).foreach { bytes =>
+              if (bytes > mb * 1048576L)
+                println(f"note — slot $slot retains " +
+                  f"${bytes / 1048576.0}%.1f MiB of WAL on the server " +
+                  f"(over --max-retain-mb $mb%d): confirms are lagging " +
+                  "the write rate; if this grows, the server's disk " +
+                  "fills — check the watch daemon's trigger cadence " +
+                  "(`graft.Main slots` lists all slots)")
+            }
           } catch { case e: Throwable =>
+            try { if (monitor != null) monitor.close() }
+            catch { case _: Throwable => () }
+            monitor = null
             println(s"note — retained-WAL check failed (monitor only, " +
               s"watch continues): ${e.getMessage}")
           }
@@ -726,8 +740,14 @@ object Main {
         Trigger.AvailableNow())(sec => Trigger.ProcessingTime(sec * 1000L)))
       .start()
     // one-shot runs to completion; the daemon fails loudly on death
-    if (interval.isEmpty) q.awaitTermination()
-    else spark.streams.awaitAnyTermination()
+    try {
+      if (interval.isEmpty) q.awaitTermination()
+      else spark.streams.awaitAnyTermination()
+    } finally {
+      try { if (monitor != null) monitor.close() }
+      catch { case _: Throwable => () }
+      monitor = null
+    }
     entries.foreach { case (src, sub) =>
       println(s"$src: ${countEvents(spark, eventsDir(sub))} " +
         s"change events at ${eventsDir(sub)}")

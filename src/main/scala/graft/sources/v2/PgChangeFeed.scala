@@ -241,35 +241,45 @@ object PgChangeFeed {
           Nil
         case 'I' => // Insert: oid 'N' tuple
           val oid = c.i32()
-          require(c.u8().toChar == 'N', "pgoutput: Insert without new tuple")
-          val cells = tuple(c)
-          if (!isWatched(oid)) Nil
-          else Seq(Change("insert", commitTs, relations(oid)._3,
-            resolved(cells, None)))
-        case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' new-tuple
-          val oid = c.i32()
-          var kind = c.u8().toChar
-          // 'O' = the complete old row (REPLICA IDENTITY FULL — what
-          // this feed bootstraps and depends on). A key-only 'K' old
-          // tuple means the identity was flipped mid-stream: its
-          // absent columns are indistinguishable from SQL NULL, so
-          // continuing risks either a phantom old row (ignore it) or a
-          // null-identity tombstone (use it) — fail LOUDLY instead
-          // (review r16). Remediation (ADVICE r16): re-bootstrapping
-          // FULL only affects FUTURE WAL — the key-only frames already
-          // past confirmed_flush_lsn re-decode on every restart, so a
-          // plain restart crash-loops; the slot must skip them.
-          if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
-          val old: Option[Vector[Option[String]]] =
-            if (kind == 'O') {
-              val cells = tuple(c)
-              kind = c.u8().toChar
-              Some(resolved(cells, None))
-            } else None
-          require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
-          val cells = tuple(c)
+          // unwatched first (review r18): a foreign table published
+          // alongside must never reach the tuple parse OR the identity
+          // checks below — its frames are none of this feed's business
           if (!isWatched(oid)) Nil
           else {
+            require(c.u8().toChar == 'N',
+              "pgoutput: Insert without new tuple")
+            val cells = tuple(c)
+            Seq(Change("insert", commitTs, relations(oid)._3,
+              resolved(cells, None)))
+          }
+        case 'U' => // Update: oid ['K'|'O' old-tuple] 'N' new-tuple
+          val oid = c.i32()
+          // unwatched first (review r18): before this reorder, a
+          // foreign table with DEFAULT replica identity crash-looped
+          // the stream on its key-only 'K' old image — with a
+          // remediation message naming the WATCHED table
+          if (!isWatched(oid)) Nil
+          else {
+            var kind = c.u8().toChar
+            // 'O' = the complete old row (REPLICA IDENTITY FULL — what
+            // this feed bootstraps and depends on). A key-only 'K' old
+            // tuple means the identity was flipped mid-stream: its
+            // absent columns are indistinguishable from SQL NULL, so
+            // continuing risks either a phantom old row (ignore it) or a
+            // null-identity tombstone (use it) — fail LOUDLY instead
+            // (review r16). Remediation (ADVICE r16): re-bootstrapping
+            // FULL only affects FUTURE WAL — the key-only frames already
+            // past confirmed_flush_lsn re-decode on every restart, so a
+            // plain restart crash-loops; the slot must skip them.
+            if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
+            val old: Option[Vector[Option[String]]] =
+              if (kind == 'O') {
+                val cells = tuple(c)
+                kind = c.u8().toChar
+                Some(resolved(cells, None))
+              } else None
+            require(kind == 'N', s"pgoutput: Update tuple kind '$kind'")
+            val cells = tuple(c)
             val (_, _, cols, keyIdx) = relations(oid)
             val now = resolved(cells, old)
             val renamed = old.exists(o =>
@@ -281,16 +291,18 @@ object PgChangeFeed {
           }
         case 'D' => // Delete: oid ('K'|'O') old-tuple
           val oid = c.i32()
-          val kind = c.u8().toChar
-          // same contract as Update: a key-only old image would emit a
-          // delete with null identity columns, which the adapters drop
-          // SILENTLY — a missed deletion, not a degraded one
-          if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
-          require(kind == 'O', s"pgoutput: Delete tuple kind '$kind'")
-          val cells = tuple(c)
-          if (!isWatched(oid)) Nil
-          else Seq(Change("delete", commitTs, relations(oid)._3,
-            resolved(cells, None)))
+          if (!isWatched(oid)) Nil // unwatched first, as in 'U'
+          else {
+            val kind = c.u8().toChar
+            // same contract as Update: a key-only old image would emit a
+            // delete with null identity columns, which the adapters drop
+            // SILENTLY — a missed deletion, not a degraded one
+            if (kind == 'K') throw new IllegalStateException(keyOnlyMsg)
+            require(kind == 'O', s"pgoutput: Delete tuple kind '$kind'")
+            val cells = tuple(c)
+            Seq(Change("delete", commitTs, relations(oid)._3,
+              resolved(cells, None)))
+          }
         case 'T' => // Truncate: nrels(4) options(1) oids…
           val nrels = c.i32()
           c.u8()
@@ -433,31 +445,44 @@ object PgChangeFeed {
 
   /** Does the named slot exist? The resume-vs-handoff decision for a
     * changefeed consumer (same option map as the reader/bootstrap). */
-  def slotExists(options: Map[String, String]): Boolean = {
+  /** Resolve options → one connection + the checked slot name, run
+    * `f`, close — the shared preamble of every slot utility (review
+    * r18: four drifting verbatim copies collapsed). */
+  private def withSlotConn[A](options: Map[String, String])(
+      f: (PgWireClient, String) => A): A = {
     val merged = options.map { case (k, v) => k.toLowerCase -> v }
     val conn = PgConnInfo.resolve(merged)
     val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
     val c = PgWireClient.connect(conn.host, conn.port, conn.user,
       conn.database, conn.password, conn.sslMode, conn.sslRootCert)
-    try c.queryOne("SELECT count(*) FROM pg_replication_slots " +
-      s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("1")
-    finally c.close()
+    try f(c, slot) finally c.close()
   }
+
+  /** One long-lived connection for advisory monitors: the watch
+    * daemon's --max-retain-mb check runs per TRIGGER, and a fresh
+    * TCP/TLS/auth handshake per trigger is connection churn for one
+    * catalog row (review r18). Caller owns `close()` and reconnects
+    * on error. */
+  def monitorConnection(options: Map[String, String]): PgWireClient = {
+    val merged = options.map { case (k, v) => k.toLowerCase -> v }
+    val conn = PgConnInfo.resolve(merged)
+    PgWireClient.connect(conn.host, conn.port, conn.user, conn.database,
+      conn.password, conn.sslMode, conn.sslRootCert)
+  }
+
+  def slotExists(options: Map[String, String]): Boolean =
+    withSlotConn(options)((c, slot) =>
+      c.queryOne("SELECT count(*) FROM pg_replication_slots " +
+        s"WHERE slot_name = ${PgWireClient.sqlLit(slot)}").contains("1"))
 
   /** Drop the named slot if it exists (releasing its retained WAL) —
     * the failed-handoff cleanup and the orphan-GC primitive. Returns
     * whether a slot was dropped. */
-  def dropSlot(options: Map[String, String]): Boolean = {
-    val merged = options.map { case (k, v) => k.toLowerCase -> v }
-    val conn = PgConnInfo.resolve(merged)
-    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
-    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
-      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
-    try c.queryOne("SELECT count(pg_drop_replication_slot(slot_name)) " +
-      "FROM pg_replication_slots WHERE slot_name = " +
-      PgWireClient.sqlLit(slot)).contains("1")
-    finally c.close()
-  }
+  def dropSlot(options: Map[String, String]): Boolean =
+    withSlotConn(options)((c, slot) =>
+      c.queryOne("SELECT count(pg_drop_replication_slot(slot_name)) " +
+        "FROM pg_replication_slots WHERE slot_name = " +
+        PgWireClient.sqlLit(slot)).contains("1"))
 
   /** Retained-WAL bytes behind the named slot —
     * `pg_wal_lsn_diff(pg_current_wal_lsn(), restart_lsn)` — the
@@ -465,34 +490,28 @@ object PgChangeFeed {
     * confirms lag pins every WAL segment since its `restart_lsn` on the
     * SERVER's disk. None when the slot does not exist (or the column is
     * unexpectedly null). */
-  def retainedWalBytes(options: Map[String, String]): Option[Long] = {
-    val merged = options.map { case (k, v) => k.toLowerCase -> v }
-    val conn = PgConnInfo.resolve(merged)
-    val slot = checkedName("slot", merged.getOrElse("slot", "graft_slot"))
-    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
-      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
-    try c.query("SELECT pg_wal_lsn_diff(pg_current_wal_lsn(), " +
+  def retainedWalBytes(options: Map[String, String]): Option[Long] =
+    withSlotConn(options)(retainedWalBytes)
+
+  /** Core form over a caller-owned connection — the per-trigger
+    * monitor reuses one [[monitorConnection]] instead of
+    * reconnecting. */
+  def retainedWalBytes(c: PgWireClient, slot: String): Option[Long] =
+    c.query("SELECT pg_wal_lsn_diff(pg_current_wal_lsn(), " +
       "restart_lsn)::text FROM pg_replication_slots WHERE slot_name = " +
-      PgWireClient.sqlLit(slot))
+      PgWireClient.sqlLit(checkedName("slot", slot)))
       .headOption.flatMap(_.headOption.flatten).flatMap(_.toLongOption)
-    finally c.close()
-  }
 
   /** Existing slots whose name starts with `prefix` (`starts_with`, not
     * LIKE — a slot-charset prefix is full of `_` wildcards) — the
     * other-logs'-cursors / orphaned-slot visibility surface for
     * per-log slot naming. */
   def siblingSlots(options: Map[String, String],
-      prefix: String): Seq[String] = {
-    val merged = options.map { case (k, v) => k.toLowerCase -> v }
-    val conn = PgConnInfo.resolve(merged)
-    val c = PgWireClient.connect(conn.host, conn.port, conn.user,
-      conn.database, conn.password, conn.sslMode, conn.sslRootCert)
-    try c.query("SELECT slot_name FROM pg_replication_slots " +
-      s"WHERE starts_with(slot_name, ${PgWireClient.sqlLit(prefix)}) " +
-      "ORDER BY slot_name").flatMap(_.headOption.flatten)
-    finally c.close()
-  }
+      prefix: String): Seq[String] =
+    withSlotConn(options)((c, _) =>
+      c.query("SELECT slot_name FROM pg_replication_slots " +
+        s"WHERE starts_with(slot_name, ${PgWireClient.sqlLit(prefix)}) " +
+        "ORDER BY slot_name").flatMap(_.headOption.flatten))
 
   /** [[graft.streaming.ScrapeTws.genUuid]] as a column — the
     * md5-over-joined-triple deterministic surrogate, bit-identical to

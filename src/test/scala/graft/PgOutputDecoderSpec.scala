@@ -143,6 +143,27 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     assert(ke.getMessage.contains("REPLICA IDENTITY"), ke.getMessage)
   }
 
+  test("foreign-table key-only images are SKIPPED, not fatal (review " +
+      "r18): a DEFAULT-identity table published alongside must never " +
+      "crash-loop the feed with the WATCHED table's remediation") {
+    // decoder watches external_file; fix_r registers as a FOREIGN
+    // relation whose updates/deletes arrive with 'K' old images
+    // (default replica identity) — before the reorder these threw
+    // keyOnlyMsg and, being past confirmed_flush_lsn, re-threw on
+    // every restart
+    val d = new PgChangeFeed.Decoder("external_file")
+    assert(feed(d, begin).isEmpty)
+    assert(feed(d, renameRelation).isEmpty)
+    assert(feed(d, renameUpdate.replaceFirst("4f", "4b")).isEmpty,
+      "foreign 'U' with a key-only old image skips")
+    assert(feed(d, "4400004d5c4b0000").isEmpty,
+      "foreign 'D' with a key-only old image skips")
+    // the watched table's own frames still decode afterwards
+    assert(feed(d, relationFull).isEmpty)
+    assert(feed(d, update).exists(_.action == "update"),
+      "the feed continues normally past the foreign frames")
+  }
+
   test("an unchanged out-of-line (TOASTed) column arrives as 'u' and is " +
       "resolved from the REPLICA IDENTITY FULL old image — never " +
       "aliased to SQL NULL") {

@@ -1468,8 +1468,24 @@ class PgSourceSpec extends AnyFunSuite {
         .start()
       intercept[org.apache.spark.sql.streaming.StreamingQueryException](
         q.awaitTermination())
-      assert(confirmed == lsnBefore,
-        "a batch that never committed must NOT advance the slot")
+      // the invariant is NOT "confirmed froze": restoring the handoff
+      // run's COMMITTED batch may advance to that batch's end
+      // (durably-processed WAL — background checkpoint records can put
+      // that horizon past the handoff confirm). What must hold is that
+      // NOTHING of the uncommitted batch's window is released — its
+      // planned end stays strictly ahead of the confirm, so the replay
+      // re-ships it
+      val plannedEnd = {
+        val dir = new java.io.File(
+          s"$out/.changefeed-checkpoint/_slot_$slotName/offsets")
+        val last = dir.listFiles().filter(_.getName.forall(_.isDigit))
+          .maxBy(_.getName.toInt)
+        java.nio.file.Files.readString(last.toPath)
+          .linesIterator.toSeq.last.trim.toLong
+      }
+      assert(PgChangeFeed.parseLsn(confirmed) < plannedEnd,
+        s"the uncommitted batch's window (end $plannedEnd) must not be " +
+          s"released by the crash (confirmed $confirmed)")
       val countMid = spark.read.parquet(eventsDir).count()
       assert(countMid > countBefore,
         "the doomed batch's write is durable (that is the hazard)")
