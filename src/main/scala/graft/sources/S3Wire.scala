@@ -105,9 +105,14 @@ object S3Wire extends Serializable {
   // --- client config (the reference's env contract, s3.rs:24-49) ---------
 
   /** Connection settings; `endpoint` like `http://127.0.0.1:9000` or the
-    * AWS default `https://s3.<region>.amazonaws.com`. */
+    * AWS default `https://s3.<region>.amazonaws.com`. `sessionToken` is
+    * the STS temporary-credential companion (instance roles, assumed
+    * roles — the standard production credential shape): when present it
+    * travels as a SIGNED `x-amz-security-token` header on every request
+    * (review r18: without it, temporary credentials got 403s). */
   final case class S3Conf(endpoint: String, region: String,
-      accessKey: String, secretKey: String, pathStyle: Boolean)
+      accessKey: String, secretKey: String, pathStyle: Boolean,
+      sessionToken: Option[String] = None)
 
   def confFromEnv(env: Map[String, String]): S3Conf = {
     val region = env.getOrElse("AWS_REGION", "us-east-1")
@@ -118,8 +123,16 @@ object S3Wire extends Serializable {
       accessKey = env.getOrElse("AWS_ACCESS_KEY_ID", ""),
       secretKey = env.getOrElse("AWS_SECRET_ACCESS_KEY", ""),
       pathStyle = env.get("AWS_S3_FORCE_PATH_STYLE")
-        .exists(v => v == "true" || v == "TRUE" || v == "1"))
+        .exists(v => v == "true" || v == "TRUE" || v == "1"),
+      sessionToken = env.get("AWS_SESSION_TOKEN").filter(_.nonEmpty))
   }
+
+  /** S3 error responses carry their HTTP status TYPED (review r18): the
+    * retry classifier used to regex "HTTP \d+" out of the message, where
+    * user-controlled bucket/prefix/key text precedes the real code — a
+    * key containing "HTTP 200" spoofed the classification. */
+  final class S3HttpException(val code: Int, msg: String)
+    extends java.io.IOException(msg)
 
   // --- ListObjectsV2 ------------------------------------------------------
 
@@ -144,13 +157,12 @@ object S3Wire extends Serializable {
       try return f
       catch {
         case e: java.io.IOException
-            if k < attempts - 1 && {
-              val m = Option(e.getMessage).getOrElse("")
-              val httpCode = "HTTP (\\d+)".r.findFirstMatchIn(m)
-                .map(_.group(1).toInt)
-              // no HTTP code = connect/read failure (reset, timeout)
-              httpCode.forall(c => c == 429 || c >= 500)
-            } =>
+            if k < attempts - 1 && (e match {
+              // typed status (review r18) — never scraped from the
+              // message, where key/prefix text could spoof it
+              case h: S3HttpException => h.code == 429 || h.code >= 500
+              case _ => true // no status = connect/read failure
+            }) =>
           Thread.sleep(200L << k)
           k += 1
       }
@@ -180,22 +192,33 @@ object S3Wire extends Serializable {
       maxKeys: Int = 1000, startAfter: Option[String] = None): ListPage =
     withRetry(s"list $bucket/$prefix") {
     val ep = URI.create(conf.endpoint)
+    // a gateway endpoint may mount S3 under a path (review r18): honor
+    // it in BOTH the canonical URI and the request URL, or every
+    // request 404s in a way that reads as a missing bucket
+    val base = Option(ep.getPath).getOrElse("").stripSuffix("/")
     val (host, path) =
-      if (conf.pathStyle) (hostHeader(ep), s"/$bucket")
-      else (hostHeader(ep, s"$bucket."), "/")
+      if (conf.pathStyle) (hostHeader(ep), s"$base/$bucket")
+      else (hostHeader(ep, s"$bucket."), if (base.isEmpty) "/" else base)
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
     val payloadHash = hexSha256(Array.emptyByteArray) // GET: empty payload
+    // encoding-type=url (review r18): keys may legally contain chars
+    // ILLEGAL in XML 1.0 (control bytes) — without it one such key
+    // makes the page unparseable and the bucket unlistable. The parser
+    // decodes only when the response ECHOES <EncodingType>url</>
+    // (stores that ignore the parameter keep their raw behavior).
     val query = Seq("list-type" -> "2", "prefix" -> prefix,
-      "max-keys" -> maxKeys.toString) ++
+      "max-keys" -> maxKeys.toString, "encoding-type" -> "url") ++
       token.map("continuation-token" -> _) ++
       delimiter.map("delimiter" -> _) ++
       // only meaningful on the FIRST request of a cursor (the API gives
       // ContinuationToken precedence anyway; omit to keep requests clean)
       (if (token.isEmpty) startAfter.map("start-after" -> _) else None)
     val headers = Seq("host" -> host, "x-amz-date" -> amzDate,
-      "x-amz-content-sha256" -> payloadHash)
+      "x-amz-content-sha256" -> payloadHash) ++
+      // STS temporary credentials: the token is a SIGNED header
+      conf.sessionToken.map("x-amz-security-token" -> _)
     val auth = authorizationHeader(conf.accessKey, conf.secretKey, amzDate,
       conf.region, "s3", "GET", path, query, headers, payloadHash)
     val qs = query
@@ -208,13 +231,15 @@ object S3Wire extends Serializable {
     c.setReadTimeout(60000)
     c.setRequestProperty("x-amz-date", amzDate)
     c.setRequestProperty("x-amz-content-sha256", payloadHash)
+    conf.sessionToken.foreach(
+      c.setRequestProperty("x-amz-security-token", _))
     c.setRequestProperty("Authorization", auth)
     val code = c.getResponseCode
     if (code != 200) {
       val err = Option(c.getErrorStream)
         .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
-      throw new java.io.IOException(s"ListObjectsV2 $bucket/$prefix: " +
-        s"HTTP $code $err")
+      throw new S3HttpException(code,
+        s"ListObjectsV2 $bucket/$prefix: HTTP $code $err")
     }
     val body = c.getInputStream.readAllBytes()
     parseListXml(body)
@@ -240,17 +265,39 @@ object S3Wire extends Serializable {
       (0 until nl.getLength).map(nl.item(_).getTextContent)
     }
     val root = doc.getDocumentElement
+    // keys/prefixes arrive URL-ENCODED only when the server echoes the
+    // requested encoding-type (AWS does; stores ignoring the parameter
+    // keep raw keys and skip the decode). S3's url form encodes space
+    // as '+', which URLDecoder inverts.
+    val urlEncoded = {
+      val nl = root.getChildNodes
+      (0 until nl.getLength).exists(i => nl.item(i) match {
+        case e: org.w3c.dom.Element =>
+          e.getLocalName == "EncodingType" && e.getTextContent == "url"
+        case _ => false
+      })
+    }
+    def dec(s: String): String =
+      if (urlEncoded) java.net.URLDecoder.decode(s, "UTF-8") else s
+    // AWS and MinIO render LastModified with 'Z'; other gateways may
+    // emit a numeric offset — accept both (review r18)
+    def modMs(s: String): Long =
+      try java.time.Instant.parse(s).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+      }
     val contents = root.getElementsByTagNameNS("*", "Contents")
     val objs = (0 until contents.getLength).map { i =>
       val e = contents.item(i).asInstanceOf[org.w3c.dom.Element]
       S3Object(
-        texts(e, "Key").head,
-        java.time.Instant.parse(texts(e, "LastModified").head).toEpochMilli,
+        dec(texts(e, "Key").head),
+        modMs(texts(e, "LastModified").head),
         texts(e, "Size").head.toLong)
     }
     val cps = root.getElementsByTagNameNS("*", "CommonPrefixes")
     val prefixes = (0 until cps.getLength).map { i =>
-      texts(cps.item(i).asInstanceOf[org.w3c.dom.Element], "Prefix").head
+      dec(texts(cps.item(i).asInstanceOf[org.w3c.dom.Element],
+        "Prefix").head)
     }
     val truncated = texts(root, "IsTruncated").headOption.contains("true")
     val next = texts(root, "NextContinuationToken").headOption
@@ -282,15 +329,17 @@ object S3Wire extends Serializable {
       range: Option[(Long, Long)] = None): Array[Byte] =
     withRetry(s"get $bucketName/$key") {
     val ep = URI.create(conf.endpoint)
+    val base = Option(ep.getPath).getOrElse("").stripSuffix("/")
     val (host, path) =
-      if (conf.pathStyle) (hostHeader(ep), s"/$bucketName/$key")
-      else (hostHeader(ep, s"$bucketName."), s"/$key")
+      if (conf.pathStyle) (hostHeader(ep), s"$base/$bucketName/$key")
+      else (hostHeader(ep, s"$bucketName."), s"$base/$key")
     val amzDate = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
     val payloadHash = hexSha256(Array.emptyByteArray)
     val headers = Seq("host" -> host, "x-amz-date" -> amzDate,
       "x-amz-content-sha256" -> payloadHash) ++
+      conf.sessionToken.map("x-amz-security-token" -> _) ++
       range.map { case (a, b) => "range" -> s"bytes=$a-$b" }
     val auth = authorizationHeader(conf.accessKey, conf.secretKey, amzDate,
       conf.region, "s3", "GET", path, Seq.empty, headers, payloadHash)
@@ -302,6 +351,8 @@ object S3Wire extends Serializable {
     c.setReadTimeout(60000)
     c.setRequestProperty("x-amz-date", amzDate)
     c.setRequestProperty("x-amz-content-sha256", payloadHash)
+    conf.sessionToken.foreach(
+      c.setRequestProperty("x-amz-security-token", _))
     range.foreach { case (a, b) =>
       c.setRequestProperty("Range", s"bytes=$a-$b") }
     c.setRequestProperty("Authorization", auth)
@@ -309,7 +360,7 @@ object S3Wire extends Serializable {
     if (code != 200 && code != 206) {
       val err = Option(c.getErrorStream)
         .map(s => new String(s.readAllBytes(), UTF_8)).getOrElse("")
-      throw new java.io.IOException(
+      throw new S3HttpException(code,
         s"GetObject $bucketName/$key: HTTP $code $err")
     }
     c.getInputStream.readAllBytes()
@@ -360,13 +411,15 @@ object S3Wire extends Serializable {
     * always wins, so a vhost-only non-AWS gateway stays reachable with
     * `AWS_S3_FORCE_PATH_STYLE=false` (review r14). Option keys are
     * lower-case: endpoint, region, accesskey, secretkey, pathstyle
-    * (true/TRUE/1). */
+    * (true/TRUE/1), sessiontoken. */
   def resolveConf(opts: Map[String, String]): S3Conf = {
     val base = confFromEnv(sys.env)
     val withProps = base.copy(
       region = sys.props.getOrElse("aws.region", base.region),
       accessKey = sys.props.getOrElse("aws.accessKeyId", base.accessKey),
-      secretKey = sys.props.getOrElse("aws.secretAccessKey", base.secretKey))
+      secretKey = sys.props.getOrElse("aws.secretAccessKey", base.secretKey),
+      sessionToken = sys.props.get("aws.sessionToken")
+        .filter(_.nonEmpty).orElse(base.sessionToken))
     def truthy(v: String): Boolean =
       v == "true" || v == "TRUE" || v == "1"
     val endpoint = opts.getOrElse("endpoint", withProps.endpoint)
@@ -384,7 +437,9 @@ object S3Wire extends Serializable {
       region = opts.getOrElse("region", withProps.region),
       accessKey = opts.getOrElse("accesskey", withProps.accessKey),
       secretKey = opts.getOrElse("secretkey", withProps.secretKey),
-      pathStyle = explicit.getOrElse(!awsHost))
+      pathStyle = explicit.getOrElse(!awsHost),
+      sessionToken = opts.get("sessiontoken").filter(_.nonEmpty)
+        .orElse(withProps.sessionToken))
   }
 
   // --- recursive shard planning (VERDICT r13 #4) ---------------------------
@@ -486,7 +541,8 @@ object S3Wire extends Serializable {
     * 0` reproduces the r13 single-level behavior exactly. */
   def planShards(conf: S3Conf, bucketName: String, prefix: String,
       maxKeys: Int = 1000, maxDepth: Int = 2, shardBudget: Int = 64,
-      maxPlanPages: Int = 32, flatFanout: Int = 15): ShardPlan = {
+      maxPlanPages: Int = 32, flatFanout: Int = 15,
+      rootPlanPages: Int = 128): ShardPlan = {
     val objs = Seq.newBuilder[S3Object]
     var objCount = 0L
     def preList(os: Seq[S3Object]): Unit = { objs ++= os; objCount += os.size }
@@ -558,7 +614,7 @@ object S3Wire extends Serializable {
           .foreach(w => leaves += LeafShard(c, Some(w(0)), Some(w(1))))
         leaves += LeafShard(c, bs.lastOption, None)
       }
-    def child(c: String, depth: Int): Unit = {
+    def child(c: String, depth: Int, planPages: Int): Unit = {
       // probes are NOT free: charge the budget for every child touched,
       // or a namespace of 50k SMALL prefixes would serialize 50k driver
       // probe requests and pull 50k pages into preListed (review r14) —
@@ -583,20 +639,29 @@ object S3Wire extends Serializable {
       // (a truncated all-objects first delimiter page may still hide
       // children on later pages — the range shards cover their keys
       // regardless, they just don't recurse)
-      else drainBounded(conf, bucketName, c, maxKeys, maxPlanPages,
+      else drainBounded(conf, bucketName, c, maxKeys, planPages,
         d1) match {
         case Some((direct, children)) =>
           preList(direct)
-          children.foreach(child(_, depth - 1))
+          children.foreach(child(_, depth - 1, maxPlanPages))
         case None => // oversized direct level: ranges cover all
           flatSplit(c, probe.objects.map(_.key))
       }
     }
-    // the root level is always delimiter-drained (the r13 behavior);
-    // its truncation is already handled page-by-page in shardListing
-    val (rootObjs, prefixes) = shardListing(conf, bucketName, prefix, maxKeys)
-    preList(rootObjs)
-    prefixes.foreach(child(_, maxDepth))
+    // the ROOT rides the same bounded machinery as any child (review
+    // r18): the old unconditional delimiter drain pulled a FLAT
+    // bucket's ENTIRE namespace onto the driver — 10^8 hash-named root
+    // keys have no CommonPrefixes, so nothing capped the loop and the
+    // documented shardBudget×maxKeys memory bound was a fiction for
+    // exactly the namespace shape the flat range-split exists for. Now
+    // one probe + one delimiter page decide: flat root → range shards
+    // (driver holds 2 pages); hierarchical root → bounded drain with
+    // its own LARGER page cap (a wide-but-shallow root of ~10^5
+    // prefixes is prefix strings, not objects — cheap to hold, and
+    // past `rootPlanPages` it too degrades to range shards that still
+    // cover every key). Depth +1 so children keep their r13/r14
+    // depths; `maxDepth = 0` still yields the single-level plan.
+    child(prefix, maxDepth + 1, rootPlanPages)
     ShardPlan(objs.result(), leaves.result())
   }
 

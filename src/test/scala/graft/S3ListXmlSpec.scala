@@ -91,4 +91,46 @@ class S3ListXmlSpec extends AnyFunSuite {
       "</ListBucketResult>").getBytes("UTF-8")
     intercept[Exception](S3Wire.parseListXml(missing))
   }
+
+  test("encoding-type=url (review r18): keys/prefixes decode ONLY when " +
+      "the response echoes <EncodingType>url</> — '+' means space, " +
+      "literal chars stay percent-encoded; raw pages keep '%' verbatim") {
+    // S3's url form: space -> '+', '%' -> %25, control bytes -> %01
+    // (the whole reason for the parameter: raw 0x01 is illegal XML)
+    val encoded = ("<ListBucketResult>" +
+      "<EncodingType>url</EncodingType>" +
+      "<Contents><Key>dir+x/a%2Bb%2501%01.txt</Key>" +
+      "<LastModified>2026-01-01T00:00:00Z</LastModified>" +
+      "<Size>7</Size></Contents>" +
+      "<CommonPrefixes><Prefix>sp+ace%2F/</Prefix></CommonPrefixes>" +
+      "<IsTruncated>false</IsTruncated></ListBucketResult>")
+      .replace("%01", "%2501") // keep the PAGE itself XML-legal
+      .getBytes("UTF-8")
+    val p = S3Wire.parseListXml(encoded)
+    assert(p.objects.map(_.key) == Seq("dir x/a+b%01%01.txt"),
+      s"decoded once, exactly: ${p.objects.map(_.key)}")
+    assert(p.commonPrefixes == Seq("sp ace//"),
+      s"prefixes decode too: ${p.commonPrefixes}")
+    // NO echo: a store ignoring the parameter keeps raw keys — a '%'
+    // or '+' in a real key must NOT be decoded
+    val raw = ("<ListBucketResult>" +
+      "<Contents><Key>100%+done.txt</Key>" +
+      "<LastModified>2026-01-01T00:00:00Z</LastModified>" +
+      "<Size>7</Size></Contents>" +
+      "<IsTruncated>false</IsTruncated></ListBucketResult>")
+      .getBytes("UTF-8")
+    assert(S3Wire.parseListXml(raw).objects.map(_.key) ==
+      Seq("100%+done.txt"), "raw pages stay verbatim")
+  }
+
+  test("LastModified with a numeric offset (review r18): a gateway " +
+      "emitting +00:00 parses to the same instant as the Z form") {
+    def one(lm: String): Long = S3Wire.parseListXml(
+      ("<ListBucketResult><Contents><Key>k</Key>" +
+        s"<LastModified>$lm</LastModified><Size>1</Size></Contents>" +
+        "<IsTruncated>false</IsTruncated></ListBucketResult>")
+        .getBytes("UTF-8")).objects.head.modifiedMs
+    assert(one("2026-01-01T00:00:00Z") == one("2026-01-01T00:00:00+00:00"))
+    assert(one("2026-01-01T03:00:00+03:00") == one("2026-01-01T00:00:00Z"))
+  }
 }

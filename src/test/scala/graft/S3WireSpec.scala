@@ -162,11 +162,16 @@ class S3WireSpec extends AnyFunSuite {
     val payloadSha = ex.getRequestHeaders.getFirst("x-amz-content-sha256")
     val host = ex.getRequestHeaders.getFirst("Host")
     val rangeHdr = Option(ex.getRequestHeaders.getFirst("Range"))
+    // STS session tokens are SIGNED headers — include when sent, so a
+    // token-bearing client only passes if it signed consistently
+    val tokenHdr =
+      Option(ex.getRequestHeaders.getFirst("x-amz-security-token"))
     val expectedAuth = S3Wire.authorizationHeader(accessKey, secretKey,
       amzDate, "us-east-1", "s3", ex.getRequestMethod,
       ex.getRequestURI.getPath, params.toSeq,
       Seq("host" -> host, "x-amz-date" -> amzDate,
         "x-amz-content-sha256" -> payloadSha) ++
+        tokenHdr.map("x-amz-security-token" -> _) ++
         rangeHdr.map("range" -> _), payloadSha)
     val gotAuth = ex.getRequestHeaders.getFirst("Authorization")
     if (gotAuth != expectedAuth) {
@@ -176,9 +181,13 @@ class S3WireSpec extends AnyFunSuite {
       ex.getResponseBody.write(body)
       return
     }
+    // a gateway may mount S3 under a path (review r18): the endpoint
+    // accepts an optional '/s3proxy' base so the base-path test can
+    // prove signing and routing both honor it
+    val reqPath = ex.getRequestURI.getPath.stripPrefix("/s3proxy")
     // GetObject: /bucket/key (no list-type param)
     if (!params.get("list-type").contains("2")) {
-      val key = ex.getRequestURI.getPath.stripPrefix(s"/$bucket/")
+      val key = reqPath.stripPrefix(s"/$bucket/")
       if (!served.exists(_.key == key)) {
         ex.sendResponseHeaders(404, -1); return
       }
@@ -193,7 +202,7 @@ class S3WireSpec extends AnyFunSuite {
       ex.getResponseBody.write(body)
       return
     }
-    require(ex.getRequestURI.getPath == s"/$bucket", "path-style bucket")
+    require(reqPath == s"/$bucket", "path-style bucket")
     val prefix = params.getOrElse("prefix", "")
     seenListPrefixes.add(prefix)
     val delim = params.get("delimiter")
@@ -522,6 +531,86 @@ class S3WireSpec extends AnyFunSuite {
       assert(uniWork.sum == 60,
         s"non-ASCII keys survive the split exactly: ${uniWork.mkString(",")}")
     }
+  }
+
+  test("a FLAT bucket (keys with no '/') never drains onto the driver " +
+      "(review r18): one probe + one delimiter page decide, the range " +
+      "shards do the listing, and equality holds") {
+    withServer { conf =>
+      served = (0 until 300).map(i =>
+        S3Object(f"${(i * 37) % 4096}%03x.bin", 1700000009000L + i, 2L))
+        .distinctBy(_.key).sortBy(_.key)
+      val n = served.size
+      requestCount.set(0)
+      val plan = S3Wire.planShards(conf, bucket, "", maxKeys = 10,
+        maxDepth = 2)
+      assert(plan.preListed.isEmpty,
+        "a flat root pre-lists NOTHING onto the driver")
+      assert(plan.leaves.nonEmpty && plan.leaves.forall(_.prefix == ""),
+        s"root-level range shards: ${plan.leaves}")
+      assert(requestCount.get() <= 3,
+        s"probe + one delimiter page, not a full drain " +
+          s"(the pre-fix planner paged the whole namespace): " +
+          s"${requestCount.get()} requests")
+      val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 10)
+      val got = df.collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got.size == n &&
+        got == served.map(o => S3Wire.splitKey(o.key)).toSet,
+        "range shards lose and duplicate nothing on a flat bucket")
+    }
+  }
+
+  test("STS session token (review r18): x-amz-security-token travels as " +
+      "a SIGNED header — the verifying endpoint accepts a token-bearing " +
+      "client end to end") {
+    withServer { conf =>
+      val withTok = conf.copy(sessionToken = Some("FwoGZXIvYXdzTESTTOKEN"))
+      val keys = S3Wire.listAll(withTok, bucket, "").map(_.key).toSeq
+      assert(keys == fixture.map(_.key),
+        "token-bearing listing verifies and lists equal")
+      val body = S3Wire.getObject(withTok, bucket, "root.txt")
+      assert(new String(body, UTF_8).startsWith("content-of:root.txt"),
+        "token-bearing GetObject verifies")
+      // conf resolution carries the token through env/props/options
+      assert(S3Wire.confFromEnv(Map("AWS_SESSION_TOKEN" -> "t1"))
+        .sessionToken.contains("t1"))
+      assert(S3Wire.resolveConf(Map("sessiontoken" -> "t2"))
+        .sessionToken.contains("t2"))
+    }
+  }
+
+  test("endpoint with a base path (review r18): a gateway mounting S3 " +
+      "under /s3proxy routes AND signs through the path") {
+    withServer { conf =>
+      val proxied = conf.copy(endpoint = conf.endpoint + "/s3proxy")
+      val keys = S3Wire.listAll(proxied, bucket, "").map(_.key).toSeq
+      assert(keys == fixture.map(_.key),
+        "listing through the mounted path verifies and lists equal")
+      val body = S3Wire.getObject(proxied, bucket, "docs/readme.md")
+      assert(new String(body, UTF_8).startsWith("content-of:docs/"),
+        "GetObject through the mounted path verifies")
+    }
+  }
+
+  test("retry classification is TYPED (review r18): key text containing " +
+      "'HTTP 200' cannot spoof the status, a hard 403 never retries") {
+    var calls = 0
+    val ok = S3Wire.withRetry("spoof") {
+      calls += 1
+      if (calls < 3) throw new S3Wire.S3HttpException(503,
+        "ListObjectsV2 b/reports/HTTP 200 summaries/: HTTP 503 SlowDown")
+      42
+    }
+    assert(ok == 42 && calls == 3,
+      "a transient 503 retries even with 'HTTP 200' in the key text")
+    calls = 0
+    intercept[S3Wire.S3HttpException](S3Wire.withRetry("hard") {
+      calls += 1
+      throw new S3Wire.S3HttpException(403,
+        "GetObject b/logs/HTTP 500 report.bin: HTTP 403 AccessDenied")
+    })
+    assert(calls == 1,
+      "a hard 403 fails immediately even with 'HTTP 500' in the key text")
   }
 
   test("graft-s3 V2 table re-shards the skewed namespace the same way " +
