@@ -306,18 +306,12 @@ object S3Wire extends Serializable {
   }
 
   /** The reference's pagination loop (`s3.rs:136-150`): stream every
-    * object under a prefix, one page in flight. */
+    * object under a prefix, one page in flight — exactly an unbounded
+    * [[listShard]] cursor (review r18: the unfold loop used to be
+    * duplicated verbatim here). */
   def listAll(conf: S3Conf, bucket: String, prefix: String,
       maxKeys: Int = 1000): Iterator[S3Object] =
-    Iterator.unfold[Seq[S3Object], Option[Option[String]]](Some(None)) {
-      case None => None
-      case Some(token) =>
-        val page = listPage(conf, bucket, prefix, token, None, maxKeys)
-        Some((page.objects, page.nextToken match {
-          case Some(t) => Some(Some(t))
-          case None => None
-        }))
-    }.flatten
+    listShard(conf, bucket, LeafShard(prefix), maxKeys)
 
   /** Signed GetObject — the content-fetch half a training-data pipeline
     * needs once the metadata scan has selected keys (the reference never
@@ -377,27 +371,6 @@ object S3Wire extends Serializable {
     keys.select(keys.columns.head).as[String]
       .mapPartitions(_.map(k => (k, getObject(conf, bucketName, k))))
       .toDF("key", "content")
-  }
-
-  /** One complete DELIMITER drain of a prefix: (shard-level objects,
-    * distinct common prefixes). Root objects AND common prefixes both
-    * count toward max-keys on real S3 and arrive SPREAD ACROSS truncated
-    * pages — a single-page read of either silently drops namespace (the
-    * r13 review's top finding: vanished prefixes then read as deletions
-    * downstream). One cursor, the reference's loop; shared by
-    * [[listDF]] and the `graft-s3` V2 scan. */
-  def shardListing(conf: S3Conf, bucketName: String, prefix: String,
-      maxKeys: Int = 1000): (Seq[S3Object], Seq[String]) = {
-    var page = listPage(conf, bucketName, prefix, None, Some("/"), maxKeys)
-    var objs = page.objects
-    var prefixes = page.commonPrefixes
-    while (page.nextToken.isDefined) {
-      page = listPage(conf, bucketName, prefix, page.nextToken,
-        Some("/"), maxKeys)
-      objs ++= page.objects
-      prefixes ++= page.commonPrefixes
-    }
-    (objs, prefixes.distinct)
   }
 
   /** env < standard JVM `aws.*` properties < explicit options — the one
@@ -488,7 +461,9 @@ object S3Wire extends Serializable {
     * than `maxPages` pages — the planner then leaves the whole prefix
     * to executor cursors instead of pulling an unbounded direct-object
     * listing onto the driver. */
-  private def drainBounded(conf: S3Conf, bucketName: String, prefix: String,
+  // private[graft]: the delimiter-drain pagination trap (prefixes
+  // spread across truncated pages) is spec-pinned directly
+  private[graft] def drainBounded(conf: S3Conf, bucketName: String, prefix: String,
       maxKeys: Int, maxPages: Int, first: ListPage)
       : Option[(Seq[S3Object], Seq[String])] = {
     var page = first

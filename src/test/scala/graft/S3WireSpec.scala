@@ -298,18 +298,23 @@ class S3WireSpec extends AnyFunSuite {
     }
   }
 
-  test("live HTTP: shardListing drains common prefixes spread across " +
-      "truncated pages (the r13 listDF data-loss finding)") {
+  test("live HTTP: the delimiter drain collects common prefixes spread " +
+      "across truncated pages (the r13 listDF data-loss finding)") {
     withServer { conf =>
       // maxKeys=2 at root: page 1 = [data/, docs/], page 2 = [logs/,
       // root.txt] — a first-page-only read loses logs/ entirely and its
       // 7 files would read as deletions downstream
-      val (objs, prefixes) = S3Wire.shardListing(conf, bucket, "", 2)
+      val first = S3Wire.listPage(conf, bucket, "", None, Some("/"), 2)
+      val Some((objs, prefixes)) =
+        S3Wire.drainBounded(conf, bucket, "", 2, 32, first)
       assert(prefixes.toSet == Set("data/", "docs/", "logs/"),
         s"prefixes from later pages must survive: $prefixes")
       assert(objs.map(_.key) == Seq("root.txt"))
       val df = S3Wire.listDF(spark, conf, bucket, "", maxKeys = 2)
       assert(df.count() == 13, "no namespace lost at any page size")
+      // past the page cap the drain REFUSES rather than truncating
+      assert(S3Wire.drainBounded(conf, bucket, "", 2, 1, first).isEmpty,
+        "an over-cap level returns None, never a silent partial drain")
     }
   }
 
