@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.net.URI
 import java.sql.Timestamp
 
 import scala.collection.mutable
@@ -80,7 +79,9 @@ object FileListing {
     * `hostname:path` (`fs.rs:43-47`). */
   def identifierFor(pathOrUrl: String, explicit: Option[String]): String =
     explicit.getOrElse {
-      if (parseS3Url(pathOrUrl).isDefined || pathOrUrl.contains("://")) pathOrUrl
+      // any URL keeps its raw form (s3://… included — the s3 regex
+      // requires that literal prefix, so the "://" test subsumes it)
+      if (pathOrUrl.contains("://")) pathOrUrl
       else java.net.InetAddress.getLocalHost.getHostName + ":" + pathOrUrl
     }
 
@@ -92,18 +93,23 @@ object FileListing {
   private[sources] def shardRoots(
       fs: FileSystem, root: Path, minShards: Int,
       maxExpand: Int = 4): (Seq[String], Seq[FileInfoRaw]) = {
-    var frontier = Seq(root)
+    // the frontier holds FileStatus, not Path (review r18): each
+    // level's entries were just RETURNED by the parent's listStatus, so
+    // re-stat'ing them doubled the driver's round-trips per level — and
+    // a directory deleted between levels turned that redundant stat
+    // into a FileNotFoundException for the whole listing
+    var frontier: Seq[org.apache.hadoop.fs.FileStatus] =
+      Seq(fs.getFileStatus(root))
     val files = mutable.ArrayBuffer.empty[FileInfoRaw]
     var depth = 0
     while (frontier.size < minShards && depth < maxExpand && frontier.nonEmpty) {
-      val next = mutable.ArrayBuffer.empty[Path]
+      val next = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       var expandedAny = false
-      frontier.foreach { p =>
-        val st = fs.getFileStatus(p)
+      frontier.foreach { st =>
         if (st.isDirectory) {
           expandedAny = true
-          fs.listStatus(p).foreach { c =>
-            if (c.isDirectory) next += c.getPath
+          fs.listStatus(st.getPath).foreach { c =>
+            if (c.isDirectory) next += c
             else files += raw(c)
           }
         } else files += raw(st)
@@ -112,7 +118,7 @@ object FileListing {
       frontier = next.toSeq
       depth += 1
     }
-    (frontier.map(_.toString), files.toSeq)
+    (frontier.map(_.getPath.toString), files.toSeq)
   }
 
   /** Serializable row captured from a FileStatus. Parent dir and basename
@@ -145,8 +151,46 @@ object FileListing {
 
   private def raw(st: org.apache.hadoop.fs.FileStatus): FileInfoRaw = {
     val p = st.getPath
-    val dir = Option(p.getParent).map(_.toUri.getPath).getOrElse("")
+    // a root-level object's parent is Path("/"), whose URI path is "/"
+    // — normalize to "" so fs/s3a rows share the identity
+    // [[S3Wire.splitKey]] produces (P2; review r18: "/" here vs ""
+    // there flipped the merge identity when toggling --s3-wire)
+    val dir = Option(p.getParent).map(_.toUri.getPath)
+      .filter(_ != "/").getOrElse("")
     FileInfoRaw(dir, p.getName, st.getModificationTime, st.getLen, createdOf(p))
+  }
+
+  /** Every entry of the RESOLVED driver conf, serialized for executor
+    * rebuild (review r18): the executor closures used to rebuild from
+    * `new Configuration()` + the env-derived overrides alone, dropping
+    * the session's `hadoopConfiguration` — credentials set the standard
+    * Spark way (`--conf spark.hadoop.fs.s3a.access.key=…`) worked for
+    * the driver's shardRoots and then 403'd on every executor task of a
+    * real cluster (invisible on local[*], where driver == executor). */
+  private def confEntries(hconf: Configuration): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+  }
+
+  /** One shard's executor-side listing — the single copy of the
+    * rebuild-conf + recursive-listFiles loop both [[list]] and
+    * [[listDF]] ship (review r18: it was duplicated verbatim, which is
+    * how the conf-propagation bug above would have needed fixing
+    * twice). Hadoop FS instances come from the JVM-wide FileSystem
+    * cache keyed by (scheme, authority, ugi) — NOT by conf — so
+    * per-call conf overrides only take effect on filesystems not
+    * already cached in that JVM; the process-wide env/session config is
+    * the reliable channel. */
+  private def listShardTask(entries: Seq[(String, String)])(
+      dir: String): Iterator[FileInfoRaw] = {
+    val c = new Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    val p = new Path(dir)
+    val pfs = p.getFileSystem(c)
+    val out = mutable.ArrayBuffer.empty[FileInfoRaw]
+    val files = pfs.listFiles(p, true)
+    while (files.hasNext) out += raw(files.next())
+    out.iterator
   }
 
   /** Recursive, distributed listing of `rootUri` → `Dataset[FileInfo]`.
@@ -171,29 +215,13 @@ object FileListing {
     val minShards = spark.sparkContext.defaultParallelism * 4
     val (shards, earlyFiles) = shardRoots(fs, root, minShards)
 
+    val entries = confEntries(hconf)
     val shardRows: Seq[FileInfoRaw] =
       if (shards.isEmpty) Seq.empty
       else {
         spark.sparkContext
           .parallelize(shards, math.max(1, shards.size))
-          .mapPartitions { it =>
-            val c = new Configuration()
-            confMap.foreach { case (k, v) => c.set(k, v) }
-            it.flatMap { dir =>
-              val p = new Path(dir)
-              val pfs = p.getFileSystem(c)
-              val out = mutable.ArrayBuffer.empty[FileInfoRaw]
-              val files = pfs.listFiles(p, true)
-              while (files.hasNext) {
-                val st = files.next()
-                val fp = st.getPath
-                out += FileInfoRaw(
-                  Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
-                  fp.getName, st.getModificationTime, st.getLen, createdOf(fp))
-              }
-              out
-            }
-          }
+          .mapPartitions(_.flatMap(listShardTask(entries)))
           .collect()
           .toSeq
       }
@@ -223,26 +251,10 @@ object FileListing {
     val early = toFileInfo(spark, source, earlyFiles).toDF()
     if (shards.isEmpty) early
     else {
+      val entries = confEntries(hconf)
       val listed = spark.sparkContext
         .parallelize(shards, math.max(1, shards.size))
-        .mapPartitions { it =>
-          val c = new Configuration()
-          confMap.foreach { case (k, v) => c.set(k, v) }
-          it.flatMap { dir =>
-            val p = new Path(dir)
-            val pfs = p.getFileSystem(c)
-            val out = mutable.ArrayBuffer.empty[FileInfoRaw]
-            val files = pfs.listFiles(p, true)
-            while (files.hasNext) {
-              val st = files.next()
-              val fp = st.getPath
-              out += FileInfoRaw(
-                Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
-                fp.getName, st.getModificationTime, st.getLen, createdOf(fp))
-            }
-            out
-          }
-        }
+        .mapPartitions(_.flatMap(listShardTask(entries)))
         .toDF()
         .transform(df => enrichRaw(source)(df))
       early.unionByName(listed)
@@ -254,7 +266,14 @@ object FileListing {
     * metadata columns; selecting only them prunes the `content` column so
     * no file bytes are read. Glob patterns push into the file index.
     * Prefer [[listDF]] for huge flat namespaces (shard control); this
-    * form wins when a downstream step will also want `content`. */
+    * form wins when a downstream step will also want `content`.
+    *
+    * Documented deltas vs [[listDF]] (review r18): Spark's file index
+    * FILTERS hidden files (basenames starting '.' or '_') that listDF
+    * and the reference's WalkDir include, and `created` stays NULL even
+    * on `file://`. Do NOT alternate this variant with [[listDF]]
+    * against one merge state — the missing rows would tombstone as
+    * deletions; it exists for content workflows reading `content`. */
   def listBinaryFile(
       spark: SparkSession,
       globUri: String,
@@ -263,7 +282,13 @@ object FileListing {
     val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(globUri)
       .select(col("path"), col("modificationTime"), col("length"))
-    val noScheme = regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/")
+    // strip scheme AND authority (review r18): `s3a://bucket/a/b.txt`
+    // must yield path `/a` like listDF and S3Wire.splitKey, not
+    // `/bucket/a` — a different merge identity for the same object.
+    // Local URIs render authority-less as `file:/tmp/…` (one slash) —
+    // the authority group is optional
+    val noScheme =
+      regexp_replace(col("path"), "^[a-z0-9+.-]+:(//[^/]*)?", "")
     val fname = substring_index(noScheme, "/", -1)
     val dir = regexp_replace(noScheme, "/[^/]*$", "")
     raw.select(

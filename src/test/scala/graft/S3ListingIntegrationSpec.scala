@@ -63,8 +63,11 @@ class S3ListingIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byName("a.json").modified.getTime == T0 + 1000)
     assert(byName("c.csv").path == "/logs/2026/02")
     assert(byName("d.png").mime_type.contains("image/png"))
-    // root-level object: the reference's panic case (s3.rs:107-108)
-    assert(byName("root.bin").path == "/")
+    // root-level object: the reference's panic case (s3.rs:107-108).
+    // path is "" — the SAME identity S3Wire.splitKey and listBinaryFile
+    // produce (review r18: the fs path used to render "/" here, so
+    // toggling --s3-wire flipped the row's merge identity)
+    assert(byName("root.bin").path == "")
   }
 
   test("listDF (distributed, executor-side conf rebuild) agrees with list") {
@@ -98,5 +101,50 @@ class S3ListingIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val seen = MockS3Store.seenEndpoints.toArray.toSet
     assert(seen == Set("http://localhost:9000"),
       s"endpoint conf must reach driver AND executor FS construction, saw $seen")
+  }
+
+  test("session hadoopConfiguration reaches executor listing tasks " +
+      "(review r18: credentials set the standard Spark way used to be " +
+      "dropped by the executor-side conf rebuild)") {
+    // set client config on the SESSION conf only — no extraConf for it —
+    // the way a real cluster passes --conf spark.hadoop.fs.s3a.*
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", "http://session-only:9000")
+    MockS3Store.seenEndpoints.clear()
+    try {
+      val n = FileListing.listDF(spark, "mocks3://small-bucket/logs",
+        extraConf = mockConf).count()
+      assert(n == 3)
+      val seen = MockS3Store.seenEndpoints.toArray.toSet
+      assert(seen == Set("http://session-only:9000"),
+        "session-level hadoop conf must reach executor FS construction, " +
+          s"saw $seen")
+    } finally hc.unset("fs.s3a.endpoint")
+  }
+
+  test("listBinaryFile agrees with listDF on authority-bearing URIs " +
+      "(review r18: the bucket authority used to leak into path, " +
+      "flipping the merge identity between listing variants)") {
+    // the binaryFile source derives its hadoop conf from the context's
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hc.set("fs.mocks3.impl.disable.cache", "true")
+    try {
+      val viaBin = FileListing
+        .listBinaryFile(spark, "mocks3://small-bucket/logs")
+        .select("path", "filename").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val viaDF = FileListing
+        .listDF(spark, "mocks3://small-bucket/logs", extraConf = mockConf)
+        .select("path", "filename").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(viaBin == viaDF,
+        s"one merge identity across variants: bin=$viaBin df=$viaDF")
+      assert(viaBin.forall(_._1.startsWith("/logs")),
+        s"no bucket authority in path: $viaBin")
+    } finally {
+      hc.unset("fs.mocks3.impl")
+      hc.unset("fs.mocks3.impl.disable.cache")
+    }
   }
 }
