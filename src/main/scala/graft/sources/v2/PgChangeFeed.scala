@@ -516,11 +516,8 @@ object PgChangeFeed {
   /** [[graft.streaming.ScrapeTws.genUuid]] as a column — the
     * md5-over-joined-triple deterministic surrogate, bit-identical to
     * the batch and daemon paths. */
-  private def uuidCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    concat(lit("gen_"), md5(concat_ws("\u001f",
-      col("external_source"), col("path"), col("filename"))))
-  }
+  private def uuidCol: org.apache.spark.sql.Column =
+    graft.streaming.ScrapeTws.uuidCol // ONE copy of the surrogate (r18)
 
   /** The feed in the engine's CHANGE-EVENT dialect — the exact schema
     * [[graft.streaming.ScrapeTws.changeStream]] emits — so a PG-backed

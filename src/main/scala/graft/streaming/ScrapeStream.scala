@@ -84,10 +84,8 @@ object ScrapeStream {
     val scanInstant = lit(new java.sql.Timestamp(1767225600000L + batchId))
       .cast("timestamp") // deterministic per-batch "transaction time"
     val applied = classified.select(
-      coalesce(col("uuid_external_file"),
-        concat(lit("gen_"), md5(concat_ws("\u001f",
-          col("external_source"), col("path"), col("filename")))))
-        .as("uuid_external_file"),
+      coalesce(col("uuid_external_file"), ScrapeTws.uuidCol)
+        .as("uuid_external_file"), // ONE copy of the surrogate (r18)
       col("external_source"), col("path"), col("filename"),
       col("mime_type"), col("created"), col("modified"), col("size"),
       lit(null).cast("timestamp").as("deleted"))

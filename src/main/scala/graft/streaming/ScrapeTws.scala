@@ -31,7 +31,13 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   *    scan-constant transaction time) and re-arms, reproducing the
   *    reference's re-stamp-on-every-scan behavior (`db.rs:54-58` has no
   *    `deleted IS NULL` guard). State and timers stay O(known files),
-  *    never O(scans).
+  *    never O(scans). Log-volume note (review r18): the log is
+  *    APPEND-ONLY, so the re-stamp writes one delete event per
+  *    tombstoned file per scan — the reference's in-place UPDATE has
+  *    no growth analog. A long-lived daemon's log grows
+  *    O(deleted files x scans) until compacted; [[snapshotOf]] is the
+  *    compaction (q_scrape_snapshot pins it) and --rebuild-state
+  *    replays a compacted log into a fresh checkpoint.
   *  - Deterministic identity: the same `gen_` + md5(key) surrogate the
   *    batch path coalesces in, so replays (and the equality spec)
   *    reproduce uuids bit-for-bit.
@@ -76,7 +82,12 @@ object ScrapeTws {
       seqMs: Long, seq: Long)
 
   /** Input row: (key, source, path, filename, mime, created_ms,
-    * modified_ms, size, scan_ms). */
+    * modified_ms, size, scan_ms). Late-row note (review r18): TYPED
+    * stateful operators never auto-filter late input — the watermark
+    * only drives timers — so the ordering contract ("rows older than
+    * the latest seen observed are dropped") is enforced INSIDE the
+    * processor against `timerValues.getCurrentWatermarkInMs()`, not by
+    * the plan. */
   type In = (String, String, String, String, Option[String], Option[Long],
     Option[Long], Option[Long], Long)
 
@@ -124,8 +135,26 @@ object ScrapeTws {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytes = md.digest(
       s"$source\u001f$path\u001f$filename".getBytes("UTF-8"))
-    "gen_" + bytes.map("%02x".format(_)).mkString
+    // hex via digit lookup, not "%02x".format (review r18: one
+    // Formatter per byte on the per-event hot path)
+    val sb = new java.lang.StringBuilder(36)
+    sb.append("gen_")
+    bytes.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
   }
+
+  /** Column form of [[genUuid]] — ONE copy (review r18: PgChangeFeed
+    * and ScrapeStream each carried an inline duplicate of this
+    * expression, and drift in either silently breaks the cross-path
+    * uuid-equality contract the specs rely on). Bit-identical to
+    * [[genUuid]] for non-null components; identity parts are never
+    * null by construction (a listed file always has its triple). */
+  private[graft] def uuidCol: org.apache.spark.sql.Column =
+    concat(lit("gen_"), md5(concat_ws("\u001f",
+      col("external_source"), col("path"), col("filename"))))
 
   class ScrapeProcessor
       extends StatefulProcessorWithInitialState[String, In, Out, FileState] {
@@ -152,7 +181,15 @@ object ScrapeTws {
       // a real scan can list the same file twice (db.rs:120-123 set
       // semantics) and two scans can share a micro-batch: fold in scan
       // order, one upsert decision per sighting
-      val sorted = rows.toArray.sortInPlaceBy(_._9)
+      // LATE-ROW GUARD (review r18): a sighting older than the current
+      // watermark — some later scan already applied — must not regress
+      // state or arm a stale timer (it would fire immediately and emit
+      // a spurious delete at the watermark for a file the later scan
+      // listed). Same-instant rows are KEPT: one scan's sightings may
+      // split across triggers and must continue the seq chain
+      // (ADVICE r13).
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val sorted = rows.filter(_._9 >= wm).toArray.sortInPlaceBy(_._9)
       val init = if (st.exists()) Option(st.get()) else None
       var cur = init
       val events = Seq.newBuilder[Out]
@@ -166,6 +203,13 @@ object ScrapeTws {
         lastSeq = if (ms == lastMs) lastSeq + 1L else 0L
         lastMs = ms
         lastSeq
+      }
+      // one MD5 per key, not per event (review r18): the identity
+      // triple is constant for the whole fold — the key is injective
+      var memoUuid: String = null
+      def uuidOf(source: String, path: String, filename: String): String = {
+        if (memoUuid == null) memoUuid = genUuid(source, path, filename)
+        memoUuid
       }
       sorted.foreach { case (_, source, path, filename, mime, created,
           modified, size, scanMs) =>
@@ -185,11 +229,11 @@ object ScrapeTws {
         // metadata-identical re-appearance must surface as a revive
         // event or event-derived state would keep the stale tombstone
         if (action != "unchanged") {
-          events += ((genUuid(source, path, filename), source, path,
+          events += ((uuidOf(source, path, filename), source, path,
             filename, keptMime, created, modified, size, None, action,
             scanMs, nextSeq(scanMs)))
         } else if (wasDeleted) {
-          events += ((genUuid(source, path, filename), source, path,
+          events += ((uuidOf(source, path, filename), source, path,
             filename, keptMime, created, modified, size, None, "revive",
             scanMs, nextSeq(scanMs)))
         }
@@ -241,11 +285,14 @@ object ScrapeTws {
     * size, observed) — `observed` is the scan-constant observation
     * instant (P8) and the event-time axis.
     *
-    * Ordering contract: scans must arrive in observation order (the
-    * watermark drops rows older than the latest seen `observed`) —
-    * both shipped feeders guarantee it by construction (the rescan
-    * source observes NOW each trigger; file replays order by
-    * mod-time). Several scans may share one micro-batch: the per-key
+    * Ordering contract: scans must arrive in observation order. Rows
+    * older than the current watermark are DROPPED by the processor
+    * itself (review r18: typed stateful operators never auto-filter
+    * late input — the watermark only drives timers — so an
+    * out-of-order scan used to regress state and fire a spurious
+    * stale-timer delete; ScrapeTwsSpec pins the drop). Both shipped
+    * feeders are in-order by construction (the rescan source observes
+    * NOW each trigger; file replays order by mod-time). Several scans may share one micro-batch: the per-key
     * fold applies sightings in scan order and timers settle at the
     * batch's end, so the FINAL state matches the one-scan-per-batch
     * replay even though intermediate events (a tombstone and its
@@ -264,7 +311,18 @@ object ScrapeTws {
     * of the documented schema-upgrade path "the event log is the
     * durable record; replay rebuilds state". Spark applies initial
     * state only on batch 0 of a fresh checkpoint; callers must not
-    * pass it against an existing one (the CLI refuses). */
+    * pass it against an existing one (the CLI refuses).
+    *
+    * Replay honesty (review r18): the at-least-once absorb contract
+    * assumes a replayed batch re-presents the SAME rows. The CDC
+    * feeder does (PEEK from an unmoved slot is deterministic); the
+    * RESCAN feeder re-lists the LIVE filesystem on replay, so a crash
+    * between the log append and the checkpoint commit can replay a
+    * batch that no longer sees a file the first attempt logged — that
+    * file's orphaned insert event then has no state entry and no
+    * timer, and only a later sighting can correct the snapshot. The
+    * window is one trigger wide; deployments needing deterministic
+    * replay feed from the CDC source. */
   def changeStream(s: SparkSession, scans: DataFrame,
       source: String, initial: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
@@ -322,9 +380,8 @@ object ScrapeTws {
       events: DataFrame): KeyValueGroupedDataset[String, FileState] = {
     import s.implicits._
     events.groupBy("external_source", "path", "filename")
-      .agg(max(struct(col("event_ms"), col("event_seq"),
-        col("deleted_ms"), col("size"), col("mime_type"),
-        col("created_ms"), col("modified_ms"))).as("m"))
+      .agg(winner(col("deleted_ms"), col("size"), col("mime_type"),
+        col("created_ms"), col("modified_ms")).as("m"))
       .select(
         stateKey.as("_1"),
         struct(
@@ -357,12 +414,22 @@ object ScrapeTws {
     * remaining tie — a scan listing one file twice with CONTRADICTORY
     * metadata — so the compacted winner is BY CONSTRUCTION the fold's
     * last-applied sighting, i.e. exactly the checkpoint state. */
+  /** The compaction WINNER per identity: `max(struct(event_ms,
+    * event_seq, <payload>))` - the single ordering spine
+    * [[snapshotOf]] and [[initialStateOf]] share (review r18: two
+    * hand-maintained struct copies had to stay ordering-equivalent;
+    * the (event_ms, event_seq) prefix is now structural). The prefix
+    * is a TOTAL order per key, so trailing payload order never breaks
+    * ties - it only has to carry the fields. */
+  private def winner(payload: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    max(struct((Seq(col("event_ms"), col("event_seq")) ++ payload): _*))
+
   def snapshotOf(events: DataFrame): DataFrame =
     events.groupBy("external_source", "path", "filename")
-      .agg(max(struct(col("event_ms"), col("event_seq"),
-        col("deleted_ms"), col("size"),
+      .agg(winner(col("deleted_ms"), col("size"),
         col("mime_type"), col("uuid_external_file"), col("created_ms"),
-        col("modified_ms"))).as("m"))
+        col("modified_ms")).as("m"))
       .select(col("m.uuid_external_file").as("uuid_external_file"),
         col("external_source"), col("path"), col("filename"),
         col("m.mime_type").as("mime_type"),

@@ -483,6 +483,56 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("late scans are DROPPED by the watermark (review r18): an " +
+      "out-of-order scan can neither regress state nor arm a stale " +
+      "tombstone timer") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      import spark.implicits._
+      // batch 1 applies the T5 scan (watermark -> T5); batch 2 delivers
+      // a T3 scan — LATE. Before the r18 fix (the watermark-tagged
+      // column was projected away pre-operator) the T3 row applied:
+      // state regressed to size 3 and its armed=T3+1 < watermark timer
+      // fired a spurious delete at T5 for a file the T5 scan listed.
+      val t5 = base + 5000L
+      val t3 = base + 3000L
+      def scan(obs: Long, size: Long) =
+        Seq(("/d", "F", "text/plain", 1000L, 5000L, size))
+          .toDF("path", "filename", "mime_type", "created_ms",
+            "modified_ms", "size")
+          .select(lit("s1").as("external_source"), col("path"),
+            col("filename"), col("mime_type"),
+            timestamp_millis(col("created_ms")).as("created"),
+            timestamp_millis(col("modified_ms")).as("modified"),
+            col("size"), timestamp_millis(lit(obs)).as("observed"))
+      val srcDir = Files.createTempDirectory("tws_late_src").toString
+      Seq(scan(t5, 50L), scan(t3, 3L)).zipWithIndex.foreach {
+        case (df, i) =>
+          val f = s"$srcDir/scan$i"
+          df.coalesce(1).write.mode("overwrite").parquet(f)
+          new java.io.File(f).listFiles().foreach(p =>
+            p.setLastModified(1700000000000L + i * 60000L))
+      }
+      val stream = spark.readStream.schema(scan(t5, 1L).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/scan*")
+      val q = ScrapeTws.changeStream(spark, stream, "s1")
+        .writeStream.format("memory").queryName("tws_late_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val events = spark.table("tws_late_out").collect()
+        .map(r => (r.getString(9), r.getLong(10), r.getLong(7)))
+      assert(events.toSeq == Seq(("insert", t5, 50L)),
+        "the late T3 scan must vanish entirely — no update, no " +
+          s"regressed state, no stale-timer delete: ${events.mkString(", ")}")
+      val snap = ScrapeTws.snapshotOf(spark.table("tws_late_out"))
+        .collect()
+      assert(snap.length == 1 && snap(0).getLong(7) == 50L &&
+        snap(0).isNullAt(8), "state stays at the T5 sighting")
+    }
+  }
+
   // The always-on daemon composition (the CLI's --interval form): the
   // graft-files rescan source under Trigger.ProcessingTime, observed =
   // the wall-clock batch timestamp, multiple complete rescans inside
