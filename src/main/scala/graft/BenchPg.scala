@@ -36,16 +36,31 @@ private[graft] object BenchPg {
       sys.props.get("graft.bench.allowDrop").contains("true")
 
   /** May this bench DROP/recreate `external_file`? Positive proof of
-    * absent-or-empty, or the explicit opt-in — nothing else. */
+    * absent-or-empty, or the explicit opt-in — nothing else.
+    *
+    * The emptiness count runs against the `to_regclass`-RESOLVED
+    * relation — the exact search_path resolution `DROP TABLE` itself
+    * uses — so the proof can never apply to a same-named table in a
+    * different schema than the one at risk (ADVICE r18). Residual
+    * TOCTOU: the probe and the later DROP run on separate connections
+    * with no lock, so a row inserted in between is still destroyed —
+    * accepted as bench-only (the guard protects against pointing the
+    * bench at a LIVE deployment, not against racing one mid-bench). */
   def mayDropTable: Boolean = optedIn || {
     try withClient { c =>
+      // where would DROP TABLE resolve? NULL = nothing at that name on
+      // the search_path (to_regclass never throws on a missing name)
+      val resolved = c.queryOne(
+        s"SELECT coalesce(to_regclass('${PgMerge.table}')::text, '')")
+        .getOrElse("")
       // ANY relation by that name counts (plain, partitioned, in any
       // schema): "0" is the only state that proves nothing is at risk
       val relations = c.queryOne("SELECT count(*) FROM pg_class " +
         s"WHERE relname = '${PgMerge.table}'")
-      relations.contains("0") || (relations.contains("1") &&
-        withClient(_.queryOne(s"SELECT count(*) FROM ${PgMerge.table}")
-          .contains("0")))
+      (resolved.isEmpty && relations.contains("0")) ||
+        (resolved.nonEmpty && relations.contains("1") &&
+          withClient(_.queryOne(s"SELECT count(*) FROM $resolved")
+            .contains("0")))
     } catch { case _: Throwable => false } // probe failed: fail CLOSED
   }
 

@@ -457,28 +457,35 @@ object S3Wire extends Serializable {
     }.flatten
 
   /** Delimiter-drain continuing from an already-fetched `first` page,
-    * with a page cap: `None` when the prefix's direct level is larger
-    * than `maxPages` pages — the planner then leaves the whole prefix
-    * to executor cursors instead of pulling an unbounded direct-object
-    * listing onto the driver. */
+    * with a page cap AND an object cap: `None` when the prefix's direct
+    * level is larger than `maxPages` pages or would push the drained
+    * direct objects past `maxObjs` — the planner then leaves the whole
+    * prefix to executor cursors instead of pulling an unbounded direct-
+    * object listing onto the driver. The object cap is checked BETWEEN
+    * pages (ADVICE r18: the root drain's larger page budget —
+    * `rootPlanPages` — otherwise let up to rootPlanPages×maxKeys direct
+    * root objects onto the driver, double the documented
+    * shardBudget×maxKeys bound, because objCount only throttled
+    * children expanded after the drain completed). */
   // private[graft]: the delimiter-drain pagination trap (prefixes
   // spread across truncated pages) is spec-pinned directly
   private[graft] def drainBounded(conf: S3Conf, bucketName: String, prefix: String,
-      maxKeys: Int, maxPages: Int, first: ListPage)
+      maxKeys: Int, maxPages: Int, first: ListPage,
+      maxObjs: Long = Long.MaxValue)
       : Option[(Seq[S3Object], Seq[String])] = {
     var page = first
     var objs = page.objects
     var prefixes = page.commonPrefixes
     var pages = 1
     while (page.nextToken.isDefined) {
-      if (pages >= maxPages) return None
+      if (pages >= maxPages || objs.size > maxObjs) return None
       page = listPage(conf, bucketName, prefix, page.nextToken,
         Some("/"), maxKeys)
       objs ++= page.objects
       prefixes ++= page.commonPrefixes
       pages += 1
     }
-    Some((objs, prefixes.distinct))
+    if (objs.size > maxObjs) None else Some((objs, prefixes.distinct))
   }
 
   /** Bounded RECURSIVE shard planning — the fix for the r13 skew shape
@@ -614,8 +621,13 @@ object S3Wire extends Serializable {
       // (a truncated all-objects first delimiter page may still hide
       // children on later pages — the range shards cover their keys
       // regardless, they just don't recurse)
-      else drainBounded(conf, bucketName, c, maxKeys, planPages,
-        d1) match {
+      // the drain's object cap is the REMAINING pre-list capacity: the
+      // documented driver-memory bound (shardBudget × maxKeys held
+      // objects) now charges every drained direct object, the root's
+      // larger page budget included (ADVICE r18); an over-cap level
+      // degrades to range shards that still cover every key
+      else drainBounded(conf, bucketName, c, maxKeys, planPages, d1,
+        maxObjs = shardBudget.toLong * maxKeys - objCount) match {
         case Some((direct, children)) =>
           preList(direct)
           children.foreach(child(_, depth - 1, maxPlanPages))

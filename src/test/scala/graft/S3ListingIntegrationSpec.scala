@@ -147,4 +147,48 @@ class S3ListingIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       hc.unset("fs.mocks3.impl.disable.cache")
     }
   }
+
+  test("a cached FileSystem with WRONG credentials cannot poison a " +
+      "correctly-conf'd listing (VERDICT r18 missing#4: the JVM FS " +
+      "cache keys on (scheme, authority, ugi), never conf)") {
+    // per-request auth ON: every mocks3 call checks the credential the
+    // INSTANCE was constructed with
+    MockS3Store.requiredSecret.set("s3cr3t")
+    // deliberately NO disable.cache anywhere in this scenario — the fix
+    // under test (FileSystem.newInstance in the listing paths) must not
+    // depend on it
+    val badConf = new org.apache.hadoop.conf.Configuration()
+    badConf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    badConf.set("fs.mocks3.secret", "wrong")
+    val uri = new java.net.URI("mocks3://small-bucket/")
+    // poison the JVM-wide cache: exactly what a long-lived executor
+    // holds after an earlier job that used different credentials
+    val cached = org.apache.hadoop.fs.FileSystem.get(uri, badConf)
+    try {
+      // the poisoned instance really is cached and really does 403
+      assert(org.apache.hadoop.fs.FileSystem.get(uri, badConf) eq cached)
+      intercept[org.apache.hadoop.security.AccessControlException] {
+        cached.listFiles(
+          new org.apache.hadoop.fs.Path("mocks3://small-bucket/"), true)
+      }
+      val goodConf = Map(
+        "fs.mocks3.impl" -> classOf[MockS3FileSystem].getName,
+        "fs.mocks3.secret" -> "s3cr3t")
+      // the RDD listing paths (driver shard BFS + executor shard tasks)
+      val n = FileListing
+        .listDF(spark, "mocks3://small-bucket/", extraConf = goodConf)
+        .count()
+      assert(n == 5, s"listDF through the poisoned cache: $n rows")
+      // and the graft-files V2 source (planning + partition readers;
+      // fs conf rides the source's `hadoop.*` option channel)
+      val n2 = spark.read.format("graft-files")
+        .option("path", "mocks3://small-bucket/")
+        .options(goodConf.map { case (k, v) => s"hadoop.$k" -> v })
+        .load().count()
+      assert(n2 == 5, s"graft-files through the poisoned cache: $n2 rows")
+    } finally {
+      MockS3Store.requiredSecret.set(null)
+      try cached.close() catch { case _: java.io.IOException => () }
+    }
+  }
 }
