@@ -24,6 +24,11 @@ import graft.sources.FileListing
   *            SOURCE [SOURCE...]                     // changefeed watch
   * graft.Main slots ADDR [--prefix P] [--out DIR]... [--drop-orphans]
   *                               // replication-slot lifecycle / orphan GC
+  * graft.Main compact --out DIR [--rebuild-state] SOURCE [SOURCE...]
+  *                               // event-log compaction (one event per
+  *                               // known file; atomic swap; optionally
+  *                               // removes the checkpoint for a
+  *                               // --rebuild-state resume)
   * }}}
   *
   * `--s3-wire` lists `s3://` paths over the built-in REST client
@@ -74,6 +79,7 @@ object Main {
     if (args.headOption.contains("query")) { runQuery(args.drop(1)); return }
     if (args.headOption.contains("audit")) { runAudit(args.drop(1)); return }
     if (args.headOption.contains("slots")) { runSlots(args.drop(1)); return }
+    if (args.headOption.contains("compact")) { runCompact(args.drop(1)); return }
     var identifier: Option[String] = None
     var verbosity = 0
     var out: Option[String] = None // default ./scan_out when no sink given
@@ -770,6 +776,161 @@ object Main {
       println(s"$src: ${countEvents(spark, eventsDir(sub))} " +
         s"change events at ${eventsDir(sub)}")
     }
+  }
+
+  /** `graft.Main compact --out DIR [--rebuild-state] SOURCE [SOURCE...]`:
+    * the event-log compaction LIFECYCLE operation (VERDICT r18 next#1 —
+    * the append-only log re-stamps one delete event per tombstoned file
+    * per scan, growing O(deleted files × scans) for a long-lived
+    * daemon; `snapshotOf` was the documented compaction and
+    * `--rebuild-state` the replay, but nothing stitched them into an
+    * executable "compact this watch's log and keep going").
+    *
+    * Per SOURCE: stop-the-world rewrite of `OUT/events/<source>` to its
+    * [[graft.streaming.ScrapeTws.compactedEvents]] equivalent — exactly
+    * one `(event_ms, event_seq)`-winning event row per file identity,
+    * `snapshotOf`/`initialStateOf` byte-for-byte invariant (the spec
+    * asserts equality). The swap is staged: compacted rows land in
+    * `<events>.compact-stage`, the old log renames aside to
+    * `<events>.pre-compact`, the stage renames in, and the old log is
+    * dropped LAST — a crash at any cut leaves either the original or a
+    * complete compacted log plus the retained original, and the next
+    * `compact` run heals the half-swap before doing anything else. A
+    * changefeed log's `_graft_changefeed` marker (slot + group
+    * membership) is carried into the compacted dir before the swap.
+    *
+    * Checkpoint contract: a LIVE checkpoint (rescan
+    * `.events-checkpoint/<source>`, or the changefeed's
+    * `.changefeed-checkpoint/_slot_<slot>` named by the marker) means a
+    * daemon may be mid-trigger appending to this log — the swap would
+    * lose that append — so compact REFUSES unless `--rebuild-state` is
+    * passed, which asserts the daemon is stopped and additionally
+    * removes the checkpoint after the swap: the daemon then resumes
+    * with `--stream-events --rebuild-state` (fresh checkpoint seeded
+    * from the compacted log — state, timers, and seq chains identical
+    * to what the removed checkpoint held) or, for a changefeed watch,
+    * with plain `--watch-pg` (the slot is the cursor; the replayed
+    * window's events re-append and compact away). */
+  private def runCompact(args: Array[String]): Unit = {
+    val usage = "(usage: compact --out DIR [--rebuild-state] SOURCE...)"
+    var out: Option[String] = None
+    var rebuildState = false
+    val sources = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def optValue(at: Int, flag: String): String =
+      if (at + 1 < args.length) args(at + 1)
+      else throw new IllegalArgumentException(
+        s"compact: $flag needs a value $usage")
+    while (i < args.length) {
+      args(i) match {
+        case "--out" => out = Some(optValue(i, "--out")); i += 2
+        case "--rebuild-state" => rebuildState = true; i += 1
+        case a if a.startsWith("--") => throw new IllegalArgumentException(
+          s"compact: unexpected flag '$a' $usage")
+        case s => sources += s; i += 1
+      }
+    }
+    require(out.nonEmpty, s"compact: --out DIR required $usage")
+    require(sources.nonEmpty, s"compact: at least one SOURCE required $usage")
+    val outDir = out.get
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-compact")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try sources.foreach(compactOne(spark, outDir, _, rebuildState))
+    finally { if (!preexisting) spark.stop() }
+  }
+
+  private def compactOne(spark: SparkSession, out: String, src: String,
+      rebuildState: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sub = java.net.URLEncoder.encode(src, "UTF-8")
+    val eventsDir = s"$out/events/$sub"
+    val events = new Path(eventsDir)
+    val fs = events.getFileSystem(spark.sessionState.newHadoopConf())
+    val pre = new Path(s"$eventsDir.pre-compact")
+    val stage = new Path(s"$eventsDir.compact-stage")
+    // heal a previous run's half-swap FIRST: the aside rename committed
+    // but the stage never renamed in (live log missing) → restore the
+    // original; both present → the prior swap completed and only the
+    // retained-original cleanup was lost → drop the leftover. A stray
+    // stage dir is always garbage (this run rewrites it).
+    if (fs.exists(pre)) {
+      if (!fs.exists(events)) {
+        require(fs.rename(pre, events),
+          s"$src: could not restore $pre after an interrupted compact")
+        println(s"$src: restored the original log from $pre " +
+          "(a previous compact was interrupted mid-swap)")
+      } else {
+        fs.delete(pre, true)
+        println(s"$src: dropped leftover $pre from a completed compact")
+      }
+    }
+    fs.delete(stage, true)
+    require(fs.exists(events),
+      s"$src: no event log at $eventsDir — nothing to compact")
+    // which checkpoint guards this log? a changefeed marker names the
+    // slot (its checkpoint is keyed per slot); otherwise the rescan
+    // daemon's per-source checkpoint
+    val marker = new Path(eventsDir, "_graft_changefeed")
+    val markerBytes: Option[Array[Byte]] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+        finally in.close()
+      }
+    val checkpoint = markerBytes match {
+      case Some(bytes) =>
+        val slot = new String(bytes, "UTF-8").linesIterator
+          .toSeq.headOption.getOrElse("")
+        require(slot.nonEmpty, s"$src: corrupt marker at $marker (empty)")
+        s"$out/.changefeed-checkpoint/_slot_$slot"
+      case None => s"$out/.events-checkpoint/$sub"
+    }
+    val ckptPath = new Path(checkpoint)
+    val ckptFs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (ckptFs.exists(ckptPath) && !rebuildState)
+      throw new IllegalArgumentException(
+        s"$src: a checkpoint exists at $checkpoint — its daemon may be " +
+          "appending to this log mid-trigger, and the swap would lose " +
+          "that append. Stop the daemon, then rerun with " +
+          "--rebuild-state to compact AND remove the checkpoint (resume " +
+          "the rescan daemon with --stream-events --rebuild-state; a " +
+          "changefeed watch resumes plain — the slot is its cursor)")
+    val before = spark.read.parquet(eventsDir).count()
+    graft.streaming.ScrapeTws.compactedEvents(
+        spark.read.parquet(eventsDir))
+      .write.mode("overwrite").parquet(stage.toString)
+    val after = spark.read.parquet(stage.toString).count()
+    // carry the changefeed marker into the compacted dir BEFORE the
+    // swap — the log must claim its slot at every instant a resume
+    // could observe it
+    markerBytes.foreach { bytes =>
+      val o = fs.create(new Path(stage, "_graft_changefeed"), true)
+      try o.write(bytes) finally o.close()
+    }
+    require(fs.rename(events, pre),
+      s"$src: could not move $eventsDir aside")
+    require(fs.rename(stage, events),
+      s"$src: could not move the compacted log in (original retained " +
+        s"at $pre — rerun compact to heal)")
+    fs.delete(pre, true)
+    if (rebuildState && ckptFs.exists(ckptPath)) {
+      ckptFs.delete(ckptPath, true)
+      println(s"$src: removed checkpoint $checkpoint — resume with " +
+        "--stream-events --rebuild-state (rescan daemon) or plain " +
+        "--watch-pg (changefeed; slot is the cursor)")
+    }
+    println(s"$src: compacted $before events -> $after " +
+      s"(one per known file) at $eventsDir")
   }
 
   /** Suppression arithmetic for the per-trigger retained-WAL note

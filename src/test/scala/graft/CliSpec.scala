@@ -278,6 +278,140 @@ class CliSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("--prefix needs a value"), e2.getMessage)
   }
 
+  test("compact CLI (VERDICT r18 next#1): refuses against a live " +
+      "checkpoint; --rebuild-state swaps the log atomically, removes " +
+      "the checkpoint, and the resumed daemon continues correctly; an " +
+      "interrupted swap heals on rerun") {
+    import org.apache.spark.sql.functions.col
+    val _ = spark
+    val tree = Files.createTempDirectory("cli_cp")
+    Files.writeString(tree.resolve("keep.txt"), "k")
+    Files.writeString(tree.resolve("drop.txt"), "d")
+    Files.writeString(tree.resolve("mod.txt"), "m")
+    val out = Files.createTempDirectory("cli_cp_out").toString
+    def run(extra: String*): Unit = Main.main(Array("--stream-events",
+      "-i", "cli-cp", tree.toString, "--out", out) ++ extra)
+    val sub = java.net.URLEncoder.encode("cli-cp", "UTF-8")
+    val evDir = s"$out/events/$sub"
+    val ckpt = s"$out/.events-checkpoint/$sub"
+    def events() = spark.read.parquet(evDir)
+    def snap() = graft.streaming.ScrapeTws.snapshotOf(events())
+      .collect().map(_.toSeq).toSet
+    run() // inserts for all three
+    // grow the log the way a long-lived daemon does: drop.txt vanishes
+    // and every later rescan RE-STAMPS its tombstone (one delete event
+    // per scan — the O(deleted × scans) growth compact exists to cut)
+    Files.delete(tree.resolve("drop.txt"))
+    var runs = 0
+    while (events().filter(col("action") === "delete").count() < 3 &&
+        runs < 8) {
+      Thread.sleep(5); run(); runs += 1
+    }
+    val before = events().count()
+    assert(before >= 6, s"log should carry re-stamped deletes: $before")
+    val snapBefore = snap()
+    // (c) refusal: the checkpoint is live — a daemon may be appending
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("compact", "--out", out, "cli-cp")))
+    assert(e.getMessage.contains("checkpoint exists at") &&
+      e.getMessage.contains("--rebuild-state"), e.getMessage)
+    assert(events().count() == before, "refusal must not touch the log")
+    // the lifecycle operation: compact + remove the checkpoint
+    Main.main(Array("compact", "--out", out, "--rebuild-state", "cli-cp"))
+    assert(!new java.io.File(ckpt).exists(), "checkpoint removed")
+    assert(events().count() == 3, "one event per known file")
+    assert(snap() == snapBefore, "snapshot invariant under compaction")
+    assert(!new java.io.File(s"$evDir.pre-compact").exists() &&
+      !new java.io.File(s"$evDir.compact-stage").exists(),
+      "no swap residue")
+    // resume from the compacted log: fresh checkpoint seeded from it,
+    // then live churn (an update and an insert) lands correctly
+    Files.writeString(tree.resolve("mod.txt"), "much longer content")
+    Files.writeString(tree.resolve("new.txt"), "n")
+    Thread.sleep(5)
+    run("--rebuild-state")
+    val s1 = snap().map(r => r(3).asInstanceOf[String] ->
+      Option(r(8)).map(_.asInstanceOf[java.sql.Timestamp].getTime)).toMap
+    assert(s1.keySet == Set("keep.txt", "drop.txt", "mod.txt", "new.txt"))
+    assert(s1("new.txt").isEmpty && s1("keep.txt").isEmpty &&
+      s1("mod.txt").isEmpty, "live rows stay live after the resume")
+    assert(s1("drop.txt").nonEmpty, "compacted tombstone survives")
+    // the deletion clock still works post-compaction: keep.txt vanishes
+    // and the resumed daemon tombstones it within a few rescans
+    Files.delete(tree.resolve("keep.txt"))
+    var dels = Map.empty[String, Option[Long]]
+    runs = 0
+    while (!dels.get("keep.txt").exists(_.nonEmpty) && runs < 8) {
+      Thread.sleep(5); run(); runs += 1
+      dels = snap().map(r => r(3).asInstanceOf[String] ->
+        Option(r(8)).map(_.asInstanceOf[java.sql.Timestamp].getTime)).toMap
+    }
+    assert(dels("keep.txt").nonEmpty,
+      s"resumed daemon must tombstone keep.txt (after $runs rescans)")
+    // interrupted-swap healing: simulate a crash between the aside
+    // rename and the stage rename-in (live log missing, original
+    // retained) — the next compact restores it before compacting
+    val snapNow = snap()
+    assert(new java.io.File(evDir).renameTo(
+      new java.io.File(s"$evDir.pre-compact")))
+    Main.main(Array("compact", "--out", out, "--rebuild-state", "cli-cp"))
+    assert(new java.io.File(evDir).exists() &&
+      !new java.io.File(s"$evDir.pre-compact").exists())
+    assert(snap() == snapNow, "healed + compacted log keeps the snapshot")
+    assert(events().count() == 4, "healed log compacted to one per file")
+  }
+
+  test("compact on a changefeed log: the _graft_changefeed marker is " +
+      "preserved across the swap and the refusal keys on the SLOT " +
+      "checkpoint the marker names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("cli_cp_cf_out").toString
+    val sub = java.net.URLEncoder.encode("cf-src", "UTF-8")
+    val evDir = s"$out/events/$sub"
+    // a changefeed-dialect log: event_seq is the LSN space; two events
+    // for one key (insert then tombstoning update) plus a lone insert
+    Seq(
+      ("gen_x", "cf-src", "/p", "f1", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long],
+        "insert", 1000L, 111L),
+      ("gen_x", "cf-src", "/p", "f1", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(10L), java.lang.Long.valueOf(2000L),
+        "delete", 2000L, 222L),
+      ("gen_y", "cf-src", "/p", "f2", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(6000L),
+        java.lang.Long.valueOf(20L), null.asInstanceOf[java.lang.Long],
+        "insert", 1500L, 150L))
+      .toDF("uuid_external_file", "external_source", "path", "filename",
+        "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+        "action", "event_ms", "event_seq")
+      .write.parquet(evDir)
+    val marker = s"$evDir/_graft_changefeed"
+    val markerContent = "graft_cf_ab12_cd34\ncf-src"
+    Files.writeString(java.nio.file.Paths.get(marker), markerContent)
+    // the marker names the slot; ITS checkpoint (not the rescan one)
+    // gates the compaction
+    val slotCkpt = s"$out/.changefeed-checkpoint/_slot_graft_cf_ab12_cd34"
+    Files.createDirectories(java.nio.file.Paths.get(slotCkpt))
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("compact", "--out", out, "cf-src")))
+    assert(e.getMessage.contains("_slot_graft_cf_ab12_cd34"), e.getMessage)
+    // stopped watch, checkpoint removed by the operator: plain compact
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(slotCkpt))
+    Main.main(Array("compact", "--out", out, "cf-src"))
+    assert(Files.readString(java.nio.file.Paths.get(marker)) ==
+      markerContent, "marker must survive the swap byte-identical")
+    val after = spark.read.parquet(evDir)
+    assert(after.count() == 2)
+    val f1 = after.filter(col("filename") === "f1").collect()(0)
+    assert(f1.getAs[String]("action") == "delete" &&
+      f1.getAs[Long]("event_seq") == 222L,
+      "the LSN-winning event survives compaction")
+  }
+
   test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
       "exceedance and every Nth after print; below-threshold resets") {
     val s = new Main.WalNoteSuppressor(every = 3)

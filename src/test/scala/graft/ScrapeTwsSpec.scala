@@ -631,6 +631,118 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("compact (VERDICT r18 next#1): compactedEvents is snapshot- and " +
+      "rebuild-state-invariant byte-for-byte, and a daemon rebuilt over " +
+      "the compacted log continues exactly like one over the original") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      import spark.implicits._
+      val root = Files.createTempDirectory("tws_cp").toString
+      def writeScan(dir: String, df: org.apache.spark.sql.DataFrame,
+          order: Int): Unit = {
+        val f = s"$root/$dir"
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        new java.io.File(f).listFiles().foreach(p =>
+          p.setLastModified(1700000000000L + order * 60000L))
+      }
+      def runPhase(srcGlob: String, ckpt: String, eventsDir: String,
+          initial: Option[org.apache.spark.sql.DataFrame]): Unit = {
+        val stream = spark.readStream
+          .schema(scanDf(0).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcGlob)
+        val q = ScrapeTws.changeStream(spark, stream, "s1", initial)
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(eventsDir)
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // the full 4-scan history (insert, update, preserved mime,
+      // tombstone + re-stamp, revive) as one event log
+      (0 to 3).foreach(i => writeScan(s"src1/scan$i", scanDf(i), i))
+      val eventsDir = s"$root/events"
+      runPhase(s"$root/src1/scan*", s"$root/ckpt1", eventsDir, None)
+      val original = spark.read.parquet(eventsDir).cache()
+      val compacted = ScrapeTws.compactedEvents(original).cache()
+
+      // (a) exactly one event per identity, strictly smaller than the
+      // re-stamping log; identical column layout
+      val nKeys = original.select("external_source", "path", "filename")
+        .distinct().count()
+      assert(compacted.count() == nKeys && original.count() > nKeys,
+        s"compacted ${compacted.count()} of ${original.count()} events")
+      assert(compacted.columns.toSeq == original.columns.toSeq)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // snapshot equality, byte-for-byte
+      assert(rows(ScrapeTws.snapshotOf(compacted)) ==
+        rows(ScrapeTws.snapshotOf(original)))
+      // rebuild-state equality: per-key FileState — armed timer and the
+      // (seqMs, seq) chain included — identical from either log
+      def states(log: org.apache.spark.sql.DataFrame) =
+        ScrapeTws.initialStateOf(spark, log)
+          .mapGroups((k, vs) => (k, vs.next())).collect().toMap
+      assert(states(compacted) == states(original))
+
+      // (b) continuation: the same churn scan over a daemon rebuilt
+      // from the COMPACTED log vs one rebuilt from the ORIGINAL —
+      // final snapshots must match each other and the expected state.
+      // scan 4: B unchanged, C size update, F new insert; D vanishes
+      // (tombstone), A/E stay tombstoned (re-stamped by the new clock)
+      val scan4 = Seq(
+        ("/d", "B", "text/plain", null.asInstanceOf[java.lang.Long],
+          5000L, 20L),
+        ("/d", "C", "text/plain", java.lang.Long.valueOf(2000L),
+          6000L, 99L),
+        ("/d", "F", "app/x", null.asInstanceOf[java.lang.Long],
+          9000L, 7L))
+        .toDF("path", "filename", "mime_type", "created_ms",
+          "modified_ms", "size")
+        .select(lit("s1").as("external_source"), col("path"),
+          col("filename"), col("mime_type"),
+          timestamp_millis(col("created_ms")).as("created"),
+          timestamp_millis(col("modified_ms")).as("modified"), col("size"),
+          timestamp_millis(lit(base + 4)).as("observed"))
+      def continue(seed: org.apache.spark.sql.DataFrame,
+          tag: String): Set[Seq[Any]] = {
+        val evDir = s"$root/$tag/events"
+        seed.write.parquet(evDir)
+        writeScan(s"$tag/scan4", scan4, 4)
+        runPhase(s"$root/$tag/scan*", s"$root/$tag/ckpt", evDir,
+          Some(spark.read.parquet(evDir)))
+        rows(ScrapeTws.snapshotOf(spark.read.parquet(evDir)))
+      }
+      val viaCompacted = continue(compacted, "cont_c")
+      val viaOriginal = continue(original, "cont_o")
+      assert(viaCompacted == viaOriginal,
+        s"continuations diverge:\n  compacted=$viaCompacted\n  " +
+          s"original=$viaOriginal")
+      val byName = viaCompacted.map(r =>
+        r(3).asInstanceOf[String] -> r).toMap
+      def deletedMs(r: Seq[Any]) =
+        Option(r(8)).map(_.asInstanceOf[java.sql.Timestamp].getTime)
+      // the insert/update/delete-after-compaction contracts
+      assert(deletedMs(byName("F")).isEmpty &&
+        byName("F")(7) == 7L, "post-compaction insert lands")
+      assert(deletedMs(byName("C")).isEmpty &&
+        byName("C")(7) == 99L, "post-compaction update lands")
+      assert(deletedMs(byName("D")) == Some(base + 4),
+        "post-compaction deletion tombstones at the new scan clock")
+      assert(deletedMs(byName("A")) == Some(base + 4) &&
+        deletedMs(byName("E")) == Some(base + 4),
+        "rebuilt timers keep re-stamping compacted tombstones")
+      assert(deletedMs(byName("B")).isEmpty)
+      original.unpersist(); compacted.unpersist()
+      ()
+    }
+  }
+
   test("live-listing daemon: ProcessingTime rescans tombstone a deleted file") {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val tree = Files.createTempDirectory("tws_live")
