@@ -322,7 +322,14 @@ object ScrapeTws {
     * file's orphaned insert event then has no state entry and no
     * timer, and only a later sighting can correct the snapshot. The
     * window is one trigger wide; deployments needing deterministic
-    * replay feed from the CDC source. */
+    * replay feed from the CDC source. Spec-pinned at the exact cut
+    * (ScrapeTwsSpec "rescan-replay window"): the orphan stays wrongly
+    * live through any number of later scans, and a correcting sighting
+    * restores the deletion clock — closing the window would mean
+    * staging each trigger's listing durably before the merge, a
+    * listing-sized write per trigger the one-trigger exposure does not
+    * justify (r19 decision; revisit if the feeder ever batches
+    * multiple scans per trigger). */
   def changeStream(s: SparkSession, scans: DataFrame,
       source: String, initial: Option[DataFrame] = None): DataFrame = {
     import s.implicits._

@@ -743,6 +743,90 @@ class ScrapeTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("rescan-replay window (r18 honesty note, spec-pinned — VERDICT " +
+      "r18 next#3): a crash between the log append and the checkpoint " +
+      "commit, with the fs changing before the replay, ORPHANS the " +
+      "vanished file's insert event — no state entry, no timer, no " +
+      "tombstone ever — until a later sighting corrects the snapshot") {
+    graft.streaming.RocksDb.withRocksDb(spark) {
+      import org.apache.spark.sql.functions.col
+      val tree = Files.createTempDirectory("tws_replay")
+      Files.writeString(tree.resolve("a.txt"), "alpha")
+      Files.writeString(tree.resolve("b.txt"), "b")
+      val out = Files.createTempDirectory("tws_replay_out").toString
+      val eventsDir = s"$out/events"
+      val ckpt = s"$out/ckpt"
+      // one injected death: AFTER the event-log append, BEFORE the
+      // checkpoint commit — the exact cut the honesty note documents
+      val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def cycle(expectFail: Boolean = false): Unit = {
+        val scans = spark.readStream.format("graft-files")
+          .option("path", tree.toString).option("identifier", "rp").load()
+          .withColumn("observed", current_timestamp())
+        val q = ScrapeTws.changeStream(spark, scans, "rp")
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(eventsDir)
+              if (crash.getAndSet(false))
+                throw new RuntimeException(
+                  "injected crash: log appended, checkpoint not committed")
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (expectFail)
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q.awaitTermination()
+          }
+        else q.awaitTermination()
+        ()
+      }
+      def events() = spark.read.parquet(eventsDir)
+      def snap() = ScrapeTws.snapshotOf(events()).collect()
+        .map(r => r.getString(3) ->
+          Option(r.getTimestamp(8)).map(_.getTime)).toMap
+      crash.set(true)
+      cycle(expectFail = true) // scan 0 listed a+b; log holds both inserts
+      assert(events().filter(col("filename") === "b.txt")
+        .count() == 1, "the first attempt's append IS in the log")
+      // the fs changes before the replay — the rescan feeder re-lists
+      // LIVE state, so the replayed batch no longer sees b.txt
+      Files.delete(tree.resolve("b.txt"))
+      Thread.sleep(5)
+      cycle() // replay: a.txt only reaches state; b's insert is orphaned
+      // a's replayed insert is bit-identical (the batch timestamp is
+      // recovered from the offset log) and compacts away
+      assert(events().filter(col("filename") === "a.txt")
+        .select("event_ms").distinct().count() == 1,
+        "replayed duplicate compacts bit-for-bit")
+      // THE PINNED MISBEHAVIOR: b looks live in the snapshot, and no
+      // number of later scans can tombstone it — the replay never put
+      // it in state, so no deletion timer exists for it
+      (1 to 3).foreach { _ => Thread.sleep(5); cycle() }
+      val wrong = snap()
+      assert(wrong.get("a.txt").exists(_.isEmpty), "a is live")
+      assert(wrong.get("b.txt").exists(_.isEmpty),
+        s"the orphaned insert shows b live with no tombstone: $wrong")
+      // THE DOCUMENTED CORRECTION: a later sighting re-enters state
+      // (classified insert — state never saw b), after which the
+      // deletion clock works again
+      Files.writeString(tree.resolve("b.txt"), "back")
+      Thread.sleep(5)
+      cycle()
+      assert(snap().get("b.txt").exists(_.isEmpty))
+      Files.delete(tree.resolve("b.txt"))
+      var runs = 0
+      while (snap().get("b.txt").exists(_.isEmpty) && runs < 6) {
+        Thread.sleep(5); cycle(); runs += 1
+      }
+      assert(snap().get("b.txt").exists(_.nonEmpty),
+        s"after the correcting sighting, b tombstones (runs=$runs)")
+    }
+  }
+
   test("live-listing daemon: ProcessingTime rescans tombstone a deleted file") {
     graft.streaming.RocksDb.withRocksDb(spark) {
       val tree = Files.createTempDirectory("tws_live")
