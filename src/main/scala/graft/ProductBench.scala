@@ -181,6 +181,12 @@ object ProductBench {
     } finally {
       server.stop(0)
       pool.shutdownNow()
+      // this DROP runs outside BenchPg.mayDropTable, which is correct
+      // ONLY because the guard gated ENTRY to this method: the table at
+      // this point is provably the bench's own creation. If an early
+      // return or a second guard point is ever added between the
+      // createTable and here, this cleanup must re-prove ownership
+      // (VERDICT r18 wrong#4).
       try withClient(_.exec(s"DROP TABLE IF EXISTS ${PgMerge.table}"))
       catch { case _: Throwable => () }
     }
