@@ -24,7 +24,7 @@ import graft.sources.FileListing
   *            SOURCE [SOURCE...]                     // changefeed watch
   * graft.Main slots ADDR [--prefix P] [--out DIR]... [--drop-orphans]
   *                               // replication-slot lifecycle / orphan GC
-  * graft.Main compact --out DIR [--rebuild-state] SOURCE [SOURCE...]
+  * graft.Main compact --out DIR [--rebuild-state] [SOURCE...]
   *                               // event-log compaction (one event per
   *                               // known file; atomic swap; optionally
   *                               // removes the checkpoint for a
@@ -778,7 +778,9 @@ object Main {
     }
   }
 
-  /** `graft.Main compact --out DIR [--rebuild-state] SOURCE [SOURCE...]`:
+  /** `graft.Main compact --out DIR [--rebuild-state] [SOURCE...]`
+    * (no SOURCE = every log under `OUT/events`, swap residue mapped
+    * back to its base log so interrupted compacts heal):
     * the event-log compaction LIFECYCLE operation (VERDICT r18 next#1 —
     * the append-only log re-stamps one delete event per tombstoned file
     * per scan, growing O(deleted files × scans) for a long-lived
@@ -812,7 +814,9 @@ object Main {
     * with plain `--watch-pg` (the slot is the cursor; the replayed
     * window's events re-append and compact away). */
   private def runCompact(args: Array[String]): Unit = {
-    val usage = "(usage: compact --out DIR [--rebuild-state] SOURCE...)"
+    val usage =
+      "(usage: compact --out DIR [--rebuild-state] [SOURCE...]; no " +
+        "SOURCE = every log under OUT/events)"
     var out: Option[String] = None
     var rebuildState = false
     val sources = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -831,8 +835,27 @@ object Main {
       }
     }
     require(out.nonEmpty, s"compact: --out DIR required $usage")
-    require(sources.nonEmpty, s"compact: at least one SOURCE required $usage")
     val outDir = out.get
+    // no SOURCE named → every log under OUT/events (the sub-dir names
+    // are the URL-encoded sources); an OUT with no logs is an error,
+    // not a silent no-op
+    if (sources.isEmpty) {
+      val events = new org.apache.hadoop.fs.Path(s"$outDir/events")
+      val fs = events.getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      require(fs.exists(events),
+        s"compact: no event logs at $outDir/events $usage")
+      // swap residue (`<sub>.pre-compact` / `<sub>.compact-stage`) maps
+      // back to its base source — so an interrupted compact's retained
+      // original is found and HEALED, never compacted as a foreign log
+      fs.listStatus(events).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .map(_.stripSuffix(".pre-compact").stripSuffix(".compact-stage"))
+        .distinct.sorted
+        .foreach(sub => sources += java.net.URLDecoder.decode(sub, "UTF-8"))
+      require(sources.nonEmpty,
+        s"compact: no event logs at $outDir/events $usage")
+    }
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -412,6 +412,44 @@ class CliSpec extends AnyFunSuite {
       "the LSN-winning event survives compaction")
   }
 
+  test("compact with no SOURCE compacts every log under OUT/events and " +
+      "heals swap residue instead of compacting it as a foreign log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("cli_cp_all_out").toString
+    def log(src: String, n: Int): String = {
+      val dir = s"$out/events/" + java.net.URLEncoder.encode(src, "UTF-8")
+      (1 to n).map(i => ("gen_" + i, src, "/p", "f", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(i.toLong),
+        null.asInstanceOf[java.lang.Long],
+        if (i == 1) "insert" else "update", 1000L + i, 0L))
+        .toDF("uuid_external_file", "external_source", "path", "filename",
+          "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+          "action", "event_ms", "event_seq")
+        .write.parquet(dir)
+      dir
+    }
+    val d1 = log("s one", 4) // url-encoding round-trips (space -> +)
+    val d2 = log("s2", 3)
+    // an interrupted swap on d2: live log missing, original retained
+    assert(new java.io.File(d2).renameTo(
+      new java.io.File(s"$d2.pre-compact")))
+    Main.main(Array("compact", "--out", out))
+    Seq(d1, d2).foreach { d =>
+      assert(spark.read.parquet(d).count() == 1, s"$d compacted")
+      assert(spark.read.parquet(d)
+        .filter(col("action") === "update").count() == 1,
+        "the last event won")
+      assert(!new java.io.File(s"$d.pre-compact").exists())
+    }
+    // an OUT with no logs is an error, not a silent no-op
+    val empty = Files.createTempDirectory("cli_cp_none").toString
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("compact", "--out", empty)))
+    assert(e.getMessage.contains("no event logs"), e.getMessage)
+  }
+
   test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
       "exceedance and every Nth after print; below-threshold resets") {
     val s = new Main.WalNoteSuppressor(every = 3)
