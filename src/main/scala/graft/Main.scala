@@ -928,7 +928,15 @@ object Main {
           "--rebuild-state to compact AND remove the checkpoint (resume " +
           "the rescan daemon with --stream-events --rebuild-state; a " +
           "changefeed watch resumes plain — the slot is its cursor)")
-    val before = spark.read.parquet(eventsDir).count()
+    // an EMPTY log (a rescan of an empty tree appends a parquet dir
+    // with no data files) is "nothing to compact", not an
+    // UNABLE_TO_INFER_SCHEMA crash; countEvents distinguishes that
+    // from a real read failure, which must still propagate
+    val before = countEvents(spark, eventsDir)
+    if (before == 0L) {
+      println(s"$src: no events at $eventsDir — nothing to compact")
+      return
+    }
     graft.streaming.ScrapeTws.compactedEvents(
         spark.read.parquet(eventsDir))
       .write.mode("overwrite").parquet(stage.toString)

@@ -238,9 +238,11 @@ object Scrape {
   def qScrapeSnapshot(s: SparkSession, dir: String): DataFrame =
     snapshotOfOrders(orders(s, dir)).orderBy("path", "filename")
 
-  /** The event-log build + compaction over any orders-shaped frame —
-    * shared by the oracled query and the ×N ScaleProbe kernel. */
-  def snapshotOfOrders(ordersDf: DataFrame): DataFrame = {
+  /** The deterministic change-event log (inserts, updates, deletes,
+    * plus a same-instant `event_seq` tie) replayed from any
+    * orders-shaped frame — shared by the snapshot row, the compact row
+    * (r19), and the ×N ScaleProbe kernel. */
+  def eventLogOfOrders(ordersDf: DataFrame): DataFrame = {
     val b = baseOf(ordersDf)
       .withColumn("mime_guess", Mime.mimeOf(col("filename")))
     val k = col("o_orderkey")
@@ -256,7 +258,7 @@ object Scrape {
         lit(action).as("action"),
         eventMs.cast("bigint").as("event_ms"),
         lit(seq).as("event_seq"))
-    val log = ev(lit(true), col("size"), col("mime_guess"),
+    ev(lit(true), col("size"), col("mime_guess"),
         lit(null), "insert", k + 1000000L, 0L)
       .unionAll(ev(k % 5 === 0, col("size") + 7L, col("mime_guess"),
         lit(null), "update", k + 2000000L, 0L))
@@ -266,8 +268,23 @@ object Scrape {
         lit(null), "update", k + 4000000L, 0L))
       .unionAll(ev(k % 3 === 0, k - 50L, lit("text/tie1"),
         lit(null), "update", k + 4000000L, 1L))
-    graft.streaming.ScrapeTws.snapshotOf(log)
   }
+
+  /** The event-log build + compaction over any orders-shaped frame —
+    * shared by the oracled query and the ×N ScaleProbe kernel. */
+  def snapshotOfOrders(ordersDf: DataFrame): DataFrame =
+    graft.streaming.ScrapeTws.snapshotOf(eventLogOfOrders(ordersDf))
+
+  /** The `compact` lifecycle kernel as an oracled row (r19): the same
+    * deterministic log reduced to its single `(event_ms, event_seq)`-
+    * winning EVENT row per identity, all twelve columns verbatim
+    * ([[graft.streaming.ScrapeTws.compactedEvents]] — the rewrite
+    * `graft.Main compact` swaps in). The DuckDB oracle re-derives the
+    * winners relationally. */
+  def qScrapeCompact(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.ScrapeTws.compactedEvents(
+        eventLogOfOrders(orders(s, dir)))
+      .orderBy("path", "filename")
 
   // ---------------------------------------------------------------------
   // The S3→scrape COMPOSITION as an oracled row (VERDICT r13 #5): the
@@ -447,6 +464,7 @@ object Scrape {
     "q_scrape_deletions" -> qDeletions,
     "q_scrape_seen" -> qSeen,
     "q_scrape_snapshot" -> qScrapeSnapshot,
+    "q_scrape_compact" -> qScrapeCompact,
     "q_scrape_s3" -> qScrapeS3,
     "q_cdc_feed" -> qCdcFeed,
   )
@@ -540,6 +558,44 @@ object Scrape {
         |  mime_type, epoch_ms(created_ms) AS created,
         |  epoch_ms(modified_ms) AS modified, size,
         |  epoch_ms(deleted_ms) AS deleted
+        |FROM ranked WHERE rn = 1
+        |ORDER BY path, filename""".stripMargin),
+    // the compact lifecycle kernel: the log's single winning EVENT row
+    // per identity, all twelve columns (graft.Main compact's rewrite)
+    "q_scrape_compact" -> (cte +
+      """, ev AS (
+        |  SELECT CAST(k AS VARCHAR) AS uuid_external_file, external_source,
+        |    path, filename, guessed_mime AS mime_type,
+        |    k AS created_ms, k*2 AS modified_ms,
+        |    size, CAST(NULL AS BIGINT) AS deleted_ms,
+        |    'insert' AS action,
+        |    k + 1000000 AS event_ms, CAST(0 AS BIGINT) AS event_seq
+        |  FROM base
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    guessed_mime, k, k*2, size + 7, NULL, 'update', k + 2000000, 0
+        |  FROM base WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    guessed_mime, k, k*2, size, k + 3000000, 'delete',
+        |    k + 3000000, 0
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    'text/tie0', k, k*2, k + 1000, NULL, 'update', k + 4000000, 0
+        |  FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), external_source, path, filename,
+        |    'text/tie1', k, k*2, k - 50, NULL, 'update', k + 4000000, 1
+        |  FROM base WHERE k % 3 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY external_source, path, filename
+        |    ORDER BY event_ms DESC, event_seq DESC) AS rn
+        |  FROM ev)
+        |SELECT uuid_external_file, external_source, path, filename,
+        |  mime_type, created_ms, modified_ms, size, deleted_ms, action,
+        |  event_ms, event_seq
         |FROM ranked WHERE rn = 1
         |ORDER BY path, filename""".stripMargin),
     // the composed S3 rescan: key split (root keys → path ''), inferred

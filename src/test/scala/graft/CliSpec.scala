@@ -448,6 +448,16 @@ class CliSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Main.main(Array("compact", "--out", empty)))
     assert(e.getMessage.contains("no event logs"), e.getMessage)
+    // an EMPTY log (a rescan of an empty tree appends a parquet dir
+    // with no data files) skips cleanly instead of crashing on schema
+    // inference
+    val out2 = Files.createTempDirectory("cli_cp_empty_out").toString
+    val tree = Files.createTempDirectory("cli_cp_empty_tree")
+    Main.main(Array("--stream-events", "-i", "cp-empty", tree.toString,
+      "--out", out2))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      s"$out2/.events-checkpoint"))
+    Main.main(Array("compact", "--out", out2)) // must not throw
   }
 
   test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
