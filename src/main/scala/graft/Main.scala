@@ -513,20 +513,13 @@ object Main {
       s"${eventsDir(sub)}/_graft_changefeed")
     def readMarker(sub: String): Option[(String, Seq[String])] = {
       val mp = markerPathOf(sub)
-      val fs = fsOf(eventsDir(sub))
-      if (!fs.exists(mp)) None
-      else {
-        val in = fs.open(mp)
-        val lines =
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            "UTF-8").linesIterator.toVector
-          finally in.close()
+      readMarkerContent(fsOf(eventsDir(sub)), mp).map { content =>
+        val lines = content.linesIterator.toVector
         require(lines.headOption.exists(_.nonEmpty),
           s"corrupt handoff marker at $mp (empty) — remove the " +
             "group's log dirs and drop its slot, then rerun for a " +
             "fresh snapshot handoff")
-        Some((lines.head, lines.tail))
+        (lines.head, lines.tail)
       }
     }
     val groupDigest = java.security.MessageDigest
@@ -836,26 +829,6 @@ object Main {
     }
     require(out.nonEmpty, s"compact: --out DIR required $usage")
     val outDir = out.get
-    // no SOURCE named → every log under OUT/events (the sub-dir names
-    // are the URL-encoded sources); an OUT with no logs is an error,
-    // not a silent no-op
-    if (sources.isEmpty) {
-      val events = new org.apache.hadoop.fs.Path(s"$outDir/events")
-      val fs = events.getFileSystem(
-        new org.apache.hadoop.conf.Configuration())
-      require(fs.exists(events),
-        s"compact: no event logs at $outDir/events $usage")
-      // swap residue (`<sub>.pre-compact` / `<sub>.compact-stage`) maps
-      // back to its base source — so an interrupted compact's retained
-      // original is found and HEALED, never compacted as a foreign log
-      fs.listStatus(events).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .map(_.stripSuffix(".pre-compact").stripSuffix(".compact-stage"))
-        .distinct.sorted
-        .foreach(sub => sources += java.net.URLDecoder.decode(sub, "UTF-8"))
-      require(sources.nonEmpty,
-        s"compact: no event logs at $outDir/events $usage")
-    }
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -867,8 +840,34 @@ object Main {
       .withExtensions(new plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try sources.foreach(compactOne(spark, outDir, _, rebuildState))
-    finally { if (!preexisting) spark.stop() }
+    try {
+      // no SOURCE named → every log under OUT/events (the sub-dir names
+      // are the URL-encoded sources); an OUT with no logs is an error,
+      // not a silent no-op. The discovery listing goes through the
+      // SESSION hadoop conf, same as compactOne — a bare Configuration
+      // would drop the spark.hadoop.* credential channel on a remote
+      // --out (review r19: the exact conf-channel bug this round fixed
+      // in the listing paths)
+      if (sources.isEmpty) {
+        val events = new org.apache.hadoop.fs.Path(s"$outDir/events")
+        val fs = events.getFileSystem(spark.sessionState.newHadoopConf())
+        require(fs.exists(events),
+          s"compact: no event logs at $outDir/events $usage")
+        // swap residue (`<sub>.pre-compact` / `<sub>.compact-stage`)
+        // maps back to its base source — so an interrupted compact's
+        // retained original is found and HEALED, never compacted as a
+        // foreign log
+        fs.listStatus(events).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .map(_.stripSuffix(".pre-compact").stripSuffix(".compact-stage"))
+          .distinct.sorted
+          .foreach(sub =>
+            sources += java.net.URLDecoder.decode(sub, "UTF-8"))
+        require(sources.nonEmpty,
+          s"compact: no event logs at $outDir/events $usage")
+      }
+      sources.foreach(compactOne(spark, outDir, _, rebuildState))
+    } finally { if (!preexisting) spark.stop() }
   }
 
   private def compactOne(spark: SparkSession, out: String, src: String,
@@ -880,46 +879,29 @@ object Main {
     val fs = events.getFileSystem(spark.sessionState.newHadoopConf())
     val pre = new Path(s"$eventsDir.pre-compact")
     val stage = new Path(s"$eventsDir.compact-stage")
-    // heal a previous run's half-swap FIRST: the aside rename committed
-    // but the stage never renamed in (live log missing) → restore the
-    // original; both present → the prior swap completed and only the
-    // retained-original cleanup was lost → drop the leftover. A stray
-    // stage dir is always garbage (this run rewrites it).
-    if (fs.exists(pre)) {
-      if (!fs.exists(events)) {
-        require(fs.rename(pre, events),
-          s"$src: could not restore $pre after an interrupted compact")
-        println(s"$src: restored the original log from $pre " +
-          "(a previous compact was interrupted mid-swap)")
-      } else {
-        fs.delete(pre, true)
-        println(s"$src: dropped leftover $pre from a completed compact")
-      }
-    }
-    fs.delete(stage, true)
-    require(fs.exists(events),
+    require(fs.exists(events) || fs.exists(pre),
       s"$src: no event log at $eventsDir — nothing to compact")
     // which checkpoint guards this log? a changefeed marker names the
     // slot (its checkpoint is keyed per slot); otherwise the rescan
-    // daemon's per-source checkpoint
-    val marker = new Path(eventsDir, "_graft_changefeed")
-    val markerBytes: Option[Array[Byte]] =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
-        finally in.close()
-      }
-    val checkpoint = markerBytes match {
-      case Some(bytes) =>
-        val slot = new String(bytes, "UTF-8").linesIterator
-          .toSeq.headOption.getOrElse("")
-        require(slot.nonEmpty, s"$src: corrupt marker at $marker (empty)")
+    // daemon's per-source checkpoint. A half-swapped log's marker may
+    // live only in the retained original — read whichever copy exists,
+    // BEFORE any mutation
+    val markerContent: Option[String] =
+      readMarkerContent(fs, new Path(events, "_graft_changefeed"))
+        .orElse(readMarkerContent(fs, new Path(pre, "_graft_changefeed")))
+    val checkpoint = markerContent match {
+      case Some(content) =>
+        val slot = content.linesIterator.toSeq.headOption.getOrElse("")
+        require(slot.nonEmpty, s"$src: corrupt _graft_changefeed marker " +
+          s"under $eventsDir (empty)")
         s"$out/.changefeed-checkpoint/_slot_$slot"
       case None => s"$out/.events-checkpoint/$sub"
     }
     val ckptPath = new Path(checkpoint)
     val ckptFs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // the refusal runs BEFORE the heal (review r19): a live checkpoint
+    // means a daemon may be appending to the live dir RIGHT NOW, and
+    // the heal's consolidation moves files out of it
     if (ckptFs.exists(ckptPath) && !rebuildState)
       throw new IllegalArgumentException(
         s"$src: a checkpoint exists at $checkpoint — its daemon may be " +
@@ -928,12 +910,49 @@ object Main {
           "--rebuild-state to compact AND remove the checkpoint (resume " +
           "the rescan daemon with --stream-events --rebuild-state; a " +
           "changefeed watch resumes plain — the slot is its cursor)")
+    // heal a previous run's half-swap: the aside rename committed but
+    // the stage never renamed in (live log missing) → restore the
+    // original. BOTH present is AMBIGUOUS (review r19): either a
+    // completed swap's leftover OR a crashed swap whose daemon was
+    // restarted and recreated the live dir with delta events — deleting
+    // the retained original in the second case would destroy the only
+    // copy of the log history. The UNION is the true log in both cases
+    // (a completed swap's compacted winners are duplicates the
+    // max-struct compaction absorbs; a restarted daemon's deltas
+    // out-compact the history), so consolidate: move the live dir's
+    // files into the retained original, then restore it as the one
+    // log. Each file move is atomic; a crash mid-consolidation is
+    // resumable (moved files are gone from the source). A stray stage
+    // dir is always garbage (this run rewrites it).
+    if (fs.exists(pre)) {
+      if (fs.exists(events)) {
+        fs.listStatus(events).foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(pre, st.getPath.getName)
+          if (fs.exists(dst)) fs.delete(st.getPath, true) // marker/_SUCCESS
+          else require(fs.rename(st.getPath, dst),
+            s"$src: could not consolidate ${st.getPath} into $pre")
+        }
+        fs.delete(events, true)
+        println(s"$src: merged the live log into retained $pre " +
+          "(a previous compact was interrupted mid-swap; the union is " +
+          "the true log)")
+      }
+      require(fs.rename(pre, events),
+        s"$src: could not restore $pre after an interrupted compact")
+      println(s"$src: restored the log from $pre")
+    }
+    fs.delete(stage, true)
     // an EMPTY log (a rescan of an empty tree appends a parquet dir
     // with no data files) is "nothing to compact", not an
     // UNABLE_TO_INFER_SCHEMA crash; countEvents distinguishes that
-    // from a real read failure, which must still propagate
+    // from a real read failure, which must still propagate. The
+    // --rebuild-state checkpoint-removal contract still applies
+    // (review r19): the operator asked for the full lifecycle step,
+    // and leaving the checkpoint would make the advertised
+    // --stream-events --rebuild-state resume refuse.
     val before = countEvents(spark, eventsDir)
     if (before == 0L) {
+      dropCheckpoint(src, rebuildState, ckptFs, ckptPath, checkpoint)
       println(s"$src: no events at $eventsDir — nothing to compact")
       return
     }
@@ -944,9 +963,9 @@ object Main {
     // carry the changefeed marker into the compacted dir BEFORE the
     // swap — the log must claim its slot at every instant a resume
     // could observe it
-    markerBytes.foreach { bytes =>
+    markerContent.foreach { content =>
       val o = fs.create(new Path(stage, "_graft_changefeed"), true)
-      try o.write(bytes) finally o.close()
+      try o.write(content.getBytes("UTF-8")) finally o.close()
     }
     require(fs.rename(events, pre),
       s"$src: could not move $eventsDir aside")
@@ -954,15 +973,38 @@ object Main {
       s"$src: could not move the compacted log in (original retained " +
         s"at $pre — rerun compact to heal)")
     fs.delete(pre, true)
+    dropCheckpoint(src, rebuildState, ckptFs, ckptPath, checkpoint)
+    println(s"$src: compacted $before events -> $after " +
+      s"(one per known file) at $eventsDir")
+  }
+
+  /** The `--rebuild-state` half of the compact lifecycle: remove the
+    * (stopped) daemon's checkpoint so the resume reseeds from the
+    * compacted log. Shared by the compacted and empty-log paths. */
+  private def dropCheckpoint(src: String, rebuildState: Boolean,
+      ckptFs: org.apache.hadoop.fs.FileSystem,
+      ckptPath: org.apache.hadoop.fs.Path, checkpoint: String): Unit =
     if (rebuildState && ckptFs.exists(ckptPath)) {
       ckptFs.delete(ckptPath, true)
       println(s"$src: removed checkpoint $checkpoint — resume with " +
         "--stream-events --rebuild-state (rescan daemon) or plain " +
         "--watch-pg (changefeed; slot is the cursor)")
     }
-    println(s"$src: compacted $before events -> $after " +
-      s"(one per known file) at $eventsDir")
-  }
+
+  /** Full content of a `_graft_changefeed` handoff marker, or None when
+    * absent — ONE parse for the three surfaces that read it (watch
+    * resume, slots GC, compact; review r19: three hand-rolled copies of
+    * "open, read fully, first line = slot" would drift independently on
+    * any format change). */
+  private[graft] def readMarkerContent(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
 
   /** Suppression arithmetic for the per-trigger retained-WAL note
     * (VERDICT r18 wrong#5): a daemon sitting over `--max-retain-mb` for
@@ -1074,16 +1116,10 @@ object Main {
         st =>
           val mp = new org.apache.hadoop.fs.Path(st.getPath,
             "_graft_changefeed")
-          if (!fs.exists(mp)) Nil
-          else {
-            val in = fs.open(mp)
-            val slot =
-              try new String(
-                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-                "UTF-8").linesIterator.toVector.headOption.getOrElse("")
-              finally in.close()
-            if (slot.isEmpty) Nil else Seq(slot -> st.getPath.toString)
-          }
+          readMarkerContent(fs, mp)
+            .map(_.linesIterator.toVector.headOption.getOrElse(""))
+            .filter(_.nonEmpty)
+            .map(slot => slot -> st.getPath.toString)
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val c = sinks.PgWireClient.connect(t.host, t.port, user, t.database,

@@ -301,8 +301,16 @@ private[v2] class FilesScan(
       rootPath.toUri, hconf)
     val minShards =
       SparkSession.active.sparkContext.defaultParallelism * 4
+    // a planning throw (root momentarily missing, transient store
+    // error) must not leak the instance: the streaming form re-plans
+    // every trigger, so a flaky tree would otherwise leak one
+    // FileSystem per failed trigger (review r19)
     val (shards, earlyFiles) =
-      FileListing.shardRoots(fs, rootPath, minShards)
+      try FileListing.shardRoots(fs, rootPath, minShards)
+      catch { case t: Throwable =>
+        try fs.close() catch { case _: java.io.IOException => () }
+        throw t
+      }
 
     val prefixes = pushed.collect { case StringStartsWith("path", p) => p }
     // Predicate values normalize through the SAME Path(..).toUri.getPath
@@ -423,20 +431,24 @@ private[v2] class FilesScan(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the RESOLVED conf — session hadoopConfiguration (the standard
-    // `--conf spark.hadoop.*` channel) overlaid with this scan's
-    // env/`hadoop.*` options — broadcast ONCE for all partitions
-    // (review r19: parity with FileListing's r18 executor-conf fix;
-    // per-partition serialization would re-ship 1000+ entries per task)
+  // the RESOLVED conf — session hadoopConfiguration (the standard
+  // `--conf spark.hadoop.*` channel) overlaid with this scan's
+  // env/`hadoop.*` options — broadcast ONCE PER SCAN, not per
+  // createReaderFactory call (review r19: the streaming form calls the
+  // factory every micro-batch, and a per-trigger broadcast of 1000+
+  // identical entries is steady driver churn between GC cycles); parity
+  // with FileListing's r18 executor-conf fix
+  private lazy val confBroadcast = {
     val hconf = new Configuration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     confMap.foreach { case (k, v) => hconf.set(k, v) }
-    val entries = SparkSession.active.sparkContext
+    SparkSession.active.sparkContext
       .broadcast(FileListing.confEntries(hconf))
-    new FilesReaderFactory(source, required, pushed ++ runtime, limit,
-      aggSpec, entries)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FilesReaderFactory(source, required, pushed ++ runtime, limit,
+      aggSpec, confBroadcast)
 }
 
 /** Scan-generation offset: each micro-batch of the streaming form is
@@ -563,8 +575,17 @@ private[v2] class FilesReaderFactory(
         // (ListingSpec pins that a wrong-credential cached instance
         // cannot poison the listing)
         val fs = org.apache.hadoop.fs.FileSystem.newInstance(path.toUri, c)
-        reader({
-          val it = fs.listFiles(path, true)
+        // listFiles can throw BEFORE the reader (and its onClose) exists
+        // — e.g. the shard dir vanished between planning and execution,
+        // routine for the rescanning daemon — and an unfreed newInstance
+        // stays registered in the static FS cache forever (review r19)
+        val it =
+          try fs.listFiles(path, true)
+          catch { case t: Throwable =>
+            try fs.close() catch { case _: java.io.IOException => () }
+            throw t
+          }
+        reader(
           new Iterator[RawEntry] {
             def hasNext: Boolean = it.hasNext
             def next(): RawEntry = {
@@ -574,8 +595,7 @@ private[v2] class FilesReaderFactory(
                 Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
                 fp.getName, st.getModificationTime, st.getLen, Left(fp))
             }
-          }
-        }, onClose = () => fs.close())
+          }, onClose = () => fs.close())
       case EarlyFilesPartition(rows) =>
         reader(
           rows.iterator.map { case (dir, name, mod, size, created) =>

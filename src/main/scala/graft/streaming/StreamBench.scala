@@ -290,13 +290,28 @@ object StreamBench {
       // release the drained window between rounds: the source only
       // advances the slot at the NEXT batch's commit (kill-recovery
       // semantics), so without this each later drain would re-decode
-      // every earlier round's WAL from the slot's confirmed position
-      def releaseDrained(): Unit = withClient { c =>
-        c.queryOne("SELECT CASE WHEN confirmed_flush_lsn < " +
-          "pg_current_wal_lsn() THEN pg_replication_slot_advance(" +
-          s"'$slot', pg_current_wal_lsn())::text END " +
-          s"FROM pg_replication_slots WHERE slot_name = '$slot'")
-        ()
+      // every earlier round's WAL from the slot's confirmed position.
+      // Retried: awaitTermination returns before the server-side
+      // walsender fully tears down, and advancing a still-ACTIVE slot
+      // errors (review r19) — a timing flake, not a failure
+      def releaseDrained(): Unit = {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            withClient { c =>
+              c.queryOne("SELECT CASE WHEN confirmed_flush_lsn < " +
+                "pg_current_wal_lsn() THEN pg_replication_slot_advance(" +
+                s"'$slot', pg_current_wal_lsn())::text END " +
+                s"FROM pg_replication_slots WHERE slot_name = '$slot'")
+            }
+            done = true
+          } catch {
+            case e: Throwable if attempt < 20 &&
+                Option(e.getMessage).exists(_.contains("active")) =>
+              attempt += 1; Thread.sleep(100)
+          }
+        }
       }
       // BEST-OF-3 (VERDICT r18 next#2): the single-shot row graded
       // 136.6-187.0k rows/s across runs of identical code — the one

@@ -450,14 +450,57 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no event logs"), e.getMessage)
     // an EMPTY log (a rescan of an empty tree appends a parquet dir
     // with no data files) skips cleanly instead of crashing on schema
-    // inference
+    // inference — and --rebuild-state still performs its documented
+    // checkpoint removal (review r19: the advertised resume would
+    // otherwise refuse on the leftover checkpoint)
     val out2 = Files.createTempDirectory("cli_cp_empty_out").toString
     val tree = Files.createTempDirectory("cli_cp_empty_tree")
     Main.main(Array("--stream-events", "-i", "cp-empty", tree.toString,
       "--out", out2))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
-      s"$out2/.events-checkpoint"))
-    Main.main(Array("compact", "--out", out2)) // must not throw
+    val ckpt2 = s"$out2/.events-checkpoint/cp-empty"
+    assert(new java.io.File(ckpt2).exists())
+    Main.main(Array("compact", "--out", out2, "--rebuild-state"))
+    assert(!new java.io.File(ckpt2).exists(),
+      "--rebuild-state removes the checkpoint even for an empty log")
+  }
+
+  test("compact heal: a live dir RECREATED by a daemon restart after a " +
+      "mid-swap crash merges with the retained original — the history " +
+      "is never deleted (review r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("cli_cp_heal_out").toString
+    val sub = java.net.URLEncoder.encode("heal-src", "UTF-8")
+    val evDir = s"$out/events/$sub"
+    def row(uuid: String, fn: String, action: String, deleted: Option[Long],
+        ms: Long) =
+      (uuid, "heal-src", "/p", fn, "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(1L),
+        deleted.map(java.lang.Long.valueOf).orNull, action, ms, 0L)
+    def write(dir: String, rows: Seq[(String, String, String, String,
+        String, java.lang.Long, java.lang.Long, java.lang.Long,
+        java.lang.Long, String, Long, Long)]): Unit =
+      rows.toDF("uuid_external_file", "external_source", "path",
+        "filename", "mime_type", "created_ms", "modified_ms", "size",
+        "deleted_ms", "action", "event_ms", "event_seq")
+        .write.mode("append").parquet(dir)
+    // the retained original holds the HISTORY (g exists only here);
+    // the recreated live dir holds only a post-crash delta (f deleted)
+    write(s"$evDir.pre-compact", Seq(
+      row("gen_f", "f", "insert", None, 1000L),
+      row("gen_g", "g", "insert", None, 1001L)))
+    write(evDir, Seq(
+      row("gen_f", "f", "delete", Some(2000L), 2000L)))
+    Main.main(Array("compact", "--out", out, "heal-src"))
+    val after = spark.read.parquet(evDir)
+    assert(after.count() == 2, "union of history + delta, compacted")
+    val byName = after.collect()
+      .map(r => r.getAs[String]("filename") -> r.getAs[String]("action"))
+      .toMap
+    assert(byName == Map("f" -> "delete", "g" -> "insert"),
+      s"g's history survived and f's delta won: $byName")
+    assert(!new java.io.File(s"$evDir.pre-compact").exists())
   }
 
   test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
