@@ -35,9 +35,11 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   *    APPEND-ONLY, so the re-stamp writes one delete event per
   *    tombstoned file per scan — the reference's in-place UPDATE has
   *    no growth analog. A long-lived daemon's log grows
-  *    O(deleted files x scans) until compacted; [[snapshotOf]] is the
-  *    compaction (q_scrape_snapshot pins it) and --rebuild-state
-  *    replays a compacted log into a fresh checkpoint.
+  *    O(deleted files x scans) until compacted; `graft.Main compact`
+  *    is the executable shrink (r19 — [[compactedEvents]] winners,
+  *    atomic swap, optional checkpoint removal for the
+  *    --rebuild-state resume), [[snapshotOf]] the consumer-side
+  *    compaction (q_scrape_snapshot pins it).
   *  - Deterministic identity: the same `gen_` + md5(key) surrogate the
   *    batch path coalesces in, so replays (and the equality spec)
   *    reproduce uuids bit-for-bit.
