@@ -148,6 +148,29 @@ class S3ListingIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("session hadoopConfiguration reaches the graft-files V2 " +
+      "partition readers (review r19: the r18 session-conf fix never " +
+      "reached the V2 executor rebuild — env + hadoop.* options only)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // the scheme mapping AND a client-config marker ride the SESSION
+    // conf only — no hadoop.* reader options at all
+    hc.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hc.set("fs.s3a.endpoint", "http://v2-session-only:9000")
+    MockS3Store.seenEndpoints.clear()
+    try {
+      val n = spark.read.format("graft-files")
+        .option("path", "mocks3://small-bucket/logs").load().count()
+      assert(n == 3)
+      val seen = MockS3Store.seenEndpoints.toArray.toSet
+      assert(seen == Set("http://v2-session-only:9000"),
+        "session-level hadoop conf must reach the V2 partition " +
+          s"readers' FS construction, saw $seen")
+    } finally {
+      hc.unset("fs.mocks3.impl")
+      hc.unset("fs.s3a.endpoint")
+    }
+  }
+
   test("a cached FileSystem with WRONG credentials cannot poison a " +
       "correctly-conf'd listing (VERDICT r18 missing#4: the JVM FS " +
       "cache keys on (scheme, authority, ugi), never conf)") {

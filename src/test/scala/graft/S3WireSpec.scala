@@ -315,6 +315,18 @@ class S3WireSpec extends AnyFunSuite {
       // past the page cap the drain REFUSES rather than truncating
       assert(S3Wire.drainBounded(conf, bucket, "", 2, 1, first).isEmpty,
         "an over-cap level returns None, never a silent partial drain")
+      // past the OBJECT cap it refuses too (ADVICE r18: the root's
+      // larger page budget let up to rootPlanPages×maxKeys direct
+      // objects onto the driver — drained objects are now charged
+      // against the pre-list capacity, checked between pages)
+      assert(S3Wire.drainBounded(conf, bucket, "logs/2024/", 2, 32,
+        S3Wire.listPage(conf, bucket, "logs/2024/", None, Some("/"), 2),
+        maxObjs = 3L).isEmpty,
+        "an over-object-cap drain returns None")
+      assert(S3Wire.drainBounded(conf, bucket, "logs/2024/", 2, 32,
+        S3Wire.listPage(conf, bucket, "logs/2024/", None, Some("/"), 2),
+        maxObjs = 100L).exists(_._1.size == 7),
+        "a within-cap drain still completes")
     }
   }
 
