@@ -928,8 +928,19 @@ object Main {
       if (fs.exists(events)) {
         fs.listStatus(events).foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(pre, st.getPath.getName)
-          if (fs.exists(dst)) fs.delete(st.getPath, true) // marker/_SUCCESS
-          else require(fs.rename(st.getPath, dst),
+          if (fs.exists(dst) &&
+              st.getPath.getName == "_graft_changefeed") {
+            // the LIVE marker wins a collision (review r19): a daemon
+            // restart after the crash may have re-handed-off under a
+            // NEW slot — keeping pre's stale marker would key every
+            // later refusal/GC on the wrong slot. Matches the
+            // live-first precedence markerContent read with above.
+            fs.delete(dst, true)
+            require(fs.rename(st.getPath, dst),
+              s"$src: could not carry the live marker into $pre")
+          } else if (fs.exists(dst)) {
+            fs.delete(st.getPath, true) // identical leftover (_SUCCESS)
+          } else require(fs.rename(st.getPath, dst),
             s"$src: could not consolidate ${st.getPath} into $pre")
         }
         fs.delete(events, true)

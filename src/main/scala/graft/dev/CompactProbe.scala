@@ -27,6 +27,7 @@ object CompactProbe {
     val dir = java.nio.file.Files.createTempDirectory("graft_cp_probe")
       .toString
     val log = s"$dir/events"
+    try {
     // one delete event per key per scan — every key tombstoned and
     // re-stamped each scan, the worst-case growth mix
     (0 until scans).foreach { s =>
@@ -55,6 +56,15 @@ object CompactProbe {
     println(f"[compact-probe] events=$n%d keys=$keys%d -> $after%d " +
       f"rows in $secs%.2f s (${(n / secs).toLong}%d events/s, " +
       f"${n.toDouble / after}%.0fx shrink)")
-    spark.stop()
+    } finally {
+      // a 10M-event default run leaves hundreds of MB in /tmp —
+      // clean up and stop crash-safely (review r19)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(dir))
+      catch { case _: Throwable => () }
+      spark.stop()
+    }
   }
 }

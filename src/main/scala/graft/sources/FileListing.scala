@@ -160,6 +160,15 @@ object FileListing {
     FileInfoRaw(dir, p.getName, st.getModificationTime, st.getLen, createdOf(p))
   }
 
+  /** Close an FS instance without letting a close-time error mask the
+    * real failure (review r19: S3A-style connectors can throw UNCHECKED
+    * exceptions from close on an already-shut pool — catching only
+    * IOException let those replace the original listing error). ONE
+    * copy for every newInstance site, here and in the V2 source. */
+  private[sources] def closeQuietly(
+      fs: org.apache.hadoop.fs.FileSystem): Unit =
+    try fs.close() catch { case scala.util.control.NonFatal(_) => () }
+
   /** Driver-side shard planning over a FRESH FileSystem instance —
     * `newInstance`, never the JVM-wide cache, which keys on (scheme,
     * authority, ugi) and NOT conf (VERDICT r18 missing#4): a cached
@@ -170,7 +179,7 @@ object FileListing {
       hconf: Configuration): (Seq[String], Seq[FileInfoRaw]) = {
     val fs = FileSystem.newInstance(root.toUri, hconf)
     try shardRoots(fs, root, spark.sparkContext.defaultParallelism * 4)
-    finally (try fs.close() catch { case _: java.io.IOException => () })
+    finally closeQuietly(fs)
   }
 
   /** Every entry of the RESOLVED driver conf, serialized for executor
@@ -217,7 +226,7 @@ object FileListing {
       val files = pfs.listFiles(p, true)
       while (files.hasNext) out += raw(files.next())
       out.iterator
-    } finally pfs.close()
+    } finally closeQuietly(pfs)
   }
 
   /** Recursive, distributed listing of `rootUri` → `Dataset[FileInfo]`.

@@ -299,51 +299,56 @@ private[v2] class FilesScan(
     // conf; callers close the returned instance when done
     val fs = org.apache.hadoop.fs.FileSystem.newInstance(
       rootPath.toUri, hconf)
-    val minShards =
-      SparkSession.active.sparkContext.defaultParallelism * 4
-    // a planning throw (root momentarily missing, transient store
-    // error) must not leak the instance: the streaming form re-plans
-    // every trigger, so a flaky tree would otherwise leak one
-    // FileSystem per failed trigger (review r19)
-    val (shards, earlyFiles) =
-      try FileListing.shardRoots(fs, rootPath, minShards)
-      catch { case t: Throwable =>
-        try fs.close() catch { case _: java.io.IOException => () }
-        throw t
+    // ANY throw before the caller receives fs must not leak the
+    // instance (review r19 ×2: first the shardRoots walk — the
+    // streaming form re-plans every trigger, so a flaky tree leaked
+    // one FileSystem per failed trigger — then the pruning body below,
+    // where an unparseable pushed path value throws from Path's
+    // constructor): guard everything after newInstance.
+    try {
+      val minShards =
+        SparkSession.active.sparkContext.defaultParallelism * 4
+      val (shards, earlyFiles) =
+        FileListing.shardRoots(fs, rootPath, minShards)
+
+      val prefixes =
+        pushed.collect { case StringStartsWith("path", p) => p }
+      // Predicate values normalize through the SAME Path(..).toUri
+      // .getPath form as shard roots and emitted rows (collapses `//`,
+      // strips a trailing slash), so the prune test and the reader's
+      // row filter can't disagree about one directory spelled two
+      // ways. A value a row could never carry (e.g. non-normalized)
+      // prunes harmlessly — the reader's exact raw compare drops its
+      // rows anyway. `path=""` (root objects) stays as-is: Path("") is
+      // unconstructible.
+      def normDir(s: String): String =
+        if (s.isEmpty) s else new Path(s).toUri.getPath
+      val exactSets = dirSets(pushed ++ runtime).map(_.map(normDir))
+      def shardAlive(dir: String): Boolean = {
+        val dp = new Path(dir).toUri.getPath
+        // a shard rooted at the fs root must use prefix "/" — "//"
+        // would wrongly prune the whole tree
+        val sub = if (dp == "/") dp else dp + "/"
+        prefixes.forall(p => dp.startsWith(p) || p.startsWith(dp)) &&
+          exactSets.forall(_.exists(v => v == dp || v.startsWith(sub)))
       }
+      val alive = shards.filter(shardAlive)
 
-    val prefixes = pushed.collect { case StringStartsWith("path", p) => p }
-    // Predicate values normalize through the SAME Path(..).toUri.getPath
-    // form as shard roots and emitted rows (collapses `//`, strips a
-    // trailing slash), so the prune test and the reader's row filter
-    // can't disagree about one directory spelled two ways. A value a
-    // row could never carry (e.g. non-normalized) prunes harmlessly —
-    // the reader's exact raw compare drops its rows anyway. `path=""`
-    // (root objects) stays as-is: Path("") is unconstructible.
-    def normDir(s: String): String =
-      if (s.isEmpty) s else new Path(s).toUri.getPath
-    val exactSets = dirSets(pushed ++ runtime).map(_.map(normDir))
-    def shardAlive(dir: String): Boolean = {
-      val dp = new Path(dir).toUri.getPath
-      // a shard rooted at the fs root must use prefix "/" — "//" would
-      // wrongly prune the whole tree
-      val sub = if (dp == "/") dp else dp + "/"
-      prefixes.forall(p => dp.startsWith(p) || p.startsWith(dp)) &&
-        exactSets.forall(_.exists(v => v == dp || v.startsWith(sub)))
+      // early rows carry their final `path` values already — exact-dir
+      // predicates prune them row-by-row at planning time
+      val keptEarly = earlyFiles.filter(r =>
+        exactSets.forall(_.contains(r.dir)) &&
+          prefixes.forall(r.dir.startsWith))
+      (alive, keptEarly, fs)
+    } catch { case t: Throwable =>
+      FileListing.closeQuietly(fs)
+      throw t
     }
-    val alive = shards.filter(shardAlive)
-
-    // early rows carry their final `path` values already — exact-dir
-    // predicates prune them row-by-row at planning time
-    val keptEarly = earlyFiles.filter(r =>
-      exactSets.forall(_.contains(r.dir)) &&
-        prefixes.forall(r.dir.startsWith))
-    (alive, keptEarly, fs)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (alive, keptEarly, fs) = prunedListing()
-    try fs.close() catch { case _: java.io.IOException => () }
+    FileListing.closeQuietly(fs)
     val early: Array[InputPartition] =
       if (keptEarly.isEmpty) Array.empty
       else Array(EarlyFilesPartition(keptEarly.map(r =>
@@ -366,7 +371,7 @@ private[v2] class FilesScan(
   override def estimateStatistics(): Statistics = {
     val (alive, keptEarly, fs) = prunedListing()
     try estimateWith(alive, keptEarly, fs)
-    finally (try fs.close() catch { case _: java.io.IOException => () })
+    finally FileListing.closeQuietly(fs)
   }
 
   private def estimateWith(alive: Seq[String],
@@ -433,22 +438,31 @@ private[v2] class FilesScan(
 
   // the RESOLVED conf — session hadoopConfiguration (the standard
   // `--conf spark.hadoop.*` channel) overlaid with this scan's
-  // env/`hadoop.*` options — broadcast ONCE PER SCAN, not per
-  // createReaderFactory call (review r19: the streaming form calls the
-  // factory every micro-batch, and a per-trigger broadcast of 1000+
-  // identical entries is steady driver churn between GC cycles); parity
-  // with FileListing's r18 executor-conf fix
-  private lazy val confBroadcast = {
+  // env/`hadoop.*` options — re-resolved every createReaderFactory
+  // call but broadcast only when it CHANGED (review r19 ×2: the
+  // streaming form calls the factory every micro-batch, so an
+  // unconditional per-trigger broadcast of 1000+ identical entries is
+  // steady driver churn — but a lazily-frozen one would pin the FIRST
+  // batch's credentials forever, breaking session-conf credential
+  // rotation on a long-lived daemon while driver planning, which
+  // re-resolves per trigger, picks the new ones up). Parity with
+  // FileListing's r18 executor-conf fix.
+  private var confBroadcast
+      : org.apache.spark.broadcast.Broadcast[Seq[(String, String)]] = null
+
+  private def currentConfBroadcast() = synchronized {
     val hconf = new Configuration(
       SparkSession.active.sparkContext.hadoopConfiguration)
     confMap.foreach { case (k, v) => hconf.set(k, v) }
-    SparkSession.active.sparkContext
-      .broadcast(FileListing.confEntries(hconf))
+    val entries = FileListing.confEntries(hconf)
+    if (confBroadcast == null || confBroadcast.value != entries)
+      confBroadcast = SparkSession.active.sparkContext.broadcast(entries)
+    confBroadcast
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FilesReaderFactory(source, required, pushed ++ runtime, limit,
-      aggSpec, confBroadcast)
+      aggSpec, currentConfBroadcast())
 }
 
 /** Scan-generation offset: each micro-batch of the streaming form is
@@ -582,7 +596,7 @@ private[v2] class FilesReaderFactory(
         val it =
           try fs.listFiles(path, true)
           catch { case t: Throwable =>
-            try fs.close() catch { case _: java.io.IOException => () }
+            graft.sources.FileListing.closeQuietly(fs)
             throw t
           }
         reader(
@@ -595,7 +609,7 @@ private[v2] class FilesReaderFactory(
                 Option(fp.getParent).map(_.toUri.getPath).getOrElse(""),
                 fp.getName, st.getModificationTime, st.getLen, Left(fp))
             }
-          }, onClose = () => fs.close())
+          }, onClose = () => graft.sources.FileListing.closeQuietly(fs))
       case EarlyFilesPartition(rows) =>
         reader(
           rows.iterator.map { case (dir, name, mod, size, created) =>

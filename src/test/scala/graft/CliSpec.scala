@@ -492,6 +492,14 @@ class CliSpec extends AnyFunSuite {
       row("gen_g", "g", "insert", None, 1001L)))
     write(evDir, Seq(
       row("gen_f", "f", "delete", Some(2000L), 2000L)))
+    // marker collision: pre retains the OLD slot's marker, the
+    // restarted daemon re-handed-off under a NEW slot — the LIVE
+    // marker must win the merge (review r19: keying later refusals/GC
+    // on the stale slot would let a swap race the new-slot daemon)
+    Files.writeString(java.nio.file.Paths.get(
+      s"$evDir.pre-compact/_graft_changefeed"), "graft_cf_old\nheal-src")
+    Files.writeString(java.nio.file.Paths.get(
+      s"$evDir/_graft_changefeed"), "graft_cf_new\nheal-src")
     Main.main(Array("compact", "--out", out, "heal-src"))
     val after = spark.read.parquet(evDir)
     assert(after.count() == 2, "union of history + delta, compacted")
@@ -501,6 +509,9 @@ class CliSpec extends AnyFunSuite {
     assert(byName == Map("f" -> "delete", "g" -> "insert"),
       s"g's history survived and f's delta won: $byName")
     assert(!new java.io.File(s"$evDir.pre-compact").exists())
+    assert(Files.readString(java.nio.file.Paths.get(
+      s"$evDir/_graft_changefeed")) == "graft_cf_new\nheal-src",
+      "the live marker wins the consolidation")
   }
 
   test("WAL-note suppression arithmetic (VERDICT r18 wrong#5): first " +
