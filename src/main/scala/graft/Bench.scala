@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Verify.muteBoundedWindowWarnings()
     // Generic session warmup (parquet footers, shuffle machinery, codegen
     // of trivial plans) so the first timed query doesn't absorb JVM init.
     // The warmup duration is REPORTED in the JSON: on an idle box it is

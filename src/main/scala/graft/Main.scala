@@ -773,7 +773,10 @@ object Main {
 
   /** `graft.Main compact --out DIR [--rebuild-state] [SOURCE...]`
     * (no SOURCE = every log under `OUT/events`, swap residue mapped
-    * back to its base log so interrupted compacts heal):
+    * back to its base log so interrupted compacts heal, and one log's
+    * refusal/error doesn't strand the rest — the run continues and
+    * rethrows an aggregate naming the skipped sources, ADVICE r19;
+    * explicitly-named sources stay fail-fast):
     * the event-log compaction LIFECYCLE operation (VERDICT r18 next#1 —
     * the append-only log re-stamps one delete event per tombstoned file
     * per scan, growing O(deleted files × scans) for a long-lived
@@ -794,13 +797,16 @@ object Main {
     * changefeed log's `_graft_changefeed` marker (slot + group
     * membership) is carried into the compacted dir before the swap.
     *
-    * Checkpoint contract: a LIVE checkpoint (rescan
-    * `.events-checkpoint/<source>`, or the changefeed's
+    * Checkpoint contract: a LIVE checkpoint (the rescan
+    * `.events-checkpoint/<source>` — checked REGARDLESS of any marker,
+    * since a rescan daemon pointed at the same --out writes it even on
+    * a marker-bearing log (ADVICE r19) — or the changefeed's
     * `.changefeed-checkpoint/_slot_<slot>` named by the marker) means a
     * daemon may be mid-trigger appending to this log — the swap would
-    * lose that append — so compact REFUSES unless `--rebuild-state` is
-    * passed, which asserts the daemon is stopped and additionally
-    * removes the checkpoint after the swap: the daemon then resumes
+    * lose that append — so compact REFUSES if EITHER exists, unless
+    * `--rebuild-state` is passed, which asserts the daemon is stopped
+    * and additionally removes every such checkpoint after the swap:
+    * the daemon then resumes
     * with `--stream-events --rebuild-state` (fresh checkpoint seeded
     * from the compacted log — state, timers, and seq chains identical
     * to what the removed checkpoint held) or, for a changefeed watch,
@@ -848,7 +854,8 @@ object Main {
       // would drop the spark.hadoop.* credential channel on a remote
       // --out (review r19: the exact conf-channel bug this round fixed
       // in the listing paths)
-      if (sources.isEmpty) {
+      val discovery = sources.isEmpty
+      if (discovery) {
         val events = new org.apache.hadoop.fs.Path(s"$outDir/events")
         val fs = events.getFileSystem(spark.sessionState.newHadoopConf())
         require(fs.exists(events),
@@ -866,7 +873,33 @@ object Main {
         require(sources.nonEmpty,
           s"compact: no event logs at $outDir/events $usage")
       }
-      sources.foreach(compactOne(spark, outDir, _, rebuildState))
+      // DISCOVERY mode: one refusing/erroring log must not silently
+      // strand every LATER log uncompacted (ADVICE r19 — the "compact
+      // everything under OUT/events" contract): compact each
+      // independently, then rethrow ONE aggregate error naming the
+      // skipped sources (first failure as the cause, rest suppressed).
+      // EXPLICITLY-NAMED sources keep the fail-fast contract (S8's
+      // multi-source semantics, and the refusal specs intercept the
+      // original exception type).
+      if (!discovery) sources.foreach(compactOne(spark, outDir, _, rebuildState))
+      else {
+        val failures = sources.flatMap { src =>
+          try { compactOne(spark, outDir, src, rebuildState); None }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"$src: compact failed — " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            Some(src -> e)
+          }
+        }
+        if (failures.nonEmpty) {
+          val agg = new RuntimeException(
+            s"compact: ${failures.size} of ${sources.size} sources failed " +
+              s"(${failures.map(_._1).mkString(", ")}); the rest compacted",
+            failures.head._2)
+          failures.tail.foreach { case (_, e) => agg.addSuppressed(e) }
+          throw agg
+        }
+      }
     } finally { if (!preexisting) spark.stop() }
   }
 
@@ -889,27 +922,36 @@ object Main {
     val markerContent: Option[String] =
       readMarkerContent(fs, new Path(events, "_graft_changefeed"))
         .orElse(readMarkerContent(fs, new Path(pre, "_graft_changefeed")))
-    val checkpoint = markerContent match {
-      case Some(content) =>
+    // EVERY checkpoint that could belong to a daemon appending to this
+    // log (ADVICE r19): the marker names the changefeed slot's, but a
+    // rescan daemon pointed at the same --out writes its own
+    // per-source checkpoint REGARDLESS of the marker — gating on just
+    // the marker-selected one would let its mid-trigger append be lost
+    // to the swap. Check (and, on --rebuild-state, remove) both.
+    val checkpoints: Seq[String] =
+      markerContent.map { content =>
         val slot = content.linesIterator.toSeq.headOption.getOrElse("")
         require(slot.nonEmpty, s"$src: corrupt _graft_changefeed marker " +
           s"under $eventsDir (empty)")
         s"$out/.changefeed-checkpoint/_slot_$slot"
-      case None => s"$out/.events-checkpoint/$sub"
+      }.toSeq :+ s"$out/.events-checkpoint/$sub"
+    val hconf = spark.sessionState.newHadoopConf()
+    val ckpts = checkpoints.map { c =>
+      val p = new Path(c); (p.getFileSystem(hconf), p, c)
     }
-    val ckptPath = new Path(checkpoint)
-    val ckptFs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
     // the refusal runs BEFORE the heal (review r19): a live checkpoint
     // means a daemon may be appending to the live dir RIGHT NOW, and
     // the heal's consolidation moves files out of it
-    if (ckptFs.exists(ckptPath) && !rebuildState)
-      throw new IllegalArgumentException(
-        s"$src: a checkpoint exists at $checkpoint — its daemon may be " +
-          "appending to this log mid-trigger, and the swap would lose " +
-          "that append. Stop the daemon, then rerun with " +
-          "--rebuild-state to compact AND remove the checkpoint (resume " +
-          "the rescan daemon with --stream-events --rebuild-state; a " +
-          "changefeed watch resumes plain — the slot is its cursor)")
+    ckpts.foreach { case (ckptFs, ckptPath, checkpoint) =>
+      if (ckptFs.exists(ckptPath) && !rebuildState)
+        throw new IllegalArgumentException(
+          s"$src: a checkpoint exists at $checkpoint — its daemon may be " +
+            "appending to this log mid-trigger, and the swap would lose " +
+            "that append. Stop the daemon, then rerun with " +
+            "--rebuild-state to compact AND remove the checkpoint (resume " +
+            "the rescan daemon with --stream-events --rebuild-state; a " +
+            "changefeed watch resumes plain — the slot is its cursor)")
+    }
     // heal a previous run's half-swap: the aside rename committed but
     // the stage never renamed in (live log missing) → restore the
     // original. BOTH present is AMBIGUOUS (review r19): either a
@@ -963,7 +1005,7 @@ object Main {
     // --stream-events --rebuild-state resume refuse.
     val before = countEvents(spark, eventsDir)
     if (before == 0L) {
-      dropCheckpoint(src, rebuildState, ckptFs, ckptPath, checkpoint)
+      dropCheckpoints(src, rebuildState, ckpts)
       println(s"$src: no events at $eventsDir — nothing to compact")
       return
     }
@@ -984,22 +1026,26 @@ object Main {
       s"$src: could not move the compacted log in (original retained " +
         s"at $pre — rerun compact to heal)")
     fs.delete(pre, true)
-    dropCheckpoint(src, rebuildState, ckptFs, ckptPath, checkpoint)
+    dropCheckpoints(src, rebuildState, ckpts)
     println(s"$src: compacted $before events -> $after " +
       s"(one per known file) at $eventsDir")
   }
 
-  /** The `--rebuild-state` half of the compact lifecycle: remove the
-    * (stopped) daemon's checkpoint so the resume reseeds from the
-    * compacted log. Shared by the compacted and empty-log paths. */
-  private def dropCheckpoint(src: String, rebuildState: Boolean,
-      ckptFs: org.apache.hadoop.fs.FileSystem,
-      ckptPath: org.apache.hadoop.fs.Path, checkpoint: String): Unit =
-    if (rebuildState && ckptFs.exists(ckptPath)) {
-      ckptFs.delete(ckptPath, true)
-      println(s"$src: removed checkpoint $checkpoint — resume with " +
-        "--stream-events --rebuild-state (rescan daemon) or plain " +
-        "--watch-pg (changefeed; slot is the cursor)")
+  /** The `--rebuild-state` half of the compact lifecycle: remove EVERY
+    * (stopped) daemon checkpoint guarding this log (ADVICE r19 — both
+    * the marker-named slot checkpoint and the per-source rescan one)
+    * so the resume reseeds from the compacted log. Shared by the
+    * compacted and empty-log paths. */
+  private def dropCheckpoints(src: String, rebuildState: Boolean,
+      ckpts: Seq[(org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, String)]): Unit =
+    if (rebuildState) ckpts.foreach { case (ckptFs, ckptPath, checkpoint) =>
+      if (ckptFs.exists(ckptPath)) {
+        ckptFs.delete(ckptPath, true)
+        println(s"$src: removed checkpoint $checkpoint — resume with " +
+          "--stream-events --rebuild-state (rescan daemon) or plain " +
+          "--watch-pg (changefeed; slot is the cursor)")
+      }
     }
 
   /** Full content of a `_graft_changefeed` handoff marker, or None when

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteBoundedWindowWarnings()
     // Dev-only subset filter (comma-separated names); the driver sets
     // nothing and gets the full dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -109,4 +110,17 @@ object Verify {
     // still grades the queries that DID produce output; the markers +
     // manifest are the machine-readable failure record.
   }
+
+  /** Silence WindowExecBase's per-execution "No Partition Defined"
+    * warning for the OPERATOR RUNNERS only (VERDICT r19 next#3: 605
+    * lines per Verify run, every one from a bounded form WindowLint
+    * deliberately admits — date-domain daily frames, ordered prefix
+    * sums over pre-aggregated rows — burying any real warning). The
+    * lint itself stays untouched: un-aggregated-row global windows are
+    * still a hard plan-audit failure; this only declutters the log of
+    * the forms the audit already proved bounded. */
+  private[graft] def muteBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -467,7 +467,23 @@ object ScrapeTws {
     * map-side partial aggregation, one candidate row per key per input
     * partition crosses the wire. Works on BOTH log dialects (rescan
     * per-key apply index and changefeed LSN `event_seq` spaces) — it
-    * only relies on the shared compaction order. */
+    * only relies on the shared compaction order.
+    *
+    * PRECONDITION (VERDICT r19 next#1): correctness of the
+    * twelve-column winner requires `(event_ms, event_seq)` to be a
+    * TOTAL order per file identity — true by construction of both
+    * dialects (the rescan processor's per-key apply index and the
+    * changefeed's LSN space each never repeat within a key). On a
+    * log that VIOLATES it — two rows for one key identical on
+    * `(event_ms, event_seq)` — the winner resolves by the trailing
+    * struct fields. Even then the snapshot/rebuild invariance holds:
+    * compact's struct extends [[snapshotOf]]'s field-for-field
+    * (`action` appended LAST), so any tie deep enough for `action`
+    * to decide has ALL snapshot-visible payload fields equal between
+    * the tied rows, and a shallower payload difference resolves both
+    * aggregates identically through the shared prefix. Only the kept
+    * `action` value itself is then order-determined (max string) —
+    * pinned by the adversarial full-tie spec in ScrapeTwsSpec. */
   def compactedEvents(events: DataFrame): DataFrame =
     events.groupBy("external_source", "path", "filename")
       .agg(winner(col("deleted_ms"), col("size"), col("mime_type"),

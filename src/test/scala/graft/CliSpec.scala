@@ -391,8 +391,8 @@ class CliSpec extends AnyFunSuite {
     val marker = s"$evDir/_graft_changefeed"
     val markerContent = "graft_cf_ab12_cd34\ncf-src"
     Files.writeString(java.nio.file.Paths.get(marker), markerContent)
-    // the marker names the slot; ITS checkpoint (not the rescan one)
-    // gates the compaction
+    // the marker names the slot; its checkpoint gates the compaction
+    // (alongside the always-checked rescan one — ADVICE r19)
     val slotCkpt = s"$out/.changefeed-checkpoint/_slot_graft_cf_ab12_cd34"
     Files.createDirectories(java.nio.file.Paths.get(slotCkpt))
     val e = intercept[IllegalArgumentException](
@@ -410,6 +410,85 @@ class CliSpec extends AnyFunSuite {
     assert(f1.getAs[String]("action") == "delete" &&
       f1.getAs[Long]("event_seq") == 222L,
       "the LSN-winning event survives compaction")
+  }
+
+  test("compact dual-checkpoint gate (ADVICE r19): a RESCAN checkpoint " +
+      "on a marker-bearing log also refuses — the marker must not route " +
+      "the check to the slot checkpoint only — and --rebuild-state " +
+      "removes BOTH") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("cli_cp_dual_out").toString
+    val sub = java.net.URLEncoder.encode("dual-src", "UTF-8")
+    val evDir = s"$out/events/$sub"
+    Seq(
+      ("gen_a", "dual-src", "/p", "f1", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long],
+        "insert", 1000L, 100L),
+      ("gen_a", "dual-src", "/p", "f1", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(11L), null.asInstanceOf[java.lang.Long],
+        "update", 2000L, 200L))
+      .toDF("uuid_external_file", "external_source", "path", "filename",
+        "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+        "action", "event_ms", "event_seq")
+      .write.parquet(evDir)
+    Files.writeString(java.nio.file.Paths.get(s"$evDir/_graft_changefeed"),
+      "graft_cf_dual\ndual-src")
+    // ONLY the rescan checkpoint exists: a rescan daemon appending to
+    // this (marker-bearing) log — the mid-trigger append the swap
+    // would lose if the marker routed the check to the slot ckpt only
+    val rescanCkpt = s"$out/.events-checkpoint/$sub"
+    Files.createDirectories(java.nio.file.Paths.get(rescanCkpt))
+    val e = intercept[IllegalArgumentException](
+      Main.main(Array("compact", "--out", out, "dual-src")))
+    assert(e.getMessage.contains(".events-checkpoint"), e.getMessage)
+    assert(spark.read.parquet(evDir).count() == 2,
+      "refusal must not touch the log")
+    // now BOTH exist; --rebuild-state compacts and removes both
+    val slotCkpt = s"$out/.changefeed-checkpoint/_slot_graft_cf_dual"
+    Files.createDirectories(java.nio.file.Paths.get(slotCkpt))
+    Main.main(Array("compact", "--out", out, "--rebuild-state", "dual-src"))
+    assert(spark.read.parquet(evDir).count() == 1, "compacted")
+    assert(!new java.io.File(rescanCkpt).exists() &&
+      !new java.io.File(slotCkpt).exists(),
+      "--rebuild-state removes EVERY checkpoint guarding the log")
+  }
+
+  test("compact discovery mode continues past a refusing log (ADVICE " +
+      "r19): the healthy logs compact, the refused one is untouched, " +
+      "and ONE aggregate error names the skipped sources") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("cli_cp_cont_out").toString
+    def log(src: String): String = {
+      val dir = s"$out/events/" + java.net.URLEncoder.encode(src, "UTF-8")
+      (1 to 3).map(i => ("gen_" + i, src, "/p", "f", "text/plain",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L),
+        java.lang.Long.valueOf(i.toLong),
+        null.asInstanceOf[java.lang.Long],
+        if (i == 1) "insert" else "update", 1000L + i, 0L))
+        .toDF("uuid_external_file", "external_source", "path", "filename",
+          "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
+          "action", "event_ms", "event_seq")
+        .write.parquet(dir)
+      dir
+    }
+    val dBusy = log("s-busy")
+    val dOk = log("s-ok")
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$out/.events-checkpoint/" +
+        java.net.URLEncoder.encode("s-busy", "UTF-8")))
+    val e = intercept[RuntimeException](
+      Main.main(Array("compact", "--out", out)))
+    assert(e.getMessage.contains("1 of 2 sources failed") &&
+      e.getMessage.contains("s-busy"), e.getMessage)
+    assert(e.getCause.isInstanceOf[IllegalArgumentException] &&
+      e.getCause.getMessage.contains("checkpoint exists"),
+      String.valueOf(e.getCause))
+    assert(spark.read.parquet(dOk).count() == 1,
+      "the healthy log must compact despite the earlier refusal")
+    assert(spark.read.parquet(dBusy).count() == 3,
+      "the refused log stays untouched")
   }
 
   test("compact with no SOURCE compacts every log under OUT/events and " +

@@ -256,6 +256,40 @@ class FilesSourceSpec extends AnyFunSuite {
     assert(grouped.collect().map(_.getLong(1)).sum == 43L)
   }
 
+  test("conf rotation retires the superseded broadcast deterministically " +
+      "(VERDICT r19 next#2): same conf → same handle; rotated conf → new " +
+      "handle carrying the new value, old handle destroy()ed") {
+    val scan = new graft.sources.v2.FilesScan(root.toString, "srcv2",
+      Map.empty, FilesSource.SCHEMA, Array.empty, 100000L)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "graft.test.rotated.credential"
+    try {
+      hconf.set(key, "v1")
+      val b1 = scan.currentConfBroadcast()
+      // unchanged conf: the SAME broadcast comes back (no per-trigger
+      // churn), still usable
+      assert(scan.currentConfBroadcast() eq b1)
+      assert(b1.value.contains(key -> "v1"))
+      // first rotation: new handle with the new value; the superseded
+      // one is destroyed (value access throws), not left to the
+      // ContextCleaner
+      hconf.set(key, "v2")
+      val b2 = scan.currentConfBroadcast()
+      assert(b2 ne b1)
+      assert(b2.value.contains(key -> "v2"))
+      assert(intercept[org.apache.spark.SparkException](b1.value)
+        .getMessage.toLowerCase.contains("destroy"))
+      // second rotation: same contract, proving retirement isn't
+      // first-rotation-only
+      hconf.set(key, "v3")
+      val b3 = scan.currentConfBroadcast()
+      assert((b3 ne b2) && b3.value.contains(key -> "v3"))
+      assert(intercept[org.apache.spark.SparkException](b2.value)
+        .getMessage.toLowerCase.contains("destroy"))
+      assert(scan.currentConfBroadcast() eq b3)
+    } finally hconf.unset(key)
+  }
+
   test("pushed filters also gate the stat: only survivors pay it") {
     FilesSource.createdStatCalls.set(0L)
     val rows = readV2.filter(col("filename").endsWith(".csv"))
