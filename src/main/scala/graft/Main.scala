@@ -892,9 +892,12 @@ object Main {
           }
         }
         if (failures.nonEmpty) {
+          val rest = // honest tail (review r20): "the rest compacted"
+            if (failures.size < sources.size) "; the rest compacted"
+            else "" // nothing was — don't claim otherwise
           val agg = new RuntimeException(
             s"compact: ${failures.size} of ${sources.size} sources failed " +
-              s"(${failures.map(_._1).mkString(", ")}); the rest compacted",
+              s"(${failures.map(_._1).mkString(", ")})$rest",
             failures.head._2)
           failures.tail.foreach { case (_, e) => agg.addSuppressed(e) }
           throw agg

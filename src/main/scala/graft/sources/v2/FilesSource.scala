@@ -461,10 +461,15 @@ private[graft] class FilesScan(
 
   private def digestOf(entries: Seq[(String, String)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    entries.sorted.foreach { case (k, v) =>
-      md.update(k.getBytes("UTF-8")); md.update(0.toByte)
-      md.update(v.getBytes("UTF-8")); md.update(1.toByte)
+    // length-prefixed fields: an unambiguous encoding (review r20 — a
+    // plain delimiter is not injective when a value can CONTAIN it, and
+    // a colliding digest would silently skip a credential rotation)
+    def field(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
     }
+    entries.sorted.foreach { case (k, v) => field(k); field(v) }
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 

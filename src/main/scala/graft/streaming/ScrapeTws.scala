@@ -388,9 +388,19 @@ object ScrapeTws {
   def initialStateOf(s: SparkSession,
       events: DataFrame): KeyValueGroupedDataset[String, FileState] = {
     import s.implicits._
+    // uuid_external_file sits in this struct SOLELY for ordering
+    // alignment with [[snapshotOf]]/[[compactedEvents]] (review r20:
+    // FileState doesn't carry it, and on a well-formed log the
+    // (event_ms, event_seq) prefix decides alone — but on a
+    // precondition-violating full tie a payload list that diverges at
+    // position 4 (created_ms here vs uuid there) could elect a
+    // DIFFERENT created/modified than compact kept, breaking the
+    // rebuild-state invariance the full-tie spec pins). One shared
+    // payload order means one winner everywhere, pathological or not.
     events.groupBy("external_source", "path", "filename")
       .agg(winner(col("deleted_ms"), col("size"), col("mime_type"),
-        col("created_ms"), col("modified_ms")).as("m"))
+        col("uuid_external_file"), col("created_ms"),
+        col("modified_ms")).as("m"))
       .select(
         stateKey.as("_1"),
         struct(
@@ -478,10 +488,12 @@ object ScrapeTws {
     * `(event_ms, event_seq)` — the winner resolves by the trailing
     * struct fields. Even then the snapshot/rebuild invariance holds:
     * compact's struct extends [[snapshotOf]]'s field-for-field
-    * (`action` appended LAST), so any tie deep enough for `action`
-    * to decide has ALL snapshot-visible payload fields equal between
-    * the tied rows, and a shallower payload difference resolves both
-    * aggregates identically through the shared prefix. Only the kept
+    * (`action` appended LAST), and [[initialStateOf]] shares the same
+    * payload order (its struct carries `uuid_external_file` solely for
+    * that alignment — review r20), so any tie deep enough for `action`
+    * to decide has ALL state-visible payload fields equal between
+    * the tied rows, and a shallower payload difference resolves every
+    * aggregate identically through the shared prefix. Only the kept
     * `action` value itself is then order-determined (max string) —
     * pinned by the adversarial full-tie spec in ScrapeTwsSpec. */
   def compactedEvents(events: DataFrame): DataFrame =

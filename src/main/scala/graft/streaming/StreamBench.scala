@@ -312,7 +312,9 @@ object StreamBench {
             }
             done = true
           } catch {
-            case e: Throwable =>
+            // NonFatal only (review r20): an OOM or interrupt must
+            // kill the run immediately, not burn 41 reconnects first
+            case scala.util.control.NonFatal(e) =>
               if (attempt >= 40) throw new RuntimeException(
                 s"releaseDrained: slot '$slot' still not advanceable " +
                   s"after ${attempt + 1} attempts", e)

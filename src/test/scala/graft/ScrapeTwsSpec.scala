@@ -768,12 +768,24 @@ class ScrapeTwsSpec extends AnyFunSuite {
       ("u3", "s1", "/d", "K3", "text/plain", L(1), L(2), L(5), nil,
         "insert", 100L, 0L),
       ("u3", "s1", "/d", "K3", "app/x", L(1), L(3), L(6), L(101),
-        "delete", 101L, 0L))
+        "delete", 101L, 0L),
+      // K4 (review r20): tied through (event_ms, event_seq,
+      // deleted_ms, size, mime_type) with uuid and created/modified
+      // ordering in OPPOSITE directions — the case where a payload
+      // list diverging at position 4 (initialStateOf used to compare
+      // created_ms where compact compares uuid) would elect different
+      // created/modified for the rebuilt state than compact kept. The
+      // shared ordering spine (uuid in every struct) makes all three
+      // aggregates keep the SAME row (uuid "z" > "a" → created=1).
+      ("z", "s1", "/d", "K4", "text/plain", L(1), L(1), L(10), nil,
+        "upsert", 100L, 7L),
+      ("a", "s1", "/d", "K4", "text/plain", L(9), L(9), L(10), nil,
+        "upsert", 100L, 7L))
       .toDF("uuid_external_file", "external_source", "path", "filename",
         "mime_type", "created_ms", "modified_ms", "size", "deleted_ms",
         "action", "event_ms", "event_seq")
     val compacted = ScrapeTws.compactedEvents(log)
-    assert(compacted.count() == 3, "one winner per identity even on ties")
+    assert(compacted.count() == 4, "one winner per identity even on ties")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
     // the invariance the scaladoc promises holds EVEN on this input:
@@ -798,6 +810,11 @@ class ScrapeTwsSpec extends AnyFunSuite {
     assert(byKey("K2").getLong(7) == 99L)
     assert(byKey("K3").getString(9) == "delete" &&
       byKey("K3").getLong(10) == 101L)
+    // K4: the uuid-aligned spine decides — compact kept uuid "z"
+    // (created=1), and the states() equality above already proved the
+    // rebuilt FileState agrees (created=1 from either log)
+    assert(byKey("K4").getString(0) == "z" &&
+      byKey("K4").getLong(5) == 1L)
   }
 
   test("rescan-replay window (r18 honesty note, spec-pinned — VERDICT " +
