@@ -16,6 +16,76 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Dev-only toggle so probes can A/B the fan-out against the plain
+    * scan in one session; always true in shipped paths. */
+  private[graft] var fanOutEnabled = true
+
+  /** Total on-disk bytes of a table path (driver-side metadata listing —
+    * no Spark job). Used only by the [[fanOut]] gate. */
+  private def tableBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew …
+    * repartition immediately after the read" / §6): the bench fixtures
+    * are single-file, SINGLE-ROW-GROUP parquet, so Spark's split
+    * planning can never give the scan more than one task — every
+    * map-side operator (parquet decode, codegen expressions, partial
+    * aggregation, the multimodal codecs and text kernels) was running
+    * on 1 of 32 cores. Hash-repartition the freshly-read table to
+    * `defaultParallelism` on its natural unique key, ONLY when the
+    * table is too small for Spark's own split planning to parallelize
+    * (total bytes below `spark.sql.files.maxPartitionBytes`, i.e. the
+    * whole table fits one split) and big enough for the exchange to pay
+    * for itself (≥ 512 KiB). At 100 TB the gate is structurally false —
+    * real inputs carry thousands of row groups and split naturally —
+    * so production plans are untouched; the gate reads file metadata
+    * on the driver (no job, ~µs on a local fs).
+    *
+    * Keying the exchange on the table's PRIMARY key (not round-robin)
+    * does double duty: downstream joins/groupBys/windows on the same
+    * key accept `HashPartitioning(key, par)` as-is, so for the many
+    * queries whose first wide operation is keyed on it the fan-out
+    * REPLACES their shuffle instead of adding one; round-robin would
+    * also pay `sortBeforeRepartition`'s local sort of the single input
+    * partition. Deterministic keys keep retried tasks stable
+    * (SPARK-38388 does not apply to hash partitioning on real columns).
+    */
+  private def fanOut(spark: SparkSession, path: String, df: DataFrame,
+      key: Column*): DataFrame = {
+    if (!fanOutEnabled) return df
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = try tableBytes(spark, path) catch { case _: Throwable => Long.MaxValue }
+    if (par > 1 && bytes >= 512L * 1024 && bytes < maxSplit)
+      df.repartition(par, key: _*)
+    else df
+  }
+
+  /** Read a fixture table with the scan fan-out applied on `key`.
+    * OPT-IN per call site: the A/B probe (dev.FanOutProbe) showed the
+    * fan-out exchange wins only where heavy per-row work follows the
+    * scan (codec kernels, shingle pipelines, wide decimal aggregates) —
+    * applied blanket at the named readers it taxed every near-floor
+    * query 0.1–0.35 s for an exchange nothing downstream amortizes.
+    * Key on the column downstream joins/groupBys cluster on, so the
+    * fan-out REPLACES their first shuffle where possible. */
+  private[graft] def fanned(spark: SparkSession, dir: String, name: String,
+      key: String*): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    fanOut(spark, path, df, key.map(col): _*)
+  }
+
+  /** [[fanOut]] for a DERIVED frame whose size tracks the named fixture
+    * table (e.g. the dedup corpus = documents ∪ bounded copies): same
+    * gate, applied to the frame instead of a fresh scan. */
+  private[graft] def fanIfSmall(spark: SparkSession, dir: String,
+      name: String, df: DataFrame, key: Column*): DataFrame =
+    fanOut(spark, s"$dir/$name.parquet", df, key: _*)
+
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

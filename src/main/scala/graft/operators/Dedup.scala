@@ -41,6 +41,10 @@ object Dedup {
     * ORDER (raw < +100000 curated < +200000) is part of several
     * fixtures' semantics and their oracles. */
   def corpus(s: SparkSession, dir: String): DataFrame = {
+    // Deliberately NOT fanned (Tables.fanned): the dedup pipelines are
+    // bound by their posting-list exchanges, which already run wide;
+    // A/B (dev.FanOutProbe) showed the extra scan exchange a net loss
+    // across the family (−0.07 … −1.5 s per query at sf0.1).
     val d = documents(s, dir)
     val exact = d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))

@@ -419,7 +419,12 @@ object Multimodal {
     * 16-bit buckets. */
   def qMultimodalImagedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = graft.operators.Dedup.corpus(s, dir)
+    // Fanned input (Tables.fanned scaladoc): the PNG encode + aHash below
+    // is pure per-row codec CPU materialized into the cache — on the
+    // single-row-group fixture it would run on one core of 32 (A/B:
+    // 3.2 s → 1.4 s at sf0.1). The gate is a no-op at scale.
+    val blobs = graft.Tables.fanIfSmall(s, dir, "documents",
+        graft.operators.Dedup.corpus(s, dir), col("doc_id"))
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     val hashes = blobs.mapPartitions { it =>

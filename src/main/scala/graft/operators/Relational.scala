@@ -367,7 +367,10 @@ object Relational {
     * exact-integer doubles. The c₁₂-desc, (p1,p2)-asc order makes the
     * cut deterministic. */
   def qBasketLift(s: SparkSession, dir: String): DataFrame =
-    basketLiftOf(lineitem(s, dir))
+    // Fanned scan keyed on l_orderkey: the basket groupBy clusters on it,
+    // so the fan-out replaces the one fact-scale exchange while
+    // parallelizing the scan (Tables.fanned scaladoc).
+    basketLiftOf(graft.Tables.fanned(s, dir, "lineitem", "l_orderkey"))
 
   /** [[qBasketLift]] over an arbitrary lineitem frame — the core the
     * ×100 scale probe drives directly. */
@@ -416,7 +419,10 @@ object Relational {
     * pair — tiny at any scale. Output ordering (numwait desc, s_name) is
     * unique because supplier names are. */
   def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
+    // Fanned scan keyed on l_orderkey: the orders join AND the per-order
+    // window both cluster on it — the fan-out replaces that exchange
+    // (Tables.fanned scaladoc).
+    val li = graft.Tables.fanned(s, dir, "lineitem", "l_orderkey")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val o = orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
     val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -951,7 +957,11 @@ object Relational {
     val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"),
         (unix_timestamp(col("o_orderdate")) / day).cast("long").as("bucket"))
-    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+    // Fanned scan: the 5-way bucket explode and timestamp math run
+    // map-side on the single-row-group fixture's one core otherwise
+    // (Tables.fanned scaladoc).
+    val li = graft.Tables.fanned(s, dir, "lineitem", "l_orderkey")
+      .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_shipdate"),
         (unix_timestamp(col("l_shipdate")) / day).cast("long").as("li_bucket"))
       .withColumn("bucket", explode(sequence(col("li_bucket") - 2, col("li_bucket") + 2)))
@@ -974,7 +984,8 @@ object Relational {
   def joinRangeAuto(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val li = lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val li = graft.Tables.fanned(s, dir, "lineitem", "l_orderkey")
+      .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_shipdate"))
     val naive = li.join(o,
         col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 2 DAYS") &&

@@ -659,7 +659,10 @@ object Stats {
     * computed in double on both engines (the q_stats_autocorr /
     * HUGEINT-via-VARCHAR oracle pattern). */
   def qStatsCov(s: SparkSession, dir: String): DataFrame = {
-    val base = lineitem(s, dir).select(
+    // Fanned scan: the ten decimal(38,0) power-sum partials are the cost
+    // here, and they run map-side — single-row-group fixture would put
+    // them all on one core (Tables.fanned scaladoc).
+    val base = graft.Tables.fanned(s, dir, "lineitem", "l_orderkey").select(
       round(col("l_quantity")).cast("decimal(19,0)").as("x"),
       cents(col("l_extendedprice")).cast("decimal(19,0)").as("y"),
       cents(col("l_discount")).cast("decimal(19,0)").as("z"))
