@@ -320,6 +320,10 @@ object Capstone {
       .select((col("ekey") + 1099511627776L).as("ekey"),
         expr("concat(substring(name, 1, 10), substring(name, 12))").as("name"),
         col("nation"), (col("acctbal") + 37.5).as("acctbal"))
+    // NOT fanned (A/B r21: −0.16 s) — with the posting-list blocking in
+    // [[resolveEntities]] the one wide exchange already runs wide, and
+    // the extra scan exchange costs more than the narrow map it fixes
+    // (the same verdict as Dedup.corpus).
     resolveEntities(s, base.union(variants)).orderBy("cluster_id")
   }
 
@@ -329,24 +333,45 @@ object Capstone {
     * measures the SHIPPED pipeline. */
   private[graft] def resolveEntities(s: SparkSession,
       entityFrame: DataFrame): DataFrame = {
-    val entities = entityFrame.cache() // blocking ×2 + survivorship
-    val keyed = entities.select(col("ekey"), col("name"), col("nation"),
+    val entities = entityFrame.cache() // blocking + survivorship + verify
+    // Posting-list blocking (r21, the interOfCorpus discipline): group
+    // the exploded deletion keys into per-(nation, key) buckets and
+    // generate candidate pairs in-array with the sorted_pairs kernel.
+    // The previous two-sided self-join on the exploded frame planned as
+    // a BROADCAST hash join (the pre-explosion customer stats look
+    // small), so the driver collected and hash-built ~26 exploded rows
+    // per entity single-threaded — a ~1 s serial stall per run at
+    // sf0.1 (JobProfile); and the levenshtein verify ran per CANDIDATE
+    // row (~21 duplicate key hits per true pair) instead of per
+    // distinct pair. Keys shuffle as 8-byte xxhash64, nation folded
+    // into the grouping key, so the one wide exchange carries 24-byte
+    // rows. Collision safety is STRONGER than the interOfCorpus odds
+    // argument: SymSpell completeness means every true lev≤1 pair
+    // already shares a genuine deletion key, so a hash collision can
+    // only add a candidate that FAILS the exact verify below — the
+    // output is collision-invariant, not merely collision-improbable.
+    val keyed = entities.select(col("nation"), col("ekey"),
       explode(expr(
         "array_distinct(concat(array(name), transform(sequence(1, length(name))," +
           " i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))))"))
         .as("bkey"))
-    // lev filter BEFORE the distinct: the match test is cheap per
-    // candidate row (≤ ~20² DP cells), while distinct-ing first would
-    // shuffle the full name strings for every shared deletion key
-    // (~21 duplicate candidate rows per true pair) — filtering first
-    // leaves an 16-byte (d1, d2) pair for the dedup exchange
-    val pairs = keyed.as("a").join(keyed.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.ekey") < col("b.ekey") &&
-          col("a.nation") === col("b.nation"))
-      .filter(levenshtein(col("a.name"), col("b.name")) <= 1 &&
-        length(col("a.name")) =!= length(col("b.name")))
-      .select(col("a.ekey").as("d1"), col("b.ekey").as("d2"))
+      .select(col("nation"), xxhash64(col("bkey")).as("bk"), col("ekey"))
+    val cand = keyed.groupBy(col("nation"), col("bk"))
+      .agg(collect_list(col("ekey")).as("es"))
+      .filter(size(col("es")) >= 2)
+      .select(explode(
+        graft.plans.GraftExpressions.sorted_pairs(col("es"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+    // Exact verify ONCE per distinct candidate pair (names re-attached
+    // from the cached dimension — two keyed joins of a pair frame that
+    // is orders of magnitude below the exploded key frame).
+    val pairs = cand
+      .join(entities.select(col("ekey").as("d1"), col("name").as("n1")), "d1")
+      .join(entities.select(col("ekey").as("d2"), col("name").as("n2")), "d2")
+      .filter(levenshtein(col("n1"), col("n2")) <= 1 &&
+        length(col("n1")) =!= length(col("n2")))
+      .select(col("d1"), col("d2"))
     val clusters = Dedup.clustersOf(s, pairs)
     val resolved = entities
       .join(clusters.withColumnRenamed("doc_id", "ekey"), Seq("ekey"))

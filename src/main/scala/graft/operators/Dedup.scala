@@ -44,7 +44,10 @@ object Dedup {
     // Deliberately NOT fanned (Tables.fanned): the dedup pipelines are
     // bound by their posting-list exchanges, which already run wide;
     // A/B (dev.FanOutProbe) showed the extra scan exchange a net loss
-    // across the family (−0.07 … −1.5 s per query at sf0.1).
+    // across the family (−0.07 … −1.5 s per query at sf0.1; re-measured
+    // in r21 with the same verdict — the corpus subtree's many consumers
+    // each pay the extra exchange + AQE stage round-trip, which costs
+    // more than the 3-task map narrowness it fixes).
     val d = documents(s, dir)
     val exact = d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
@@ -192,13 +195,20 @@ object Dedup {
     * the loose [[truthDf]] cap as the ground-truth side and the scale
     * probe can amplify the corpus. */
   private[graft] def interOfCorpus(docs: DataFrame,
+      postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    interOfGramFrame(docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram_s"))
+      .select(col("doc_id"), xxhash64(col("gram_s")).as("gram")), postingAgg)
+
+  /** [[interOfCorpus]] over a pre-exploded (doc_id, gram) frame, so a
+    * caller that already materialized the shingle sets (the recall
+    * companion shares one cached frame between the ground-truth and LSH
+    * pipelines) can skip a second scan+shingle pass. */
+  private[graft] def interOfGramFrame(g: DataFrame,
       postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
-    val g = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram_s"))
-      .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
     val byGram = g.groupBy("gram")
       .agg(postingAgg(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
@@ -291,7 +301,15 @@ object Dedup {
     * formulation that survives 100 TB where suffix-array construction
     * (the paper's own, single-node) cannot. */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
-    substringSpansOf(corpus(s, dir)).orderBy("doc_id", "span_start")
+    // Fanned input (Tables.fanned scaladoc): unlike the pair pipelines
+    // (posting-list exchanges already run wide; fan-out measured a net
+    // loss there), this pipeline's cost is the per-row token+gram-hash
+    // projection feeding posexplode — map-side work that the
+    // single-row-group fixture would run on 3 of 32 cores. A/B
+    // (dev.FanOutProbe, r21): 1.75 s → 1.29 s at sf0.1; gate is a
+    // no-op at scale.
+    substringSpansOf(graft.Tables.fanIfSmall(s, dir, "documents",
+      corpus(s, dir), col("doc_id"))).orderBy("doc_id", "span_start")
 
   /** [[qDedupSubstring]] over an arbitrary (doc_id, text) corpus without
     * the presentation sort (scale-probe entry point). */
@@ -536,13 +554,28 @@ object Dedup {
 
   /** The LSH pair pipeline without the presentation sort (consumed by
     * [[qDedupMinhash]] and the recall companion, which aggregates). */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val sigs = c.select(col("doc_id"), shingles(col("text")).as("grams"))
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(shingledSigs(s, dir))
+
+  /** The cached (doc_id, grams, sig) frame the LSH pipeline runs over.
+    * The CACHE is what materializes `sig`: without it, projection
+    * collapsing substitutes the signature kernel into each of the 16
+    * band-slice references and the kernel runs 16× per row (the same
+    * trap as the array_min(transform(…)) history note above — measured
+    * 0.8 s → 15 s when r21 briefly cached only the gram arrays). */
+  private[graft] def shingledSigs(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("sig",
         graft.plans.GraftExpressions.minhash_signature(col("grams"), permA, permB))
       .cache() // feeds banding + both verification sides — compute once
+
+  /** The LSH pair pipeline over a pre-built [[shingledSigs]] frame the
+    * CALLER has cached ([[minhashPairs]] for the standalone query; the
+    * recall companion shares the same cached frame with its ground-truth
+    * pipeline so the corpus is scanned and shingled exactly once). */
+  private[graft] def minhashPairsOf(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => xxhash64(concat_ws("_",
@@ -737,9 +770,24 @@ object Dedup {
       .select("d1", "d2")
 
   def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = minhashExactTruth(s, dir)
+    // ONE cached scan+shingle pass feeds BOTH pipelines (r21): the
+    // ground-truth side explodes the cached gram arrays (identical
+    // values to re-shingling — explode drops the same empty arrays the
+    // size>0 filter does) and the LSH side signatures/verifies from the
+    // same frame. Before, truth and LSH each re-derived corpus+shingles
+    // from the raw scan (~0.6 s of duplicated map work at sf0.1).
+    val sh = shingledSigs(s, dir)
+    val exact = interOfGramFrame(
+        sh.select(col("doc_id"), explode(col("grams")).as("gram_s"))
+          .select(col("doc_id"), xxhash64(col("gram_s")).as("gram")),
+        cappedListTruthDf)
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("s1") + col("s2") - col("n_inter"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("d1", "d2")
       .cache() // feeds the exact count and the hit join
-    val found = minhashPairs(s, dir).select("d1", "d2")
+    val found = minhashPairsOf(sh).select("d1", "d2")
       .cache() // feeds the found count and the hit join
     val hit = found.join(exact, Seq("d1", "d2"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))

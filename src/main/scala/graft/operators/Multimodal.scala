@@ -431,6 +431,12 @@ object Multimodal {
       // per-partition init would go here (codec context pooling)
       it.map { case (id, content) => aHashOf(pngEncode(id, content)) }
     }.toDF().cache() // feeds both sides of the pigeonhole join
+    // Materialize the cache BEFORE the self-join consumes it (r21): the
+    // join's two map stages are submitted concurrently, and both sides
+    // racing an unmaterialized cache each run the full PNG encode+aHash
+    // pipeline (JobProfile: two overlapping 0.78 s jobs for one 0.78 s
+    // computation). One bounded count pins it; the codec work runs once.
+    hashes.count()
     val chunked = hashes.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(expr("array(shiftright(hi, 16) & 65535, hi & 65535," +
         " shiftright(lo, 16) & 65535, lo & 65535)")))

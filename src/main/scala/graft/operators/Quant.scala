@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -39,12 +39,39 @@ object Quant {
     * order IS the global value order; ranks are bit-identical to the
     * naive window, which is exactly what the plain-SQL oracles check. */
   private def valueBucket(df: DataFrame, v: String): DataFrame = {
-    val r = df.agg(min(col(v)), max(col(v))).first()
-    val (lo, hi) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(hi - lo, 1L)) - 8)
-    df.withColumn("__bkt", shiftright(col(v) - lit(lo), shift))
+    // LAZY bounds (r21, guide §1.2/§5): the bounds used to come from an
+    // eager `agg(min,max).first()` — a full extra pass over the input
+    // (for qWeightedMedian a fact-table scan; for qGiniNation the whole
+    // join+aggregate pipeline) plus its own job's plan/codegen
+    // round-trip, all before the real query started. Now they ride the
+    // plan as a broadcast one-row aggregate; where the input subtree
+    // contains an exchange (qGiniNation's custkey aggregate) Spark's
+    // ReuseExchange computes it once for both consumers. The bit-length
+    // form `length(bin(x)) = 64 − numberOfLeadingZeros(x)` reproduces
+    // the old driver-side shift exactly, and the OUTPUT is invariant to
+    // the bounds anyway: any monotone bucketing yields the same global
+    // rank/prefix order (bounds only shape bucket granularity).
+    valueBucketFrom(df, v, boundsOf(df, col(v)))
   }
+
+  /** One-row (__lo, __shift) bounds aggregate over an arbitrary source
+    * frame. Callers may pass a CHEAPER source than the bucketed frame
+    * itself (qWeightedMedian: the raw projected fact column, skipping
+    * the dimension joins) — by the invariance argument above any frame
+    * whose min/max BOUND the bucketed column gives identical output. */
+  private def boundsOf(src: DataFrame, c: Column): DataFrame =
+    src.agg(
+      min(c).as("__lo"),
+      greatest(
+        length(bin(greatest(max(c) - min(c), lit(1L)))) - 8,
+        lit(0)).as("__shift"))
+
+  private def valueBucketFrom(df: DataFrame, v: String,
+      bounds: DataFrame): DataFrame =
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        expr(s"shiftright($v - __lo, cast(__shift as int))"))
+      .drop("__lo", "__shift")
 
   /** Gini coefficient of customer revenue inside each nation — the
     * inequality audit ("do 20% of customers carry 80% of revenue?").
@@ -117,13 +144,20 @@ object Quant {
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val sup = supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
     val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    val rows = valueBucket(lineitem(s, dir)
+    // Bounds from the RAW projected fact column (r21): the broadcast
+    // bounds row scans one lineitem column instead of re-running the
+    // two dimension joins; the FK joins drop no rows, and even a
+    // superset bound yields identical output (valueBucket invariance).
+    val li = lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         cents(col("l_extendedprice")).as("price_cents"),
         round(col("l_quantity")).cast("bigint").as("wt"))
+    val rows = valueBucketFrom(li
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey")),
-      "price_cents")
+      "price_cents",
+      boundsOf(lineitem(s, dir)
+        .select(cents(col("l_extendedprice")).as("pc")), col("pc")))
     val withinW = Window.partitionBy(col("n_name"), col("__bkt"))
       .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
