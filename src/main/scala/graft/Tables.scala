@@ -54,9 +54,12 @@ object Tables {
     * (SPARK-38388 does not apply to hash partitioning on real columns).
     */
   private def fanOut(spark: SparkSession, path: String, df: DataFrame,
-      key: Column*): DataFrame = {
+      cap: Int, key: Column*): DataFrame = {
     if (!fanOutEnabled) return df
-    val par = spark.sparkContext.defaultParallelism
+    // GRAFT_FANOUT_PAR: dev-only A/B knob (FanOutProbe width sweeps);
+    // unset in every shipped path, where defaultParallelism rules.
+    val par = sys.env.get("GRAFT_FANOUT_PAR").flatMap(_.toIntOption)
+      .getOrElse(spark.sparkContext.defaultParallelism).min(cap)
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = try tableBytes(spark, path) catch { case _: Throwable => Long.MaxValue }
     if (par > 1 && bytes >= 512L * 1024 && bytes < maxSplit)
@@ -76,15 +79,25 @@ object Tables {
       key: String*): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    fanOut(spark, path, df, key.map(col): _*)
+    fanOut(spark, path, df, Int.MaxValue, key.map(col): _*)
   }
 
   /** [[fanOut]] for a DERIVED frame whose size tracks the named fixture
     * table (e.g. the dedup corpus = documents ∪ bounded copies): same
-    * gate, applied to the frame instead of a fresh scan. */
+    * gate, applied to the frame instead of a fresh scan. `cap` bounds
+    * the fan width below defaultParallelism — pipelines whose first
+    * wide operation is a high-cardinality partial aggregate (the
+    * posting-list family) lose map-side combine quality as map width
+    * grows (every extra map partition ships its own partial list per
+    * key), and the width sweep (FanOutProbe, r21) put their optimum at
+    * ~8 on this box while 32 was a net loss. */
+  private[graft] def fanIfSmall(spark: SparkSession, dir: String,
+      name: String, df: DataFrame, cap: Int, key: Column*): DataFrame =
+    fanOut(spark, s"$dir/$name.parquet", df, cap, key: _*)
+
   private[graft] def fanIfSmall(spark: SparkSession, dir: String,
       name: String, df: DataFrame, key: Column*): DataFrame =
-    fanOut(spark, s"$dir/$name.parquet", df, key: _*)
+    fanOut(spark, s"$dir/$name.parquet", df, Int.MaxValue, key: _*)
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

@@ -156,7 +156,20 @@ object Dedup {
     * consumes pairs in any order, so [[qDedupClusters]] skips the global
     * range-partition + sort exchange that [[qDedupNgram]]'s ORDER BY adds. */
   private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    pairsOf(corpus(s, dir))
+    pairsOf(fannedCorpus(s, dir))
+
+  /** The corpus with a WIDTH-CAPPED scan fan-out for the posting-list
+    * consumers (q_dedup_ngram / containment / clusters / leakfree /
+    * winnow): their map side (shingle + explode + hash + capped-list
+    * partial agg) ran on the fixture's 3 scan partitions, but full
+    * 32-wide fanning degrades map-side combine (each map partition
+    * ships its own partial posting list per gram) — the A/B sweep put
+    * the family's optimum at width 8 (+0.3…+0.4 s per query vs plain,
+    * where 32-wide was a net LOSS). The LSH/simhash pipelines cache
+    * their per-doc frames and stay unfanned (measured loss there). */
+  private[graft] def fannedCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.fanIfSmall(s, dir, "documents", corpus(s, dir), 8,
+      col("doc_id"))
 
   /** [[ngramPairs]] over an arbitrary (doc_id, text) corpus — the
     * DataFrame-level core, also driven directly by the ×100 scale probe
@@ -249,7 +262,7 @@ object Dedup {
     * identically in both engines (lexicographic on the hex string), so
     * the selected fingerprint SET is oracle-exact. */
   def qDedupWinnow(s: SparkSession, dir: String): DataFrame =
-    winnowPairsOf(corpus(s, dir)).orderBy("d1", "d2")
+    winnowPairsOf(fannedCorpus(s, dir)).orderBy("d1", "d2")
 
   /** [[qDedupWinnow]] over an arbitrary (doc_id, text) corpus without the
     * presentation sort — also driven directly by the ×100 scale probe so
@@ -388,7 +401,7 @@ object Dedup {
     * pipeline and the same single wide shuffle as [[qDedupNgram]];
     * only the final score differs. */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    containmentOf(corpus(s, dir)).orderBy("d1", "d2")
+    containmentOf(fannedCorpus(s, dir)).orderBy("d1", "d2")
 
   /** Cluster assignment over the near-dup pair graph (the step after
     * pair-finding that a dedup pipeline actually consumes): connected
