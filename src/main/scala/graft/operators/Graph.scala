@@ -104,6 +104,9 @@ object Graph {
       .distinct()
       .cache() // feeds the census from four angles (e1/e2/probe/degrees):
                // without it each branch re-derives the whole edge pipeline
+    // Materialize before the four census branches (concurrently
+    // submitted crossJoin broadcast builds) race the cache (r21).
+    und.count()
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

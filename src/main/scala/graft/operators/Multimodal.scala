@@ -118,7 +118,11 @@ object Multimodal {
     * and cannot handle raw array cells. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = documents(s, dir)
+    // Fanned (Tables.fanned scaladoc): the encode+decode codec chain is
+    // pure per-row CPU behind an opaque Dataset boundary — on the
+    // single-row-group fixture it ran as ONE 1.2 s task (JobProfile
+    // r21); gate is a no-op at scale.
+    val blobs = graft.Tables.fanned(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     val pngs: Dataset[PngBlob] = blobs.mapPartitions { it =>
@@ -210,6 +214,11 @@ object Multimodal {
     * codec's recovery of each sample. */
   def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT fanned: unlike the PNG chain, `AudioSystem.write`'s provider
+    // lookup serializes under concurrency (measured r21: the fanned
+    // 32-wide stage ran 2.2 s where the single task took 0.8 s) — the
+    // JDK sound registry is effectively a lock, so the narrow scan is
+    // the faster shape here.
     val blobs = documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]

@@ -385,6 +385,12 @@ object Relational {
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("c"))
       .cache() // small: one row per distinct pair/part + 1 sentinel
+    // Materialize before fan-out (r21): the four consumers below (top
+    // pairs + two broadcast frequency builds + the order count) are
+    // submitted concurrently, and racing an unmaterialized cache each
+    // re-ran the whole basket pipeline (JobProfile: four overlapping
+    // ~0.5 s jobs for one computation — the imagedup cache-race fix).
+    counts.count()
     val pairs = counts.filter(col("d2") >= 0)
       .select(col("d1").as("p1"), col("d2").as("p2"), col("c").as("c12"))
       .orderBy(desc("c12"), asc("p1"), asc("p2"))
