@@ -324,7 +324,14 @@ object Scrape {
     * modified, size = price cents (%13==0 NULL), created NULL. */
   private def s3Base(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
-    orders(s, dir).select(k, col("o_orderstatus"), col("o_orderdate"),
+    // Fanned (Tables.fanned scaladoc): the s3 key build + regex split +
+    // mime inference is per-row map work over the single-row-group
+    // orders scan; A/B r21 +0.21 s (the union-of-event-log queries,
+    // snapshot/compact/cdc, measured 1.5-2.5 s LOSSES from fanning --
+    // their 5-8 union branches multiply the fanned partition count into
+    // the compaction groupBy -- so they stay plain).
+    graft.Tables.fanned(s, dir, "orders", "o_orderkey")
+      .select(k, col("o_orderstatus"), col("o_orderdate"),
       s3Key(k).as("key"),
       when(k % 13 === 0, lit(null).cast("bigint"))
         .otherwise(cents(col("o_totalprice"))).as("size"))
