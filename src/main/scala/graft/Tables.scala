@@ -20,6 +20,20 @@ object Tables {
     * scan in one session; always true in shipped paths. */
   private[graft] var fanOutEnabled = true
 
+  /** Dev-only A/B toggle for the r21 cache-pin fix (same discipline as
+    * [[fanOutEnabled]]; always true in shipped paths). */
+  private[graft] var eagerPinEnabled = true
+
+  /** Materialize a cached frame NOW (bounded count) so concurrently
+    * submitted consumers read the cache instead of racing it — each
+    * racer re-runs the full pipeline (JobProfile r21: q_basket_lift ran
+    * its basket pipeline 4×). No-op when [[eagerPinEnabled]] is off. */
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    if (eagerPinEnabled) df.count()
+    df
+  }
+
+
   /** Total on-disk bytes of a table path (driver-side metadata listing —
     * no Spark job). Used only by the [[fanOut]] gate. */
   private def tableBytes(spark: SparkSession, path: String): Long = {

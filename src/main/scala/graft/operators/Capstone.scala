@@ -359,11 +359,6 @@ object Capstone {
     val cand = keyed.groupBy(col("nation"), col("bk"))
       .agg(collect_list(col("ekey")).as("es"))
       .filter(size(col("es")) >= 2)
-      // keyed repartition before the pair explode: AQE coalesces the
-      // byte-tiny bucket aggregate to ~1 partition, serializing the
-      // sorted_pairs generator (Dedup.interOfGramFrame note, r21)
-      .repartition(s.sparkContext.defaultParallelism,
-        col("nation"), col("bk"))
       .select(explode(
         graft.plans.GraftExpressions.sorted_pairs(col("es"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))

@@ -223,23 +223,15 @@ object Dedup {
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
     //
-    // Explicit keyed repartition AFTER the aggregate (r21, guide §2.5
-    // input-skew analog): the capped posting lists are tiny in BYTES,
-    // so AQE coalesces the post-aggregate stage down to ~1 partition —
-    // but the sorted_pairs GENERATOR below amplifies each list to
-    // ≤df²/2 structs, row growth the byte-based coalescing cannot see,
-    // serializing the pair explosion + pair-count aggregate onto one
-    // core (JobProfile: a 1.1 s single-reduce job in every posting
-    // query). The explicit partition count pins the explode stage wide;
-    // it scales with the session's parallelism, and the re-shuffled
-    // rows are the aggregated lists (orders of magnitude below the
-    // exploded gram frame), so the extra exchange is cheap at any
-    // scale.
-    val par = g.sparkSession.sparkContext.defaultParallelism
+    // (An explicit post-aggregate repartition before the pair explode —
+    // countering AQE's byte-based coalescing of the tiny posting-list
+    // aggregate — was tried and REVERTED in r21: interleaved A/B showed
+    // the extra exchange a consistent ~0.25 s loss per query at sf0.1
+    // and neutral on the recall companion; the reduce cost here is the
+    // capped-list merge, not the explode width.)
     val byGram = g.groupBy("gram")
       .agg(postingAgg(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
-      .repartition(par, col("gram"))
     val sizes = byGram.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val pairs = byGram.select(explode(
@@ -292,11 +284,9 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(h) - 8), j -> array_min(slice(h, j + 1, 8))))"))
         .as("fp"))
-    // Keyed repartition before the pair explode — see interOfGramFrame.
     val byFp = fps.groupBy(col("fp"))
       .agg(cappedListMaxDf(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
-      .repartition(fps.sparkSession.sparkContext.defaultParallelism, col("fp"))
     byFp.select(explode(
         graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -625,9 +615,6 @@ object Dedup {
     val cand = banded.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2)
-      // keyed repartition before the pair explode — see interOfGramFrame
-      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
-        col("band"), col("band_hash"))
       .select(explode(
         graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -667,7 +654,7 @@ object Dedup {
       .cache() // fingerprint feeds both sides of the pigeonhole join
     // Materialize before the self-join's two concurrently-submitted map
     // stages race the cache (each ran the full simhash pass — r21).
-    fp.count()
+    graft.Tables.pin(fp)
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), k -> shiftright(fp, k * 16) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
@@ -749,7 +736,7 @@ object Dedup {
     val d = keyed.join(ranked, "bkey").cache()
     // Materialize before the neighborhood join's two concurrently-
     // submitted sides race the cache (r21, the imagedup fix).
-    d.count()
+    graft.Tables.pin(d)
     val probe = d.select(col("doc_id"), col("text"),
       explode(array(col("kr") - 1, col("kr"), col("kr") + 1)).as("pk"))
     probe.as("a").join(d.as("b"),
@@ -832,7 +819,7 @@ object Dedup {
     // below race them (the concurrently-submitted broadcast builds each
     // re-ran the full posting/LSH pipelines against the unmaterialized
     // caches — the imagedup cache-race fix, r21).
-    exact.count(); found.count()
+    graft.Tables.pin(exact); graft.Tables.pin(found)
     val hit = found.join(exact, Seq("d1", "d2"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -864,7 +851,7 @@ object Dedup {
     val exactTruth = d.filter(col("doc_id") < 50)
       .select(col("doc_id").as("d1"), (col("doc_id") + 100000).as("d2"))
     val found = simhashPairs(s, dir).select("d1", "d2").cache()
-    found.count() // materialize before the two grading branches race it
+    graft.Tables.pin(found) // materialize before the grading branches race it
     val exactHit = exactTruth.join(found, Seq("d1", "d2"), "left_semi")
     val exactRow = exactTruth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(exactHit.agg(count(lit(1)).as("n_hit")))

@@ -106,7 +106,7 @@ object Graph {
                // without it each branch re-derives the whole edge pipeline
     // Materialize before the four census branches (concurrently
     // submitted crossJoin broadcast builds) race the cache (r21).
-    und.count()
+    graft.Tables.pin(und)
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

@@ -445,7 +445,7 @@ object Multimodal {
     // racing an unmaterialized cache each run the full PNG encode+aHash
     // pipeline (JobProfile: two overlapping 0.78 s jobs for one 0.78 s
     // computation). One bounded count pins it; the codec work runs once.
-    hashes.count()
+    graft.Tables.pin(hashes)
     val chunked = hashes.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(expr("array(shiftright(hi, 16) & 65535, hi & 65535," +
         " shiftright(lo, 16) & 65535, lo & 65535)")))

@@ -390,7 +390,7 @@ object Relational {
     // submitted concurrently, and racing an unmaterialized cache each
     // re-ran the whole basket pipeline (JobProfile: four overlapping
     // ~0.5 s jobs for one computation — the imagedup cache-race fix).
-    counts.count()
+    graft.Tables.pin(counts)
     val pairs = counts.filter(col("d2") >= 0)
       .select(col("d1").as("p1"), col("d2").as("p2"), col("c").as("c12"))
       .orderBy(desc("c12"), asc("p1"), asc("p2"))
