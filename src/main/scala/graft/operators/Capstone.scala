@@ -46,6 +46,8 @@ object Capstone {
     *  5. admit docs whose cumulative tokens START inside the budget.
     */
   def qCapstoneCorpus(s: SparkSession, dir: String): DataFrame =
+    // NOT fanned (A/B r21: −0.14 s — the 0.6 s single-task kernel job
+    // JobProfile flagged is still cheaper than the fan exchange here).
     corpusBuild(documents(s, dir))
 
   /** [[corpusBuild]] with in-flight accounting via `Dataset.observe`:
@@ -94,6 +96,8 @@ object Capstone {
         size(tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("seg", floor((lit(1.0) - col("score")) * 32).cast("int"))
       .cache() // fan-out: ranked side + segment offsets; 5 scalar cols
+                // (NOT pinned: corpusBuildObserved's Observation must
+                //  complete on the pipeline's own action, not a pin)
     val withinW = Window.partitionBy(col("seg"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
