@@ -42,6 +42,36 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     }
     val loadStart = load1()
+    // Machine-calibration rows (VERDICT r20 #2; validated by r21's two
+    // storm-contaminated runs that spread_med did NOT flag): a fixed
+    // pure-JVM integer-mixing workload measured single-threaded and at
+    // full processor fan-out BEFORE any Spark work. On this box idle,
+    // cal_1t ≈ cal_nt ≈ 420-520 ms; external load leaves cal_1t alone
+    // (one core is almost always free) but inflates cal_nt roughly in
+    // proportion to the stolen cores — so a uniformly shifted artifact
+    // carries its own box explanation and cross-round grading can
+    // normalize without a re-run.
+    def calWork(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) {
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 29; i += 1
+      }
+      x
+    }
+    calWork(20000000L) // JIT warm
+    val cal1t0 = System.nanoTime()
+    val sink1 = calWork(400000000L)
+    val cal1tMs = (System.nanoTime() - cal1t0) / 1e6
+    val nProcs = Runtime.getRuntime.availableProcessors
+    val calN0 = System.nanoTime()
+    val sinks = new java.util.concurrent.atomic.AtomicLong(sink1)
+    val threads = (1 to nProcs).map { _ =>
+      new Thread(() => { sinks.addAndGet(calWork(400000000L)); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val calNtMs = (System.nanoTime() - calN0) / 1e6
+    if (sinks.get == 42) println("calibration sink") // keep work live
     val warm0 = System.nanoTime()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -208,6 +238,7 @@ object Bench {
     // read 1.117 and total_min was the best number on record.
     val contended = spreadMed > 1.3
     val health = s""""warmup_sec":${fmt(warmupSec)},""" +
+      s""""cal_1t_ms":${cal1tMs.toLong},"cal_nt_ms":${calNtMs.toLong},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
       s""""spread_med":${fmt(spreadMed)},""" +
       s""""runs_per_query":$nRuns,"total_min":${fmt(total)},""" +
