@@ -45,9 +45,12 @@ object Bench {
     // Machine-calibration rows (VERDICT r20 #2; validated by r21's two
     // storm-contaminated runs that spread_med did NOT flag): a fixed
     // pure-JVM integer-mixing workload measured single-threaded and at
-    // full processor fan-out BEFORE any Spark work. On this box idle,
-    // cal_1t ≈ cal_nt ≈ 420-520 ms; external load leaves cal_1t alone
-    // (one core is almost always free) but inflates cal_nt roughly in
+    // full processor fan-out BEFORE any Spark work. The workload is a
+    // serial-dependent mixing chain (~1.2G ALU ops, ~9 cycles/iter), so
+    // cal_1t measures effective single-core speed: ~880-960 ms on this
+    // box idle (measured r21), cal_nt within ~20% of cal_1t when all
+    // cores are free. External load leaves cal_1t nearly alone (one
+    // core is almost always free) but inflates cal_nt roughly in
     // proportion to the stolen cores — so a uniformly shifted artifact
     // carries its own box explanation and cross-round grading can
     // normalize without a re-run.
