@@ -649,12 +649,23 @@ object Dedup {
 
   /** The pigeonhole pair pipeline without the presentation sort (consumed
     * by [[qDedupSimhash]] and the recall companion, which aggregates). */
-  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashFps(s, dir))
+
+  /** The cached per-doc fingerprint frame — shared by the pair pipeline
+    * and (in the recall companion) the brute-force grader + corpus
+    * count, so the corpus is scanned and simhashed exactly once. */
+  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame = {
     val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
       .cache() // fingerprint feeds both sides of the pigeonhole join
     // Materialize before the self-join's two concurrently-submitted map
     // stages race the cache (each ran the full simhash pass — r21).
     graft.Tables.pin(fp)
+  }
+
+  /** The pigeonhole pair pipeline over a pre-built cached [[simhashFps]]
+    * frame. */
+  private[graft] def simhashPairsOf(fp: DataFrame): DataFrame = {
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(expr("transform(sequence(0, 3), k -> shiftright(fp, k * 16) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
@@ -811,19 +822,21 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("j"))
       .filter(col("j") >= 0.5)
-      .select("d1", "d2")
-      .cache() // feeds the exact count and the hit join
+      .select(col("d1"), col("d2"), lit(1L).as("e"))
     val found = minhashPairsOf(sh).select("d1", "d2")
-      .cache() // feeds the found count and the hit join
-    // Materialize both pair sets before the three aggregate branches
-    // below race them (the concurrently-submitted broadcast builds each
-    // re-ran the full posting/LSH pipelines against the unmaterialized
-    // caches — the imagedup cache-race fix, r21).
-    graft.Tables.pin(exact); graft.Tables.pin(found)
-    val hit = found.join(exact, Seq("d1", "d2"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("f", lit(1L))
+    // ONE full-outer join + ONE aggregate (r21): both sides are DISTINCT
+    // pair sets, so n_hit (the intersection) is the rows where both
+    // markers land, and all three counts fall out of a single pass —
+    // replacing two cached pair frames, their materialization pins, two
+    // crossJoin broadcast builds and three separate aggregate jobs.
+    // Each pipeline is now consumed exactly once (no cache, no race);
+    // the shared `sh` cache behind both sides is bounded per-doc state.
+    exact.join(found, Seq("d1", "d2"), "full_outer")
+      .agg(
+        coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("f")), lit(0L)).as("n_found"),
+        coalesce(sum(col("e") * col("f")), lit(0L)).as("n_hit"))
       .select(col("n_exact"),
         (col("n_found") === col("n_hit")).as("precision_ok"),
         (col("n_hit") * 10 >= col("n_exact") * 9).as("recall_ok"))
@@ -850,17 +863,21 @@ object Dedup {
     val d = documents(s, dir)
     val exactTruth = d.filter(col("doc_id") < 50)
       .select(col("doc_id").as("d1"), (col("doc_id") + 100000).as("d2"))
-    val found = simhashPairs(s, dir).select("d1", "d2").cache()
+    // ONE cached simhash pass (r21): the pair pipeline, the brute-force
+    // grader and the corpus count all read [[simhashFps]] — before, the
+    // recall row simhashed the corpus twice and scanned it a third time
+    // for the count.
+    val fp = simhashFps(s, dir)
+    val found = simhashPairsOf(fp).select("d1", "d2").cache()
     graft.Tables.pin(found) // materialize before the grading branches race it
     val exactHit = exactTruth.join(found, Seq("d1", "d2"), "left_semi")
     val exactRow = exactTruth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(exactHit.agg(count(lit(1)).as("n_hit")))
       .select(lit("exact_copy").as("tier"), col("n_truth").as("n_ref"),
         (col("n_hit") === col("n_truth")).as("ok"))
-    val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
     val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
       .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 3)
-    val blockRow = corpus(s, dir).agg(count(lit(1)).as("n_corpus"))
+    val blockRow = fp.agg(count(lit(1)).as("n_corpus"))
       .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
       .crossJoin(found.agg(count(lit(1)).as("n_blocked")))
       .select(lit("radius3_complete").as("tier"), col("n_corpus").as("n_ref"),
