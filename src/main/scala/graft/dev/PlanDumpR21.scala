@@ -15,7 +15,8 @@ object PlanDumpR21 {
     "q_multimodal_decode", "q_dedup_substring", "q_dedup_ngram",
     "q_dedup_containment", "q_dedup_clusters", "q_split_leakfree",
     "q_dedup_winnow", "q_dedup_simhash_recall", "q_dedup_simhash",
-    "q_dedup_snm", "q_graph_triangles", "q_basket_lift", "q_scrape_s3")
+    "q_dedup_snm", "q_graph_triangles", "q_basket_lift", "q_scrape_s3",
+    "q_graph_lpa")
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
