@@ -1,0 +1,124 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: interleaved A/B of q_dedup_minhash_recall's ground-truth
+  * pipeline (r21 wave 4). JobProfile shows one ~1.1 s 2-stage job: the
+  * truthDf=512 capped-list posting aggregate, whose reduce AQE
+  * coalesces to ONE task (tiny shuffled bytes, big per-gram merge CPU),
+  * and whose expensive final merge runs once per consumer (the `sizes`
+  * and `pairs` branches both sit above the same reused exchange).
+  * Arms (all equality-gated against cur before timing):
+  *   cur        — shipped.
+  *   rep32      — repartition(32, gram) before the posting groupBy:
+  *                the aggregate becomes a 32-wide COMPLETE agg (the
+  *                explicit width is AQE-exempt); more shuffled bytes
+  *                (raw gram rows, no map-side partial), but the merge
+  *                parallelizes.
+  *   cheapsizes — `sizes` from a plain df count (partial-aggregated,
+  *                no list merges) exactly mirroring the oracle's
+  *                rare/kept/sizes CTEs: per-doc count of grams with
+  *                df ≤ cap ≡ exploded capped lists because shingles
+  *                are DISTINCT per doc and overflow ⇒ empty list ⇒
+  *                contributes 0, same as df-filter exclusion. Halves
+  *                the number of expensive merge consumers.
+  *   both       — rep32 + cheapsizes.
+  */
+object AbTruth {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    import graft.operators.Dedup
+
+    def gramFrame(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), explode(col("grams")).as("gram_s"))
+        .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
+
+    def tail(exactPairs: DataFrame, sh: DataFrame): DataFrame = {
+      val exact = exactPairs
+        .select(col("d1"), col("d2"),
+          (col("n_inter").cast("double") /
+            (col("s1") + col("s2") - col("n_inter"))).as("j"))
+        .filter(col("j") >= 0.5)
+        .select(col("d1"), col("d2"), lit(1L).as("e"))
+      val found = Dedup.minhashPairsOf(sh).select("d1", "d2")
+        .withColumn("f", lit(1L))
+      exact.join(found, Seq("d1", "d2"), "full_outer")
+        .agg(
+          coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("f")), lit(0L)).as("n_found"),
+          coalesce(sum(col("e") * col("f")), lit(0L)).as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_found") === col("n_hit")).as("precision_ok"),
+          (col("n_hit") * 10 >= col("n_exact") * 9).as("recall_ok"))
+    }
+
+    def inter(g: DataFrame, rep: Boolean, cheapSizes: Boolean): DataFrame = {
+      val gIn = if (rep) g.repartition(32, col("gram")) else g
+      val byGram = gIn.groupBy("gram")
+        .agg(Dedup.cappedListTruthDf(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) >= 1)
+      val sizes =
+        if (cheapSizes) {
+          // Per-doc count of grams with df ≤ cap, as a broadcast
+          // anti-join against the (tiny, ≤ |g|/cap) OVERFLOW gram set —
+          // no list merges and no fact reshuffle beyond the doc_id agg.
+          val over = g.groupBy("gram").agg(count(lit(1)).as("df"))
+            .filter(col("df") > Dedup.truthDf).select("gram")
+          g.join(broadcast(over), Seq("gram"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        }
+        else
+          byGram.select(explode(col("docs")).as("doc_id"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val pairs = byGram.select(explode(
+        graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
+      val it = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+      it.join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n_grams", "s1")), "d1")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n_grams", "s2")), "d2")
+    }
+
+    def candidate(rep: Boolean, cheapSizes: Boolean)(dir: String): DataFrame = {
+      val sh = Dedup.shingledSigs(spark, dir)
+      tail(inter(gramFrame(sh), rep, cheapSizes), sh)
+    }
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "cur" -> (() => Dedup.qDedupMinhashRecall(spark, sfDir)),
+      "rep32" -> (() => candidate(rep = true, cheapSizes = false)(sfDir)),
+      "cheapsizes" -> (() => candidate(rep = false, cheapSizes = true)(sfDir)),
+      "both" -> (() => candidate(rep = true, cheapSizes = true)(sfDir)))
+
+    val refRows = arms.head._2().collect().map(_.toString).toSeq
+    arms.tail.foreach { case (label, f) =>
+      val got = f().collect().map(_.toString).toSeq
+      require(got == refRows, s"$label output differs from cur: $got vs $refRows")
+      println(s"[ab] $label output identical")
+    }
+    spark.sharedState.cacheManager.clearCache()
+
+    val n = 5
+    val best = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    for (_ <- 1 to n; (label, f) <- arms) {
+      val t0 = System.nanoTime()
+      f().count()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      best(label) = math.min(best(label), t)
+      println(f"[ab] $label $t%.3f")
+    }
+    arms.foreach { case (label, _) => println(f"[ab] BEST $label ${best(label)}%.3f") }
+    spark.stop()
+  }
+}

@@ -218,7 +218,9 @@ object Dedup {
     * companion shares one cached frame between the ground-truth and LSH
     * pipelines) can skip a second scan+shingle pass. */
   private[graft] def interOfGramFrame(g: DataFrame,
-      postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+      postingAgg: org.apache.spark.sql.expressions.UserDefinedFunction,
+      wideReduce: Boolean = false,
+      sizesByDfCap: Option[Int] = None): DataFrame = {
     // Shingles shuffle as 8-byte xxhash64 keys, not strings (~3× less
     // shuffle volume); a hash collision would merge two shingles'
     // posting lists — ~2e-9 at 10^5 distinct shingles, negligible.
@@ -229,11 +231,41 @@ object Dedup {
     // the extra exchange a consistent ~0.25 s loss per query at sf0.1
     // and neutral on the recall companion; the reduce cost here is the
     // capped-list merge, not the explode width.)
-    val byGram = g.groupBy("gram")
+    //
+    // `wideReduce` (r21, for the truthDf=512 recall ground truth only):
+    // the posting aggregate's reduce gets AQE-coalesced to ~1 task
+    // (tiny shuffled bytes, big per-gram merge CPU — JobProfile showed
+    // a single 1.1 s task), so repartition the RAW gram rows on gram at
+    // the session's shuffle width first — an explicit width is
+    // AQE-exempt, and the aggregate above it plans as one wide COMPLETE
+    // agg (no map-side partial, but the merge work parallelizes).
+    // Interleaved A/B (dev.AbTruth): wideReduce+sizesByDfCap beat the
+    // shipped shape 9/10 rounds, ~−0.4 s; the cheap maxDf=8 family
+    // measured neutral-to-negative on the same lever and keeps the
+    // default shape.
+    val width = g.sparkSession.sessionState.conf.numShufflePartitions
+    val gIn = if (wideReduce) g.repartition(width, col("gram")) else g
+    val byGram = gIn.groupBy("gram")
       .agg(postingAgg(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 1) // empty = overflowed past the cap
-    val sizes = byGram.select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // `sizesByDfCap=Some(cap)` (r21): per-doc sizes WITHOUT a second
+    // pass over the expensive posting merge — count grams per doc after
+    // a broadcast anti-join against the (tiny, ≤ |g|/cap) OVERFLOW gram
+    // set. Exactly equivalent to exploding the capped lists PROVIDED
+    // `g` is distinct per (doc_id, gram) (shingles3 emits distinct
+    // grams): an overflowed gram yields an empty list ⇒ contributes 0
+    // to every doc ≡ the df-filter excluding it — and this is
+    // literally the oracle's rare/kept/sizes CTE formulation.
+    val sizes = sizesByDfCap match {
+      case Some(cap) =>
+        val over = g.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("gram")
+        g.join(broadcast(over), Seq("gram"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      case None =>
+        byGram.select(explode(col("docs")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    }
     val pairs = byGram.select(explode(
       graft.plans.GraftExpressions.sorted_pairs(col("docs"))).as("p"))
     val inter = pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -817,7 +849,11 @@ object Dedup {
     val exact = interOfGramFrame(
         sh.select(col("doc_id"), explode(col("grams")).as("gram_s"))
           .select(col("doc_id"), xxhash64(col("gram_s")).as("gram")),
-        cappedListTruthDf)
+        cappedListTruthDf,
+        // Wide reduce + df-count sizes (r21): the loose truthDf cap
+        // makes the posting merge the row's dominant job — see the
+        // interOfGramFrame scaladoc; A/B'd in dev.AbTruth.
+        wideReduce = true, sizesByDfCap = Some(truthDf))
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("s1") + col("s2") - col("n_inter"))).as("j"))
