@@ -337,7 +337,21 @@ object Capstone {
     * measures the SHIPPED pipeline. */
   private[graft] def resolveEntities(s: SparkSession,
       entityFrame: DataFrame): DataFrame = {
-    val entities = entityFrame.cache() // blocking + survivorship + verify
+    // Widen the dimension cache BEFORE caching (r21): the deletion-key
+    // explode map (≈26 keys × xxhash per entity) ran as one 0.47 s
+    // 2-task stage over the narrow scan partitions. A scan-level fan
+    // measured −0.16 s (extra exchange per consumer path), but ONE
+    // repartition at cache build is paid once while every cache reader
+    // — blocking explode, survivorship window, both verify joins —
+    // runs wide. Width = shuffle-width/4 (floor 8): dimension-scale
+    // frame, and the 32-wide arm LOST to per-task overhead in the same
+    // A/B (dev.AbEntity: rep8 beat shipped 8/10 interleaved rounds,
+    // ~−0.2 s; rep32 lost). Row order inside partitions is irrelevant:
+    // sorted_pairs canonicalizes + distinct()s the candidate set and
+    // survivorship is a deterministic window.
+    val entities = entityFrame.repartition(
+      math.max(8, s.sessionState.conf.numShufflePartitions / 4))
+      .cache() // blocking + survivorship + verify
     // Posting-list blocking (r21, the interOfCorpus discipline): group
     // the exploded deletion keys into per-(nation, key) buckets and
     // generate candidate pairs in-array with the sorted_pairs kernel.
