@@ -180,7 +180,14 @@ object Bench {
             val shared =
               if (st.stateBytesShared) ""","skb_is_shared_budget":true"""
               else ""
-            s""""$name":{"rps":${st.rowsPerSec.toLong},"sr":${st.stateRows},"skb":${st.stateBytes / 1024}$shared,"b":${st.batches}}"""
+            // best-of-N fields (additions-only, VERDICT r21 #3): r =
+            // runs behind this row, sp = max/min secs spread across them
+            val bo =
+              if (st.runs > 1)
+                s""","r":${st.runs},"sp":${BigDecimal(st.spread)
+                  .setScale(2, BigDecimal.RoundingMode.HALF_UP)}"""
+              else ""
+            s""""$name":{"rps":${st.rowsPerSec.toLong},"sr":${st.stateRows},"skb":${st.stateBytes / 1024}$shared,"b":${st.batches}$bo}"""
           }.mkString(",")
           val totalSec = fmt(stats.map(_._2.secs).sum)
           s""""streaming":{"rows":200000,"total_sec":$totalSec,$body},"""

@@ -2,9 +2,11 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: interleaved A/B of the r21 scheduling toggles
-  * (Tables.eagerPinEnabled / Tables.widenExplodeEnabled) over a query
-  * sample — `AbToggles pin|widen [query...]`. */
+/** Dev-only: interleaved A/B of the r21 cache-pin toggle
+  * (Tables.eagerPinEnabled) over a query sample —
+  * `AbToggles pin [query...]`. (ADVICE r21: the formerly-advertised
+  * `widen` arm never existed; for fan-width sweeps use
+  * dev.FanWidthSweep.) */
 object AbToggles {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -687,13 +687,19 @@ object Dedup {
   /** The cached per-doc fingerprint frame — shared by the pair pipeline
     * and (in the recall companion) the brute-force grader + corpus
     * count, so the corpus is scanned and simhashed exactly once. */
-  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame = {
-    val fp = corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
+  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(col("doc_id"), simhash(col("text")).as("fp"))
       .cache() // fingerprint feeds both sides of the pigeonhole join
-    // Materialize before the self-join's two concurrently-submitted map
-    // stages race the cache (each ran the full simhash pass — r21).
-    graft.Tables.pin(fp)
-  }
+  // (The r21 eager pin was REMOVED here in r22: the fingerprint cache's
+  // first consumer is the recall row's PINNED `found` pair frame — one
+  // consumer, no race — and for q_dedup_simhash the self-join's two
+  // sides race at most one bounded fingerprint pass. Interleaved A/Bs
+  // (dev.AbToggles pin ×2, dev.AbSimhashRecall 4-arm) measured the pin
+  // here 0.00–0.08 s net cost, never a win; no static plan changes
+  // (plan_golden byte-identical for both simhash rows with fp unpinned,
+  // provided `found` stays pinned). The pin stays at the sites where it
+  // measured neutral-to-positive: basket_lift counts, imagedup hashes,
+  // triangles' edge frame, snm, and the recall row's `found`.)
 
   /** The pigeonhole pair pipeline over a pre-built cached [[simhashFps]]
     * frame. */
@@ -904,6 +910,18 @@ object Dedup {
     // recall row simhashed the corpus twice and scanned it a third time
     // for the count.
     val fp = simhashFps(s, dir)
+    // Kept pinned (r22 re-audit): a 4-arm interleaved A/B
+    // (dev.AbSimhashRecall: none/fp_only/found_only/both) put all pin
+    // combinations within noise (best 0.93–1.02 s, wins 1/2/1/2) — the
+    // apparent 0.25–0.44 s nopin win in two earlier 2-arm sessions was
+    // box weather. Dropping THIS pin also flips the static plan's
+    // broadcast semi-join to SMJ (the planner loses the materialized
+    // cache's size stats: plan_golden 5/5/1 → 7/4/3), so it stays. A
+    // single-pass full-outer marker collapse of the grading tail — the
+    // r21 minhash_recall discipline — was also tried and measured a
+    // 6/6 LOSS (1.59 vs 1.41 s): the count-only crossJoin branches
+    // overlap in the scheduler and shuffle nothing, which the joined
+    // single pass gives up.
     val found = simhashPairsOf(fp).select("d1", "d2").cache()
     graft.Tables.pin(found) // materialize before the grading branches race it
     val exactHit = exactTruth.join(found, Seq("d1", "d2"), "left_semi")

@@ -431,9 +431,13 @@ object Multimodal {
     // Fanned input (Tables.fanned scaladoc): the PNG encode + aHash below
     // is pure per-row codec CPU materialized into the cache — on the
     // single-row-group fixture it would run on one core of 32 (A/B:
-    // 3.2 s → 1.4 s at sf0.1). The gate is a no-op at scale.
+    // 3.2 s → 1.4 s at sf0.1). The gate is a no-op at scale. Width 8,
+    // not the generic 16: this site's downstream is a pigeonhole
+    // self-join over the PINNED cache, so extra map width buys nothing
+    // past the codec pass — the r22 width sweep (dev.FanWidthSweep) put
+    // it alone at w8 (0.83 s vs 0.91 at w16, 1.09 at w32).
     val blobs = graft.Tables.fanIfSmall(s, dir, "documents",
-        graft.operators.Dedup.corpus(s, dir), col("doc_id"))
+        graft.operators.Dedup.corpus(s, dir), 8, col("doc_id"))
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     val hashes = blobs.mapPartitions { it =>
