@@ -133,6 +133,20 @@ object Tables {
       name: String, df: DataFrame, key: Column*): DataFrame =
     fanOut(spark, s"$dir/$name.parquet", df, scanFanCap, key: _*)
 
+  /** True when the named fixture table fits one scan split (the same
+    * upper-bound test [[fanOut]] gates on, WITHOUT the 512 KiB floor) —
+    * for call sites whose measured exchange win starts below that floor
+    * (the capstone entity frame's 26-key explode pays at 312 KiB of
+    * customer). At 100 TB any real table is multi-split, so gated
+    * widenings vanish from production plans (ADVICE r21: the entity
+    * repartition used to be unconditional). */
+  private[graft] def belowOneSplit(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val bytes = try tableBytes(spark, s"$dir/$name.parquet")
+      catch { case _: Throwable => Long.MaxValue }
+    bytes < spark.sessionState.conf.filesMaxPartitionBytes
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

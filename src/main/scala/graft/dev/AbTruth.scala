@@ -60,11 +60,27 @@ object AbTruth {
           (col("n_hit") * 10 >= col("n_exact") * 9).as("recall_ok"))
     }
 
-    def inter(g: DataFrame, rep: Boolean, cheapSizes: Boolean): DataFrame = {
+    def inter(g: DataFrame, rep: Boolean, cheapSizes: Boolean,
+        twoLevel: Boolean = false): DataFrame = {
       val gIn = if (rep) g.repartition(32, col("gram")) else g
-      val byGram = gIn.groupBy("gram")
-        .agg(Dedup.cappedListTruthDf(col("doc_id")).as("docs"))
-        .filter(size(col("docs")) >= 1)
+      // two-level salted merge (VERDICT r21 #5): partial capped lists
+      // per (gram, salt-of-doc) then a final per-gram merge. Salt
+      // buckets partition docs disjointly, so merged size = Σ partial
+      // sizes; a gram overflows the truth cap iff some partial
+      // overflowed (empty list) or the summed size exceeds it —
+      // exactly the one-level agg's drop set.
+      val byGram =
+        if (twoLevel)
+          gIn.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
+            .groupBy("gram", "salt")
+            .agg(Dedup.cappedListTruthDf(col("doc_id")).as("pl"))
+            .groupBy("gram").agg(collect_list(col("pl")).as("ps"))
+            .filter(!expr("exists(ps, p -> size(p) = 0)") &&
+              expr("aggregate(ps, 0, (a, p) -> a + size(p))") <= Dedup.truthDf)
+            .select(col("gram"), flatten(col("ps")).as("docs"))
+        else gIn.groupBy("gram")
+          .agg(Dedup.cappedListTruthDf(col("doc_id")).as("docs"))
+          .filter(size(col("docs")) >= 1)
       val sizes =
         if (cheapSizes) {
           // Per-doc count of grams with df ≤ cap, as a broadcast
@@ -88,16 +104,20 @@ object AbTruth {
           .withColumnRenamed("n_grams", "s2")), "d2")
     }
 
-    def candidate(rep: Boolean, cheapSizes: Boolean)(dir: String): DataFrame = {
+    def candidate(rep: Boolean, cheapSizes: Boolean,
+        twoLevel: Boolean = false)(dir: String): DataFrame = {
       val sh = Dedup.shingledSigs(spark, dir)
-      tail(inter(gramFrame(sh), rep, cheapSizes), sh)
+      tail(inter(gramFrame(sh), rep, cheapSizes, twoLevel), sh)
     }
 
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "cur" -> (() => Dedup.qDedupMinhashRecall(spark, sfDir)),
-      "rep32" -> (() => candidate(rep = true, cheapSizes = false)(sfDir)),
-      "cheapsizes" -> (() => candidate(rep = false, cheapSizes = true)(sfDir)),
-      "both" -> (() => candidate(rep = true, cheapSizes = true)(sfDir)))
+      // r22 arms: cur = rep32+cheapsizes shipped; two-level salted merge
+      // on top of the shipped shape (VERDICT r21 #5)
+      "twolevel" -> (() =>
+        candidate(rep = true, cheapSizes = true, twoLevel = true)(sfDir)),
+      "twolevel_norep" -> (() =>
+        candidate(rep = false, cheapSizes = true, twoLevel = true)(sfDir)))
 
     val refRows = arms.head._2().collect().map(_.toString).toSeq
     arms.tail.foreach { case (label, f) =>

@@ -327,8 +327,13 @@ object Capstone {
     // NOT fanned (A/B r21: −0.16 s) — with the posting-list blocking in
     // [[resolveEntities]] the one wide exchange already runs wide, and
     // the extra scan exchange costs more than the narrow map it fixes
-    // (the same verdict as Dedup.corpus).
-    resolveEntities(s, base.union(variants)).orderBy("cluster_id")
+    // (the same verdict as Dedup.corpus). The cache-build widening
+    // below is gated on the customer dimension fitting one scan split
+    // (ADVICE r21: it was unconditional) — at real scale the dimension
+    // is multi-split and the exchange vanishes from the plan.
+    resolveEntities(s, base.union(variants),
+      widen = graft.Tables.belowOneSplit(s, dir, "customer"))
+      .orderBy("cluster_id")
   }
 
   /** The blocking → match → cluster → survivorship core over an
@@ -336,21 +341,26 @@ object Capstone {
     * presentation sort — shared with the ×100 scale probe so the probe
     * measures the SHIPPED pipeline. */
   private[graft] def resolveEntities(s: SparkSession,
-      entityFrame: DataFrame): DataFrame = {
-    // Widen the dimension cache BEFORE caching (r21): the deletion-key
-    // explode map (≈26 keys × xxhash per entity) ran as one 0.47 s
-    // 2-task stage over the narrow scan partitions. A scan-level fan
-    // measured −0.16 s (extra exchange per consumer path), but ONE
-    // repartition at cache build is paid once while every cache reader
-    // — blocking explode, survivorship window, both verify joins —
-    // runs wide. Width = shuffle-width/4 (floor 8): dimension-scale
-    // frame, and the 32-wide arm LOST to per-task overhead in the same
-    // A/B (dev.AbEntity: rep8 beat shipped 8/10 interleaved rounds,
-    // ~−0.2 s; rep32 lost). Row order inside partitions is irrelevant:
-    // sorted_pairs canonicalizes + distinct()s the candidate set and
-    // survivorship is a deterministic window.
-    val entities = entityFrame.repartition(
-      math.max(8, s.sessionState.conf.numShufflePartitions / 4))
+      entityFrame: DataFrame, widen: Boolean = true): DataFrame = {
+    // Widen the dimension cache BEFORE caching (r21; GATED r22 — the
+    // shipped caller passes `widen` from Tables.belowOneSplit, so the
+    // exchange only exists where the dimension scan cannot parallelize
+    // itself): the deletion-key explode map (≈26 keys × xxhash per
+    // entity) ran as one 0.47 s 2-task stage over the narrow scan
+    // partitions. A scan-level fan measured −0.16 s (extra exchange per
+    // consumer path), but ONE repartition at cache build is paid once
+    // while every cache reader — blocking explode, survivorship window,
+    // both verify joins — runs wide. Width = shuffle-width/4 (floor 8):
+    // dimension-scale frame, and the 32-wide arm LOST to per-task
+    // overhead in the same A/B (dev.AbEntity: rep8 beat shipped 8/10
+    // interleaved rounds, ~−0.2 s; rep32 lost). Row order inside
+    // partitions is irrelevant: sorted_pairs canonicalizes +
+    // distinct()s the candidate set and survivorship is a
+    // deterministic window.
+    val entities = (if (widen)
+        entityFrame.repartition(
+          math.max(8, s.sessionState.conf.numShufflePartitions / 4))
+      else entityFrame)
       .cache() // blocking + survivorship + verify
     // Posting-list blocking (r21, the interOfCorpus discipline): group
     // the exploded deletion keys into per-(nation, key) buckets and

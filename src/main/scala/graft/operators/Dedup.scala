@@ -851,6 +851,16 @@ object Dedup {
     // size>0 filter does) and the LSH side signatures/verifies from the
     // same frame. Before, truth and LSH each re-derived corpus+shingles
     // from the raw scan (~0.6 s of duplicated map work at sf0.1).
+    // NOT pinned (r22 probe): JobProfile counts ~14 overlapping
+    // corpus-scan-shaped ~0.3 s jobs here — every concurrent consumer
+    // racing the unmaterialized signature cache re-runs the
+    // scan+shingle+signature pass — but the duplicates are narrow map
+    // jobs that overlap on otherwise-idle cores, so they cost almost no
+    // wall time, while an eager pin SERIALIZES materialization before
+    // the consumers (interleaved A/B: pin on 2.77 s vs off 2.35 s).
+    // Same verdict as the simhash fingerprint pin; the pin discipline
+    // pays only where racers duplicate WIDE work (basket_lift,
+    // imagedup).
     val sh = shingledSigs(s, dir)
     val exact = interOfGramFrame(
         sh.select(col("doc_id"), explode(col("grams")).as("gram_s"))

@@ -239,19 +239,25 @@ object Graph {
       .cache()
     var lab = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to rounds) {
-      // Top-1 label as an aggregate, not a window (r21): row_number over
-      // (c desc, lab asc) taking rn=1 ≡ min over the lexicographic
-      // struct (−c, lab) — exact for positive bigint counts. The
-      // aggregate gets map-side partial reduction and skips the
-      // per-partition sort + filter; A/B'd 5/5 interleaved rounds
-      // faster (AbLpa; a fused one-exchange collect_list+mode variant
-      // measured a wash and was not taken).
+      // Top-1 label per node as a row_number window (r22 REVERT of the
+      // r21 min(struct(−c, lab)) aggregate): the struct-valued min
+      // cannot use hash aggregation — it planned as a per-round
+      // SortAggregate FALLBACK (plan_golden showed 7 sorts with 0
+      // windows), and both the driver artifact (0.85×, r21→r21) and a
+      // 6/6 interleaved re-validation (dev.AbReval: window 2.31 s vs
+      // aggregate 3.14 s best-of-6) measured the aggregate SLOWER than
+      // the window it replaced. The two forms are exactly equivalent
+      // for positive bigint counts (min over the lexicographic struct
+      // ≡ rn=1 over (c desc, lab asc)); the window's per-partition sort
+      // is bounded by a node's distinct neighbor labels ≤ degree.
       lab = e.join(lab.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("c"))
-        .groupBy(col("id"))
-        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
-        .select(col("id"), col("m.l").as("lab"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lab"))
     }
     lab
   }

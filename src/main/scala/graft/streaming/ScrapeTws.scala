@@ -192,7 +192,11 @@ object ScrapeTws {
       // (ADVICE r13).
       val wm = timerValues.getCurrentWatermarkInMs()
       val sorted = rows.filter(_._9 >= wm).toArray.sortInPlaceBy(_._9)
-      val init = if (st.exists()) Option(st.get()) else None
+      // ONE store lookup (r22): ValueState.get() returns null when the
+      // key is absent (ValueStateImpl bytecode-verified), so the
+      // exists()+get() pair — each a full RocksDB get + key encode on
+      // this per-key-per-batch hot path — collapses to one call.
+      val init = Option(st.get())
       var cur = init
       val events = Seq.newBuilder[Out]
       // per-key apply index AT each event_ms → total compaction order;
@@ -256,10 +260,10 @@ object ScrapeTws {
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Out] =
-      if (!st.exists()) Iterator.empty
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Out] = {
+      val c = st.get() // null = absent; single lookup (see handleInputRows)
+      if (c == null) Iterator.empty
       else {
-        val c = st.get()
         // stale-timer guard: only the CURRENT deadline tombstones
         if (expiredTimerInfo.getExpiryTimeInMs() < c.armed) Iterator.empty
         else {
@@ -280,6 +284,7 @@ object ScrapeTws {
             "delete", obs, seq))
         }
       }
+    }
   }
 
   /** The change-event stream over a streaming frame of scan rows

@@ -35,7 +35,10 @@ object StateV2 {
 
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0L)
+      // ONE store lookup (r22): get() returns null when the key is
+      // absent, so exists()+get() — two full store gets per key per
+      // batch — collapses to one call (the ScrapeTws discipline).
+      val (n0, v0) = Option(totals.get()).getOrElse((0L, 0L))
       var n = n0
       var v = v0
       rows.foreach { case (_, cents) => n += 1; v += cents }
@@ -73,7 +76,7 @@ object StateV2 {
         : Iterator[(Long, Long, Long, Long, Long)] = {
       val evs = rows.toSeq.sortBy(_._2)
       var closed = List.empty[(Long, Long, Long, Long)]
-      val before = if (open.exists()) Option(open.get()) else None
+      val before = Option(open.get()) // null = absent; single lookup
       var st = before
       evs.foreach { case (_, ts, c) =>
         st = st match {
@@ -114,9 +117,10 @@ object StateV2 {
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo)
-        : Iterator[(Long, Long, Long, Long, Long)] =
-      if (open.exists()) {
-        val (s0, l0, n0, c0) = open.get()
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val cur = open.get() // null = absent; single lookup
+      if (cur != null) {
+        val (s0, l0, n0, c0) = cur
         // only close if THIS timer corresponds to the current session's
         // idle deadline (stale timers from extended sessions are older)
         if (expiredTimerInfo.getExpiryTimeInMs() >= l0 + gapMs) {
@@ -124,6 +128,7 @@ object StateV2 {
           Iterator((user, s0, l0, n0, c0))
         } else Iterator.empty
       } else Iterator.empty
+    }
   }
 
   /** The sessionizer over an arbitrary streaming frame with columns
