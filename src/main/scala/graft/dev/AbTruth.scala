@@ -61,8 +61,8 @@ object AbTruth {
     }
 
     def inter(g: DataFrame, rep: Boolean, cheapSizes: Boolean,
-        twoLevel: Boolean = false): DataFrame = {
-      val gIn = if (rep) g.repartition(32, col("gram")) else g
+        twoLevel: Boolean = false, repWidth: Int = 32): DataFrame = {
+      val gIn = if (rep) g.repartition(repWidth, col("gram")) else g
       // two-level salted merge (VERDICT r21 #5): partial capped lists
       // per (gram, salt-of-doc) then a final per-gram merge. Salt
       // buckets partition docs disjointly, so merged size = Σ partial
@@ -105,19 +105,24 @@ object AbTruth {
     }
 
     def candidate(rep: Boolean, cheapSizes: Boolean,
-        twoLevel: Boolean = false)(dir: String): DataFrame = {
+        twoLevel: Boolean = false, repWidth: Int = 32)(dir: String): DataFrame = {
       val sh = Dedup.shingledSigs(spark, dir)
-      tail(inter(gramFrame(sh), rep, cheapSizes, twoLevel), sh)
+      tail(inter(gramFrame(sh), rep, cheapSizes, twoLevel, repWidth), sh)
     }
 
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "cur" -> (() => Dedup.qDedupMinhashRecall(spark, sfDir)),
       // r22 arms: cur = rep32+cheapsizes shipped; two-level salted merge
-      // on top of the shipped shape (VERDICT r21 #5)
+      // on top of the shipped shape (VERDICT r21 #5) — measured LOSS;
+      // wideReduce width 16/8 vs the session-width 32 (VERDICT r21 #2:
+      // "wideReduce at numShufflePartitions" listed among the explicit
+      // widths that may overshoot at this data volume)
       "twolevel" -> (() =>
         candidate(rep = true, cheapSizes = true, twoLevel = true)(sfDir)),
-      "twolevel_norep" -> (() =>
-        candidate(rep = false, cheapSizes = true, twoLevel = true)(sfDir)))
+      "wide16" -> (() =>
+        candidate(rep = true, cheapSizes = true, repWidth = 16)(sfDir)),
+      "wide8" -> (() =>
+        candidate(rep = true, cheapSizes = true, repWidth = 8)(sfDir)))
 
     val refRows = arms.head._2().collect().map(_.toString).toSeq
     arms.tail.foreach { case (label, f) =>
