@@ -233,10 +233,20 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val e = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .cache()
+    // Pinned (r22): under AQE every round's edge-side shuffle-map stage
+    // is independent of the label recurrence, so all `rounds` of them
+    // are submitted CONCURRENTLY and race the unmaterialized cache —
+    // JobProfile showed 6 overlapping 66-task jobs each re-deriving the
+    // full symmetrized-dedup edge frame (~0.5–1.1 s apiece at 32
+    // cores). The racers duplicate WIDE work (scan + distinct), which
+    // is exactly where the pin discipline pays (basket_lift, imagedup);
+    // materializing once dropped the row 2.0 → ~1.2 s (best-of-3) and
+    // removed the c32/c8 = 2.0 scaling inversion.
+    val e = graft.Tables.pin(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+        .cache())
     var lab = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to rounds) {
       // Top-1 label per node as a row_number window (r22 REVERT of the
